@@ -1,0 +1,80 @@
+"""Dataset-level relational ops on the tidy params_df.
+
+Parity: reference ``src/mdp/models/dataset.py`` — tidy export (D2), wide
+pivot with duplicate-timestamp last-wins (D3, ``dataset.py:84-95``),
+union/merge (D4 — implemented as a true immutable union; the reference's
+in-place-mutation merge is a documented bug, SURVEY §2.3), per-parameter
+stats (D6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TIDY_COLUMNS = [
+    "time_tai",
+    "apid",
+    "seq_count",
+    "raw_value",
+    "eng_value",
+    "unit",
+    "validity",
+    "out_of_limit",
+    "alarm_level",
+]
+
+
+def tidy_parameter(params: DataFrame, name: str) -> DataFrame:
+    """Per-parameter tidy frame, time-sorted (reference ``dataset.py:63-82``)."""
+    return (
+        params.filter(F.col("name") == name)
+        .select(*TIDY_COLUMNS)
+        .orderBy("time_tai")
+    )
+
+
+def to_wide(params: DataFrame, value_col: str = "eng_value") -> DataFrame:
+    """Wide pivot: one column per parameter name, indexed by time.
+
+    Duplicate (name, time) samples collapse **last-wins in sample
+    order** (reference ``dataset.py:88-91`` builds a dict keyed by
+    time). Sample order in a distributed table is the scan order; we
+    make it explicit and deterministic by ``seq_count`` — the packet
+    sequence counter is the reference's insertion order.
+
+    One shuffle (groupBy time_tai); the pivot's column list is resolved
+    in a first pass over distinct names unless supplied.
+    """
+    ordered = F.max_by(F.col(value_col), F.col("seq_count"))
+    return (
+        params.groupBy("time_tai")
+        .pivot("name")
+        .agg(ordered)
+        .orderBy("time_tai")
+    )
+
+
+def union_datasets(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Immutable union of two tidy frames (fixes reference D4 mutation bug)."""
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def parameter_stats(params: DataFrame) -> DataFrame:
+    """Per-parameter count + time range (reference ``parameter.py:68-77``)."""
+    return params.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min("time_tai").alias("time_min"),
+        F.max("time_tai").alias("time_max"),
+    )
+
+
+def dedup_samples(params: DataFrame) -> DataFrame:
+    """Drop duplicate (name, time) samples keeping the highest seq_count —
+    the deterministic batch analog of streaming late-data last-wins (W4)."""
+    w = Window.partitionBy("name", "time_tai").orderBy(F.col("seq_count").desc())
+    return (
+        params.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
