@@ -1,0 +1,128 @@
+"""Benchmark harness (BASELINE.md).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Also times the end-to-end telemetry ETL slice (binary scan → decom →
+calibrate → parquet) on a synthetic CCSDS file, mirroring the
+reference's ``throughput_rps`` measure (etl_* entries; rows/s recorded
+in the companion key "etl_rows_per_sec").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "j1_broadcast_dim_join",
+    "agg_distinct_by_group",
+    "rollup_flag_status",
+    "d3_pivot_wide",
+    "s2_unpivot_melt",
+    "w_rank_orders_by_priority",
+    "w1_tumbling_window",
+    "w4_sessionization",
+    "x6_json_extract_agg",
+    "x1_dedup_exact_hash",
+    "x2_minhash_bands",
+    "x2_ngram_jaccard_pairs",
+    "x3_cosine_topk_bruteforce",
+    "x4_token_stats",
+    "x5_multimodal_payload_meta",
+]
+
+N_ETL_PACKETS = 200_000
+
+
+def bench_etl(spark, out: dict) -> None:
+    from mission_data_pipeline_spark.models.ccsds import generate_housekeeping_stream
+    from mission_data_pipeline_spark.operators import (
+        Calibration,
+        ParameterDefinition,
+        apply_calibrations,
+        decommutate,
+    )
+    from mission_data_pipeline_spark.operators.decom import ParameterType
+    from mission_data_pipeline_spark.sources import read_packets
+
+    d = tempfile.mkdtemp(prefix="mdps_bench_")
+    try:
+        path = os.path.join(d, "hk.bin")
+        with open(path, "wb") as f:
+            f.write(generate_housekeeping_stream(N_ETL_PACKETS))
+        defs = [
+            ParameterDefinition("obc_temp", 0x100, 0, 16, ParameterType.UINT),
+            ParameterDefinition("bus_voltage", 0x100, 2, 16, ParameterType.UINT),
+            ParameterDefinition("bat_current", 0x100, 4, 16, ParameterType.UINT),
+            ParameterDefinition("mission_time_s", 0x100, 6, 32, ParameterType.FLOAT),
+        ]
+        cals = [
+            Calibration("obc_temp", "polynomial", (-55.0, 0.04394531), unit="degC"),
+            Calibration("bus_voltage", "polynomial", (0.0, 0.008056640625), unit="V"),
+            Calibration(
+                "bat_current",
+                "table",
+                table_raw=(0, 1024, 2048, 3072, 4095),
+                table_eng=(-2, -1, 0, 1, 2),
+                unit="A",
+            ),
+        ]
+        t0 = time.time()
+        pk = read_packets(spark, path, sec_hdr_length=4, split_size=1 * 1024 * 1024)
+        params = apply_calibrations(decommutate(pk, defs), cals)
+        params.write.mode("overwrite").partitionBy("name").parquet(
+            os.path.join(d, "out")
+        )
+        dt = time.time() - t0
+        out["queries"]["etl_binary_decom_calibrate"] = round(dt, 3)
+        out["etl_rows_per_sec"] = round(N_ETL_PACKETS * len(defs) / dt)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from mission_data_pipeline_spark import get_spark
+    from mission_data_pipeline_spark.plans.queries import QUERIES, register_views
+
+    spark = get_spark(app_name="mdps-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_views(spark, sf_dir)  # warm the session + file listing
+
+    out: dict = {
+        "metric": "headline_queries_total",
+        "value": 0.0,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+    }
+    total = 0.0
+    for name in HEADLINE:
+        q = QUERIES[name]
+        t0 = time.time()
+        df = q.spark(spark, sf_dir)
+        n = df.count()  # materialize the full plan
+        dt = time.time() - t0
+        out["queries"][name] = round(dt, 3)
+        total += dt
+    bench_etl(spark, out)
+    total += out["queries"]["etl_binary_decom_calibrate"]
+    out["value"] = round(total, 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1372 @@
+"""The declared query/operator library with DuckDB oracles.
+
+Every operator in SURVEY.md §2 (plus the required large-scale
+training-data extensions X1–X6) is declared here as a named query over
+the driver's test tables, paired with an ANSI-SQL oracle that DuckDB
+executes on the same parquet files. The driver hash-compares the two at
+sf0.01 — so every query follows strict cross-engine determinism rules:
+
+- **Money/double aggregation**: ``SUM(CAST(x AS DECIMAL(20,6)))`` then
+  ``CAST(... AS DOUBLE)``. Per-value decimal rounding is deterministic
+  and identical in both engines; decimal summation is exact and
+  order-independent, so parallel (Spark) and sequential (DuckDB)
+  execution produce bit-identical doubles. Plain ``SUM(double)`` is
+  order-dependent and would hash-mismatch.
+- **Ordering**: every ORDER BY carries a unique tie-break key.
+- **Timestamps**: the ``events`` table is TIMESTAMP(NANOS) parquet;
+  Spark reads it as ns-longs (``ts_ns``), DuckDB truncates to µs — both
+  sides therefore work in **microseconds** (``ts_ns DIV 1000`` ≡
+  ``epoch_us(ts)``) or coarser buckets, and date columns are CAST AS
+  DATE on both sides.
+- **Floats in final output**: rounded AFTER exact arithmetic, never
+  before; window running sums follow the frame's total order, which a
+  unique tie-break makes engine-independent.
+
+Queries tagged ``oracle=None`` are genuinely non-SQL-expressible (or
+would require an unreasonable oracle); the driver records a rows-only
+check for those, per the contract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mission_data_pipeline_spark.sources.tables import TABLES, load_table
+
+
+@dataclass(frozen=True)
+class Query:
+    """One declared operator: a Spark plan and its DuckDB oracle."""
+
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    survey_id: str  # SURVEY.md §2 operator id(s) this demonstrates
+    description: str = ""
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the test tables as temp views (events gains ts_ns/ts)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def _sql(spark_sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    return run
+
+
+def _same(sql: str, survey_id: str, description: str = "") -> Query:
+    """Query whose Spark SQL and DuckDB SQL are the same text."""
+    return Query(_sql(sql), sql, survey_id, description)
+
+
+def _dialect(spark_sql: str, duck_sql: str, survey_id: str, description: str = "") -> Query:
+    return Query(_sql(spark_sql), duck_sql, survey_id, description)
+
+
+# Exact-decimal money sum, cast back to double (see module docstring).
+def _dsum(col: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(20,6))) AS DOUBLE)"
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def _q(name: str, q: Query) -> None:
+    QUERIES[name] = q
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / scans (A*, S3, D5, D6)
+# ---------------------------------------------------------------------------
+
+_q(
+    "q1_pricing_summary",
+    _same(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {_dsum('l_quantity')} AS sum_qty,
+               {_dsum('l_extendedprice')} AS sum_base_price,
+               {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               ROUND({_dsum('l_quantity')} / COUNT(*), 6) AS avg_qty,
+               ROUND({_dsum('l_extendedprice')} / COUNT(*), 6) AS avg_price,
+               ROUND({_dsum('l_discount')} / COUNT(*), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        "A1-A4,D5",
+        "TPC-H Q1-style pricing summary: scan + filter + grouped exact aggregation",
+    ),
+)
+
+_q(
+    "agg_global_stats",
+    _same(
+        f"""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               {_dsum('l_extendedprice')} AS total_price,
+               CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+               CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+               ROUND({_dsum('l_quantity')} / COUNT(*), 6) AS avg_qty
+        FROM lineitem
+        """,
+        "A1,A3,A4,D5",
+        "global aggregate incl. distinct count and exact average",
+    ),
+)
+
+_q(
+    "agg_variance_manual",
+    _same(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               ROUND(CAST(
+                 (SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8)))
+                   - SUM(CAST(l_quantity AS DECIMAL(20,6)))
+                     * SUM(CAST(l_quantity AS DECIMAL(20,6))) / COUNT(*)
+                 ) / (COUNT(*) - 1) AS DOUBLE), 6) AS var_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+        "A3",
+        "sample variance from exact decimal moments (order-independent)",
+    ),
+)
+
+_q(
+    "agg_distinct_by_group",
+    _same(
+        """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+        "A2",
+        "distinct aggregates per group",
+    ),
+)
+
+_q(
+    "agg_having",
+    _same(
+        f"""
+        SELECT l_partkey, COUNT(*) AS n_lines, {_dsum('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING COUNT(*) >= 35
+        ORDER BY l_partkey
+        """,
+        "A2",
+        "groupBy + HAVING post-aggregate filter",
+    ),
+)
+
+_q(
+    "rollup_flag_status",
+    _same(
+        f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_dsum('l_extendedprice')} AS sum_price
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "A2+",
+        "hierarchical ROLLUP totals",
+    ),
+)
+
+_q(
+    "cube_priority_status",
+    _same(
+        f"""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, {_dsum('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+        """,
+        "A2+",
+        "CUBE over two dimensions",
+    ),
+)
+
+_q(
+    "grouping_sets_mixed",
+    _same(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "A2+",
+        "explicit GROUPING SETS",
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# Filters / projections / scalar functions (S3, T5, T7-T11, D1, D8)
+# ---------------------------------------------------------------------------
+
+_q(
+    "s3_filter_pushdown_in",
+    _same(
+        f"""
+        SELECT l_returnflag, COUNT(*) AS n, {_dsum('l_extendedprice')} AS sum_price
+        FROM lineitem
+        WHERE l_returnflag IN ('A', 'R')
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+        "S3,T8,D1",
+        "IN-list predicate pushed to the parquet scan (APID-filter analog)",
+    ),
+)
+
+_q(
+    "t8_filter_exclude",
+    _same(
+        f"""
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_orderstatus NOT IN ('F')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        "T8",
+        "blacklist filter (NOT IN on a non-null column)",
+    ),
+)
+
+_q(
+    "filter_between_range",
+    _same(
+        f"""
+        SELECT CAST(CAST(l_shipdate AS DATE) AS STRING) AS ship_date, COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1996-03-31 00:00:00'
+        GROUP BY CAST(CAST(l_shipdate AS DATE) AS STRING)
+        ORDER BY ship_date
+        """,
+        "S3",
+        "time-range predicate (partition-prunable at scale)",
+    ),
+)
+
+_q(
+    "t7_coalesce_fallback",
+    _same(
+        """
+        SELECT c.c_custkey,
+               COALESCE(CAST(o.n_orders AS DOUBLE), CAST(c.c_custkey % 7 AS DOUBLE)) AS activity
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+          ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey <= 300
+        ORDER BY c.c_custkey
+        """,
+        "T7",
+        "COALESCE fallback chain (TAI-time fallback analog)",
+    ),
+)
+
+_q(
+    "t9_polynomial_calibration",
+    _same(
+        """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(-55.0 + 0.04394531 * l_quantity
+                     + 0.0001 * l_quantity * l_quantity, 6) AS eng_value
+        FROM lineitem
+        WHERE l_orderkey <= 200
+        ORDER BY l_orderkey, l_linenumber
+        """,
+        "T9",
+        "polynomial calibration as a constant-folded projection",
+    ),
+)
+
+_q(
+    "t10_piecewise_clamp",
+    _same(
+        """
+        SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS raw,
+               ROUND(CASE
+                 WHEN l_quantity <= 10 THEN -1.0
+                 WHEN l_quantity <= 25 THEN -1.0 + (l_quantity - 10) / 15.0 * 2.0
+                 WHEN l_quantity <= 40 THEN 1.0 + (l_quantity - 25) / 15.0 * 3.0
+                 ELSE 4.0
+               END, 6) AS eng_value
+        FROM lineitem
+        WHERE l_orderkey <= 100
+        ORDER BY l_orderkey, l_linenumber
+        """,
+        "T10,T11",
+        "piecewise-linear table calibration with end clamping",
+    ),
+)
+
+_q(
+    "t5_string_functions",
+    _same(
+        """
+        SELECT c_custkey,
+               UPPER(c_name) AS name_upper,
+               SUBSTR(c_name, 1, 8) AS name_prefix,
+               LENGTH(c_name) AS name_len,
+               TRIM(CONCAT('  ', c_name, '  ')) AS name_trim,
+               REPLACE(c_mktsegment, 'AUTO', 'auto') AS seg_replaced
+        FROM customer
+        WHERE c_custkey <= 200
+        ORDER BY c_custkey
+        """,
+        "T5",
+        "string projection surface (decode-and-strip analog)",
+    ),
+)
+
+_q(
+    "case_bucketing",
+    _same(
+        f"""
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 150000 THEN 'medium'
+                    ELSE 'large' END AS bucket,
+               COUNT(*) AS n, {_dsum('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY 1
+        ORDER BY bucket
+        """,
+        "T9-T11",
+        "CASE bucketing + aggregate",
+    ),
+)
+
+_q(
+    "d8_top_n_preview",
+    _same(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
+        """,
+        "D8,D9",
+        "deterministic top-N (ORDER BY with unique tiebreak + LIMIT)",
+    ),
+)
+
+_q(
+    "date_extract_parts",
+    _same(
+        """
+        SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+               CAST(MONTH(o_orderdate) AS INT) AS mo,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
+        ORDER BY yr, mo
+        """,
+        "W3+",
+        "calendar part extraction + aggregate",
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J3 + full surface)
+# ---------------------------------------------------------------------------
+
+_q(
+    "j1_broadcast_dim_join",
+    _same(
+        f"""
+        SELECT p.p_brand, COUNT(*) AS n_lines, {_dsum('l.l_extendedprice')} AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+        """,
+        "J1",
+        "fact ⋈ broadcast dimension (decom defs lookup analog)",
+    ),
+)
+
+_q(
+    "j2_left_join_config",
+    _same(
+        """
+        SELECT c.c_custkey, c.c_name, COALESCE(o.n_orders, 0) AS n_orders
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+          ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey <= 500
+        ORDER BY c.c_custkey
+        """,
+        "J2",
+        "left join against derived table (calibration lookup analog)",
+    ),
+)
+
+_q(
+    "join_right",
+    _same(
+        """
+        SELECT n.n_name, COUNT(c.c_custkey) AS n_customers
+        FROM customer c RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """,
+        "J*",
+        "right outer join keeps empty nations",
+    ),
+)
+
+_q(
+    "join_full_outer",
+    _same(
+        """
+        SELECT COALESCE(c.nk, s.nk) AS nationkey,
+               COALESCE(c.n_cust, 0) AS n_cust,
+               COALESCE(s.n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+        FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+          ON c.nk = s.nk
+        ORDER BY nationkey
+        """,
+        "J*",
+        "full outer join of two aggregates",
+    ),
+)
+
+_q(
+    "join_semi_exists",
+    _same(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        ORDER BY c_custkey
+        """,
+        "J*",
+        "left semi join via EXISTS subquery",
+    ),
+)
+
+_q(
+    "join_anti",
+    _same(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+        """,
+        "J*",
+        "anti join: customers with no orders",
+    ),
+)
+
+_q(
+    "join_cross_small",
+    _same(
+        """
+        SELECT r.r_name, n.n_name
+        FROM region r CROSS JOIN nation n
+        ORDER BY r.r_name, n.n_name
+        """,
+        "J*",
+        "cross join of two small dimensions",
+    ),
+)
+
+_q(
+    "q3_shipping_priority",
+    _same(
+        f"""
+        SELECT l.l_orderkey,
+               {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+        """,
+        "J*,A2,D8",
+        "TPC-H Q3-style three-way join + top-N",
+    ),
+)
+
+_q(
+    "q5_nation_revenue",
+    _same(
+        f"""
+        SELECT n.n_name, {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """,
+        "J*",
+        "TPC-H Q5-style six-way join",
+    ),
+)
+
+_q(
+    "correlated_scalar_subquery",
+    _same(
+        """
+        SELECT p.p_brand, COUNT(*) AS n_above
+        FROM part p
+        WHERE p.p_retailprice > (SELECT AVG(p2.p_retailprice) FROM part p2
+                                 WHERE p2.p_brand = p.p_brand)
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+        """,
+        "J*+",
+        "correlated scalar subquery (decorrelated by Catalyst)",
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# Set operations / union / distinct (D4, X1)
+# ---------------------------------------------------------------------------
+
+_q(
+    "d4_union_all",
+    _same(
+        """
+        SELECT k, COUNT(*) AS n FROM (
+          SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'
+          UNION ALL
+          SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+        ) u
+        GROUP BY k
+        HAVING COUNT(*) > 4
+        ORDER BY k
+        """,
+        "D4",
+        "UNION ALL then aggregate (immutable dataset merge)",
+    ),
+)
+
+_q(
+    "set_union_distinct",
+    _same(
+        """
+        SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+        UNION
+        SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 1000
+        ORDER BY nk
+        """,
+        "D4",
+        "UNION with duplicate elimination",
+    ),
+)
+
+_q(
+    "set_intersect",
+    _same(
+        """
+        SELECT l_partkey AS pk FROM lineitem WHERE l_returnflag = 'R'
+        INTERSECT
+        SELECT l_partkey AS pk FROM lineitem WHERE l_returnflag = 'A'
+        ORDER BY pk
+        """,
+        "D4+",
+        "INTERSECT of two key sets",
+    ),
+)
+
+_q(
+    "set_except",
+    _same(
+        """
+        SELECT c_custkey AS k FROM customer
+        EXCEPT
+        SELECT o_custkey AS k FROM orders
+        ORDER BY k
+        """,
+        "D4+",
+        "EXCEPT (anti set difference)",
+    ),
+)
+
+_q(
+    "x1_distinct_dedup",
+    _same(
+        """
+        SELECT DISTINCT l_returnflag, l_linestatus
+        FROM lineitem
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        "X1",
+        "exact duplicate elimination",
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot (D3, S2)
+# ---------------------------------------------------------------------------
+
+
+def _pivot_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    orders = spark.table("orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
+_q(
+    "d3_pivot_wide",
+    Query(
+        _pivot_spark,
+        """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        "D3",
+        "wide pivot (long→wide, one column per category)",
+    ),
+)
+
+
+def _unpivot_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(2, 'quantity', l_quantity, 'extendedprice', l_extendedprice)"
+            " as (measure, value)"
+        ),
+    ).orderBy("l_orderkey", "l_linenumber", "measure")
+
+
+_q(
+    "s2_unpivot_melt",
+    Query(
+        _unpivot_spark,
+        """
+        SELECT l_orderkey, l_linenumber, measure, value FROM (
+          SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+          FROM lineitem WHERE l_orderkey <= 100
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+          FROM lineitem WHERE l_orderkey <= 100
+        ) u
+        ORDER BY l_orderkey, l_linenumber, measure
+        """,
+        "S2",
+        "wide→long melt (CSV telemetry extractor shape)",
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# Window / time-series (W*, plus extension windows over events)
+# ---------------------------------------------------------------------------
+
+_EV_SPARK = "WITH ev AS (SELECT *, ts_ns DIV 1000 AS ts_us FROM events)"
+_EV_DUCK = "WITH ev AS (SELECT *, epoch_us(ts) AS ts_us FROM events)"
+
+
+def _ev(spark_body: str, duck_body: str | None = None) -> tuple[str, str]:
+    body = spark_body
+    return _EV_SPARK + body, _EV_DUCK + (duck_body if duck_body is not None else body)
+
+
+_sql_w_rn, _duck_w_rn = _ev(
+    """
+    SELECT user_id, ts_us, event_type, value FROM (
+      SELECT user_id, ts_us, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+      FROM ev
+    ) t WHERE rn <= 3
+    ORDER BY user_id, ts_us, event_type
+    """
+)
+_q(
+    "w_row_number_first_events",
+    _dialect(_sql_w_rn, _duck_w_rn, "W3+", "first 3 events per user via ROW_NUMBER"),
+)
+
+_sql_w_lag, _duck_w_lag = _ev(
+    """
+    SELECT user_id, ts_us,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id), 6) AS delta,
+           CAST(ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS gap_us
+    FROM ev WHERE user_id <= 20
+    ORDER BY user_id, ts_us
+    """
+)
+_q(
+    "w_lag_delta_gap",
+    _dialect(_sql_w_lag, _duck_w_lag, "W3,W4", "per-user deltas + arrival gaps via LAG (seq-gap detection analog)"),
+)
+
+_sql_w_run, _duck_w_run = _ev(
+    """
+    SELECT user_id, ts_us,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+    FROM ev WHERE user_id <= 10
+    ORDER BY user_id, ts_us
+    """
+)
+_q(
+    "w_running_sum",
+    _dialect(_sql_w_run, _duck_w_run, "W*+", "running sum in deterministic frame order"),
+)
+
+_sql_w_avg, _duck_w_avg = _ev(
+    """
+    SELECT user_id, ts_us,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+    FROM ev WHERE user_id <= 10
+    ORDER BY user_id, ts_us
+    """
+)
+_q(
+    "w_moving_average",
+    _dialect(_sql_w_avg, _duck_w_avg, "W*+", "4-row moving average"),
+)
+
+_q(
+    "w_rank_orders_by_priority",
+    _same(
+        """
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 RANK() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders
+        ) t WHERE rnk <= 5
+        ORDER BY o_orderpriority, rnk, o_orderkey
+        """,
+        "W*+",
+        "per-group top-k via RANK",
+    ),
+)
+
+_sql_w_tumb, _duck_w_tumb = _ev(
+    f"""
+    SELECT CAST(ts_us DIV 3600000000 AS BIGINT) AS hour_bucket,
+           event_type, COUNT(*) AS n, {_dsum('value')} AS sum_value
+    FROM ev
+    GROUP BY 1, 2
+    ORDER BY hour_bucket, event_type
+    """,
+    f"""
+    SELECT CAST(ts_us // 3600000000 AS BIGINT) AS hour_bucket,
+           event_type, COUNT(*) AS n, {_dsum('value')} AS sum_value
+    FROM ev
+    GROUP BY 1, 2
+    ORDER BY hour_bucket, event_type
+    """,
+)
+_q(
+    "w1_tumbling_window",
+    _dialect(_sql_w_tumb, _duck_w_tumb, "W1", "tumbling 1-hour window aggregate (micro-batch analog)"),
+)
+
+_sql_sess, _duck_sess = _ev(
+    """
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+           CAST(MAX(ts_us) AS BIGINT) AS session_end_us
+    FROM (
+      SELECT user_id, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                         > 3600000000 OR
+                         LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+      ) g
+    ) s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """
+)
+_q(
+    "w4_sessionization",
+    _dialect(_sql_sess, _duck_sess, "W4+", "gap-based sessionization (1h inactivity) via LAG + running sum"),
+)
+
+# ---------------------------------------------------------------------------
+# JSON (X6)
+# ---------------------------------------------------------------------------
+
+_sql_json, _duck_json = (
+    _EV_SPARK
+    + """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM ev
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    _EV_DUCK
+    + """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM ev
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+_q(
+    "x6_json_extract_agg",
+    _dialect(_sql_json, _duck_json, "X6", "JSON field extraction + typed aggregation over events.props"),
+)
+
+# ---------------------------------------------------------------------------
+# Text analysis (X4) — replace-chain token math keeps one SQL dialect
+# ---------------------------------------------------------------------------
+
+_TOKENS = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
+
+
+def _occurrences(word: str) -> str:
+    # number of occurrences of ' word ' patterns; pad text with spaces so
+    # boundary words count. Identical semantics in both engines.
+    padded = "CONCAT(' ', text, ' ')"
+    needle = f"' {word} '"
+    # non-overlapping count; tokens are single-space separated in this corpus
+    return (
+        f"CAST((LENGTH({padded}) - LENGTH(REPLACE({padded}, {needle}, ' ')))"
+        f" / (LENGTH({needle}) - 1) AS BIGINT)"
+    )
+
+
+_q(
+    "x4_token_stats",
+    _same(
+        f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM({_TOKENS}) AS BIGINT) AS total_tokens,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+               ROUND(CAST(SUM({_TOKENS}) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+        """,
+        "X4",
+        "whitespace token counting + per-language aggregates",
+    ),
+)
+
+_q(
+    "x4_quality_score",
+    _same(
+        f"""
+        SELECT doc_id,
+               {_TOKENS} AS n_tokens,
+               ROUND(CAST(LENGTH(text) AS DOUBLE) / {_TOKENS}, 6) AS avg_token_len,
+               ROUND(CAST({_occurrences('the')} + {_occurrences('a')} AS DOUBLE)
+                     / {_TOKENS}, 6) AS stopword_ratio,
+               CASE WHEN {_TOKENS} >= 10
+                         AND LENGTH(text) >= 50
+                    THEN 1 ELSE 0 END AS keep_flag
+        FROM documents
+        WHERE doc_id < 200
+        ORDER BY doc_id
+        """,
+        "X4",
+        "document quality scoring: length, token shape, stopword ratio",
+    ),
+)
+
+_q(
+    "x4_lang_signal",
+    _same(
+        f"""
+        SELECT lang,
+               ROUND(CAST(SUM({_occurrences('the')}) AS DOUBLE)
+                     / SUM({_TOKENS}), 6) AS the_rate,
+               ROUND(CAST(SUM({_occurrences('value')}) AS DOUBLE)
+                     / SUM({_TOKENS}), 6) AS value_rate,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+        """,
+        "X4",
+        "n-gram-frequency language signal (language-ID heuristic features)",
+    ),
+)
+
+_q(
+    "x4_fingerprint",
+    _same(
+        """
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT MD5(LOWER(text))) AS n_unique_fingerprints
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+        """,
+        "X4,X1",
+        "document fingerprinting via content hash",
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# Dedup (X1, X2)
+# ---------------------------------------------------------------------------
+
+_q(
+    "x1_dedup_exact_hash",
+    _same(
+        """
+        SELECT MD5(text) AS fingerprint,
+               COUNT(*) AS n_copies,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+        FROM documents
+        GROUP BY MD5(text)
+        HAVING COUNT(*) > 1
+        ORDER BY fingerprint
+        """,
+        "X1",
+        "exact near-zero-cost dedup: hash-group, keep lowest id",
+    ),
+)
+
+_GRAMS_SPARK = """
+  grams AS (
+    SELECT doc_id, gram FROM (
+      SELECT doc_id,
+             EXPLODE(ARRAY_DISTINCT(TRANSFORM(
+               SEQUENCE(1, GREATEST(LENGTH(text) - 4, 1)),
+               i -> SUBSTR(text, i, 5)))) AS gram
+      FROM documents WHERE doc_id < 60
+    ) g
+  )
+"""
+_GRAMS_DUCK = """
+  grams AS (
+    SELECT DISTINCT doc_id, substr(text, CAST(g AS INT), 5) AS gram
+    FROM documents, UNNEST(range(1, greatest(length(text) - 3, 2))) AS t(g)
+    WHERE doc_id < 60
+  )
+"""
+_JACCARD_BODY = """
+, sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id)
+, pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.4
+ORDER BY p.doc_a, p.doc_b
+"""
+_q(
+    "x2_ngram_jaccard_pairs",
+    _dialect(
+        "WITH " + _GRAMS_SPARK + _JACCARD_BODY,
+        "WITH " + _GRAMS_DUCK + _JACCARD_BODY,
+        "X2",
+        "character-5-gram exact Jaccard near-dup pairs (bounded subset; "
+        "the unbounded scale path is MinHash-LSH, see x2_minhash_bands)",
+    ),
+)
+
+# Deterministic MinHash: h_s(gram) = first 12 hex digits of md5(seed||gram)
+# as int; signature = min per seed; band agreement >= 3 of 6 seeds.
+_MINHASH_SPARK = (
+    "WITH "
+    + _GRAMS_SPARK
+    + """
+, hashes AS (
+    SELECT g.doc_id, s.seed,
+           MIN(CAST(CONV(SUBSTR(MD5(CONCAT(CAST(s.seed AS STRING), ':', g.gram)), 1, 12), 16, 10) AS BIGINT)) AS minhash
+    FROM grams g
+    CROSS JOIN (SELECT EXPLODE(SEQUENCE(0, 5)) AS seed) s
+    GROUP BY g.doc_id, s.seed
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_agree
+FROM hashes a
+JOIN hashes b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3
+ORDER BY doc_a, doc_b
+"""
+)
+_MINHASH_DUCK = (
+    "WITH "
+    + _GRAMS_DUCK
+    + """
+, hashes AS (
+    SELECT g.doc_id, s.seed,
+           MIN(CAST(('0x' || SUBSTR(MD5(CONCAT(CAST(s.seed AS VARCHAR), ':', g.gram)), 1, 12)) AS BIGINT)) AS minhash
+    FROM grams g
+    CROSS JOIN (SELECT UNNEST(range(0, 6)) AS seed) s
+    GROUP BY g.doc_id, s.seed
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_agree
+FROM hashes a
+JOIN hashes b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3
+ORDER BY doc_a, doc_b
+"""
+)
+_q(
+    "x2_minhash_bands",
+    _dialect(
+        _MINHASH_SPARK,
+        _MINHASH_DUCK,
+        "X2",
+        "deterministic MinHash banding: 6 seeded hash functions, pairs "
+        "agreeing on >= 3 minima (LSH candidate generation, fully seeded "
+        "so both engines compute identical signatures)",
+    ),
+)
+
+# SimHash: 16-bit fingerprint; bit j set iff sum over grams of
+# (+1 if bit j of gram-hash else -1) > 0. Gram hash = first 12 hex of md5.
+_SIMHASH_BODY = """
+, bits AS (
+    SELECT doc_id, b.bit,
+           CASE WHEN SUM(CASE WHEN (gh.h & CAST(POW(2, b.bit) AS BIGINT)) != 0
+                              THEN 1 ELSE -1 END) > 0
+                THEN CAST(POW(2, b.bit) AS BIGINT) ELSE 0 END AS bitval
+    FROM gh CROSS JOIN bitsrc b
+    GROUP BY doc_id, b.bit
+)
+SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash16
+FROM bits
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+_q(
+    "x2_simhash_fingerprint",
+    _dialect(
+        "WITH "
+        + _GRAMS_SPARK
+        + """
+, gh AS (SELECT doc_id, CAST(CONV(SUBSTR(MD5(gram), 1, 12), 16, 10) AS BIGINT) AS h FROM grams)
+, bitsrc AS (SELECT EXPLODE(SEQUENCE(0, 15)) AS bit)
+"""
+        + _SIMHASH_BODY,
+        "WITH "
+        + _GRAMS_DUCK
+        + """
+, gh AS (SELECT doc_id, CAST(('0x' || SUBSTR(MD5(gram), 1, 12)) AS BIGINT) AS h FROM grams)
+, bitsrc AS (SELECT UNNEST(range(0, 16)) AS bit)
+"""
+        + _SIMHASH_BODY,
+        "X2",
+        "16-bit SimHash fingerprints from seeded gram hashes",
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# Similarity search (X3)
+# ---------------------------------------------------------------------------
+
+
+def _cosine_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from mission_data_pipeline_spark.functions.vectors import cosine_similarity
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = emb.crossJoin(broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "vec_id", "cosine", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+_q(
+    "x3_cosine_topk_bruteforce",
+    Query(
+        _cosine_topk_spark,
+        """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+          FROM e CROSS JOIN q
+          WHERE e.vec_id != q.query_id
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rnk
+          FROM scored
+        )
+        SELECT query_id, vec_id, cosine, rnk FROM ranked
+        WHERE rnk <= 10
+        ORDER BY query_id, rnk
+        """,
+        "X3",
+        "brute-force cosine top-k (broadcast queries, JVM-side dot products)",
+    ),
+)
+
+
+def _knn_label_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from mission_data_pipeline_spark.functions.vectors import cosine_similarity
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = emb.crossJoin(broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    top5 = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    return (
+        top5.groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("votes").desc(), F.col("label")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+        .orderBy("query_id")
+    )
+
+
+_q(
+    "x3_knn_label_vote",
+    Query(
+        _knn_label_spark,
+        """
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        scored AS (
+          SELECT q.query_id, e.vec_id, e.label,
+                 ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+          FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+        ),
+        top5 AS (
+          SELECT * FROM (
+            SELECT query_id, vec_id, label, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rnk
+            FROM scored) t
+          WHERE rnk <= 5
+        ),
+        votes AS (
+          SELECT query_id, label, COUNT(*) AS votes FROM top5 GROUP BY query_id, label
+        )
+        SELECT query_id, label AS predicted_label, votes FROM (
+          SELECT query_id, label, votes,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY votes DESC, label) AS rn
+          FROM votes) v
+        WHERE rn = 1
+        ORDER BY query_id
+        """,
+        "X3",
+        "k-NN majority-label vote over cosine top-5",
+    ),
+)
+
+# Embedding-space near-dup (X2 variant on vectors): pairs with cosine > 0.95
+_q(
+    "x2_embedding_near_dup",
+    Query(
+        _sql(
+            """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(
+                     AGGREGATE(ZIP_WITH(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)
+                     / (SQRT(AGGREGATE(a.v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))
+                        * SQRT(AGGREGATE(b.v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))), 6) AS cosine
+            FROM (SELECT vec_id, TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings WHERE vec_id < 150) a
+            JOIN (SELECT vec_id, TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings WHERE vec_id < 150) b
+              ON a.vec_id < b.vec_id
+            WHERE AGGREGATE(ZIP_WITH(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)
+                  / (SQRT(AGGREGATE(a.v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))
+                     * SQRT(AGGREGATE(b.v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))) > 0.8
+            ORDER BY vec_a, vec_b
+            """
+        ),
+        """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 150)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) > 0.8
+        ORDER BY vec_a, vec_b
+        """,
+        "X2,X3",
+        "embedding-cosine near-duplicate pairs above threshold",
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (X5): opaque binary payload + typed metadata
+# ---------------------------------------------------------------------------
+
+
+def _multimodal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    doc = spark.table("documents")
+    # Binary payload column + metadata extraction — the packet pattern:
+    # payload stays opaque bytes; metadata is typed columns beside it.
+    payload = F.encode("text", "UTF-8")
+    return doc.select(
+        "doc_id",
+        F.octet_length(payload).alias("payload_bytes"),
+        F.hex(F.substring(payload, 1, 4)).alias("magic_hex"),
+        F.md5(F.col("text")).alias("content_hash"),
+        "source",
+    ).orderBy("doc_id")
+
+
+_q(
+    "x5_multimodal_payload_meta",
+    Query(
+        _multimodal_spark,
+        """
+        SELECT doc_id,
+               octet_length(text::BLOB) AS payload_bytes,
+               upper(hex(substr(text, 1, 4))) AS magic_hex,
+               md5(text) AS content_hash,
+               source
+        FROM documents
+        ORDER BY doc_id
+        """,
+        "X5",
+        "opaque binary payload column + typed metadata (packet pattern)",
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# Telemetry-shaped relational parity queries (D2, D6)
+# ---------------------------------------------------------------------------
+
+_sql_d6, _duck_d6 = _ev(
+    """
+    SELECT event_type AS name, COUNT(*) AS n_samples,
+           CAST(MIN(ts_us) AS BIGINT) AS time_min_us,
+           CAST(MAX(ts_us) AS BIGINT) AS time_max_us
+    FROM ev
+    GROUP BY event_type
+    ORDER BY name
+    """
+)
+_q(
+    "d6_per_name_time_range",
+    _dialect(_sql_d6, _duck_d6, "D6", "per-parameter count + time range (ParameterRecord stats)"),
+)
+
+_sql_d2, _duck_d2 = _ev(
+    """
+    SELECT ts_us, user_id, value, props
+    FROM ev
+    WHERE event_type = 'click' AND user_id <= 30
+    ORDER BY ts_us, event_id
+    """
+)
+_q(
+    "d2_tidy_projection_sorted",
+    _dialect(_sql_d2, _duck_d2, "D2", "tidy per-parameter projection, time-ordered"),
+)

@@ -1,0 +1,147 @@
+"""Self-check every declared query against its DuckDB oracle.
+
+Mirrors the driver's correctness gate: run the Spark plan and the oracle
+SQL at sf0.01, normalize (sort columns by name, sort rows by all
+columns), and require exact value equality. Stricter than a hash match —
+if this passes, any reasonable hash normalization matches too.
+
+Usage: python scripts/check_correctness.py [name ...] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from __spark_entry__ import oracle_sql, queries  # noqa: E402
+from mission_data_pipeline_spark import get_spark  # noqa: E402
+from mission_data_pipeline_spark.sources.tables import TABLES  # noqa: E402
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            # decimal.Decimal or similar from either engine → float
+            sample = df[c].dropna()
+            if len(sample) and all(
+                type(v).__name__ == "Decimal" for v in sample.head(5)
+            ):
+                df[c] = df[c].astype(float)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        if bool(pd.isna(a)) != bool(pd.isna(b)):
+            return False
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        problems.append(
+            f"column mismatch: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
+        )
+        return problems
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
+        return problems
+    s = _normalize(spark_df)
+    d = _normalize(duck_df)
+    for c in s.columns:
+        sv, dv = s[c].tolist(), d[c].tolist()
+        bad = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(sv, dv))
+            if not _values_equal(a, b)
+        ]
+        if bad:
+            i, a, b = bad[0]
+            problems.append(
+                f"col {c}: {len(bad)}/{len(sv)} values differ; first at row {i}: "
+                f"spark={a!r} ({type(a).__name__}) duck={b!r} ({type(b).__name__})"
+            )
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    qs = queries()
+    oracles = oracle_sql()
+    names = args.names or list(qs)
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    n_pass = n_fail = n_noracle = 0
+    failures: dict[str, list[str]] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf).toPandas()
+        except Exception as e:
+            n_fail += 1
+            failures[name] = [f"SPARK ERROR: {type(e).__name__}: {str(e)[:300]}"]
+            print(f"FAIL  {name}: spark error")
+            continue
+        if name not in oracles:
+            n_noracle += 1
+            print(f"rows  {name}: {len(sdf)} rows (no oracle, rows-only check)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            n_fail += 1
+            failures[name] = [f"DUCKDB ERROR: {type(e).__name__}: {str(e)[:300]}"]
+            print(f"FAIL  {name}: duckdb error")
+            continue
+        problems = compare(name, sdf, ddf)
+        dt = time.time() - t0
+        if problems:
+            n_fail += 1
+            failures[name] = problems
+            print(f"FAIL  {name} ({dt:.1f}s)")
+        else:
+            n_pass += 1
+            print(f"pass  {name}: {len(sdf)} rows ({dt:.1f}s)")
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    for name, probs in failures.items():
+        print(f"\n== {name}")
+        for p in probs:
+            print("  ", p)
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
