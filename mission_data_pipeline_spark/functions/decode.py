@@ -66,8 +66,9 @@ def decode_int(
         u = F.conv(_hex_be(data, byte_offset, n_bytes, little_endian), 16, 10).cast(
             "decimal(20,0)"
         )
-        half = F.lit(1 << (bits - 1)).cast("decimal(20,0)")
-        full = F.lit(1 << bits).cast("decimal(21,0)")
+        # 2^63 / 2^64 exceed the JVM long literal range — ship as strings
+        half = F.lit(str(1 << (bits - 1))).cast("decimal(20,0)")
+        full = F.lit(str(1 << bits)).cast("decimal(21,0)")
         return F.when(u >= half, (u - full).cast("decimal(20,0)")).otherwise(
             u.cast("decimal(20,0)")
         ).cast("long")

@@ -79,6 +79,17 @@ def apply_calibrations(params: DataFrame, cals: list[Calibration] | DataFrame) -
     else:
         cal_df = cals
 
+    # Tolerate partial input schemas (only name/raw_value are required):
+    # missing optional columns materialize as typed nulls.
+    defaults = {
+        "eng_value": "double",
+        "unit": "string",
+        "calibration_id": "string",
+    }
+    for col, typ in defaults.items():
+        if col not in params.columns:
+            params = params.withColumn(col, F.lit(None).cast(typ))
+
     joined = params.join(broadcast(cal_df), on="name", how="left")
     raw = F.col("raw_value")
     calibrated = (

@@ -96,21 +96,24 @@ def decommutate(
 ) -> DataFrame:
     """Extract one tidy parameter row per (packet, matching definition)."""
     known_apids = sorted({d.apid for d in definitions})
-    if not skip_unknown_apids:
-        # Reference raises KeyError at runtime per packet; relationally
-        # that is a constraint violation — enforce as an ANSI error via
-        # raise_error on first unknown APID (checked lazily in-plan).
-        packets = packets.withColumn(
-            "__apid_check",
-            F.when(
-                ~F.col("apid").isin(known_apids),
-                F.raise_error(F.concat(F.lit("unknown APID: "), F.col("apid"))),
-            ),
-        ).drop("__apid_check")
 
     data = F.col("user_data")
     payload_len = F.length(data)
     branches = []
+    if not skip_unknown_apids:
+        # Reference raises KeyError at runtime per packet; relationally
+        # that is a constraint violation — enforced as a runtime error
+        # branch *inside the evaluated explode expression* (a standalone
+        # dropped check column would be pruned by Catalyst and never fire).
+        error_struct = F.struct(
+            F.raise_error(
+                F.concat(F.lit("unknown APID: "), F.col("apid").cast("string"))
+            ).cast("string").alias("name"),
+            F.lit(None).cast("double").alias("raw_value"),
+            F.lit(None).cast("string").alias("raw_value_str"),
+            F.lit(None).cast("string").alias("unit"),
+        )
+        branches.append(F.when(~F.col("apid").isin(known_apids), error_struct))
     for d in definitions:
         fits = F.lit(d.byte_offset + d.n_bytes) <= payload_len  # silent skip (T1)
         num = _decode_numeric(d, data)

@@ -62,22 +62,82 @@ def _find_sync(buf: bytes, start: int) -> int:
     return -1 if i < 0 else i + len(CCSDS_SYNC_MARKER)
 
 
-def _resync_heuristic(buf: bytes, start: int, limit: int, max_packet_len: int, chain: int) -> int:
-    """First offset in [start, limit) where a validated header chain locks."""
+def _resync_heuristic(
+    buf: bytes,
+    start: int,
+    limit: int,
+    max_packet_len: int,
+    chain: int,
+    eof_in_buf: bool = False,
+) -> int:
+    """First offset in [start, limit) where a validated header chain locks.
+
+    A candidate locks only if, through a validation horizon (64 KiB or
+    ``chain`` links, whichever is longer):
+
+    - every header in the chain parses plausible (version 0, sane
+      length),
+    - at least one *complete* packet fits in the buffer (random bytes
+      love to claim a length that jumps straight past the buffer end),
+    - and the CCSDS per-APID 14-bit sequence counter increments by
+      exactly 1 (mod 16384) between consecutive same-APID packets.
+
+    The sequence-continuity rule is the decisive discriminator: real
+    telemetry payloads are often *periodic* (constant checksum fields,
+    slow sine housekeeping values), so a misaligned offset can chain
+    plausible headers with a self-consistent fake length forever — but
+    the bytes it reads as ``seq_count`` come from payload fields and do
+    not count 1-by-1. A true boundary always does (CCSDS 133.0-B-2
+    §4.1.3.4). This is what makes a false lock — and therefore a
+    duplicated or phantom packet in a parallel range scan — vanishingly
+    unlikely.
+    """
+    horizon = max(64 * 1024, max_packet_len + PRIMARY_HEADER_LEN)
     pos = start
     while pos < limit:
         ok = True
+        overran = False
+        complete = 0
         p = pos
-        for _ in range(chain + 1):
-            if p + PRIMARY_HEADER_LEN > len(buf):
-                break  # ran off buffer — partial chain is acceptable evidence
+        last_seq: dict[int, int] = {}
+        validate_until = min(len(buf), pos + horizon)
+        while p + PRIMARY_HEADER_LEN <= len(buf) and (
+            p < validate_until or complete <= chain
+        ):
             hdr = CCSDSPrimaryHeader.from_bytes(buf[p : p + PRIMARY_HEADER_LEN])
             if not _header_plausible(hdr, max_packet_len):
                 ok = False
                 break
+            prev = last_seq.get(hdr.apid)
+            if prev is not None and (hdr.seq_count - prev) % 16384 != 1:
+                ok = False
+                break
+            last_seq[hdr.apid] = hdr.seq_count
+            if p + hdr.packet_length > len(buf):
+                overran = True
+                break
+            complete += 1
             p += hdr.packet_length
         if ok:
-            return pos
+            # Acceptance evidence, by how the chain walk terminated:
+            # - ended exactly at true EOF: the precise landing is itself
+            #   strong evidence; accepts trailing runs shorter than
+            #   `chain` (the only way to recover an isolated tail packet).
+            # - claimed extent past a *mid-file* buffer end: fine — the
+            #   tail overlap holds chain+2 max-size packets, so a true
+            #   chain accumulated `chain` completes first.
+            # - claimed extent past true EOF: suspect. A real chain
+            #   there lands exactly on EOF (or the file is truncated, in
+            #   which case the parse loop drops the tail anyway) — random
+            #   bytes love a length that jumps out of the file, so
+            #   demand strictly more than `chain` completes.
+            at_eof = eof_in_buf and p == len(buf)
+            if overran and eof_in_buf:
+                accept = complete > chain
+            else:
+                accept = complete >= max(chain, 1) or (at_eof and complete >= 1)
+            if accept:
+                return pos
         pos += 1
     return -1
 
@@ -103,13 +163,14 @@ def _parse_range(row: dict) -> Iterator[dict]:
         f.seek(range_start)
         buf = f.read(read_end - range_start)
 
+    eof_in_buf = read_end >= file_size
     local_end = range_end - range_start  # packets must *start* before this
     pos = 0
     if range_start > 0 or frame_sync:
         if frame_sync:
             pos = _find_sync(buf, 0)
         else:
-            pos = _resync_heuristic(buf, 0, local_end, max_packet_len, chain)
+            pos = _resync_heuristic(buf, 0, local_end, max_packet_len, chain, eof_in_buf)
         if pos < 0:
             return
 
@@ -121,7 +182,9 @@ def _parse_range(row: dict) -> Iterator[dict]:
             if frame_sync:
                 nxt = _find_sync(buf, pos + 1)
             else:
-                nxt = _resync_heuristic(buf, pos + 1, local_end, max_packet_len, chain)
+                nxt = _resync_heuristic(
+                    buf, pos + 1, local_end, max_packet_len, chain, eof_in_buf
+                )
             if nxt < 0:
                 return
             pos = nxt

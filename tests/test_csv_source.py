@@ -1,0 +1,50 @@
+"""CSV telemetry scan tests (reference ``src/mdp/plugins/extractors/csv.py``)."""
+
+import math
+
+import pytest
+
+from mission_data_pipeline_spark.sources import read_csv_telemetry
+
+
+def test_melt_to_long(spark, csv_file):
+    df = read_csv_telemetry(spark, csv_file)
+    names = {r["name"] for r in df.select("name").distinct().collect()}
+    assert names == {"star_tracker_temp", "reaction_wheel_rpm"}
+    r = df.filter("name = 'star_tracker_temp' AND seq_count = 0").collect()[0]
+    assert r["raw_value"] == pytest.approx(2200.0)
+    assert r["eng_value"] == r["raw_value"]  # eng = raw at extract
+    assert r["apid"] == 768 and r["time_tai"] == 0.0
+
+
+def test_nan_cells_dropped(spark, csv_file):
+    df = read_csv_telemetry(spark, csv_file)
+    st = df.filter("name = 'star_tracker_temp'").count()
+    rw = df.filter("name = 'reaction_wheel_rpm'").count()
+    assert st == 50 - len([i for i in range(50) if i % 7 == 3])
+    assert rw == 50 - len([i for i in range(50) if i % 11 == 5])
+
+
+def test_explicit_parameter_columns(spark, csv_file):
+    df = read_csv_telemetry(spark, csv_file, parameter_columns=["star_tracker_temp"])
+    assert df.select("name").distinct().count() == 1
+
+
+def test_missing_required_column(spark, tmp_root):
+    p = tmp_root / "bad.csv"
+    p.write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError, match="required"):
+        read_csv_telemetry(spark, str(p))
+
+
+def test_values_match_formula(spark, csv_file):
+    df = read_csv_telemetry(spark, csv_file)
+    rows = {
+        r["seq_count"]: r["raw_value"]
+        for r in df.filter("name = 'reaction_wheel_rpm'").collect()
+    }
+    for i in (0, 10, 40):
+        if i % 11 != 5:
+            assert rows[i] == pytest.approx(
+                round(5000 + 200 * math.cos(i / 20), 2)
+            )

@@ -1,0 +1,81 @@
+"""Dataset-op parity tests (reference ``tests/test_models_dataset.py``)."""
+
+from pyspark.sql import functions as F
+
+from mission_data_pipeline_spark.operators import (
+    parameter_stats,
+    tidy_parameter,
+    to_wide,
+    union_datasets,
+)
+from mission_data_pipeline_spark.operators.dataset import dedup_samples
+
+ROWS = [
+    # name, apid, seq, time, raw, eng
+    ("temperature", 0x200, 0, 0.0, 0.0, -273.15),
+    ("temperature", 0x200, 1, 10.0, 100.0, -263.15),
+    ("temperature", 0x200, 2, 20.0, 200.0, -253.15),
+    ("pressure", 0x200, 0, 0.0, 5.0, 5.0),
+    ("pressure", 0x200, 2, 20.0, 7.0, 7.0),
+]
+SCHEMA = "name string, apid int, seq_count int, time_tai double, raw_value double, eng_value double"
+
+
+def _params(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    return (
+        df.withColumn("unit", F.lit(None).cast("string"))
+        .withColumn("validity", F.lit(True))
+        .withColumn("out_of_limit", F.lit(False))
+        .withColumn("alarm_level", F.lit(0))
+    )
+
+
+def test_tidy_sorted(spark):
+    out = tidy_parameter(_params(spark), "temperature").collect()
+    assert [r["time_tai"] for r in out] == [0.0, 10.0, 20.0]
+    assert "name" not in out[0].asDict()
+
+
+def test_wide_pivot_shape_and_nulls(spark):
+    wide = to_wide(_params(spark)).collect()
+    assert [r["time_tai"] for r in wide] == [0.0, 10.0, 20.0]
+    byt = {r["time_tai"]: r for r in wide}
+    assert byt[10.0]["pressure"] is None  # no sample at t=10
+    assert byt[10.0]["temperature"] == -263.15
+
+
+def test_wide_pivot_duplicate_time_last_wins(spark):
+    rows = [
+        ("x", 1, 0, 5.0, 1.0, 1.0),
+        ("x", 1, 1, 5.0, 2.0, 2.0),  # same time, later seq → wins
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    wide = to_wide(df).collect()
+    assert len(wide) == 1 and wide[0]["x"] == 2.0
+
+
+def test_union_immutable(spark):
+    a, b = _params(spark), _params(spark)
+    u = union_datasets(a, b)
+    assert u.count() == 10
+    assert a.count() == 5  # no mutation (reference merge bug fixed)
+
+
+def test_parameter_stats(spark):
+    stats = {r["name"]: r for r in parameter_stats(_params(spark)).collect()}
+    assert stats["temperature"]["n_samples"] == 3
+    assert stats["temperature"]["time_min"] == 0.0
+    assert stats["temperature"]["time_max"] == 20.0
+    assert stats["pressure"]["n_samples"] == 2
+
+
+def test_dedup_samples_keeps_highest_seq(spark):
+    rows = [
+        ("x", 1, 0, 5.0, 1.0, 1.0),
+        ("x", 1, 3, 5.0, 9.0, 9.0),
+        ("x", 1, 1, 6.0, 2.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {r["time_tai"]: r for r in dedup_samples(df).collect()}
+    assert len(out) == 2 and out[5.0]["raw_value"] == 9.0

@@ -1,0 +1,61 @@
+"""Spot-check declared queries against DuckDB at sf0.001 (fast subset).
+
+The full 57-query suite runs via ``scripts/check_correctness.py`` at
+sf0.01 (the driver's gate); this keeps a representative sample inside
+the pytest loop so regressions surface immediately.
+"""
+
+import duckdb
+import pytest
+
+from mission_data_pipeline_spark.plans.queries import QUERIES
+from mission_data_pipeline_spark.sources.tables import TABLES
+
+import sys
+
+sys.path.insert(0, ".")
+from scripts.check_correctness import compare  # noqa: E402
+
+SAMPLE = [
+    "q1_pricing_summary",
+    "j1_broadcast_dim_join",
+    "join_full_outer",
+    "d3_pivot_wide",
+    "w_lag_delta_gap",
+    "w4_sessionization",
+    "x6_json_extract_agg",
+    "x2_minhash_bands",
+    "x3_cosine_topk_bruteforce",
+    "x4_quality_score",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf0001):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf0001}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_oracle(spark, sf0001, duck, name):
+    q = QUERIES[name]
+    sdf = q.spark(spark, sf0001).toPandas()
+    ddf = duck.execute(q.oracle).fetchdf()
+    problems = compare(name, sdf, ddf)
+    assert not problems, problems
+
+
+def test_all_queries_have_survey_ids():
+    assert all(q.survey_id for q in QUERIES.values())
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 50
