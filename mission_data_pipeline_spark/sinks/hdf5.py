@@ -1,0 +1,129 @@
+"""HDF5 sink (driver-side export utility).
+
+Parity: reference ``src/mdp/plugins/loaders/hdf5.py:50-134`` — group
+layout ``/telemetry/<param>/{time_tai, apid, seq_count, validity,
+eng_value}``, gzip level 4, resizable datasets appended across calls
+(``maxshape=(None,)``), numeric-coercion fallback to an
+``eng_value_str`` string dataset, per-parameter ``unit`` group attr.
+
+HDF5 has no distributed writer, so this is explicitly a **driver-side
+boundary** (SURVEY §4.2): samples stream to the driver via
+``toLocalIterator`` one Spark partition at a time — the driver holds at
+most one partition, never the dataset. For 100 TB stay in Parquet; this
+exists for tool compatibility at export scale.
+
+``h5py`` is an optional dependency; the sink raises a clear error when
+it is absent.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # optional dependency
+    import h5py  # type: ignore
+    import numpy as np
+except ImportError:  # pragma: no cover - exercised only without h5py
+    h5py = None  # type: ignore[assignment]
+
+_NUMERIC_COLS = ["time_tai", "apid", "seq_count", "validity", "eng_value"]
+_DTYPES = {
+    "time_tai": "f8",
+    "apid": "i4",
+    "seq_count": "i4",
+    "validity": "i1",
+    "eng_value": "f8",
+}
+
+
+def _append(group: Any, dset_name: str, values: Any, dtype: str) -> None:
+    arr = np.asarray(values, dtype=dtype)
+    if dset_name in group:
+        d = group[dset_name]
+        n = d.shape[0]
+        d.resize(n + arr.shape[0], axis=0)
+        d[n:] = arr
+    else:
+        group.create_dataset(
+            dset_name,
+            data=arr,
+            maxshape=(None,),
+            compression="gzip",
+            compression_opts=4,
+        )
+
+
+def write_hdf5(
+    params: DataFrame,
+    out_path: str,
+    *,
+    mode: str = "a",
+    chunk_rows: int = 500_000,
+) -> None:
+    """Export tidy samples to one HDF5 file on the driver.
+
+    ``mode="a"`` appends into existing resizable datasets (the
+    reference's cross-batch append, ``hdf5.py:111-126``); ``mode="w"``
+    truncates. Non-numeric ``eng_value`` samples (where the engine
+    carried the value in ``eng_value_str``) land in a parallel
+    ``eng_value_str`` string dataset (``hdf5.py:94-99,128-134``).
+    """
+    if h5py is None:
+        raise ImportError(
+            "write_hdf5 requires the optional dependency h5py "
+            "(pip install h5py); Parquet sinks are the supported "
+            "distributed path"
+        )
+    cols = ["name", "unit", "eng_value_str", *_NUMERIC_COLS]
+    have = [c for c in cols if c in params.columns]
+    it = params.select(
+        *[
+            F.col(c) if c in have else F.lit(None).alias(c)
+            for c in cols
+        ]
+    ).toLocalIterator(prefetchPartitions=True)
+
+    with h5py.File(out_path, mode) as f:
+        tele = f.require_group("telemetry")
+        buf: dict[str, list] = defaultdict(list)
+
+        def flush() -> None:
+            for pname, rows in buf.items():
+                g = tele.require_group(pname)
+                numeric = [r for r in rows if r["eng_value"] is not None]
+                stringy = [r for r in rows if r["eng_value"] is None]
+                if numeric:
+                    for c in _NUMERIC_COLS:
+                        _append(
+                            g,
+                            c,
+                            [
+                                (r[c] if r[c] is not None else 0)
+                                if c != "validity"
+                                else (1 if r[c] else 0)
+                                for r in numeric
+                            ],
+                            _DTYPES[c],
+                        )
+                if stringy:
+                    vals = np.asarray(
+                        [r["eng_value_str"] or "" for r in stringy],
+                        dtype=h5py.string_dtype(),
+                    )
+                    _append(g, "eng_value_str", vals, vals.dtype)
+                unit = next((r["unit"] for r in rows if r["unit"]), None)
+                if unit and "unit" not in g.attrs:
+                    g.attrs["unit"] = unit
+            buf.clear()
+
+        n = 0
+        for row in it:
+            buf[row["name"]].append(row)
+            n += 1
+            if n % chunk_rows == 0:
+                flush()
+        flush()

@@ -1,0 +1,103 @@
+"""Sink parity tests (reference ``tests/test_plugins_loaders.py``)."""
+
+import glob
+import os
+
+import pytest
+
+from mission_data_pipeline_spark.sinks import (
+    write_csv_per_parameter,
+    write_csv_wide,
+    write_parquet_per_parameter,
+    write_parquet_wide,
+)
+
+
+@pytest.fixture()
+def params_df(spark):
+    rows = [
+        ("temp", 0x100, i, float(i), float(v), None, v * 0.5, None,
+         "degC", True, None, False, 0)
+        for i, v in enumerate([10, 20, 30])
+    ] + [
+        ("volt", 0x100, i, float(i), float(v), None, v * 1.0, None,
+         "V", True, None, False, 0)
+        for i, v in enumerate([7, 8])
+    ]
+    from mission_data_pipeline_spark.models.schemas import PARAMS_SCHEMA
+
+    return spark.createDataFrame(rows, schema=PARAMS_SCHEMA)
+
+
+def test_parquet_per_parameter(spark, params_df, tmp_path):
+    out = str(tmp_path / "pq")
+    write_parquet_per_parameter(params_df, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 5
+    assert sorted(d["name"] for d in back.select("name").distinct().collect()) == [
+        "temp",
+        "volt",
+    ]
+    # Hive layout: partition-pruned read touches one directory
+    assert os.path.isdir(os.path.join(out, "name=temp"))
+
+
+def test_parquet_apid_partitioning(spark, params_df, tmp_path):
+    out = str(tmp_path / "pq_apid")
+    write_parquet_per_parameter(params_df, out, partition_by_apid=True)
+    assert os.path.isdir(os.path.join(out, "name=temp", "apid=256"))
+
+
+def test_parquet_append(spark, params_df, tmp_path):
+    out = str(tmp_path / "pq_app")
+    write_parquet_per_parameter(params_df, out)
+    write_parquet_per_parameter(
+        params_df.filter("name = 'volt'"), out, overwrite=False
+    )
+    assert spark.read.parquet(out).count() == 7  # 5 + 2 appended
+
+
+def test_parquet_wide(spark, params_df, tmp_path):
+    out = str(tmp_path / "wide")
+    write_parquet_wide(params_df, out)
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"time_tai", "temp", "volt"}
+    assert back.count() == 3  # union of times 0,1,2
+    r = {x["time_tai"]: x for x in back.collect()}
+    assert r[2.0]["temp"] == 15.0 and r[2.0]["volt"] is None
+
+
+def test_csv_per_parameter(spark, params_df, tmp_path):
+    out = str(tmp_path / "csv")
+    write_csv_per_parameter(params_df, out)
+    files = glob.glob(os.path.join(out, "name=temp", "*.csv"))
+    assert files
+    text = "".join(open(f).read() for f in files)
+    assert "eng_value" in text.splitlines()[0]
+    assert "5.000000000" in text  # %.9f float formatting
+
+
+def test_csv_wide(spark, params_df, tmp_path):
+    out = str(tmp_path / "csv_wide")
+    write_csv_wide(params_df, out)
+    back = spark.read.option("header", True).csv(out)
+    assert set(back.columns) == {"time_tai", "temp", "volt"}
+    assert back.count() == 3
+
+
+def test_hdf5_requires_h5py_or_works(spark, params_df, tmp_path):
+    from mission_data_pipeline_spark.sinks import write_hdf5
+    from mission_data_pipeline_spark.sinks.hdf5 import h5py
+
+    out = str(tmp_path / "t.h5")
+    if h5py is None:
+        with pytest.raises(ImportError, match="h5py"):
+            write_hdf5(params_df, out)
+        return
+    write_hdf5(params_df, out, mode="w")
+    write_hdf5(params_df.filter("name = 'volt'"), out)  # append
+    with h5py.File(out) as f:
+        g = f["telemetry/temp"]
+        assert list(g["eng_value"][:]) == [5.0, 10.0, 15.0]
+        assert g.attrs["unit"] == "degC"
+        assert f["telemetry/volt"]["eng_value"].shape == (4,)  # 2 + 2
