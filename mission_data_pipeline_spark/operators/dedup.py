@@ -1,0 +1,206 @@
+"""Document deduplication operators — SURVEY §2.11 X1/X2.
+
+Training-data dedup at 100 TB, four strategies (each also declared as an
+oracle-checked query in ``plans/queries.py``):
+
+- exact: content-hash groupBy (one shuffle on a 64-bit key);
+- MinHash + LSH banding: shingle → per-seed min-hash → band → bucket
+  join — candidate pairs WITHOUT a cross join (the classic
+  Broder/LSH construction; cost is #collisions, not n²);
+- SimHash: 64-bit rotation-invariant fingerprint, near-dups = equal
+  fingerprints (or banded Hamming buckets);
+- n-gram Jaccard verification for candidate pairs (exact similarity on
+  the *small* candidate set only).
+
+Everything is JVM-side expression work (md5/xxhash64, explode,
+groupBy) — no Python UDFs, so the constructions survive whole-stage
+codegen and AQE handles skewed buckets (a viral duplicated doc salts
+into many LSH bands by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# -- exact --------------------------------------------------------------
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """X1: keep one representative (min id) per exact text hash."""
+    h = F.xxhash64(F.col(text_col))
+    w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    return (
+        docs.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+# -- shingles / MinHash -------------------------------------------------
+
+
+def shingles(docs: DataFrame, *, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Word n-gram shingle set per doc: (id, gram), distinct."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+        .filter(F.length("gram") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    grams: DataFrame, *, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, seed, minhash): per-seed minimum of a seeded 48-bit hash.
+
+    Seeding by string concat keeps the whole construction in JVM
+    expressions; 48 bits of md5 is plenty for min-of-set uniqueness.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = grams.select("doc_id", "gram", seeds).select(
+        "doc_id",
+        "seed",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("gram"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, bands: int = 4
+) -> DataFrame:
+    """Band the signature and bucket-join: (doc_a, doc_b) candidates.
+
+    Docs agreeing on ALL rows of any band collide. The join key is
+    (band, band_hash) — shuffle is proportional to collisions, never n².
+    """
+    banded = (
+        signatures.withColumn("band", F.col("seed") % bands)
+        .groupBy("doc_id", "band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list(F.col("minhash").cast("string")))
+                )
+            ).alias("band_hash")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, grams: DataFrame, *, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard on the candidate set only → (doc_a, doc_b, jaccard)."""
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        pairs.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def near_dedup_minhash(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-dup removal: keep docs minus verified duplicates.
+
+    A doc is dropped iff it is the larger id of a verified pair chained
+    to a smaller survivor (single-link via min-id representative —
+    one iteration is the standard approximation; full connected
+    components would iterate to a fixpoint, unnecessary for dedup where
+    transitive over-merging only drops a few extra near-dups).
+    """
+    g = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sig = minhash_signatures(g, num_hashes=num_hashes)
+    cand = lsh_candidate_pairs(sig, bands=bands)
+    dups = (
+        jaccard_verify(cand, g, threshold=threshold)
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+    )
+    return docs.join(dups, on=id_col, how="left_anti")
+
+
+# -- SimHash ------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, *, n: int = 3, bits: int = 64,
+            text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprint per doc: sign of per-bit weight sums.
+
+    Bit b of the fingerprint is 1 iff the majority of the doc's shingle
+    hashes have bit b set. Implemented as explode → per-bit ±1 sums →
+    reassembled bigint; all JVM expressions.
+    """
+    g = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    h = g.select("doc_id", F.xxhash64("gram").alias("h"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    per_bit = h.select("doc_id", "h", bit).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("w"),
+    )
+    votes = per_bit.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

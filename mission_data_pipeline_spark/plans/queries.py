@@ -1370,3 +1370,190 @@ _q(
     "d2_tidy_projection_sorted",
     _dialect(_sql_d2, _duck_d2, "D2", "tidy per-parameter projection, time-ordered"),
 )
+
+# ---------------------------------------------------------------------------
+# Operator-API queries: the dedup / similarity / multimodal / streaming
+# operators invoked through their DataFrame functions (not SQL text), so
+# the oracle checks the *operator implementations* themselves.
+# ---------------------------------------------------------------------------
+
+
+def _near_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dedup import near_dedup_minhash
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 80)
+    out = near_dedup_minhash(docs, n=2, num_hashes=8, bands=4, threshold=0.6)
+    return out.select("doc_id").orderBy("doc_id")
+
+
+_q(
+    "x2_lsh_near_dedup_survivors",
+    Query(
+        _near_dedup_spark,
+        """
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(toks, CAST(i AS INT) + 1, CAST(i AS INT) + 2), ' ') AS gram
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM docs),
+               UNNEST(range(0, greatest(len(toks) - 2, 0) + 1)) AS t(i)
+        ),
+        g AS (SELECT * FROM grams WHERE length(gram) > 0),
+        hashes AS (
+          SELECT g.doc_id, s.seed,
+                 MIN(CAST(('0x' || SUBSTR(MD5(CAST(s.seed AS VARCHAR) || ':' || g.gram), 1, 12)) AS BIGINT)) AS minhash
+          FROM g CROSS JOIN (SELECT UNNEST(range(0, 8)) AS seed) s
+          GROUP BY g.doc_id, s.seed
+        ),
+        banded AS (
+          SELECT doc_id, seed % 4 AS band,
+                 array_to_string(list_sort(list(CAST(minhash AS VARCHAR))), ',') AS sig
+          FROM hashes GROUP BY doc_id, seed % 4
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+          FROM pairs p
+          JOIN g ga ON ga.doc_id = p.doc_a
+          JOIN g gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+          GROUP BY p.doc_a, p.doc_b
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        dups AS (
+          SELECT DISTINCT i.doc_b AS doc_id
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.6
+        )
+        SELECT d.doc_id FROM docs d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
+        ORDER BY d.doc_id
+        """,
+        "X2",
+        "end-to-end MinHash-LSH near-dedup via the operator API "
+        "(shingle -> seeded minhash -> band bucket-join -> exact Jaccard "
+        "verify -> anti-join survivors); oracle reproduces every stage in SQL",
+    ),
+)
+
+
+def _lsh_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import lsh_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk(emb, q, k=5, bits=6, tables=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+_q(
+    "x3_lsh_topk_ann",
+    Query(
+        _lsh_topk_spark,
+        None,  # approximate ANN path: recall depends on the LSH sketch
+        # construction (seeded random hyperplanes); deterministic but not
+        # reasonably SQL-expressible — driver records rows-only.
+        "X3",
+        "approximate top-k similarity via random-hyperplane LSH buckets + "
+        "exact cosine re-rank of candidates (the 100 TB scale path)",
+    ),
+)
+
+
+def _multimodal_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.functions.multimodal import extract_features
+
+    register_views(spark, sf_dir)
+    media = spark.table("documents").filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("item_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text").alias("media_type"),
+            F.lit("utf-8").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("meta"),
+    )
+    out = extract_features(media, dim=8, decoder="fake")
+    return out.select("item_id", "media_type", "n_bytes").orderBy("item_id")
+
+
+_q(
+    "x5_multimodal_features",
+    Query(
+        _multimodal_features_spark,
+        """
+        SELECT doc_id AS item_id, 'text' AS media_type,
+               octet_length(text::BLOB) AS n_bytes
+        FROM documents WHERE doc_id < 200
+        ORDER BY doc_id
+        """,
+        "X5",
+        "Arrow-batched mapInPandas feature extraction over opaque binary "
+        "payloads (decode stubbed; batch plumbing real). Oracle checks the "
+        "id/type/byte accounting the plumbing must preserve",
+    ),
+)
+
+
+def _last_wins_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dataset import dedup_samples
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT event_type AS name, CAST(ts_ns DIV 1000 AS DOUBLE) AS time_tai, "
+        "       event_id AS seq_count, value AS eng_value "
+        "FROM events WHERE user_id <= 40"
+    )
+    out = dedup_samples(ev)
+    return out.select(
+        "name",
+        F.col("time_tai").cast("long").alias("t_us"),
+        "seq_count",
+        F.round("eng_value", 6).alias("eng_value"),
+    ).orderBy("name", "t_us")
+
+
+_q(
+    "w4_last_wins_dedup",
+    Query(
+        _last_wins_spark,
+        """
+        SELECT name, CAST(time_tai AS BIGINT) AS t_us, seq_count,
+               ROUND(eng_value, 6) AS eng_value
+        FROM (
+          SELECT event_type AS name, CAST(epoch_us(ts) AS DOUBLE) AS time_tai,
+                 event_id AS seq_count, value AS eng_value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, epoch_us(ts)
+                                    ORDER BY event_id DESC) AS rn
+          FROM events WHERE user_id <= 40
+        ) t WHERE rn = 1
+        ORDER BY name, t_us
+        """,
+        "W4,D3",
+        "deterministic last-wins duplicate-sample resolution (the batch "
+        "analog of streaming late-data dedup; wide-pivot D3 semantics)",
+    ),
+)

@@ -148,12 +148,8 @@ def _parse_range(row: dict) -> Iterator[dict]:
     range_start = int(row["range_start"])
     range_end = int(row["range_end"])
     file_size = int(row["file_size"])
-    sec_hdr_length = int(row["sec_hdr_length"])
-    frame_sync = bool(row["frame_sync"])
     max_packet_len = int(row["max_packet_len"])
     chain = int(row["resync_chain"])
-    apids = row["apid_filter"]
-    apid_set = set(int(a) for a in apids) if apids is not None and len(apids) else None
 
     # Read the range plus a tail overlap so the packet straddling
     # range_end can be completed by *this* task.
@@ -162,8 +158,22 @@ def _parse_range(row: dict) -> Iterator[dict]:
     with open(path, "rb") as f:
         f.seek(range_start)
         buf = f.read(read_end - range_start)
+    yield from _parse_buffer(buf, row, eof_in_buf=read_end >= file_size)
 
-    eof_in_buf = read_end >= file_size
+
+def _parse_buffer(
+    buf: bytes, row: dict, *, eof_in_buf: bool
+) -> Iterator[dict]:
+    """Parse packets out of one in-memory buffer (shared with streaming)."""
+    path = row["path"]
+    range_start = int(row["range_start"])
+    range_end = int(row["range_end"])
+    sec_hdr_length = int(row["sec_hdr_length"])
+    frame_sync = bool(row["frame_sync"])
+    max_packet_len = int(row["max_packet_len"])
+    chain = int(row["resync_chain"])
+    apids = row["apid_filter"]
+    apid_set = set(int(a) for a in apids) if apids is not None and len(apids) else None
     local_end = range_end - range_start  # packets must *start* before this
     pos = 0
     if range_start > 0 or frame_sync:

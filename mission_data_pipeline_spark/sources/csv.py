@@ -19,24 +19,16 @@ from pyspark.sql import functions as F
 from mission_data_pipeline_spark.models.schemas import PARAMS_SCHEMA
 
 
-def read_csv_telemetry(
-    spark: SparkSession,
-    path: str,
+def melt_telemetry(
+    raw: DataFrame,
     *,
     time_column: str = "time",
     apid_column: str = "apid",
     seq_count_column: str = "seq_count",
     parameter_columns: list[str] | None = None,
-    delimiter: str = ",",
-    source_id: str | None = None,
 ) -> DataFrame:
-    """Read a wide telemetry CSV and melt it to the tidy PARAMS_SCHEMA."""
-    raw = (
-        spark.read.option("header", "true")
-        .option("sep", delimiter)
-        .option("inferSchema", "true")
-        .csv(path)
-    )
+    """Melt a wide telemetry frame to the tidy PARAMS_SCHEMA (shared by
+    the batch reader and the Structured Streaming source)."""
     required = [time_column, apid_column, seq_count_column]
     missing = [c for c in required if c not in raw.columns]
     if missing:
@@ -70,3 +62,30 @@ def read_csv_telemetry(
         F.lit(False).alias("out_of_limit"),
         F.lit(0).alias("alarm_level"),
     ).select([F.col(f.name).cast(f.dataType) for f in PARAMS_SCHEMA.fields])
+
+
+def read_csv_telemetry(
+    spark: SparkSession,
+    path: str,
+    *,
+    time_column: str = "time",
+    apid_column: str = "apid",
+    seq_count_column: str = "seq_count",
+    parameter_columns: list[str] | None = None,
+    delimiter: str = ",",
+    source_id: str | None = None,
+) -> DataFrame:
+    """Read a wide telemetry CSV and melt it to the tidy PARAMS_SCHEMA."""
+    raw = (
+        spark.read.option("header", "true")
+        .option("sep", delimiter)
+        .option("inferSchema", "true")
+        .csv(path)
+    )
+    return melt_telemetry(
+        raw,
+        time_column=time_column,
+        apid_column=apid_column,
+        seq_count_column=seq_count_column,
+        parameter_columns=parameter_columns,
+    )

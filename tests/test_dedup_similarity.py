@@ -1,0 +1,110 @@
+"""Dedup + similarity operator tests (X1–X3) on synthetic documents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mission_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_dedup_minhash,
+    shingles,
+    simhash,
+)
+from mission_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " tonight"),  # near dup of 1
+        (4, "completely different content about spacecraft telemetry processing"),
+        (5, "another unrelated document mentioning data pipelines at scale"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # 2 dropped, representative = min id
+
+
+def test_shingles_distinct(docs):
+    g = shingles(docs.filter("doc_id = 1"), n=3)
+    grams = [r["gram"] for r in g.collect()]
+    assert "the quick brown" in grams
+    assert len(grams) == len(set(grams))
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    g = shingles(docs, n=2)
+    sig = minhash_signatures(g, num_hashes=16)
+    assert sig.count() == 5 * 16
+    pairs = lsh_candidate_pairs(sig, bands=8)  # 2 rows/band → sensitive
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always collides
+    # verification: exact jaccard confirms 1-2 at 1.0 and rejects 1-4
+    verified = jaccard_verify(pairs, g, threshold=0.99)
+    v = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in verified.collect()}
+    assert v[(1, 2)] == pytest.approx(1.0)
+    assert (1, 4) not in v
+
+
+def test_near_dedup_end_to_end(docs):
+    out = near_dedup_minhash(docs, n=2, num_hashes=16, bands=8, threshold=0.5)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 1 in ids and 4 in ids and 5 in ids
+    assert 2 not in ids  # exact dup removed
+
+
+def test_simhash_equal_for_identical(docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs, n=2).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[4]
+    # near-dup: small Hamming distance
+    ham = bin(out[1] ^ out[3]).count("1")
+    assert ham <= 16
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        angle = (i % 10) / 10.0 * math.pi
+        rows.append((i, [math.cos(angle), math.sin(angle), float(i % 3)], f"l{i % 10}"))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+
+
+def test_cosine_topk_exact(vectors):
+    q = vectors.filter("vec_id = 0")
+    out = cosine_topk(vectors, q, k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert len(rows) == 3
+    assert all(r["query_id"] == 0 for r in rows)
+    # vec 30 has identical direction (same angle, same i%3=0) → cosine 1
+    assert rows[0]["cosine"] == pytest.approx(1.0)
+    assert rows[0]["neighbor_id"] in (30,)
+
+
+def test_lsh_topk_approximates_exact(vectors):
+    q = vectors.filter("vec_id < 5")
+    exact = cosine_topk(vectors, q, k=1)
+    approx = lsh_topk(vectors, q, k=1, bits=4, tables=4)
+    e = {r["query_id"]: r["cosine"] for r in exact.collect()}
+    a = {r["query_id"]: r["cosine"] for r in approx.collect()}
+    # every query found *some* neighbor, and at least 3/5 match exact top-1
+    assert set(a) == set(e)
+    hits = sum(1 for k in e if abs(a[k] - e[k]) < 1e-9)
+    assert hits >= 3

@@ -1,0 +1,127 @@
+"""Structured Streaming tests (W1–W4): file sources, foreachBatch
+pipeline, watermarked windows. All use availableNow (drain-and-stop)."""
+
+import math
+
+import pytest
+
+from mission_data_pipeline_spark.core.base import StageConfig, Loader
+from mission_data_pipeline_spark.models.ccsds import generate_housekeeping_stream
+from mission_data_pipeline_spark.stages import DecomTransformer
+from mission_data_pipeline_spark.streaming import (
+    StreamingPipeline,
+    dedup_late_samples,
+    stream_csv_telemetry,
+    stream_packets,
+    windowed_stats,
+)
+
+
+class MemLoader(Loader):
+    def __init__(self):
+        super().__init__(StageConfig())
+        self.rows = []
+
+    def load(self, batch) -> int:
+        got = (batch.params if batch.params is not None else batch.packets).collect()
+        self.rows.extend(got)
+        return len(got)
+
+
+def _write_csvs(root, n_files=3, rows_per=10):
+    root.mkdir()
+    for f in range(n_files):
+        lines = ["time,apid,seq_count,temp"]
+        for i in range(rows_per):
+            t = f * rows_per + i
+            lines.append(f"{float(t)},768,{t},{20.0 + math.sin(t):.4f}")
+        (root / f"batch{f}.csv").write_text("\n".join(lines) + "\n")
+
+
+def test_stream_csv_telemetry(spark, tmp_path):
+    src = tmp_path / "csvs"
+    _write_csvs(src)
+    stream = stream_csv_telemetry(
+        spark,
+        str(src),
+        "time double, apid int, seq_count int, temp double",
+        max_files_per_trigger=1,
+    )
+    assert stream.isStreaming
+    loader = MemLoader()
+    q = StreamingPipeline(loader=loader).start(
+        stream, checkpoint_dir=str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert len(loader.rows) == 30
+    assert all(r["name"] == "temp" for r in loader.rows)
+
+
+def test_stream_packets_with_decom(spark, tmp_path):
+    src = tmp_path / "bins"
+    src.mkdir()
+    for f in range(2):
+        (src / f"f{f}.bin").write_bytes(generate_housekeeping_stream(50))
+    stream = stream_packets(spark, str(src), sec_hdr_length=4)
+    loader = MemLoader()
+    decom = DecomTransformer(
+        {
+            "parameters": [
+                {"name": "obc_temp_dn", "apid": 256, "byte_offset": 0,
+                 "bit_length": 16}
+            ]
+        }
+    )
+    pipe = StreamingPipeline(
+        transformers=[decom], loader=loader, stream_is_params=False
+    )
+    q = pipe.start(
+        stream, checkpoint_dir=str(tmp_path / "ckpt2"), available_now=True
+    )
+    q.awaitTermination(180)
+    assert len(loader.rows) == 100
+    assert {r["name"] for r in loader.rows} == {"obc_temp_dn"}
+    assert pipe.metrics.snapshot()["total_packets"] == 100
+
+
+def test_windowed_stats_streaming(spark, tmp_path):
+    src = tmp_path / "csvs_w"
+    _write_csvs(src, n_files=1, rows_per=20)
+    stream = stream_csv_telemetry(
+        spark, str(src), "time double, apid int, seq_count int, temp double"
+    )
+    agg = windowed_stats(stream, window="10 seconds", watermark="5 seconds")
+    collected = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda df, eid: collected.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # 20 samples at 1 Hz → two complete 10 s windows (the final one may be
+    # held back by the watermark in append mode)
+    assert len(collected) >= 1
+    assert all(r["n"] == 10 for r in collected)
+
+
+def test_dedup_late_samples_batch_parity(spark):
+    df = spark.createDataFrame(
+        [("p", 1.0, 10.0), ("p", 1.0, 11.0), ("p", 2.0, 12.0)],
+        "name string, time_tai double, eng_value double",
+    )
+    out = dedup_late_samples(df)
+    assert out.count() == 2
+
+
+def test_windowed_stats_batch_oracle(spark):
+    rows = [("p", float(t), float(t)) for t in range(25)]
+    df = spark.createDataFrame(rows, "name string, time_tai double, eng_value double")
+    out = windowed_stats(df, window="10 seconds")
+    got = {
+        (r["window_start"].second + r["window_start"].minute * 60): r["n"]
+        for r in out.collect()
+    }
+    assert sum(got.values()) == 25
+    assert sorted(got.values(), reverse=True)[:2] == [10, 10]
