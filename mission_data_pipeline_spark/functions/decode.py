@@ -5,21 +5,17 @@ Behavioral parity with the reference decode table
 8/16/32/64 bits, float32/64, boolean (first-byte truthiness), ASCII
 string with trailing-NUL strip, raw-binary hex, both endiannesses.
 
-Everything except IEEE-754 float decode is a native expression chain
+Everything — floats included — is a native expression chain
 (``substring`` → ``hex`` → byte-order shuffle → ``conv`` → width-aware
-signed correction), so the decommutation hot path stays inside
-whole-stage codegen. Floats use an Arrow-vectorized pandas UDF
-(``np.frombuffer``) — there is no Catalyst expression for
-float-from-bytes.
+signed correction; IEEE-754 via exact sign/exponent/mantissa arithmetic),
+so the decommutation hot path stays entirely inside whole-stage codegen
+with no Arrow round-trip of the payload column.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
 
 
 def slice_bytes(data: Column, byte_offset: int, n_bytes: int) -> Column:
@@ -76,59 +72,81 @@ def decode_int(
     return F.when(u >= F.lit(1 << (bits - 1)), u - F.lit(1 << bits)).otherwise(u)
 
 
-@pandas_udf(DoubleType())
-def _f32_be(b: pd.Series) -> pd.Series:
-    import numpy as np
+_NAN = float("nan")
+_INF = float("inf")
 
-    return b.map(
-        lambda v: float(np.frombuffer(v, dtype=">f4")[0])
-        if v is not None and len(v) == 4
-        else None
+
+def _f32_from_bits(bits: Column) -> Column:
+    """IEEE-754 binary32 value from its bit pattern (LongType, 0..2^32).
+
+    Every step is exact in double arithmetic: the mantissa (≤ 2^24) and
+    every needed power of two are exactly representable, and the final
+    product *is* the decoded float's value, so the one rounding that
+    occurs lands on it exactly.
+    """
+    sign = F.shiftright(bits, 31).bitwiseAND(F.lit(1))
+    exp = F.shiftright(bits, 23).bitwiseAND(F.lit(0xFF))
+    frac = bits.bitwiseAND(F.lit(0x7FFFFF)).cast("double")
+    sgn = F.when(sign == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return (
+        F.when(
+            exp == 255,
+            F.when(frac != 0.0, F.lit(_NAN)).otherwise(sgn * F.lit(_INF)),
+        )
+        .when(exp == 0, sgn * frac * F.lit(2.0**-149))
+        .otherwise(
+            sgn
+            * (frac + F.lit(float(1 << 23)))
+            * F.pow(F.lit(2.0), exp.cast("double") - F.lit(150.0))
+        )
     )
 
 
-@pandas_udf(DoubleType())
-def _f32_le(b: pd.Series) -> pd.Series:
-    import numpy as np
-
-    return b.map(
-        lambda v: float(np.frombuffer(v, dtype="<f4")[0])
-        if v is not None and len(v) == 4
-        else None
-    )
-
-
-@pandas_udf(DoubleType())
-def _f64_be(b: pd.Series) -> pd.Series:
-    import numpy as np
-
-    return b.map(
-        lambda v: float(np.frombuffer(v, dtype=">f8")[0])
-        if v is not None and len(v) == 8
-        else None
-    )
-
-
-@pandas_udf(DoubleType())
-def _f64_le(b: pd.Series) -> pd.Series:
-    import numpy as np
-
-    return b.map(
-        lambda v: float(np.frombuffer(v, dtype="<f8")[0])
-        if v is not None and len(v) == 8
-        else None
+def _f64_from_words(hi: Column, lo: Column) -> Column:
+    """IEEE-754 binary64 value from its high/low 32-bit words (LongType)."""
+    sign = F.shiftright(hi, 31).bitwiseAND(F.lit(1))
+    exp = F.shiftright(hi, 20).bitwiseAND(F.lit(0x7FF))
+    # 52-bit fraction < 2^53: exactly representable as a double
+    frac = hi.bitwiseAND(F.lit(0xFFFFF)).cast("double") * F.lit(
+        float(1 << 32)
+    ) + lo.cast("double")
+    sgn = F.when(sign == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return (
+        F.when(
+            exp == 2047,
+            F.when(frac != 0.0, F.lit(_NAN)).otherwise(sgn * F.lit(_INF)),
+        )
+        .when(exp == 0, sgn * frac * F.lit(2.0**-1074))
+        .otherwise(
+            sgn
+            * (frac + F.lit(float(1 << 52)))
+            * F.pow(F.lit(2.0), exp.cast("double") - F.lit(1075.0))
+        )
     )
 
 
 def decode_float(
     data: Column, byte_offset: int, n_bytes: int, little_endian: bool = False
 ) -> Column:
-    """IEEE-754 float32/float64 from bytes (Arrow-batched pandas UDF)."""
+    """IEEE-754 float32/float64 from bytes — pure Catalyst expressions.
+
+    The bit pattern comes out of ``conv(hex(...), 16, 10)`` (endianness
+    handled by hex-pair reversal), then sign/exponent/mantissa arithmetic
+    reconstructs the value exactly (see ``_f32_from_bits``). Keeping this
+    JVM-side means decommutation of float parameters stays inside
+    whole-stage codegen — no Arrow round-trip of the payload column.
+    Short/missing fields decode to null (parity with the previous UDF).
+    """
     sl = _slice(data, byte_offset, n_bytes)
+    guard = F.length(sl) == n_bytes
+    hx = _hex_be(data, byte_offset, n_bytes, little_endian)
     if n_bytes == 4:
-        return (_f32_le if little_endian else _f32_be)(sl)
+        bits = F.conv(hx, 16, 10).cast("long")
+        return F.when(guard, _f32_from_bits(bits))
     if n_bytes == 8:
-        return (_f64_le if little_endian else _f64_be)(sl)
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        return F.when(guard, _f64_from_words(hi, lo))
     raise ValueError(f"float width must be 4 or 8 bytes, got {n_bytes}")
 
 

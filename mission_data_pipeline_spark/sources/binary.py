@@ -41,7 +41,6 @@ from pyspark.sql import DataFrame, SparkSession
 from mission_data_pipeline_spark.models.ccsds import (
     CCSDS_SYNC_MARKER,
     PRIMARY_HEADER_LEN,
-    CCSDSPrimaryHeader,
 )
 from mission_data_pipeline_spark.models.schemas import PACKET_SCHEMA
 
@@ -53,13 +52,89 @@ _RANGE_SCHEMA = (
 )
 
 
-def _header_plausible(hdr: CCSDSPrimaryHeader, max_packet_len: int) -> bool:
-    return hdr.version == 0 and hdr.packet_length <= max_packet_len
-
-
 def _find_sync(buf: bytes, start: int) -> int:
     i = buf.find(CCSDS_SYNC_MARKER, start)
     return -1 if i < 0 else i + len(CCSDS_SYNC_MARKER)
+
+
+def _chain_locks(
+    buf: bytes, pos: int, max_packet_len: int, chain: int, eof_in_buf: bool
+) -> bool:
+    """Does a validated header chain lock at ``pos``?
+
+    Acceptance demands *positive* evidence, not mere absence of a
+    violation: the walk must observe at least ``chain`` same-APID
+    sequence-counter increments of exactly 1 (mod 16384) — CCSDS
+    133.0-B-2 §4.1.3.4 mandates per-APID continuous counting, so a true
+    boundary accumulates confirmations as fast as APIDs repeat, while a
+    misaligned offset reads its "seq_count" from payload bytes, which do
+    not count 1-by-1 (chance ≈ 1/16384 per fake link). Requiring only
+    the *absence* of violations is not enough: a fake chain whose random
+    lengths hop between ever-different fake APIDs never triggers the
+    continuity check at all, and version==0 alone passes 1-in-8 per hop.
+
+    The **first** header's APID must itself be confirmed. Without this, a
+    single fake header whose fake length happens to land on a *true*
+    packet boundary "merges" into the real chain and inherits all of its
+    confirmations — emitting one phantom packet and dropping the real
+    packets its fake extent spanned. A merged fake prefix carries a fake
+    APID that never recurs (probability of a payload byte pair faking
+    both a live APID *and* its exact next seq_count ≈ 1/2^25 per
+    candidate), while a true first packet is confirmed by its own
+    stream. Cost of the rule: a range whose first packet carries an APID
+    that never repeats in-range locks onto the *next* boundary instead
+    (that one packet is skipped) — strictly better than phantoms.
+
+    Two accepted terminations that cannot reach ``chain`` confirmations:
+    - the chain lands **exactly on true EOF** with either zero
+      confirmations (isolated tail run) or a confirmed first header —
+      the precise landing is itself strong evidence (a random length
+      jumps *past* EOF with probability ~1, lands on it with
+      probability ~1/packet_len), and it is the only way to recover a
+      short trailing run;
+    - ``chain == 0`` — explicit weak mode (first plausible header wins),
+      the escape hatch for streams whose APIDs never repeat within a
+      range (then run with a single range or frame_sync instead).
+    """
+    n = len(buf)
+    p = pos
+    complete = 0
+    confirm = 0
+    first_apid = -1
+    first_confirmed = False
+    last_seq: dict[int, int] = {}
+    while p + PRIMARY_HEADER_LEN <= n:
+        if buf[p] >> 5:  # version != 0
+            return False
+        plen = ((buf[p + 4] << 8) | buf[p + 5]) + PRIMARY_HEADER_LEN + 1
+        if plen > max_packet_len:
+            return False
+        if chain == 0:
+            return True
+        apid = ((buf[p] << 8) | buf[p + 1]) & 0x7FF
+        seq = ((buf[p + 2] << 8) | buf[p + 3]) & 0x3FFF
+        if first_apid < 0:
+            first_apid = apid
+        prev = last_seq.get(apid)
+        if prev is not None:
+            if (seq - prev) % 16384 != 1:
+                return False
+            confirm += 1
+            if apid == first_apid:
+                first_confirmed = True
+            if first_confirmed and confirm >= chain:
+                return True
+        last_seq[apid] = seq
+        if p + plen > n:
+            return False  # claims bytes beyond the buffer before confirming
+        complete += 1
+        p += plen
+    # Ran out of header-sized bytes without a violation: only an exact
+    # landing on true EOF is acceptable below the confirmation bar — and
+    # only when the evidence is consistent (no partially-confirmed chain
+    # whose own first header never was).
+    at_eof = eof_in_buf and p == n
+    return at_eof and complete >= 1 and (confirm == 0 or first_confirmed)
 
 
 def _resync_heuristic(
@@ -70,80 +145,123 @@ def _resync_heuristic(
     chain: int,
     eof_in_buf: bool = False,
 ) -> int:
-    """First offset in [start, limit) where a validated header chain locks.
-
-    A candidate locks only if, through a validation horizon (64 KiB or
-    ``chain`` links, whichever is longer):
-
-    - every header in the chain parses plausible (version 0, sane
-      length),
-    - at least one *complete* packet fits in the buffer (random bytes
-      love to claim a length that jumps straight past the buffer end),
-    - and the CCSDS per-APID 14-bit sequence counter increments by
-      exactly 1 (mod 16384) between consecutive same-APID packets.
-
-    The sequence-continuity rule is the decisive discriminator: real
-    telemetry payloads are often *periodic* (constant checksum fields,
-    slow sine housekeeping values), so a misaligned offset can chain
-    plausible headers with a self-consistent fake length forever — but
-    the bytes it reads as ``seq_count`` come from payload fields and do
-    not count 1-by-1. A true boundary always does (CCSDS 133.0-B-2
-    §4.1.3.4). This is what makes a false lock — and therefore a
-    duplicated or phantom packet in a parallel range scan — vanishingly
-    unlikely.
-    """
-    horizon = max(64 * 1024, max_packet_len + PRIMARY_HEADER_LEN)
+    """First offset in [start, limit) where a validated header chain locks
+    (see ``_chain_locks`` for the acceptance rule)."""
     pos = start
     while pos < limit:
-        ok = True
-        overran = False
-        complete = 0
-        p = pos
-        last_seq: dict[int, int] = {}
-        validate_until = min(len(buf), pos + horizon)
-        while p + PRIMARY_HEADER_LEN <= len(buf) and (
-            p < validate_until or complete <= chain
-        ):
-            hdr = CCSDSPrimaryHeader.from_bytes(buf[p : p + PRIMARY_HEADER_LEN])
-            if not _header_plausible(hdr, max_packet_len):
-                ok = False
-                break
-            prev = last_seq.get(hdr.apid)
-            if prev is not None and (hdr.seq_count - prev) % 16384 != 1:
-                ok = False
-                break
-            last_seq[hdr.apid] = hdr.seq_count
-            if p + hdr.packet_length > len(buf):
-                overran = True
-                break
-            complete += 1
-            p += hdr.packet_length
-        if ok:
-            # Acceptance evidence, by how the chain walk terminated:
-            # - ended exactly at true EOF: the precise landing is itself
-            #   strong evidence; accepts trailing runs shorter than
-            #   `chain` (the only way to recover an isolated tail packet).
-            # - claimed extent past a *mid-file* buffer end: fine — the
-            #   tail overlap holds chain+2 max-size packets, so a true
-            #   chain accumulated `chain` completes first.
-            # - claimed extent past true EOF: suspect. A real chain
-            #   there lands exactly on EOF (or the file is truncated, in
-            #   which case the parse loop drops the tail anyway) — random
-            #   bytes love a length that jumps out of the file, so
-            #   demand strictly more than `chain` completes.
-            at_eof = eof_in_buf and p == len(buf)
-            if overran and eof_in_buf:
-                accept = complete > chain
-            else:
-                accept = complete >= max(chain, 1) or (at_eof and complete >= 1)
-            if accept:
-                return pos
+        if _chain_locks(buf, pos, max_packet_len, chain, eof_in_buf):
+            return pos
         pos += 1
     return -1
 
 
-def _parse_range(row: dict) -> Iterator[dict]:
-    """Parse one byte range of one file into packet rows."""
+def _walk_offsets(buf: bytes, row: dict, *, eof_in_buf: bool) -> list[int]:
+    """Packet start offsets in ``buf`` (resync, malformed-skip, truncation).
+
+    The walk itself touches only 3 header bytes per packet (version
+    nibble + 16-bit length), so it stays cheap even at millions of
+    packets per range; field extraction happens vectorized afterwards.
+    """
+    range_start = int(row["range_start"])
+    range_end = int(row["range_end"])
+    frame_sync = bool(row["frame_sync"])
+    max_packet_len = int(row["max_packet_len"])
+    chain = int(row["resync_chain"])
+    local_end = range_end - range_start  # packets must *start* before this
+    n = len(buf)
+    offs: list[int] = []
+    pos = 0
+    if range_start > 0 or frame_sync:
+        if frame_sync:
+            pos = _find_sync(buf, 0)
+        else:
+            pos = _resync_heuristic(buf, 0, local_end, max_packet_len, chain, eof_in_buf)
+        if pos < 0:
+            return offs
+
+    while pos < local_end and pos + PRIMARY_HEADER_LEN <= n:
+        plen = ((buf[pos + 4] << 8) | buf[pos + 5]) + PRIMARY_HEADER_LEN + 1
+        if (buf[pos] >> 5) or plen > max_packet_len:
+            # Malformed header: skip forward to next lock point
+            # (reference skips a single byte and rescans for sync).
+            if frame_sync:
+                nxt = _find_sync(buf, pos + 1)
+            else:
+                nxt = _resync_heuristic(
+                    buf, pos + 1, local_end, max_packet_len, chain, eof_in_buf
+                )
+            if nxt < 0:
+                return offs
+            pos = nxt
+            continue
+        end = pos + plen
+        if end > n:
+            return offs  # truncated trailing packet — stop (reference behavior)
+        offs.append(pos)
+        pos = end
+        if frame_sync and pos < local_end:
+            nxt = _find_sync(buf, pos)
+            if nxt < 0:
+                return offs
+            pos = nxt
+    return offs
+
+
+def _columns_from_offsets(buf: bytes, offs: list[int], row: dict) -> dict:
+    """Vectorized header-field extraction → column dict (PACKET_SCHEMA order)."""
+    import numpy as np
+
+    sec_hdr_length = int(row["sec_hdr_length"])
+    range_start = int(row["range_start"])
+    apids = row["apid_filter"]
+
+    a = np.frombuffer(buf, dtype=np.uint8)
+    o = np.asarray(offs, dtype=np.int64)
+    w0 = (a[o].astype(np.int32) << 8) | a[o + 1]
+    w1 = (a[o + 2].astype(np.int32) << 8) | a[o + 3]
+    w2 = (a[o + 4].astype(np.int32) << 8) | a[o + 5]
+    apid = w0 & 0x7FF
+    if apids is not None and len(apids):
+        keep = np.isin(apid, np.asarray(list(apids), dtype=np.int32))
+        o, w0, w1, w2, apid = o[keep], w0[keep], w1[keep], w2[keep], apid[keep]
+
+    sec_hdr_flag = (w0 >> 11) & 0x1
+    data_start = o + PRIMARY_HEADER_LEN
+    data_end = data_start + w2 + 1
+    n_sec = np.where(sec_hdr_flag == 1, sec_hdr_length, 0)
+    user_start = data_start + n_sec
+    # Binary columns need one Python bytes object per packet regardless;
+    # this zip loop is the only remaining per-packet work.
+    if sec_hdr_length:
+        sec_hdr = [
+            buf[s:u] if u > s else None
+            for s, u in zip(data_start.tolist(), user_start.tolist())
+        ]
+    else:
+        sec_hdr = [None] * len(o)
+    user_data = [buf[u:e] for u, e in zip(user_start.tolist(), data_end.tolist())]
+
+    k = len(o)
+    return {
+        "apid": apid,
+        "version": (w0 >> 13) & 0x7,
+        "packet_type": (w0 >> 12) & 0x1,
+        "sec_hdr_flag": sec_hdr_flag,
+        "seq_flags": (w1 >> 14) & 0x3,
+        "seq_count": w1 & 0x3FFF,
+        "data_length": w2,
+        "sec_hdr": sec_hdr,
+        "user_data": user_data,
+        "source_time_tai": [None] * k,
+        "ground_receipt_time": [row["ground_receipt_time"]] * k,
+        "source_id": [row["source_id"]] * k,
+        "file_path": [row["path"]] * k,
+        "file_offset": o + range_start,
+    }
+
+
+def _parse_range(row: dict) -> dict:
+    """Parse one byte range of one file into a packet column dict."""
     path = row["path"]
     range_start = int(row["range_start"])
     range_end = int(row["range_end"])
@@ -158,85 +276,29 @@ def _parse_range(row: dict) -> Iterator[dict]:
     with open(path, "rb") as f:
         f.seek(range_start)
         buf = f.read(read_end - range_start)
-    yield from _parse_buffer(buf, row, eof_in_buf=read_end >= file_size)
+    eof = read_end >= file_size
+    return _columns_from_offsets(buf, _walk_offsets(buf, row, eof_in_buf=eof), row)
 
 
-def _parse_buffer(
-    buf: bytes, row: dict, *, eof_in_buf: bool
-) -> Iterator[dict]:
-    """Parse packets out of one in-memory buffer (shared with streaming)."""
-    path = row["path"]
-    range_start = int(row["range_start"])
-    range_end = int(row["range_end"])
-    sec_hdr_length = int(row["sec_hdr_length"])
-    frame_sync = bool(row["frame_sync"])
-    max_packet_len = int(row["max_packet_len"])
-    chain = int(row["resync_chain"])
-    apids = row["apid_filter"]
-    apid_set = set(int(a) for a in apids) if apids is not None and len(apids) else None
-    local_end = range_end - range_start  # packets must *start* before this
-    pos = 0
-    if range_start > 0 or frame_sync:
-        if frame_sync:
-            pos = _find_sync(buf, 0)
-        else:
-            pos = _resync_heuristic(buf, 0, local_end, max_packet_len, chain, eof_in_buf)
-        if pos < 0:
-            return
+def _parse_buffer(buf: bytes, row: dict, *, eof_in_buf: bool) -> Iterator[dict]:
+    """Parse packets out of one in-memory buffer as row dicts (streaming path)."""
+    cols = _columns_from_offsets(
+        buf, _walk_offsets(buf, row, eof_in_buf=eof_in_buf), row
+    )
+    names = list(cols)
+    for i in range(len(cols["apid"])):
+        yield {name: _py(cols[name][i]) for name in names}
 
-    while pos < local_end and pos + PRIMARY_HEADER_LEN <= len(buf):
-        hdr = CCSDSPrimaryHeader.from_bytes(buf[pos : pos + PRIMARY_HEADER_LEN])
-        if not _header_plausible(hdr, max_packet_len):
-            # Malformed header: skip forward to next lock point
-            # (reference skips a single byte and rescans for sync).
-            if frame_sync:
-                nxt = _find_sync(buf, pos + 1)
-            else:
-                nxt = _resync_heuristic(
-                    buf, pos + 1, local_end, max_packet_len, chain, eof_in_buf
-                )
-            if nxt < 0:
-                return
-            pos = nxt
-            continue
-        end = pos + hdr.packet_length
-        if end > len(buf):
-            return  # truncated trailing packet — stop (reference behavior)
-        if apid_set is None or hdr.apid in apid_set:
-            data_field = buf[pos + PRIMARY_HEADER_LEN : end]
-            n_sec = sec_hdr_length if hdr.sec_hdr_flag else 0
-            yield {
-                "apid": hdr.apid,
-                "version": hdr.version,
-                "packet_type": hdr.packet_type,
-                "sec_hdr_flag": hdr.sec_hdr_flag,
-                "seq_flags": hdr.seq_flags,
-                "seq_count": hdr.seq_count,
-                "data_length": hdr.data_length,
-                "sec_hdr": bytes(data_field[:n_sec]) if n_sec else None,
-                "user_data": bytes(data_field[n_sec:]),
-                "source_time_tai": None,
-                "ground_receipt_time": row["ground_receipt_time"],
-                "source_id": row["source_id"],
-                "file_path": path,
-                "file_offset": range_start + pos,
-            }
-        pos = end
-        if frame_sync and pos < local_end:
-            nxt = _find_sync(buf, pos)
-            if nxt < 0:
-                return
-            pos = nxt
+
+def _py(v):  # numpy scalar → python scalar for row-dict consumers
+    return v.item() if hasattr(v, "item") else v
 
 
 def _split_ranges(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in pdfs:
-        rows = []
         for row in pdf.to_dict("records"):
-            rows.extend(_parse_range(row))
-        yield pd.DataFrame(
-            rows, columns=[f.name for f in PACKET_SCHEMA.fields]
-        ) if rows else pd.DataFrame({f.name: [] for f in PACKET_SCHEMA.fields})
+            cols = _parse_range(row)
+            yield pd.DataFrame(cols, columns=[f.name for f in PACKET_SCHEMA.fields])
 
 
 def read_packets(

@@ -93,3 +93,35 @@ def test_glob_multi_file(spark, tmp_root):
     df = read_packets(spark, str(tmp_root / "part*.bin"))
     assert df.count() == 15
     assert df.select("file_path").distinct().count() == 3
+
+
+def test_resync_no_false_lock_on_periodic_payload(tmp_root):
+    """Range resync must not lock mid-packet on periodic payloads.
+
+    Regression: slowly-varying housekeeping payloads let a misaligned
+    offset chain "plausible" headers whose fake APIDs never repeat, so a
+    mere no-violation rule accepted them (phantom packets + dropped
+    real ones). The validator now demands positive same-APID
+    seq-continuity confirmations; every range boundary must lock on the
+    true packet alignment.
+    """
+    from mission_data_pipeline_spark.sources.binary import _resync_heuristic
+
+    data = generate_housekeeping_stream(40_000)  # 22-byte packets
+    split = 128 * 1024
+    tail = 65542 * 4 + 4
+    for rs in range(split, len(data), split):
+        re_ = min(len(data), rs + split)
+        read_end = min(len(data), re_ + tail)
+        buf = data[rs:read_end]
+        lock = _resync_heuristic(buf, 0, re_ - rs, 65542, 2, read_end >= len(data))
+        assert lock == (22 - rs % 22) % 22, f"false lock at range_start={rs}"
+
+
+def test_multi_range_exactly_once_large(spark, tmp_root):
+    # end-to-end exactly-once across many range boundaries
+    p = tmp_root / "wide.bin"
+    p.write_bytes(generate_housekeeping_stream(20_000))
+    df = read_packets(spark, str(p), sec_hdr_length=4, split_size=64 * 1024)
+    agg = df.groupBy("apid").count().collect()
+    assert [(r["apid"], r["count"]) for r in agg] == [(0x100, 20_000)]
