@@ -34,6 +34,10 @@ HEADLINE = [
     "w_rank_orders_by_priority",
     "w1_tumbling_window",
     "w4_sessionization",
+    "asof_join_latest_purchase",
+    "range_join_event_pairs",
+    "agg_percentiles",
+    "time_bucket_rollup",
     "x6_json_extract_agg",
     "x1_dedup_exact_hash",
     "x2_minhash_bands",

@@ -1557,3 +1557,450 @@ _q(
         "analog of streaming late-data dedup; wide-pivot D3 semantics)",
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (as-of, banded range) — operators Spark lacks natively
+# ---------------------------------------------------------------------------
+
+def _asof_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as-of-joined to each user's latest prior purchase
+    (operators/joins.py asof_join: union + ordered-window, one shuffle)."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.joins import asof_join
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT event_id, user_id, ts_ns DIV 1000 AS ts_us, event_type, value FROM events"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("value"))
+    )
+    j = asof_join(
+        ev.select("event_id", "user_id", "ts_us"),
+        purchases,
+        on="ts_us",
+        by=["user_id"],
+        right_prefix="purchase_",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "purchase_ts_us",
+        F.round("purchase_value", 6).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+_q(
+    "asof_join_latest_purchase",
+    Query(
+        _asof_spark,
+        """
+        WITH ev AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+        p AS (SELECT user_id, ts_us, MAX(value) AS value
+              FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_us)
+        SELECT e.event_id, e.user_id, e.ts_us,
+               p.ts_us AS purchase_ts_us, ROUND(p.value, 6) AS purchase_value
+        FROM ev e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+        ORDER BY e.event_id
+        """,
+        "J2+,W3",
+        "as-of join (latest right row at-or-before each left row) vs DuckDB "
+        "native ASOF JOIN — union+window implementation, no range explosion",
+    ),
+)
+
+
+def _range_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-type event pairs within 10 minutes (banded equi-join)."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.joins import range_join
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT event_id, event_type, ts_ns DIV 1000 AS ts_us FROM events"
+    )
+    j = range_join(
+        ev,
+        ev,
+        on="ts_us",
+        by=["event_type"],
+        lower=1,  # strictly after, integer microseconds
+        upper=600_000_000,
+    )
+    return j.select(
+        F.col("event_id").alias("left_id"),
+        F.col("right_event_id").alias("right_id"),
+        "event_type",
+        (F.col("right_ts_us") - F.col("ts_us")).alias("dt_us"),
+    ).orderBy("left_id", "right_id")
+
+
+_q(
+    "range_join_event_pairs",
+    Query(
+        _range_join_spark,
+        """
+        WITH ev AS (SELECT *, epoch_us(ts) AS ts_us FROM events)
+        SELECT a.event_id AS left_id, b.event_id AS right_id,
+               a.event_type, b.ts_us - a.ts_us AS dt_us
+        FROM ev a JOIN ev b
+          ON a.event_type = b.event_type
+         AND b.ts_us > a.ts_us AND b.ts_us <= a.ts_us + 600000000
+        ORDER BY left_id, right_id
+        """,
+        "J*+,W3",
+        "interval self-join via band-bucketing (equi-join + 2x fan-out "
+        "instead of an inequality cross product)",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Extended window-function surface (ranking, analytic, sliding, rollup)
+# ---------------------------------------------------------------------------
+
+_sql_w_rankfns, _duck_w_rankfns = _ev(
+    """
+    SELECT user_id, event_id,
+           DENSE_RANK()  OVER w AS drank,
+           NTILE(4)      OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cdist
+    FROM ev WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    ORDER BY user_id, event_id
+    """
+)
+_q(
+    "w_ranking_functions",
+    _dialect(
+        _sql_w_rankfns,
+        _duck_w_rankfns,
+        "W*+",
+        "dense_rank / ntile / percent_rank / cume_dist ranking surface",
+    ),
+)
+
+_sql_w_analytic, _duck_w_analytic = _ev(
+    """
+    SELECT user_id, event_id, ts_us,
+           LEAD(event_type) OVER w AS next_type,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+           ROUND(AVG(value) OVER
+             (PARTITION BY user_id ORDER BY ts_us
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS avg_1h
+    FROM ev WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ORDER BY user_id, ts_us, event_id
+    """
+)
+_q(
+    "w_analytic_functions",
+    _dialect(
+        _sql_w_analytic,
+        _duck_w_analytic,
+        "W*+",
+        "lead / first_value / last_value / time-range frame average",
+    ),
+)
+
+# Hopping (sliding) window: size 1h, slide 30m — every event belongs to
+# exactly two windows; expressed as window-index arithmetic so the same
+# declarative shape runs on both engines (and as a Structured Streaming
+# groupBy(window(...)) in streaming/windows.py).
+_SLIDE_US = 1_800_000_000
+_SIZE_US = 3_600_000_000
+_sql_w_slide = f"""
+    WITH ev AS (SELECT *, ts_ns DIV 1000 AS ts_us FROM events),
+    expanded AS (
+      SELECT event_type, value,
+             (CAST(ts_us / {_SLIDE_US} AS BIGINT) - i) * {_SLIDE_US} AS window_start_us,
+             ts_us
+      FROM ev LATERAL VIEW EXPLODE(ARRAY(0, 1)) t AS i
+    )
+    SELECT window_start_us, event_type, COUNT(*) AS n,
+           {_dsum('value')} AS sum_value
+    FROM expanded
+    WHERE ts_us >= window_start_us AND ts_us < window_start_us + {_SIZE_US}
+      AND window_start_us >= 0
+    GROUP BY window_start_us, event_type
+    ORDER BY window_start_us, event_type
+"""
+_duck_w_slide = f"""
+    WITH ev AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+    expanded AS (
+      SELECT event_type, value,
+             (CAST(FLOOR(ts_us / {_SLIDE_US}) AS BIGINT) - i) * {_SLIDE_US} AS window_start_us,
+             ts_us
+      FROM ev CROSS JOIN (SELECT UNNEST([0, 1]) AS i) t
+    )
+    SELECT window_start_us, event_type, COUNT(*) AS n,
+           {_dsum('value')} AS sum_value
+    FROM expanded
+    WHERE ts_us >= window_start_us AND ts_us < window_start_us + {_SIZE_US}
+      AND window_start_us >= 0
+    GROUP BY window_start_us, event_type
+    ORDER BY window_start_us, event_type
+"""
+_q(
+    "w2_sliding_window",
+    _dialect(
+        _sql_w_slide,
+        _duck_w_slide,
+        "W1+",
+        "hopping window agg (1h size, 30m slide) via window-index fan-out",
+    ),
+)
+
+# Multi-granularity time rollup (hypertable-style): one pass, GROUPING
+# SETS over minute/hour/day buckets.
+_sql_rollup_tb, _duck_rollup_tb = _ev(
+    """
+    SELECT CASE WHEN GROUPING(b_minute) = 0 THEN 'minute'
+                WHEN GROUPING(b_hour) = 0 THEN 'hour'
+                ELSE 'day' END AS granularity,
+           COALESCE(b_minute, b_hour, b_day) AS bucket_us,
+           COUNT(*) AS n, """
+    + _dsum("value")
+    + """ AS sum_value
+    FROM (
+      SELECT value,
+             ts_us - ts_us % 60000000 AS b_minute,
+             ts_us - ts_us % 3600000000 AS b_hour,
+             ts_us - ts_us % 86400000000 AS b_day
+      FROM ev
+    ) b
+    GROUP BY GROUPING SETS ((b_minute), (b_hour), (b_day))
+    ORDER BY granularity, bucket_us
+    """
+)
+_q(
+    "time_bucket_rollup",
+    _dialect(
+        _sql_rollup_tb,
+        _duck_rollup_tb,
+        "W1+,A*",
+        "hypertable-style multi-granularity rollup in one GROUPING SETS pass",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates
+# ---------------------------------------------------------------------------
+
+_q(
+    "agg_percentiles",
+    _dialect(
+        """
+        SELECT l_returnflag,
+               ROUND(PERCENTILE(l_extendedprice, 0.25), 6) AS p25,
+               ROUND(PERCENTILE(l_extendedprice, 0.5), 6) AS p50,
+               ROUND(PERCENTILE(l_extendedprice, 0.75), 6) AS p75,
+               ROUND(PERCENTILE(l_extendedprice, 0.99), 6) AS p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        """
+        SELECT l_returnflag,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS p25,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS p50,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 6) AS p75,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 6) AS p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "A*+",
+        "exact interpolated percentiles (order statistics — deterministic "
+        "across engines, unlike float summation)",
+    ),
+)
+
+_q(
+    "agg_stats_corr",
+    _same(
+        """
+        SELECT l_returnflag,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar,
+               ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+               ROUND(VAR_SAMP(l_discount), 6) AS var_disc
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "A*+",
+        "second-moment statistics (corr / covar / stddev / variance)",
+    ),
+)
+
+_q(
+    "agg_conditional_bool",
+    _same(
+        """
+        SELECT l_linestatus,
+               COUNT_IF(l_discount > 0.05) AS n_discounted,
+               BOOL_AND(l_quantity > 0) AS all_positive,
+               BOOL_OR(l_tax > 0.07) AS any_high_tax,
+               CAST(CAST(MAX(l_shipdate) AS DATE) AS STRING) AS last_ship
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "A*+",
+        "conditional / boolean aggregates",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Array higher-order functions over the embedding column
+# ---------------------------------------------------------------------------
+
+_q(
+    "x3_vector_array_stats",
+    _dialect(
+        """
+        SELECT vec_id, SIZE(embedding) AS dim,
+               ROUND(SQRT(AGGREGATE(embedding, CAST(0 AS DOUBLE),
+                     (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS l2_norm,
+               ROUND(AGGREGATE(embedding, CAST(0 AS DOUBLE),
+                     (a, x) -> a + CAST(x AS DOUBLE)) / SIZE(embedding), 6) AS mean_elem,
+               ROUND(ARRAY_MAX(TRANSFORM(embedding, x -> CAST(x AS DOUBLE))), 6) AS max_elem
+        FROM embeddings ORDER BY vec_id
+        """,
+        """
+        SELECT vec_id, LEN(embedding) AS dim,
+               ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+               ROUND(LIST_SUM(LIST_TRANSFORM(embedding,
+                     x -> CAST(x AS DOUBLE))) / LEN(embedding), 6) AS mean_elem,
+               ROUND(LIST_MAX(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))), 6) AS max_elem
+        FROM embeddings ORDER BY vec_id
+        """,
+        "X3,X5",
+        "higher-order array functions (fold / transform / max) — the "
+        "JVM-side vector math primitive under the similarity operators",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Wider TPC-H-shaped query surface (adapted to the driver's columns)
+# ---------------------------------------------------------------------------
+
+_q(
+    "q6_forecast_revenue",
+    _same(
+        f"""
+        SELECT {_dsum('l_extendedprice * l_discount')} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+        "A*,S3",
+        "TPC-H Q6: tight multi-predicate scan + single aggregate",
+    ),
+)
+
+_q(
+    "q4_order_priority",
+    _same(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        "J*+",
+        "TPC-H Q4 (adapted: shipdate for commitdate): EXISTS semi-join + agg",
+    ),
+)
+
+_q(
+    "q10_returned_items",
+    _same(
+        f"""
+        SELECT c_custkey, c_name,
+               {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1994-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """,
+        "J*,A*,D8",
+        "TPC-H Q10: 4-table join + agg + top-N by revenue",
+    ),
+)
+
+_q(
+    "q14_promo_effect",
+    _same(
+        f"""
+        SELECT ROUND(100.0 * {_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+                     / {_dsum('l_extendedprice * (1 - l_discount)')}, 6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+        """,
+        "J1,A*",
+        "TPC-H Q14 (adapted: p_type equality): conditional agg over broadcast join",
+    ),
+)
+
+_q(
+    "q18_large_volume",
+    _same(
+        f"""
+        SELECT c_custkey, o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               {_dsum('l_quantity')} AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+        )
+        GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        """,
+        "J*,A*",
+        "TPC-H Q18: IN-subquery on grouped HAVING + 3-table join",
+    ),
+)
+
+_q(
+    "q19_discounted_revenue",
+    _same(
+        f"""
+        SELECT {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "J1,A*",
+        "TPC-H Q19 (adapted): disjunctive multi-range predicates over a join",
+    ),
+)

@@ -1,0 +1,99 @@
+"""as-of join and banded range join (operators/joins.py).
+
+Golden values hand-computed; semantics modeled on pandas ``merge_asof``
+(backward/forward, tolerance) and interval self-joins.
+"""
+
+import pytest
+
+from mission_data_pipeline_spark.operators.joins import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 20, 101.0), ("A", 40, 99.0), ("B", 15, 50.0)],
+        "sym string, t long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 5), ("A", 10), ("A", 25), ("A", 50), ("B", 14), ("C", 7)],
+        "sym string, t long",
+    )
+    return quotes, trades
+
+
+def test_asof_backward(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, on="t", by=["sym"]).orderBy("sym", "t")
+    rows = [(r["sym"], r["t"], r["right_t"], r["right_px"]) for r in out.collect()]
+    assert rows == [
+        ("A", 5, None, None),  # no quote yet
+        ("A", 10, 10, 100.0),  # inclusive at equal time
+        ("A", 25, 20, 101.0),
+        ("A", 50, 40, 99.0),
+        ("B", 14, None, None),  # B's quote is later
+        ("C", 7, None, None),  # key never on right
+    ]
+
+
+def test_asof_forward(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, on="t", by=["sym"], direction="forward")
+    got = {(r["sym"], r["t"]): r["right_t"] for r in out.collect()}
+    assert got == {
+        ("A", 5): 10,
+        ("A", 10): 10,
+        ("A", 25): 40,
+        ("A", 50): None,
+        ("B", 14): 15,
+        ("C", 7): None,
+    }
+
+
+def test_asof_tolerance(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, on="t", by=["sym"], tolerance=5)
+    got = {(r["sym"], r["t"]): r["right_t"] for r in out.collect()}
+    assert got[("A", 25)] == 20  # within 5
+    assert got[("A", 50)] is None  # 10 away — nulled
+    assert got[("A", 10)] == 10
+
+
+def test_asof_preserves_left_rowcount(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    assert asof_join(trades, quotes, on="t", by=["sym"]).count() == trades.count()
+
+
+def test_range_join_pairs(spark):
+    ev = spark.createDataFrame(
+        [("x", 1, 0), ("x", 2, 7), ("x", 3, 10), ("x", 4, 25), ("y", 5, 9)],
+        "k string, id long, t long",
+    )
+    out = range_join(ev, ev, on="t", by=["k"], lower=1, upper=10)
+    pairs = sorted(
+        (r["id"], r["right_id"]) for r in out.collect()
+    )
+    # dt in [1,10]: (1->2 dt7) (1->3 dt10) (2->3 dt3) — (3->4 dt15) excluded
+    assert pairs == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_range_join_symmetric_band(spark):
+    ev = spark.createDataFrame(
+        [("x", 1, 100), ("x", 2, 104), ("x", 3, 111)], "k string, id long, t long"
+    )
+    out = range_join(ev, ev, on="t", by=["k"], lower=-5, upper=5)
+    pairs = sorted((r["id"], r["right_id"]) for r in out.collect())
+    # |dt|<=5 incl self-pairs: (1,1)(1,2)(2,1)(2,2)(3,3)... 104->111 dt 7 excluded
+    assert pairs == [(1, 1), (1, 2), (2, 1), (2, 2), (3, 3)]
+
+
+def test_range_join_rejects_empty_interval(spark):
+    ev = spark.createDataFrame([("x", 1, 0)], "k string, id long, t long")
+    with pytest.raises(ValueError):
+        range_join(ev, ev, on="t", by=["k"], lower=5, upper=5)
+
+
+def test_asof_rejects_bad_direction(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, on="t", by=["sym"], direction="nearest")
