@@ -44,10 +44,15 @@ def piecewise_linear_expr(
         raise ValueError("piecewise table needs >= 2 (x, y) pairs of equal length")
     expr = F.when(raw <= F.lit(float(xs[0])), F.lit(float(ys[0])))
     for (x0, y0), (x1, y1) in zip(zip(xs, ys), list(zip(xs, ys))[1:]):
-        slope = (y1 - y0) / (x1 - x0)
+        # same association order as the reference's _interpolate
+        # (calibration.py:128-132): y0 + (x-x0)/(x1-x0) * (y1-y0) —
+        # bit-identical to the array-column form and the Python original.
         expr = expr.when(
             raw <= F.lit(float(x1)),
-            F.lit(float(y0)) + (raw - F.lit(float(x0))) * F.lit(float(slope)),
+            F.lit(float(y0))
+            + (raw - F.lit(float(x0)))
+            / F.lit(float(x1) - float(x0))
+            * F.lit(float(y1) - float(y0)),
         )
     return expr.otherwise(F.lit(float(ys[-1])))
 

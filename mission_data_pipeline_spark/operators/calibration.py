@@ -10,11 +10,11 @@ Parity: reference ``src/mdp/plugins/transformers/calibration.py:75-119``:
 - unit is overwritten by the calibration's unit when present
   (``:116-117``); ``calibration_id`` records the method.
 
-Spark-first shape: the calibration dictionary becomes a **broadcast
-config DataFrame** ``(name, method, coeffs, xs, ys, unit)`` and the
-whole pass is one broadcast-hash left join + a method-dispatch CASE over
-higher-order-function expressions. One plan serves any MIB size — the
-config is data, not plan structure — and nothing shuffles the fact side.
+Spark-first shape, two paths chosen by input type (see
+``apply_calibrations``): plan-time config lists constant-fold into
+literal CASE dispatch inside whole-stage codegen; DataFrame calibration
+tables broadcast-hash left join with array-expression dispatch. Neither
+path shuffles the fact side.
 """
 
 from __future__ import annotations
@@ -72,13 +72,7 @@ def calibration_table(spark: SparkSession, cals: list[Calibration]) -> DataFrame
     )
 
 
-def apply_calibrations(params: DataFrame, cals: list[Calibration] | DataFrame) -> DataFrame:
-    """Broadcast-left-join the calibration table and compute eng values."""
-    if isinstance(cals, list):
-        cal_df = calibration_table(params.sparkSession, cals)
-    else:
-        cal_df = cals
-
+def _fill_defaults(params: DataFrame) -> DataFrame:
     # Tolerate partial input schemas (only name/raw_value are required):
     # missing optional columns materialize as typed nulls.
     defaults = {
@@ -89,7 +83,61 @@ def apply_calibrations(params: DataFrame, cals: list[Calibration] | DataFrame) -
     for col, typ in defaults.items():
         if col not in params.columns:
             params = params.withColumn(col, F.lit(None).cast(typ))
+    return params
 
+
+def apply_calibrations(params: DataFrame, cals: list[Calibration] | DataFrame) -> DataFrame:
+    """Apply calibrations: constant-folded dispatch or broadcast join.
+
+    A Python ``list[Calibration]`` is plan-time config — it compiles to a
+    literal name-dispatch CASE with Horner / piecewise CASE chains, fully
+    inside whole-stage codegen (zero join, zero higher-order lambdas,
+    first entry wins on duplicate names — the reference's dict semantics,
+    ``calibration.py:81-84``). Pass a DataFrame instead when the
+    calibration table is *data* (large or runtime-loaded): that path is a
+    broadcast-hash left join + array-expression dispatch, one plan for
+    any MIB size.
+    """
+    if isinstance(cals, list):
+        return _apply_literal(_fill_defaults(params), cals)
+    return _apply_join(_fill_defaults(params), cals)
+
+
+def _apply_literal(params: DataFrame, cals: list[Calibration]) -> DataFrame:
+    from mission_data_pipeline_spark.functions.calibrate import (
+        piecewise_linear_expr,
+        polynomial_expr,
+    )
+
+    if not cals:
+        return params
+    name = F.col("name")
+    raw = F.col("raw_value")
+    w_eng = w_unit = w_cid = None
+    for c in cals:
+        cond = name == c.parameter
+        if c.method == "polynomial":
+            e = polynomial_expr(raw, c.coefficients)
+        elif c.method == "table":
+            e = piecewise_linear_expr(raw, c.table_raw, c.table_eng)
+        else:
+            e = raw
+        applies = cond & raw.isNotNull()  # non-numeric raw: keep unchanged
+        w_eng = (w_eng.when if w_eng is not None else F.when)(applies, e)
+        w_unit = (w_unit.when if w_unit is not None else F.when)(
+            cond, F.coalesce(F.lit(c.unit).cast("string"), F.col("unit"))
+        )
+        w_cid = (w_cid.when if w_cid is not None else F.when)(
+            applies, F.lit(c.method)
+        )
+    return (
+        params.withColumn("eng_value", w_eng.otherwise(F.col("eng_value")))
+        .withColumn("unit", w_unit.otherwise(F.col("unit")))
+        .withColumn("calibration_id", w_cid.otherwise(F.col("calibration_id")))
+    )
+
+
+def _apply_join(params: DataFrame, cal_df: DataFrame) -> DataFrame:
     joined = params.join(broadcast(cal_df), on="name", how="left")
     raw = F.col("raw_value")
     calibrated = (

@@ -154,3 +154,28 @@ def test_apid_filter_include_exclude(spark, mixed_apid_bin):
     assert apid_filter(pk, include=[0x100, 0x200]).count() == 20
     assert apid_filter(pk, exclude=[0x100]).count() == 20
     assert apid_filter(pk).count() == 30  # passthrough
+
+
+def test_dataframe_cal_table_path_matches_literal(spark):
+    """calibration-as-DataFrame (broadcast join) ≡ calibration-as-config
+    (literal dispatch) on the same samples."""
+    from mission_data_pipeline_spark.operators.calibration import calibration_table
+
+    cals = [
+        Calibration("p", "polynomial", (-55.0, 0.5), unit="degC"),
+        Calibration("t", "table", table_raw=(0, 10), table_eng=(0, 100), unit="u"),
+        Calibration("i", "identity"),
+    ]
+    params = spark.createDataFrame(
+        [("p", 10.0), ("t", 5.0), ("t", 40.0), ("i", 7.0), ("other", 1.0)],
+        "name string, raw_value double",
+    ).withColumn("eng_value", F.col("raw_value"))
+    lit_rows = sorted(
+        apply_calibrations(params, cals).collect(),
+        key=lambda r: (r["name"], r["raw_value"]),
+    )
+    df_rows = sorted(
+        apply_calibrations(params, calibration_table(spark, cals)).collect(),
+        key=lambda r: (r["name"], r["raw_value"]),
+    )
+    assert [r.asDict() for r in lit_rows] == [r.asDict() for r in df_rows]
