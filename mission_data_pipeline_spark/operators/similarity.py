@@ -174,3 +174,131 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, centroid_id): nearest centroid per vector (IVF coarse quantizer).
+
+    ``centroids`` is (centroid_id, centroid_vec) — small, broadcast. The
+    assignment ranks on round(cosine, round_digits) with centroid_id as
+    the tie-break, which makes cluster membership reproducible across
+    engines and runs (an exact-float argmax is not).
+    """
+    c = centroids.select(
+        F.col("centroid_id"), F.col("centroid_vec").alias("__cv")
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+    ).crossJoin(broadcast(c)).select(
+        "id",
+        "centroid_id",
+        F.round(cosine_similarity(F.col("__v"), F.col("__cv")), round_digits).alias(
+            "__sim"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "centroid_id")
+    )
+
+
+def default_centroids(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse centroids: the ``n_centroids`` lowest-id
+    vectors. A production pipeline would k-means these (Spark ML
+    ``KMeans`` over a sample); deterministic seeds keep this operator
+    oracle-checkable, and the IVF mechanics are identical either way."""
+    w = Window.orderBy(F.col(id_col))
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 4,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: partition-then-probe, the ANN scale path.
+
+    Corpus vectors are assigned to their nearest coarse centroid
+    (``ivf_assign``); each query probes only its ``n_probe`` nearest
+    partitions, so scored candidates shrink from |corpus| to roughly
+    ``n_probe/n_centroids`` of it. At 100 TB the assignment is computed
+    once and written partitioned-by(centroid_id); queries then touch only
+    the probed partitions (partition pruning on an equi-join key) —
+    contrast with the brute-force cross join, which rescans everything
+    per query batch.
+    """
+    if centroids is None:
+        centroids = default_centroids(
+            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    assign = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+
+    c = centroids.select("centroid_id", F.col("centroid_vec").alias("__cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    probe_scored = q.crossJoin(broadcast(c)).select(
+        "query_id",
+        "centroid_id",
+        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("__sim"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        probe_scored.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+
+    cand = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        cand.join(broadcast(q), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("__qv"), F.col("__cv")), 6
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

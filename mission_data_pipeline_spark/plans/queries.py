@@ -2004,3 +2004,70 @@ _q(
         "TPC-H Q19 (adapted): disjunctive multi-range predicates over a join",
     ),
 )
+
+
+def _ivf_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (operators/similarity.py ivf_topk): deterministic
+    coarse centroids keep the approximate result oracle-checkable."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import ivf_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    out = ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        n_probe=4,
+        n_centroids=32,
+        vec_col="v",
+    )
+    return out.orderBy("query_id", "rank")
+
+
+_q(
+    "x3_ivf_topk_ann",
+    Query(
+        _ivf_topk_spark,
+        """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 32),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+            FROM e CROSS JOIN c) t WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.query_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid) AS rn
+            FROM q CROSS JOIN c) t WHERE rn <= 4
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+          FROM probes p
+          JOIN assign a ON p.cid = a.cid AND a.vec_id != p.query_id
+          JOIN q ON q.query_id = p.query_id
+          JOIN e ON e.vec_id = a.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored) t
+        WHERE rank <= 10
+        ORDER BY query_id, rank
+        """,
+        "X3",
+        "IVF-partitioned approximate top-k (partition-then-probe scale path; "
+        "deterministic centroids make the approximation oracle-checkable)",
+    ),
+)

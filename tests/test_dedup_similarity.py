@@ -108,3 +108,20 @@ def test_lsh_topk_approximates_exact(vectors):
     assert set(a) == set(e)
     hits = sum(1 for k in e if abs(a[k] - e[k]) < 1e-9)
     assert hits >= 3
+
+
+def test_ivf_topk_partition_then_probe(vectors):
+    from mission_data_pipeline_spark.operators.similarity import cosine_topk, ivf_topk
+
+    q = vectors.filter("vec_id < 5")
+    exact = cosine_topk(vectors, q, k=1)
+    approx = ivf_topk(vectors, q, k=1, n_probe=4, n_centroids=8)
+    e = {r["query_id"]: round(r["cosine"], 6) for r in exact.collect()}
+    a = {r["query_id"]: r["cosine"] for r in approx.collect()}
+    assert set(a) == set(e)  # every query answered
+    # probing half the partitions must recover most exact top-1s
+    hits = sum(1 for k in e if abs(a[k] - e[k]) < 1e-6)
+    assert hits >= 3
+    # self never returned
+    full = ivf_topk(vectors, q, k=5, n_probe=8, n_centroids=8)
+    assert full.filter("query_id = neighbor_id").count() == 0
