@@ -13,6 +13,11 @@ from mission_data_pipeline_spark.streaming.sources import (
     stream_csv_telemetry,
     stream_packets,
 )
+from mission_data_pipeline_spark.streaming.stateful import (
+    seq_gaps,
+    seq_gaps_batch,
+    seq_gaps_stream,
+)
 from mission_data_pipeline_spark.streaming.windows import (
     dedup_late_samples,
     windowed_stats,
@@ -21,6 +26,9 @@ from mission_data_pipeline_spark.streaming.windows import (
 __all__ = [
     "StreamingPipeline",
     "dedup_late_samples",
+    "seq_gaps",
+    "seq_gaps_batch",
+    "seq_gaps_stream",
     "stream_csv_telemetry",
     "stream_packets",
     "windowed_stats",

@@ -125,3 +125,57 @@ def test_windowed_stats_batch_oracle(spark):
     }
     assert sum(got.values()) == 25
     assert sorted(got.values(), reverse=True)[:2] == [10, 10]
+
+
+def _gapped_stream(seqs, apid=0x100):
+    """Packets with chosen seq_counts (gaps = missing numbers)."""
+    import struct
+
+    from mission_data_pipeline_spark.models.ccsds import build_packet
+
+    out = bytearray()
+    for s in seqs:
+        out += build_packet(apid, s, struct.pack(">I", s * 10))
+    return bytes(out)
+
+
+def test_seq_gaps_batch(spark, tmp_path):
+    from mission_data_pipeline_spark.sources import read_packets
+    from mission_data_pipeline_spark.streaming import seq_gaps
+
+    p = tmp_path / "gap.bin"
+    # 0,1,2, [3,4 lost], 5,6, [wrap gap: 16382 -> 1 loses 16383,0]
+    p.write_bytes(_gapped_stream([0, 1, 2, 5, 6, 16382, 1]))
+    pk = read_packets(spark, str(p))
+    rows = {r["seq_count"]: r for r in seq_gaps(pk).collect()}
+    assert rows[5]["prev_seq"] == 2 and rows[5]["missing"] == 2
+    assert rows[16382]["prev_seq"] == 6 and rows[16382]["missing"] == 16375
+    assert rows[1]["prev_seq"] == 16382 and rows[1]["missing"] == 2  # wrap
+    assert len(rows) == 3
+
+
+def test_seq_gaps_stream_state_across_batches(spark, tmp_path):
+    """A gap straddling two micro-batches is caught only because the
+    state store carries last_seq across them."""
+    from mission_data_pipeline_spark.streaming import seq_gaps, stream_packets
+
+    d = tmp_path / "in"
+    d.mkdir()
+    out_rows = []
+    # file 1 ends at seq 4; file 2 starts at seq 9 → gap of 4 across batches
+    (d / "a.bin").write_bytes(_gapped_stream([0, 1, 2, 3, 4]))
+    (d / "b.bin").write_bytes(_gapped_stream([9, 10, 11]))
+    pk = stream_packets(spark, str(d), max_files_per_trigger=1)
+    q = (
+        seq_gaps(pk)
+        .writeStream.format("memory")
+        .queryName("gaps")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM gaps").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["prev_seq"], r["seq_count"], r["missing"]) == (4, 9, 4)
