@@ -39,8 +39,11 @@ HEADLINE = [
     "agg_percentiles",
     "time_bucket_rollup",
     "x6_json_extract_agg",
+    "d4_union_all",
     "x1_dedup_exact_hash",
     "x2_minhash_bands",
+    "x3_lsh_topk_ann",
+    "x3_ivf_topk_ann",
     "x2_ngram_jaccard_pairs",
     "x3_cosine_topk_bruteforce",
     "x4_token_stats",

@@ -79,3 +79,41 @@ def test_dedup_samples_keeps_highest_seq(spark):
     df = spark.createDataFrame(rows, SCHEMA)
     out = {r["time_tai"]: r for r in dedup_samples(df).collect()}
     assert len(out) == 2 and out[5.0]["raw_value"] == 9.0
+
+
+def test_two_phase_distinct_count_matches_direct(spark):
+    from mission_data_pipeline_spark.operators.skew import two_phase_distinct_count
+
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)] + [("b", i % 3) for i in range(50)],
+        "k string, v int",
+    )
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in two_phase_distinct_count(df, ["k"], "v").collect()
+    }
+    direct = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == direct == {"a": 7, "b": 3}
+
+
+def test_salted_agg_matches_direct(spark):
+    from mission_data_pipeline_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(1000)] + [("cold", 5.0)],
+        "k string, v double",
+    )
+    out = salted_agg(
+        df,
+        ["k"],
+        partial={"s": F.sum("v"), "c": F.count(F.lit(1))},
+        merge={"s": F.sum("s"), "c": F.sum("c")},
+        n_salts=8,
+        salt_on="v",
+    ).withColumn("avg", F.col("s") / F.col("c"))
+    got = {r["k"]: (r["s"], r["c"], r["avg"]) for r in out.collect()}
+    assert got["hot"] == (499500.0, 1000, 499.5)
+    assert got["cold"] == (5.0, 1, 5.0)
