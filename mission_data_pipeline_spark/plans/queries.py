@@ -2071,3 +2071,242 @@ _q(
         "deterministic centroids make the approximation oracle-checkable)",
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-derived complex join / subquery shapes (general query surface).
+# The driver's tables omit partsupp, l_commitdate/receiptdate/shipmode and
+# c_phone, so Q2/Q11/Q16/Q20/Q22 are adapted to the available columns with
+# the same plan shape (correlated subqueries, left-join distributions,
+# scalar-subquery thresholds); Q12/Q21 have no expressible analog.
+# ---------------------------------------------------------------------------
+
+_q(
+    "q2_min_cost_supplier",
+    _same(
+        """
+        SELECT DISTINCT s.s_acctbal, s.s_name, p.p_partkey, p.p_name
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE p.p_size = 5 AND p.p_type = 'ECONOMY'
+          AND s.s_acctbal = (SELECT MIN(s2.s_acctbal)
+                             FROM supplier s2
+                             JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+                             WHERE l2.l_partkey = p.p_partkey)
+        ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_name
+        """,
+        "J*+",
+        "TPC-H Q2 (adapted, no partsupp): per-part min-cost supplier via "
+        "correlated aggregate subquery over a join",
+    ),
+)
+
+_q(
+    "q7_volume_shipping",
+    _same(
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume_d) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+                 CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)) AS volume_d
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "J*,A2",
+        "TPC-H Q7: six-way join with disjunctive nation-pair predicate, "
+        "grouped by shipment year",
+    ),
+)
+
+_q(
+    "q8_market_share",
+    _same(
+        """
+        SELECT o_year,
+               ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_d
+                                   ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+                     / CAST(SUM(volume_d) AS DOUBLE), 6) AS mkt_share
+        FROM (
+          SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+                 CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)) AS volume_d,
+                 n2.n_name AS supp_nation
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+          JOIN region r ON n1.n_regionkey = r.r_regionkey
+          JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+        """,
+        "J*,A2",
+        "TPC-H Q8: eight-way join, conditional-sum market-share ratio by year",
+    ),
+)
+
+_q(
+    "q9_product_profit",
+    _same(
+        """
+        SELECT nation, o_year, CAST(SUM(volume_d) AS DOUBLE) AS profit
+        FROM (
+          SELECT n.n_name AS nation,
+                 CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+                 CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)) AS volume_d
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN part p ON p.p_partkey = l.l_partkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE p.p_name LIKE '%bolt%'
+        ) profit_by
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+        """,
+        "J*,A2",
+        "TPC-H Q9 (adapted, no supplycost): profit by supplier nation and "
+        "order year over a LIKE-filtered five-way join",
+    ),
+)
+
+_q(
+    "q11_important_stock",
+    _same(
+        """
+        SELECT l_partkey, CAST(SUM(val_d) AS DOUBLE) AS part_value
+        FROM (SELECT l_partkey,
+                     CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)) AS val_d
+              FROM lineitem) t
+        GROUP BY l_partkey
+        HAVING CAST(SUM(val_d) AS DOUBLE) >
+               (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(20,6))) AS DOUBLE) * 0.0008
+                FROM lineitem)
+        ORDER BY part_value DESC, l_partkey
+        """,
+        "J*+,A2",
+        "TPC-H Q11 (adapted, no partsupp): per-part value share above a "
+        "global scalar-subquery threshold (HAVING over uncorrelated subquery)",
+    ),
+)
+
+_q(
+    "q13_customer_distribution",
+    _same(
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c.c_custkey AS custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+        """,
+        "J2,A2",
+        "TPC-H Q13: left-outer join with join-time predicate, then "
+        "count-of-counts distribution",
+    ),
+)
+
+_q(
+    "q15_top_supplier",
+    _same(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(20,6))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s.s_suppkey
+        """,
+        "J*+,A2,A4",
+        "TPC-H Q15: CTE revenue view, equality against scalar MAX subquery "
+        "(exact-decimal sums make the double comparison engine-stable)",
+    ),
+)
+
+_q(
+    "q16_supplier_part_count",
+    _same(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 2, 3, 4, 5)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """,
+        "J*+,A1",
+        "TPC-H Q16 (adapted, lineitem as the part-supplier bridge): distinct "
+        "suppliers per brand/type/size with NOT IN exclusion subquery",
+    ),
+)
+
+_q(
+    "q17_small_quantity_revenue",
+    _same(
+        """
+        SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,6)))
+                          AS DOUBLE) / 7.0, 6) AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3'
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "J*+,A3",
+        "TPC-H Q17: correlated per-part average-quantity threshold "
+        "(decorrelated by Catalyst into an aggregate + join)",
+    ),
+)
+
+_q(
+    "q22_global_sales_opportunity",
+    _same(
+        """
+        SELECT c_nationkey,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT SUM(CAST(c_acctbal AS DECIMAL(20,6))) / COUNT(*)
+                           FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """,
+        "J*+,A3",
+        "TPC-H Q22 (adapted, nationkey as country code): positive-balance "
+        "average threshold + anti-join, grouped totals (exact-decimal avg "
+        "keeps the threshold comparison engine-stable)",
+    ),
+)
