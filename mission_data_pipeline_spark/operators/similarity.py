@@ -14,10 +14,15 @@ Two paths over ``embeddings(vec_id, embedding: array<float>, label)``:
 
 Hyperplanes are generated deterministically from a seed via md5-derived
 pseudo-gaussians (sum of 4 uniforms, CLT) so the operator needs no
-driver-side numpy state and both sides hash identically.
+driver-side numpy state and both sides hash identically. They are
+data-independent, so they are materialized ONCE on the driver and
+embedded as literal arrays — the per-row plan is then a pure
+``zip_with``/``aggregate`` dot product with no hashing in the hot path.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -59,52 +64,50 @@ def cosine_topk(
     )
 
 
-def _pseudo_gaussian(seed: Column, dim_idx: Column) -> Column:
-    """Deterministic ~N(0,1) from (seed, dim): CLT over 4 md5-uniforms."""
-    total = F.lit(0.0)
+def _pseudo_gaussian(seed: int, dim_idx: int) -> float:
+    """Deterministic ~N(0,1) from (seed, dim): CLT over 4 md5-uniforms.
+
+    Same construction the previous in-plan version computed with
+    ``F.md5``/``F.conv`` — driver-side now, since the hyperplanes depend
+    only on (table, bit, dim), never on data.
+    """
+    total = 0.0
     for rep in range(4):
-        u = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":",
-                            seed.cast("string"),
-                            dim_idx.cast("string"),
-                            F.lit(str(rep)),
-                        )
-                    ),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            ).cast("double")
-            / F.lit(float(16**12))
-        )
-        total = total + u
-    return (total - F.lit(2.0)) * F.lit(1.7320508)  # var(sum of 4 U) = 1/3
+        h = hashlib.md5(f"{seed}:{dim_idx}:{rep}".encode()).hexdigest()[:12]
+        total += int(h, 16) / float(16**12)
+    return (total - 2.0) * 1.7320508  # var(sum of 4 U) = 1/3
 
 
-def _sketch(vec: Column, *, bits: int, table: int) -> Column:
-    """Sign sketch of `vec` against `bits` seeded random hyperplanes."""
-    dims = F.sequence(F.lit(0), F.size(vec) - 1)
-    out = F.lit(0).cast("long")
+def _hyperplane(table: int, bit: int, dim: int) -> list[float]:
+    seed = table * 1000 + bit
+    return [_pseudo_gaussian(seed, i) for i in range(dim)]
+
+
+def _sketch(vec_col: str, *, bits: int, table: int, dim: int) -> Column:
+    """Sign sketch of column `vec_col` against `bits` random hyperplanes.
+
+    Hyperplanes are literal arrays baked into ONE SQL expression string
+    per sketch: the per-row work is ``bits`` JVM-side dot products, and
+    plan construction costs a single py4j call (every per-element
+    ``F.lit``/``F.array``/lambda variant costs a round-trip per element
+    or per lambda, which dominates wall-clock at realistic dims).
+    """
+    terms = []
     for b in range(bits):
-        seed = F.lit(table * 1000 + b)
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                dims,
-                lambda v, i: v * _pseudo_gaussian(seed, i),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        plane = ",".join(f"{x!r}D" for x in _hyperplane(table, b, dim))
+        terms.append(
+            f"IF(aggregate(zip_with(`{vec_col}`, array({plane}),"
+            f" (v, p) -> v * p), 0.0D, (acc, v) -> acc + v) > 0,"
+            f" {1 << b}L, 0L)"
         )
-        out = out + F.when(
-            proj > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-    return out
+    return F.expr(" + ".join(terms))
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None:
+        return 0
+    return int(row["d"])
 
 
 def lsh_buckets(
@@ -114,20 +117,28 @@ def lsh_buckets(
     tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
-    """(id, table, bucket) — one row per hash table."""
-    rows = [
-        df.select(
-            F.col(id_col).alias("id"),
-            F.lit(t).alias("table"),
-            _sketch(F.col(vec_col), bits=bits, table=t).alias("bucket"),
-        )
-        for t in range(tables)
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    """(id, table, bucket) — one row per hash table.
+
+    All ``tables`` sketches are computed in ONE pass over the input
+    (struct-array + explode), not one scan per table: at 100 TB the
+    corpus is read exactly once.
+    """
+    if dim is None:
+        dim = _vec_dim(df, vec_col)
+    per_table = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _sketch(vec_col, bits=bits, table=t, dim=dim).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(per_table).alias("tb")
+    ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
 
 def lsh_topk(
@@ -146,11 +157,19 @@ def lsh_topk(
     the candidate count. At 100 TB, corpus buckets can additionally be
     written bucketed-by(bucket) so repeated query batches co-locate.
     """
-    cb = lsh_buckets(corpus, bits=bits, tables=tables, id_col=id_col, vec_col=vec_col)
-    qb = lsh_buckets(queries, bits=bits, tables=tables, id_col=id_col, vec_col=vec_col)
+    dim = _vec_dim(corpus, vec_col)
+    cb = lsh_buckets(
+        corpus, bits=bits, tables=tables, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    qb = lsh_buckets(
+        queries, bits=bits, tables=tables, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    # The query side is small by contract; broadcast it at every join so
+    # the corpus NEVER shuffles — it is scanned twice (bucket pass,
+    # re-rank pass), both map-side, both pruned to (id, vec).
     cand = (
-        qb.withColumnRenamed("id", "query_id")
-        .join(cb.withColumnRenamed("id", "neighbor_id"), ["table", "bucket"])
+        cb.withColumnRenamed("id", "neighbor_id")
+        .join(broadcast(qb.withColumnRenamed("id", "query_id")), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
@@ -159,14 +178,10 @@ def lsh_topk(
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
-    scored = (
-        cand.join(broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
-        )
+    scored = cv.join(broadcast(cand.join(qv, "query_id")), "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
