@@ -297,17 +297,14 @@ def ivf_topk(
         .filter(F.col("id") != F.col("query_id"))
         .select("query_id", F.col("id").alias("neighbor_id"))
     )
+    # Broadcast the small (query, candidate) side so the corpus re-rank
+    # pass streams map-side — shuffling the full corpus per query batch
+    # is the shape that dies at 100 TB.
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    scored = (
-        cand.join(broadcast(q), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_similarity(F.col("__qv"), F.col("__cv")), 6
-            ).alias("cosine"),
-        )
+    scored = cv.join(broadcast(cand.join(q, "query_id")), "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
