@@ -2310,3 +2310,39 @@ _q(
         "keeps the threshold comparison engine-stable)",
     ),
 )
+
+
+_q(
+    "limit_check_alarm",
+    _same(
+        """
+        WITH limits AS (
+          SELECT * FROM (VALUES
+            ('click', 200.0, 400.0),
+            ('view',  150.0, 300.0),
+            ('error',  50.0, 250.0)
+          ) AS t(event_type, warn_high, crit_high)
+        )
+        SELECT e.event_type,
+               CASE
+                 WHEN l.crit_high IS NOT NULL AND e.value > l.crit_high THEN 3
+                 WHEN l.warn_high IS NOT NULL AND e.value > l.warn_high THEN 1
+                 WHEN l.warn_high IS NULL AND l.crit_high IS NULL THEN NULL
+                 ELSE 0
+               END AS alarm_level,
+               COUNT(*) AS n
+        FROM events e LEFT JOIN limits l ON e.event_type = l.event_type
+        GROUP BY e.event_type,
+               CASE
+                 WHEN l.crit_high IS NOT NULL AND e.value > l.crit_high THEN 3
+                 WHEN l.warn_high IS NOT NULL AND e.value > l.warn_high THEN 1
+                 WHEN l.warn_high IS NULL AND l.crit_high IS NULL THEN NULL
+                 ELSE 0
+               END
+        ORDER BY e.event_type, alarm_level NULLS FIRST
+        """,
+        "T8+,J2",
+        "limit monitoring (operators/limits.py analog): per-key bands via "
+        "broadcast left join, alarm-level classification + counts",
+    ),
+)
