@@ -2005,6 +2005,75 @@ _q(
     ),
 )
 
+_q(
+    "q12_shipmode_priority",
+    _same(
+        """
+        SELECT l_returnflag AS ship_group,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+                   AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+                   AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= o_orderdate
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+        "J*,A*",
+        "TPC-H Q12 (adapted: returnflag for shipmode, shipdate>=orderdate for "
+        "late-commit): join + priority-conditional counts",
+    ),
+)
+
+_q(
+    "q20_volume_suppliers",
+    _same(
+        """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 30)
+          GROUP BY l_suppkey
+          HAVING SUM(l_quantity) > (
+            SELECT 0.011 * SUM(l_quantity) FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 30))
+        )
+        ORDER BY s_suppkey
+        """,
+        "J*+",
+        "TPC-H Q20 (adapted: no partsupp table; share-of-volume threshold): "
+        "nested IN subqueries with scalar-aggregate HAVING",
+    ),
+)
+
+_q(
+    "q21_waiting_suppliers",
+    _same(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL '90' DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        """,
+        "J*+",
+        "TPC-H Q21 (adapted: shipdate-vs-orderdate lateness for "
+        "receiptdate-vs-commitdate): correlated EXISTS + NOT EXISTS multi-join",
+    ),
+)
+
 
 def _ivf_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN (operators/similarity.py ivf_topk): deterministic
