@@ -150,14 +150,19 @@ def lsh_topk(
     tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket-join candidates, exact cosine re-rank.
 
     Recall rises with ``tables`` and falls with ``bits``; shuffle cost is
     the candidate count. At 100 TB, corpus buckets can additionally be
     written bucketed-by(bucket) so repeated query batches co-locate.
+
+    Pass ``dim`` when the embedding width is known (it is, for any real
+    corpus) to skip the one-row probe job that infers it.
     """
-    dim = _vec_dim(corpus, vec_col)
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
     cb = lsh_buckets(
         corpus, bits=bits, tables=tables, id_col=id_col, vec_col=vec_col, dim=dim
     )
@@ -236,12 +241,16 @@ def default_centroids(
     """Deterministic coarse centroids: the ``n_centroids`` lowest-id
     vectors. A production pipeline would k-means these (Spark ML
     ``KMeans`` over a sample); deterministic seeds keep this operator
-    oracle-checkable, and the IVF mechanics are identical either way."""
-    w = Window.orderBy(F.col(id_col))
+    oracle-checkable, and the IVF mechanics are identical either way.
+
+    ``orderBy(...).limit(n)`` plans as a distributed TakeOrderedAndProject
+    (per-partition top-n, merge n·partitions rows on one reducer) — never
+    a global single-partition sort of the corpus.
+    """
     return (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_centroids)
+        .orderBy(F.col(id_col))
+        .limit(n_centroids)
         .select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
         )

@@ -1455,7 +1455,8 @@ def _lsh_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     q = emb.filter(F.col("vec_id") < 5)
-    out = lsh_topk(emb, q, k=5, bits=6, tables=3)
+    # dim is known for the test corpus; passing it skips the probe job.
+    out = lsh_topk(emb, q, k=5, bits=6, tables=3, dim=64)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")
@@ -2080,18 +2081,24 @@ def _ivf_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse centroids keep the approximate result oracle-checkable."""
     from pyspark.sql import functions as F
 
-    from mission_data_pipeline_spark.operators.similarity import ivf_topk
+    from mission_data_pipeline_spark.operators.similarity import (
+        default_centroids,
+        ivf_topk,
+    )
 
     register_views(spark, sf_dir)
     emb = spark.table("embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    # Explicit centroids: computed once here, reused by both the corpus
+    # assignment and the query probe inside ivf_topk.
+    cents = default_centroids(emb, n_centroids=32, vec_col="v")
     out = ivf_topk(
         emb,
         emb.filter(F.col("vec_id") < 5),
         k=10,
         n_probe=4,
-        n_centroids=32,
+        centroids=cents,
         vec_col="v",
     )
     return out.orderBy("query_id", "rank")

@@ -125,3 +125,27 @@ def test_ivf_topk_partition_then_probe(vectors):
     # self never returned
     full = ivf_topk(vectors, q, k=5, n_probe=8, n_centroids=8)
     assert full.filter("query_id = neighbor_id").count() == 0
+
+
+def test_default_centroids_distributed_plan(vectors):
+    """default_centroids must plan as TakeOrderedAndProject (distributed
+    per-partition top-n), never a single-partition global Sort — the
+    latter funnels the whole corpus through one task at scale."""
+    from mission_data_pipeline_spark.operators.similarity import default_centroids
+
+    cents = default_centroids(vectors.repartition(8), n_centroids=4)
+    got = sorted(r["centroid_id"] for r in cents.collect())
+    assert got == [0, 1, 2, 3]
+    plan = cents._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_lsh_topk_explicit_dim_no_probe_job(vectors):
+    """Passing dim= must produce the same result as the inferred path."""
+    q = vectors.filter("vec_id < 3")
+    inferred = lsh_topk(vectors, q, k=2, bits=4, tables=2)
+    explicit = lsh_topk(vectors, q, k=2, bits=4, tables=2, dim=3)
+    assert sorted(map(tuple, inferred.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
