@@ -64,7 +64,18 @@ def salted_join(
     The ``n_salts``× replication of the small side is the price; use
     only when the small side is genuinely small and the big side's skew
     is the bottleneck (otherwise prefer AQE skew-join or a broadcast).
+
+    Only big-side-preserving join types are accepted: under right/full
+    outer joins every *unmatched* small-side row would surface once per
+    salt replica (n_salts duplicate null-padded rows).
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "semi", "left_anti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only, not {how!r}: "
+            "the small side is replicated per salt, so right/full outer "
+            "joins would emit each unmatched small-side row n_salts times"
+        )
     if spread_on is None:
         spread_on = F.xxhash64(*[F.col(c) for c in big.columns])
     salted_big = big.withColumn("__salt", F.pmod(spread_on, F.lit(n_salts)))

@@ -184,23 +184,26 @@ def simhash(docs: DataFrame, *, n: int = 3, bits: int = 64,
     """64-bit SimHash fingerprint per doc: sign of per-bit weight sums.
 
     Bit b of the fingerprint is 1 iff the majority of the doc's shingle
-    hashes have bit b set. Implemented as explode → per-bit ±1 sums →
-    reassembled bigint; all JVM expressions.
+    hashes have bit b set. Packed-vote construction: the per-bit ±1 vote
+    sums are ``bits`` parallel conditional-sum aggregates over the
+    shingle-hash rows — one groupBy(doc_id) with map-side partial
+    aggregation, no per-bit explode (the naive construction amplifies
+    the shingle table ``bits``× before its shuffle) and one Exchange
+    total. The fingerprint reassembly is a pure projection.
     """
     g = shingles(docs, n=n, text_col=text_col, id_col=id_col)
     h = g.select("doc_id", F.xxhash64("gram").alias("h"))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    per_bit = h.select("doc_id", "h", bit).select(
-        "doc_id",
-        "bit",
-        F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("w"),
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"__s{b}")
+            for b in range(bits)
+        ]
     )
-    votes = per_bit.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(
+            F.col(f"__s{b}") > 0, F.expr(f"shiftleft(1L, {b})")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", fp.alias("simhash"))

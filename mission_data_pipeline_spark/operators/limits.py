@@ -114,6 +114,12 @@ def apply_limits(
     Parameters without a limit entry keep their existing values
     (left-join semantics, mirroring calibration's touch-only-configured
     contract). First entry wins on duplicate names in the list path.
+
+    Both paths agree on two edge cases: a definition whose bounds are
+    ALL None defines no check and leaves the parameter untouched, and a
+    null ``eng_value`` on a checked parameter preserves any prior alarm
+    state rather than resetting it to nominal (validity is a separate
+    concern; an alarm must not clear on a data gap).
     """
     params = _fill_defaults(params)
     if isinstance(limits, list):
@@ -124,6 +130,15 @@ def apply_limits(
 def _apply_literal(
     params: DataFrame, limits: list[LimitDefinition], value_col: str
 ) -> DataFrame:
+    # All-None-bounds definitions define no check (mirror _apply_join's
+    # has_limit, where an all-null row keeps existing values).
+    limits = [
+        d
+        for d in limits
+        if any(
+            b is not None for b in (d.warn_low, d.warn_high, d.crit_low, d.crit_high)
+        )
+    ]
     if not limits:
         return params
     val = F.col(value_col).cast("double")
@@ -136,7 +151,7 @@ def _apply_literal(
 
         lv = _level(val, _b(d.warn_low), _b(d.warn_high), _b(d.crit_low), _b(d.crit_high))
         w_level = (w_level.when if w_level is not None else F.when)(cond, lv)
-    matched = F.col("name").isin([d.parameter for d in limits])
+    matched = F.col("name").isin([d.parameter for d in limits]) & val.isNotNull()
     return params.withColumn(
         "alarm_level",
         F.when(matched, w_level).otherwise(F.col("alarm_level")),
@@ -154,8 +169,11 @@ def _apply_join(params: DataFrame, limit_df: DataFrame, value_col: str) -> DataF
         | F.col("lim_crit_low").isNotNull()
         | F.col("lim_crit_high").isNotNull()
     )
+    val = F.col(value_col).cast("double")
+    # Null values on a checked parameter keep their prior alarm state.
+    checked = has_limit & val.isNotNull()
     lv = _level(
-        F.col(value_col).cast("double"),
+        val,
         F.col("lim_warn_low"),
         F.col("lim_warn_high"),
         F.col("lim_crit_low"),
@@ -163,11 +181,11 @@ def _apply_join(params: DataFrame, limit_df: DataFrame, value_col: str) -> DataF
     )
     return (
         joined.withColumn(
-            "alarm_level", F.when(has_limit, lv).otherwise(F.col("alarm_level"))
+            "alarm_level", F.when(checked, lv).otherwise(F.col("alarm_level"))
         )
         .withColumn(
             "out_of_limit",
-            F.when(has_limit, lv > 0).otherwise(F.col("out_of_limit")),
+            F.when(checked, lv > 0).otherwise(F.col("out_of_limit")),
         )
         .drop("lim_warn_low", "lim_warn_high", "lim_crit_low", "lim_crit_high")
     )

@@ -31,6 +31,7 @@ applied inside the range parser (predicate pushdown into the scan).
 
 from __future__ import annotations
 
+import logging
 import os
 from collections.abc import Iterator
 from glob import glob
@@ -52,13 +53,21 @@ _RANGE_SCHEMA = (
 )
 
 
+logger = logging.getLogger(__name__)
+
+
 def _find_sync(buf: bytes, start: int) -> int:
     i = buf.find(CCSDS_SYNC_MARKER, start)
     return -1 if i < 0 else i + len(CCSDS_SYNC_MARKER)
 
 
 def _chain_locks(
-    buf: bytes, pos: int, max_packet_len: int, chain: int, eof_in_buf: bool
+    buf: bytes,
+    pos: int,
+    max_packet_len: int,
+    chain: int,
+    eof_in_buf: bool,
+    weak: bool = False,
 ) -> bool:
     """Does a validated header chain lock at ``pos``?
 
@@ -95,6 +104,14 @@ def _chain_locks(
     - ``chain == 0`` — explicit weak mode (first plausible header wins),
       the escape hatch for streams whose APIDs never repeat within a
       range (then run with a single range or frame_sync instead).
+
+    ``weak=True`` lowers the bar to ``chain`` *plausible complete*
+    packets with no observed seq violation (the pre-confirmation rule).
+    It exists solely as the fallback for ranges where the strict rule can
+    never confirm — many distinct APIDs, none repeating within the tail
+    window — where the strict-only behavior is silent loss of the whole
+    range. Callers use it only after a full strict pass found nothing,
+    and log a warning when they do.
     """
     n = len(buf)
     p = pos
@@ -128,6 +145,8 @@ def _chain_locks(
         if p + plen > n:
             return False  # claims bytes beyond the buffer before confirming
         complete += 1
+        if weak and complete >= chain:
+            return True
         p += plen
     # Ran out of header-sized bytes without a violation: only an exact
     # landing on true EOF is acceptable below the confirmation bar — and
@@ -144,14 +163,38 @@ def _resync_heuristic(
     max_packet_len: int,
     chain: int,
     eof_in_buf: bool = False,
+    allow_weak_fallback: bool = False,
 ) -> int:
     """First offset in [start, limit) where a validated header chain locks
-    (see ``_chain_locks`` for the acceptance rule)."""
+    (see ``_chain_locks`` for the acceptance rule).
+
+    With ``allow_weak_fallback``, a range where the strict rule confirms
+    *nowhere* is rescanned under the weak complete-count rule instead of
+    silently emitting zero packets — the legitimate case is a stream
+    whose APIDs never repeat inside one range/tail window, where strict
+    confirmation is unattainable by construction. The fallback is logged:
+    a weak lock on genuinely corrupt bytes can admit phantom packets, so
+    operators should prefer frame_sync or larger ranges for such streams.
+    """
     pos = start
     while pos < limit:
         if _chain_locks(buf, pos, max_packet_len, chain, eof_in_buf):
             return pos
         pos += 1
+    if allow_weak_fallback and chain > 0 and limit > start:
+        pos = start
+        while pos < limit:
+            if _chain_locks(buf, pos, max_packet_len, chain, eof_in_buf, weak=True):
+                logger.warning(
+                    "binary scan: strict resync confirmed nowhere in a "
+                    "%d-byte range; locked at +%d under the weak "
+                    "complete-count rule (APIDs may never repeat in-range "
+                    "— consider frame_sync or larger split_size)",
+                    limit - start,
+                    pos - start,
+                )
+                return pos
+            pos += 1
     return -1
 
 
@@ -175,7 +218,13 @@ def _walk_offsets(buf: bytes, row: dict, *, eof_in_buf: bool) -> list[int]:
         if frame_sync:
             pos = _find_sync(buf, 0)
         else:
-            pos = _resync_heuristic(buf, 0, local_end, max_packet_len, chain, eof_in_buf)
+            # Initial range lock gets the weak fallback: a silent zero-
+            # packet range is worse than a logged weak lock. Mid-walk
+            # malformed-skip rescans stay strict (garbage stays dropped).
+            pos = _resync_heuristic(
+                buf, 0, local_end, max_packet_len, chain, eof_in_buf,
+                allow_weak_fallback=True,
+            )
         if pos < 0:
             return offs
 
@@ -229,7 +278,10 @@ def _columns_from_offsets(buf: bytes, offs: list[int], row: dict) -> dict:
     data_start = o + PRIMARY_HEADER_LEN
     data_end = data_start + w2 + 1
     n_sec = np.where(sec_hdr_flag == 1, sec_hdr_length, 0)
-    user_start = data_start + n_sec
+    # Clamp to the packet's own data field: a malformed packet whose data
+    # field is shorter than sec_hdr_length must truncate its sec_hdr at
+    # the packet boundary, never leak the next packet's header bytes.
+    user_start = np.minimum(data_start + n_sec, data_end)
     # Binary columns need one Python bytes object per packet regardless;
     # this zip loop is the only remaining per-packet work.
     if sec_hdr_length:

@@ -125,3 +125,44 @@ def test_multi_range_exactly_once_large(spark, tmp_root):
     df = read_packets(spark, str(p), sec_hdr_length=4, split_size=64 * 1024)
     agg = df.groupBy("apid").count().collect()
     assert [(r["apid"], r["count"]) for r in agg] == [(0x100, 20_000)]
+
+
+def test_sec_hdr_clamped_to_packet_boundary(spark, tmp_root):
+    """A packet whose data field is shorter than sec_hdr_length must
+    truncate its sec_hdr at its own boundary, not leak the next packet's
+    header bytes into it (and its user_data must be empty, not negative)."""
+    from mission_data_pipeline_spark.models.ccsds import build_packet
+
+    short = build_packet(0x100, 0, b"", sec_hdr=b"\x01\x02")  # 2-byte data field
+    normal = build_packet(0x100, 1, b"\xaa\xbb", sec_hdr=b"\x03\x04\x05\x06")
+    p = tmp_root / "short_sec.bin"
+    p.write_bytes(short + normal)
+    rows = {
+        r["seq_count"]: r
+        for r in read_packets(spark, str(p), sec_hdr_length=4).collect()
+    }
+    assert len(rows) == 2
+    # the short packet's sec_hdr stops at its data field (2 bytes, not 4)
+    assert rows[0]["sec_hdr"] == b"\x01\x02"
+    assert rows[0]["user_data"] == b""
+    assert rows[1]["sec_hdr"] == b"\x03\x04\x05\x06"
+    assert rows[1]["user_data"] == b"\xaa\xbb"
+
+
+def test_weak_fallback_recovers_nonrepeating_apid_stream(spark, tmp_root):
+    """A split range whose APIDs never repeat can't satisfy the strict
+    confirmation rule; the weak complete-count fallback must still lock
+    (previously: the range silently emitted zero packets)."""
+    from mission_data_pipeline_spark.models.ccsds import build_packet
+
+    stream = b"".join(
+        build_packet(i + 1, 0, bytes([i % 256]) * 40) for i in range(300)
+    )
+    p = tmp_root / "distinct_apids.bin"
+    p.write_bytes(stream)
+    whole = read_packets(spark, str(p))
+    assert whole.count() == 300
+    split = read_packets(spark, str(p), split_size=1000)
+    # exactly-once across ranges, via the weak fallback lock
+    assert split.count() == 300
+    assert split.select("file_offset").distinct().count() == 300

@@ -74,6 +74,15 @@ def test_simhash_equal_for_identical(docs):
     assert ham <= 16
 
 
+def test_simhash_single_exchange(docs):
+    """Packed-vote SimHash: one shuffle (groupBy doc_id), no per-bit
+    explode — the naive construction has an extra Exchange on
+    (doc_id, bit) over a 64x-amplified row set. Two exchanges remain:
+    the shingle distinct() and the vote groupBy(doc_id)."""
+    plan = simhash(docs, n=2)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import math

@@ -18,7 +18,7 @@ ROWS = [
     ("temp", 50.0),   # nominal -> 0
     ("temp", 95.0),   # above warn_high -> 1
     ("temp", 130.0),  # above crit_high -> 3
-    ("temp", None),   # null value -> nominal
+    ("temp", None),   # null value -> prior alarm state preserved
     ("volts", 999.0), # no limit entry -> untouched
 ]
 LIMITS = [
@@ -45,7 +45,9 @@ EXPECTED = [
     ("temp", 95.0, 1, True),
     ("temp", 130.0, 3, True),
     ("volts", 999.0, None, None),
-    ("temp", None, 0, False),
+    # null value on a checked parameter: prior state (here null) is kept,
+    # an alarm must not clear on a data gap
+    ("temp", None, None, None),
 ]
 
 
@@ -73,6 +75,19 @@ def test_untouched_columns_preserved(spark):
     )
     r = apply_limits(df, LIMITS).collect()[0]
     assert (r["alarm_level"], r["out_of_limit"]) == (2, True)
+
+
+def test_null_value_preserves_prior_alarm_both_paths(spark):
+    """An in-alarm parameter that goes null (data gap) must stay in alarm,
+    and an all-None-bounds definition defines no check — in BOTH paths."""
+    df = spark.createDataFrame(
+        [("temp", None, 3, True), ("idle", 5.0, 2, True)],
+        "name string, eng_value double, alarm_level int, out_of_limit boolean",
+    )
+    defs = LIMITS + [LimitDefinition("idle")]  # idle: all bounds None
+    expect = [("idle", 5.0, 2, True), ("temp", None, 3, True)]
+    assert _levels(apply_limits(df, defs)) == expect
+    assert _levels(apply_limits(df, limit_table(spark, defs))) == expect
 
 
 def test_misordered_bounds_rejected():
