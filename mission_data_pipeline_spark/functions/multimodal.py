@@ -2,13 +2,16 @@
 
 The engine's multimodal data model is the TelemetryPacket pattern
 (SURVEY §1.1) generalized: an opaque ``binary`` payload column plus a
-typed metadata struct (:data:`MEDIA_META_SCHEMA`). All Spark-side
-plumbing — schemas, Arrow batch shape, ``mapInPandas`` signatures,
-partition sizing — is real and tested; the codec step itself is STUBBED
-(``decoder="fake"`` produces deterministic synthetic output;
-``decoder="real"`` raises ``NotImplementedError``) because no
-image/audio codec libraries ship in this environment. Swapping in a
-real decoder is a one-function change per modality.
+typed metadata struct (:data:`MEDIA_META_SCHEMA`).
+
+IMAGE metadata decoding is REAL: :func:`probe_image_meta` parses
+format/width/height straight from PNG IHDR, JPEG SOF, GIF and BMP
+headers with stdlib ``struct`` — no codec library needed — and
+:func:`extract_image_meta` runs it over Arrow batches. Full pixel
+decoding and the audio/video modalities remain STUBBED
+(``decoder="real"`` raises ``NotImplementedError`` for them) because no
+codec libraries (PIL/ffmpeg/librosa) ship in this environment; the
+``decoder="fake"`` path is the deterministic test double for those.
 
 Scale shape: decode is embarrassingly parallel and CPU-bound → Arrow
 batches through ``mapInPandas`` (never per-row UDFs), with
@@ -18,6 +21,7 @@ than ``spark.sql.execution.arrow.maxRecordsPerBatch`` frames in memory.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 from typing import Callable
 
@@ -72,6 +76,115 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
     return [a / total for a in acc]
 
 
+#: Per-item image metadata output of :func:`extract_image_meta`.
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def probe_image_meta(payload: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """REAL image header parse: ``(format, width, height)`` from raw bytes.
+
+    Pure stdlib — understands PNG (IHDR), JPEG (first SOF0-SOF15 frame
+    marker, skipping entropy-free segments), GIF87a/89a and BMP
+    (BITMAPINFOHEADER). Unknown/short payloads → ``(None, None, None)``;
+    a recognized container whose dimension field is truncated keeps the
+    format with null dimensions. CRCs are not validated (metadata probe,
+    not integrity check).
+    """
+    if not payload:
+        return (None, None, None)
+    if payload[:8] == _PNG_SIG:
+        # signature(8) + chunk len(4) + "IHDR"(4) + width(4) + height(4)
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return ("png", w, h)
+        return ("png", None, None)
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:  # not at a marker: resync forward
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2  # fill bytes / standalone markers have no length
+                continue
+            (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:  # SOFn: precision(1), height(2), width(2)
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return ("jpeg", w, h)
+                return ("jpeg", None, None)
+            i += 2 + seg_len
+        return ("jpeg", None, None)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
+            return ("gif", w, h)
+        return ("gif", None, None)
+    if payload[:2] == b"BM":
+        if len(payload) >= 26:
+            w, h = struct.unpack("<ii", payload[18:26])
+            return ("bmp", w, abs(h))  # negative height = top-down rows
+        return ("bmp", None, None)
+    return (None, None, None)
+
+
+def extract_image_meta(
+    media: DataFrame, *, id_col: str = "item_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Parse real image metadata per payload → :data:`IMAGE_META_SCHEMA`.
+
+    Arrow-batched ``mapInPandas`` over :func:`probe_image_meta`; the
+    header probe touches ≤ a few hundred bytes per item, so the cost at
+    scale is dominated by payload I/O, not the parse.
+    """
+    cols = media.select(
+        F.col(id_col).cast("long").alias("item_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [probe_image_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "format": [m[0] for m in meta],
+                    "width": pd.array([m[1] for m in meta], dtype="Int32"),
+                    "height": pd.array([m[2] for m in meta], dtype="Int32"),
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return cols.mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+def _real_image_feature(payload: bytes | None, dim: int) -> list[float]:
+    """Header-derived image feature: [width, height, aspect, log-ish size]
+    prefix, byte-histogram fold for the remaining dims."""
+    fmt, w, h = probe_image_meta(payload)
+    if fmt is None:
+        raise ValueError(
+            "decoder='real' image feature on an unrecognized payload "
+            "(not PNG/JPEG/GIF/BMP); route non-image rows to the stub check"
+        )
+    n = float(len(payload))
+    head = [float(w or 0), float(h or 0), (float(w) / h) if w and h else 0.0, n]
+    return (head + _fake_feature(payload, dim))[:dim] if dim > 4 else head[:dim]
+
+
 def _require_real_decoder(modality: str) -> Callable:
     def _raise(*_a, **_kw):
         raise NotImplementedError(
@@ -95,18 +208,30 @@ def extract_features(
     """Decode payloads → fixed-dim float features via Arrow batches.
 
     ``decoder='fake'``: deterministic byte-histogram features (test
-    double). ``decoder='real'``: NotImplementedError (stub boundary).
+    double for every modality). ``decoder='real'``: REAL header-derived
+    features for ``media_type='image'`` rows (:func:`probe_image_meta`
+    — width/height/aspect/size prefix) and byte-histogram features for
+    ``'text'`` rows; ``'audio'``/``'video'`` rows raise
+    ``NotImplementedError`` at execution (the remaining stub boundary —
+    those codecs aren't available in this environment).
     """
     if decoder not in ("fake", "real"):
         raise ValueError("decoder must be 'fake' or 'real'")
-    if decoder == "real":  # the stub boundary, kept loud and explicit
-        _require_real_decoder("media")()
 
     cols = media.select(
         F.col(id_col).cast("long").alias("item_id"),
         F.col(payload_col).alias("payload"),
         F.col(f"{meta_col}.media_type").alias("media_type"),
     )
+
+    def one_feature(payload: bytes, media_type: str) -> list[float]:
+        if decoder == "fake":
+            return _fake_feature(payload, dim)
+        if media_type == "image":
+            return _real_image_feature(payload, dim)
+        if media_type in ("audio", "video"):
+            _require_real_decoder(media_type)()
+        return _fake_feature(payload, dim)  # text: byte histogram IS real
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -117,7 +242,10 @@ def extract_features(
                     "n_bytes": [
                         len(p) if p is not None else 0 for p in pdf["payload"]
                     ],
-                    "feature": [_fake_feature(p, dim) for p in pdf["payload"]],
+                    "feature": [
+                        one_feature(p, m)
+                        for p, m in zip(pdf["payload"], pdf["media_type"])
+                    ],
                 }
             )
 

@@ -1517,6 +1517,64 @@ _q(
 )
 
 
+def _image_meta_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image metadata decode round-trip: Spark expressions synthesize
+    structurally-valid PNG IHDR / JPEG SOF0 header bytes per document
+    (dimensions derived from the row), functions/multimodal.py
+    probe_image_meta parses them back inside mapInPandas, and the oracle
+    recomputes the expected dimensions independently in SQL."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.functions.multimodal import extract_image_meta
+
+    register_views(spark, sf_dir)
+    doc = spark.table("documents").filter(F.col("doc_id") < 150)
+    w = (F.octet_length("text") % 624 + 16).cast("bigint")
+    h = (F.col("doc_id") % 464 + 16).cast("bigint")
+    # big-endian uint32/uint16 bytes from an integer, expression-only
+    b32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    b16 = lambda c: F.unhex(F.lpad(F.hex(c), 4, "0"))  # noqa: E731
+    png = F.concat(
+        F.lit(bytes.fromhex("89504E470D0A1A0A0000000D49484452")),  # sig+len+IHDR
+        b32(w),
+        b32(h),
+        F.lit(bytes.fromhex("08060000001F15C489")),  # depth..interlace+CRC
+    )
+    jpeg = F.concat(
+        F.lit(bytes.fromhex("FFD8FFC0001108")),  # SOI + SOF0 + len 17 + precision
+        b16(h),
+        b16(w),
+        F.lit(bytes.fromhex("03011100021101031101FFD9")),  # 3 components + EOI
+    )
+    media = doc.select(
+        F.col("doc_id").alias("item_id"),
+        F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpeg).alias("payload"),
+    )
+    return extract_image_meta(media).orderBy("item_id")
+
+
+_q(
+    "x5_image_meta_decode",
+    Query(
+        _image_meta_spark,
+        """
+        SELECT doc_id AS item_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+               CAST(octet_length(text::BLOB) % 624 + 16 AS INT) AS width,
+               CAST(doc_id % 464 + 16 AS INT) AS height,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 23 END AS BIGINT) AS n_bytes
+        FROM documents WHERE doc_id < 150
+        ORDER BY doc_id
+        """,
+        "X5",
+        "REAL image metadata decoding: PNG IHDR + JPEG SOF0 header parse "
+        "(probe_image_meta) over Arrow batches; payloads are synthesized "
+        "in-plan with expression-built real format bytes, oracle computes "
+        "the expected dimensions independently",
+    ),
+)
+
+
 def _last_wins_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -2434,6 +2492,8 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    # new this round
+    "x5_image_meta_decode",
     # previously driver-unchecked (CORRECTNESS_r01 has no row for these)
     "x2_simhash_fingerprint",
     "x3_cosine_topk_bruteforce",

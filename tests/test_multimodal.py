@@ -1,13 +1,36 @@
-"""Multimodal plumbing tests (X5): schemas, mapInPandas shape, stubs."""
+"""Multimodal tests (X5): real image header decode, mapInPandas shape, stubs."""
+
+import struct
 
 import pytest
 from pyspark.sql import functions as F
 
 from mission_data_pipeline_spark.functions.multimodal import (
     extract_features,
+    extract_image_meta,
     media_stats,
+    probe_image_meta,
     sample_frames,
 )
+
+
+def _png(w: int, h: int) -> bytes:
+    """Structurally-valid PNG header (signature + IHDR; CRC unverified)."""
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x06\x00\x00\x00"
+        + b"\x00" * 4
+    )
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    """Minimal JPEG: SOI + APP0(JFIF) + SOF0 with dimensions + EOI."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + bytes(9)
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
 @pytest.fixture(scope="module")
@@ -38,9 +61,51 @@ def test_extract_features_shape(media):
     assert rows[1]["feature"] == again[1]["feature"]
 
 
-def test_real_decoder_is_loud_stub(media):
-    with pytest.raises(NotImplementedError, match="codec"):
-        extract_features(media, decoder="real")
+def test_probe_image_meta_formats():
+    assert probe_image_meta(_png(640, 480)) == ("png", 640, 480)
+    assert probe_image_meta(_jpeg(320, 200)) == ("jpeg", 320, 200)
+    assert probe_image_meta(b"GIF89a" + struct.pack("<HH", 99, 44)) == ("gif", 99, 44)
+    bmp = b"BM" + bytes(16) + struct.pack("<ii", 12, -34) + bytes(4)
+    assert probe_image_meta(bmp) == ("bmp", 12, 34)  # top-down rows → |h|
+    # unknowns / truncations degrade, never raise
+    assert probe_image_meta(b"not an image at all") == (None, None, None)
+    assert probe_image_meta(None) == (None, None, None)
+    assert probe_image_meta(b"") == (None, None, None)
+    assert probe_image_meta(_png(640, 480)[:12]) == ("png", None, None)
+    assert probe_image_meta(b"\xff\xd8\xff\xe0") == ("jpeg", None, None)
+
+
+def test_extract_image_meta_dataframe(spark):
+    df = spark.createDataFrame(
+        [(1, _png(64, 32)), (2, _jpeg(100, 50)), (3, b"garbage"), (4, None)],
+        "item_id long, payload binary",
+    )
+    rows = {r["item_id"]: r for r in extract_image_meta(df).collect()}
+    assert (rows[1]["format"], rows[1]["width"], rows[1]["height"]) == ("png", 64, 32)
+    assert (rows[2]["format"], rows[2]["width"], rows[2]["height"]) == ("jpeg", 100, 50)
+    assert rows[2]["n_bytes"] == len(_jpeg(100, 50))
+    assert rows[3]["format"] is None and rows[3]["width"] is None
+    assert rows[4]["n_bytes"] == 0
+
+
+def test_real_image_features(spark):
+    df = spark.createDataFrame(
+        [(1, _png(64, 32), ("image", "png", None, None, None, None, None))],
+        "item_id long, payload binary, "
+        "meta struct<media_type:string,format:string,width:int,height:int,"
+        "n_channels:int,sample_rate:int,duration_s:double>",
+    )
+    r = extract_features(df, dim=8, decoder="real").collect()[0]
+    # real header-derived prefix: width, height, aspect, byte count
+    assert r["feature"][:4] == [64.0, 32.0, 2.0, float(len(_png(64, 32)))]
+    assert len(r["feature"]) == 8
+
+
+def test_real_decoder_audio_video_still_stub(media):
+    with pytest.raises(Exception, match="codec"):
+        extract_features(media.filter("item_id = 2"), decoder="real").collect()
+    with pytest.raises(Exception, match="codec"):
+        sample_frames(media, decoder="real")
     with pytest.raises(ValueError):
         extract_features(media, decoder="nope")
 
