@@ -1,0 +1,209 @@
+"""TM transfer frame → space packet extraction (SURVEY §1.1 frames).
+
+Behavioral parity target: reference ``src/mdp/models/frame.py:24-102``
+models TM frames (CCSDS 132.0-B-3) but never consumes them; this module
+adds both the model's Spark-side header parse and the natural consumer
+the reference lacks — a first-header-pointer walk that reassembles
+space packets from frame data fields, including packets spanning
+multiple frames.
+
+Scale shape: header fields are extracted with pure JVM expressions
+(:func:`parse_frame_headers` — hex/conv bit arithmetic, no Python).
+Packet reassembly is inherently sequential *within* a virtual channel
+(packets span frame boundaries), so :func:`frames_to_packets` runs a
+stateful walk via ``applyInPandas`` grouped on (spacecraft, VC) plus
+any caller-supplied partition columns (downlink session, file, hour
+bucket …) — at 100 TB you parallelize by making those session
+boundaries explicit, exactly as a ground segment segments dumps.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mission_data_pipeline_spark.models.ccsds import (
+    APID_IDLE,
+    FHP_IDLE_ONLY,
+    FHP_NO_FIRST_HEADER,
+    PRIMARY_HEADER_LEN,
+    TM_FRAME_HEADER_LEN,
+    CCSDSPrimaryHeader,
+    FrameQuality,
+)
+
+#: Output of :func:`frames_to_packets`: PACKET_SCHEMA's header fields
+#: plus the frame provenance (spacecraft, VC, frame count at packet start).
+FRAME_PACKET_SCHEMA = T.StructType(
+    [
+        T.StructField("apid", T.IntegerType(), False),
+        T.StructField("version", T.IntegerType(), False),
+        T.StructField("packet_type", T.IntegerType(), False),
+        T.StructField("sec_hdr_flag", T.IntegerType(), False),
+        T.StructField("seq_flags", T.IntegerType(), False),
+        T.StructField("seq_count", T.IntegerType(), False),
+        T.StructField("data_length", T.IntegerType(), False),
+        T.StructField("user_data", T.BinaryType(), False),
+        T.StructField("spacecraft_id", T.IntegerType(), False),
+        T.StructField("virtual_channel_id", T.IntegerType(), False),
+        T.StructField("frame_count", T.IntegerType(), False),
+    ]
+)
+
+
+def parse_frame_headers(
+    frames: DataFrame, *, frame_col: str = "frame"
+) -> DataFrame:
+    """Decode the 6-byte TM frame primary header with pure expressions.
+
+    Adds the eleven CCSDS 132.0-B-3 header fields as typed columns;
+    stays inside whole-stage codegen (hex→conv→bit arithmetic, no UDF).
+    """
+    b = F.col(frame_col)
+    w0 = F.conv(F.hex(F.substring(b, 1, 2)), 16, 10).cast("long")
+    w3 = F.conv(F.hex(F.substring(b, 5, 2)), 16, 10).cast("long")
+    byte_at = lambda i: F.conv(F.hex(F.substring(b, i, 1)), 16, 10).cast("int")  # noqa: E731
+    return frames.select(
+        "*",
+        F.shiftright(w0, 14).bitwiseAND(0x3).cast("int").alias("frame_version"),
+        F.shiftright(w0, 4).bitwiseAND(0x3FF).cast("int").alias("spacecraft_id"),
+        F.shiftright(w0, 1).bitwiseAND(0x7).cast("int").alias("virtual_channel_id"),
+        w0.bitwiseAND(0x1).cast("int").alias("ocf_flag"),
+        byte_at(3).alias("master_channel_frame_count"),
+        byte_at(4).alias("virtual_channel_frame_count"),
+        F.shiftright(w3, 15).bitwiseAND(0x1).cast("int").alias("secondary_header_flag"),
+        F.shiftright(w3, 14).bitwiseAND(0x1).cast("int").alias("sync_flag"),
+        F.shiftright(w3, 13).bitwiseAND(0x1).cast("int").alias("packet_order_flag"),
+        F.shiftright(w3, 11).bitwiseAND(0x3).cast("int").alias("segment_length_id"),
+        w3.bitwiseAND(0x7FF).cast("int").alias("first_header_pointer"),
+    )
+
+
+def _walk_packets(buf: bytes) -> tuple[list[tuple[CCSDSPrimaryHeader, bytes]], bytes]:
+    """Parse back-to-back complete packets; return (packets, leftover)."""
+    out: list[tuple[CCSDSPrimaryHeader, bytes]] = []
+    pos = 0
+    while pos + PRIMARY_HEADER_LEN <= len(buf):
+        hdr = CCSDSPrimaryHeader.from_bytes(buf[pos : pos + PRIMARY_HEADER_LEN])
+        if pos + hdr.packet_length > len(buf):
+            break
+        out.append((hdr, buf[pos + PRIMARY_HEADER_LEN : pos + hdr.packet_length]))
+        pos += hdr.packet_length
+    return out, buf[pos:]
+
+
+def frames_to_packets(
+    frames: DataFrame,
+    *,
+    frame_col: str = "frame",
+    order_col: str | None = None,
+    quality_col: str | None = None,
+    partition_cols: tuple[str, ...] = (),
+    trailer_len: int = 0,
+    include_idle: bool = False,
+) -> DataFrame:
+    """Reassemble space packets from TM frames (first-header-pointer walk).
+
+    Within each (spacecraft_id, virtual_channel_id, *partition_cols)
+    group, frames are ordered by ``order_col`` (default: the 8-bit
+    virtual channel frame count — pass an unwrapped column such as
+    receipt time or file offset for runs longer than 256 frames) and
+    their data fields concatenated under CCSDS 132.0-B-3 semantics:
+
+    - ``first_header_pointer`` locates the first NEW packet header in a
+      frame; bytes before it complete the packet carried from the
+      previous frame;
+    - ``0x7FF`` (no first header) frames are pure continuations;
+    - ``0x7FE`` (idle-only) frames, frames with ``quality_col`` != GOOD,
+      and VC frame-count gaps all break continuity — the carried partial
+      packet is dropped and the walk resyncs at the next frame's pointer
+      (lost-frame semantics: you lose the spanning packet, nothing else);
+    - idle packets (APID 0x7FF) are dropped unless ``include_idle``.
+
+    ``trailer_len`` trims OCF/FECF trailer bytes from each data field.
+    """
+    parsed = parse_frame_headers(frames, frame_col=frame_col)
+    keys = ["spacecraft_id", "virtual_channel_id", *partition_cols]
+    sort_key = order_col or "virtual_channel_frame_count"
+    cols = parsed.select(
+        *keys,
+        F.col(sort_key).alias("__ord"),
+        F.col("virtual_channel_frame_count").alias("__vcfc"),
+        F.col("first_header_pointer").alias("__fhp"),
+        (F.col(quality_col) if quality_col else F.lit(FrameQuality.GOOD))
+        .cast("int")
+        .alias("__quality"),
+        F.col(frame_col).alias("__frame"),
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__ord")
+        scid = int(pdf["spacecraft_id"].iloc[0])
+        vcid = int(pdf["virtual_channel_id"].iloc[0])
+        rows: list[tuple] = []
+        carry = b""
+        carry_start_vcfc = 0
+        carry_active = False
+        prev_vcfc: int | None = None
+
+        def emit(hdr: CCSDSPrimaryHeader, data_field: bytes, vcfc: int) -> None:
+            if hdr.apid == APID_IDLE and not include_idle:
+                return
+            rows.append(
+                (
+                    hdr.apid,
+                    hdr.version,
+                    hdr.packet_type,
+                    hdr.sec_hdr_flag,
+                    hdr.seq_flags,
+                    hdr.seq_count,
+                    hdr.data_length,
+                    data_field,
+                    scid,
+                    vcid,
+                    vcfc,
+                )
+            )
+
+        for frame, vcfc, fhp, quality in zip(
+            pdf["__frame"], pdf["__vcfc"], pdf["__fhp"], pdf["__quality"]
+        ):
+            frame, vcfc, fhp = bytes(frame), int(vcfc), int(fhp)
+            gap = prev_vcfc is not None and (prev_vcfc + 1) % 256 != vcfc
+            prev_vcfc = vcfc
+            end = len(frame) - trailer_len
+            data = frame[TM_FRAME_HEADER_LEN:end]
+            if int(quality) != FrameQuality.GOOD:
+                carry, carry_active = b"", False  # lost frame breaks the span
+                continue
+            if gap:
+                carry, carry_active = b"", False
+            if fhp == FHP_IDLE_ONLY:
+                carry, carry_active = b"", False  # idle-only: nothing spans it
+                continue
+            if fhp == FHP_NO_FIRST_HEADER:
+                if carry_active:
+                    carry += data
+                continue
+            if carry_active:
+                done, leftover = _walk_packets(carry + data[:fhp])
+                # a clean continuation consumes exactly to the pointer;
+                # leftover means the span was corrupt — drop it, keep the
+                # packets that did complete
+                for hdr, df_ in done:
+                    emit(hdr, df_, carry_start_vcfc)
+            fresh, leftover = _walk_packets(data[fhp:])
+            for hdr, df_ in fresh:
+                emit(hdr, df_, vcfc)
+            carry = leftover
+            carry_active = len(leftover) > 0
+            carry_start_vcfc = vcfc
+        return pd.DataFrame(
+            rows, columns=[f.name for f in FRAME_PACKET_SCHEMA.fields]
+        ) if rows else pd.DataFrame(
+            {f.name: pd.Series(dtype=object) for f in FRAME_PACKET_SCHEMA.fields}
+        )
+
+    return cols.groupBy(*keys).applyInPandas(assemble, schema=FRAME_PACKET_SCHEMA)

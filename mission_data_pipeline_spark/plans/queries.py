@@ -1517,6 +1517,58 @@ _q(
 )
 
 
+def _frames_to_packets_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TM frame → packet reassembly round-trip: 200 deterministic packets
+    (varying sizes, ASCII payloads) segmented into 64-byte TM frames with
+    spanning packets and continuation frames, reassembled by
+    operators/frames.py frames_to_packets; the oracle recomputes each
+    packet's size and content md5 from the generating formula."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.models.ccsds import (
+        build_packet,
+        frame_packet_stream,
+    )
+    from mission_data_pipeline_spark.operators.frames import frames_to_packets
+
+    stream = b"".join(
+        build_packet(0x123, i, chr(65 + i % 26).encode() * (20 + (i * 7) % 50))
+        for i in range(200)
+    )
+    frames = frame_packet_stream(stream, frame_data_len=64)
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(frames)], "recv_order long, frame binary"
+    )
+    pk = frames_to_packets(df, order_col="recv_order")
+    return pk.select(
+        "seq_count",
+        "apid",
+        "data_length",
+        F.md5("user_data").alias("content_md5"),
+    ).orderBy("seq_count")
+
+
+_q(
+    "frames_to_packets_roundtrip",
+    Query(
+        _frames_to_packets_spark,
+        """
+        SELECT CAST(i AS INT) AS seq_count,
+               CAST(291 AS INT) AS apid,
+               CAST(20 + (i * 7) % 50 - 1 AS INT) AS data_length,
+               md5(repeat(chr(CAST(65 + i % 26 AS INT)),
+                          CAST(20 + (i * 7) % 50 AS INT))) AS content_md5
+        FROM range(0, 200) t(i)
+        ORDER BY seq_count
+        """,
+        "§1.1",
+        "TM transfer frame first-header-pointer walk (CCSDS 132.0-B-3): "
+        "packets spanning frame boundaries reassembled per virtual channel; "
+        "oracle recomputes sizes + content digests from the generator",
+    ),
+)
+
+
 def _image_meta_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image metadata decode round-trip: Spark expressions synthesize
     structurally-valid PNG IHDR / JPEG SOF0 header bytes per document
@@ -2494,6 +2546,7 @@ _q(
 _CHECK_FIRST = [
     # new this round
     "x5_image_meta_decode",
+    "frames_to_packets_roundtrip",
     # previously driver-unchecked (CORRECTNESS_r01 has no row for these)
     "x2_simhash_fingerprint",
     "x3_cosine_topk_bruteforce",
