@@ -1517,6 +1517,106 @@ _q(
 )
 
 
+def _decode_matrix_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2-T6 golden matrix: 256 deterministic byte payloads decoded by the
+    expression-only decoders (functions/decode.py); the oracle recomputes
+    every expected value arithmetically from the row index, so the driver
+    (not just pytest) guards the signed/uint64/float bit-twiddling."""
+    import struct as _s
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.functions.decode import (
+        decode_bool,
+        decode_float,
+        decode_hex,
+        decode_int,
+        decode_string,
+        decode_uint,
+    )
+
+    rows = []
+    for i in range(256):
+        u32 = (i * 0x01020304 + 0x80000000) % (1 << 32)
+        u64 = (i * 0x0102030405060708 + (1 << 63)) % (1 << 64)
+        label = (chr(65 + i % 26) * (1 + i % 3)).ljust(4, "\x00")
+        payload = (
+            _s.pack(">BH", i, i * 257)
+            + _s.pack("<H", i * 259 % 65536)
+            + _s.pack(">I", u32)
+            + _s.pack(">Q", u64)
+            + _s.pack(">f", i - 100.5)
+            + _s.pack("<d", i * 0.001 - 1.0)
+            + bytes([i % 3])
+            + label.encode("ascii")
+        )
+        rows.append((i, payload))
+    df = spark.createDataFrame(rows, "i long, payload binary")
+    p = F.col("payload")
+    return df.select(
+        "i",
+        decode_uint(p, 0, 1).alias("u8"),
+        decode_uint(p, 1, 2).alias("u16_be"),
+        decode_uint(p, 3, 2, little_endian=True).alias("u16_le"),
+        decode_int(p, 0, 1).alias("i8"),
+        decode_int(p, 3, 2, little_endian=True).alias("i16_le"),
+        decode_uint(p, 5, 4).alias("u32_be"),
+        decode_int(p, 5, 4).alias("i32_be"),
+        decode_uint(p, 9, 8).alias("u64_be"),
+        decode_int(p, 9, 8).alias("i64_be"),
+        decode_float(p, 17, 4).alias("f32_be"),
+        decode_float(p, 21, 8, little_endian=True).alias("f64_le"),
+        decode_bool(p, 29).alias("flag"),
+        decode_string(p, 30, 4).alias("label"),
+        decode_hex(p, 0, 3).alias("raw_hex"),
+    ).orderBy("i")
+
+
+_q(
+    "decode_golden_matrix",
+    Query(
+        _decode_matrix_spark,
+        """
+        WITH t AS (
+          SELECT i,
+                 (i * 16909060 + 2147483648) % 4294967296 AS u32,
+                 (CAST(i AS HUGEINT) * 72623859790382856
+                    + CAST(9223372036854775808 AS HUGEINT))
+                   % CAST(18446744073709551616 AS HUGEINT) AS u64
+          FROM range(0, 256) r(i)
+        )
+        SELECT CAST(i AS BIGINT) AS i,
+               CAST(i AS BIGINT) AS u8,
+               CAST(i * 257 AS BIGINT) AS u16_be,
+               CAST(i * 259 % 65536 AS BIGINT) AS u16_le,
+               CAST(CASE WHEN i >= 128 THEN i - 256 ELSE i END AS BIGINT) AS i8,
+               CAST(CASE WHEN i * 259 % 65536 >= 32768
+                         THEN i * 259 % 65536 - 65536
+                         ELSE i * 259 % 65536 END AS BIGINT) AS i16_le,
+               CAST(u32 AS BIGINT) AS u32_be,
+               CAST(CASE WHEN u32 >= 2147483648 THEN u32 - 4294967296
+                         ELSE u32 END AS BIGINT) AS i32_be,
+               CAST(u64 AS DECIMAL(20,0)) AS u64_be,
+               CAST(u64 - CASE WHEN u64 >= 9223372036854775808
+                               THEN 18446744073709551616 ELSE 0 END
+                    AS BIGINT) AS i64_be,
+               CAST(i - 100.5 AS DOUBLE) AS f32_be,
+               CAST(i AS DOUBLE) * CAST(0.001 AS DOUBLE)
+                 - CAST(1.0 AS DOUBLE) AS f64_le,
+               i % 3 != 0 AS flag,
+               repeat(chr(CAST(65 + i % 26 AS INT)), CAST(1 + i % 3 AS INT)) AS label,
+               upper(lpad(to_hex(i), 2, '0') || lpad(to_hex(i * 257), 4, '0')) AS raw_hex
+        FROM t
+        ORDER BY i
+        """,
+        "T2,T3,T4,T5,T6",
+        "decode matrix: uint/int 8/16/32/64 BE+LE, float32/64, boolean, "
+        "NUL-stripped ASCII, hex passthrough — oracle recomputes every "
+        "value arithmetically from the row index",
+    ),
+)
+
+
 def _frames_to_packets_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TM frame → packet reassembly round-trip: 200 deterministic packets
     (varying sizes, ASCII payloads) segmented into 64-byte TM frames with
@@ -2547,6 +2647,7 @@ _CHECK_FIRST = [
     # new this round
     "x5_image_meta_decode",
     "frames_to_packets_roundtrip",
+    "decode_golden_matrix",
     # previously driver-unchecked (CORRECTNESS_r01 has no row for these)
     "x2_simhash_fingerprint",
     "x3_cosine_topk_bruteforce",
