@@ -47,10 +47,28 @@ class Query:
     description: str = ""
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register the test tables as temp views (events gains ts_ns/ts)."""
+#: (session identity) -> sf_dir whose tables its views currently expose.
+_REGISTERED: dict[tuple[int, str], str] = {}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *, force: bool = False) -> None:
+    """Register the test tables as temp views (events gains ts_ns/ts).
+
+    Memoized on the session's *current* sf_dir: every declared query
+    calls this, so without the memo a bench/correctness sweep re-reads
+    ten parquet footers and re-registers ten views per query — pure
+    fixed overhead that drowns real per-query deltas. Switching sf_dir
+    re-registers (the views always expose exactly one directory); the
+    tables are static driver-provided parquet, so a same-dir re-use can
+    never change results. Pass ``force=True`` after externally
+    replacing the files in place.
+    """
+    key = (id(spark), spark.sparkContext.applicationId)
+    if not force and _REGISTERED.get(key) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED[key] = sf_dir
 
 
 def _sql(spark_sql: str) -> Callable[[SparkSession, str], DataFrame]:
