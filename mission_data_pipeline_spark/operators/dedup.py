@@ -176,6 +176,74 @@ def near_dedup_minhash(
     return docs.join(dups, on=id_col, how="left_anti")
 
 
+# -- connected components ----------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate clusters from candidate pairs: (node, component_id).
+
+    ``component_id`` is the minimum id in each connected component —
+    single-link closure over the verified near-dup pair graph, the
+    standard cluster step after MinHash/SimHash candidate generation
+    (one-iteration min-id chaining, as in :func:`near_dedup_minhash`,
+    under-merges transitive chains; this iterates to the fixpoint).
+
+    Min-label propagation: each round joins labels to the symmetrized
+    edge list and takes the elementwise min — one shuffle per round,
+    converging in O(graph diameter) rounds, with ``localCheckpoint``
+    after every round so the plan/lineage stays flat no matter how many
+    iterations run (unbounded lineage growth, not data volume, is what
+    kills iterative DataFrame jobs at scale). Near-dup graphs are
+    overwhelmingly tiny cliques (diameter ≤ 3), so the loop exits on the
+    converged-round check almost immediately; ``max_iter`` bounds
+    adversarial chains.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("comp").alias("nb_comp")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nb_comp").alias("min_nb"))
+        )
+        new_labels = (
+            labels.join(neigh.withColumnRenamed("a", "node"), "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("min_nb", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("comp").alias("component_id"))
+
+
 # -- SimHash ------------------------------------------------------------
 
 

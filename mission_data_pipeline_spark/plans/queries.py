@@ -1396,6 +1396,104 @@ _q(
 # ---------------------------------------------------------------------------
 
 
+def _quantize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding column via
+    operators/similarity.py quantize_embeddings (expression-only);
+    the oracle recomputes scale and quantized values in SQL."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import quantize_embeddings
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 200)
+    q = quantize_embeddings(emb)
+    # serialize the int array for the driver's value hash (scalar columns)
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), ","
+        ).alias("qvec_csv"),
+    ).orderBy("vec_id")
+
+
+_q(
+    "x3_quantize_embeddings",
+    Query(
+        _quantize_spark,
+        """
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 200
+        ),
+        s AS (
+          SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS scale
+          FROM e
+        )
+        SELECT vec_id, ROUND(scale, 6) AS scale,
+               array_to_string(
+                 list_transform(v, x -> CAST(round(x / scale * 127) AS INT)),
+                 ',') AS qvec_csv
+        FROM s
+        ORDER BY vec_id
+        """,
+        "X3",
+        "symmetric per-vector int8 scalar quantization (4x embedding "
+        "memory/shuffle reduction, the first rung before PQ); pure "
+        "expression transform, oracle recomputes values in SQL",
+    ),
+)
+
+
+def _dup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters to a fixpoint: deterministic MinHash candidate
+    pairs (the x2_minhash_bands construction) closed into connected
+    components by operators/dedup.py connected_components (iterative
+    min-label propagation); the oracle computes the same transitive
+    closure with a recursive CTE."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dedup import connected_components
+
+    register_views(spark, sf_dir)
+    pairs = spark.sql(f"SELECT doc_a, doc_b FROM ({_MINHASH_SPARK}) p")
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"), "component_id"
+    ).orderBy("doc_id")
+
+
+_q(
+    "x2_duplicate_components",
+    Query(
+        _dup_components_spark,
+        f"""
+        WITH RECURSIVE pairs AS (
+          SELECT doc_a, doc_b FROM ({_MINHASH_DUCK}) p
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, node) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+        )
+        SELECT src AS doc_id, CAST(MIN(node) AS BIGINT) AS component_id
+        FROM reach GROUP BY src ORDER BY doc_id
+        """,
+        "X2",
+        "transitive duplicate clustering: iterative min-label propagation "
+        "to the connected-component fixpoint (lineage-checkpointed, one "
+        "shuffle per round); oracle = recursive-CTE transitive closure",
+    ),
+)
+
+
 def _near_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -2666,6 +2764,8 @@ _CHECK_FIRST = [
     "x5_image_meta_decode",
     "frames_to_packets_roundtrip",
     "decode_golden_matrix",
+    "x2_duplicate_components",
+    "x3_quantize_embeddings",
     # previously driver-unchecked (CORRECTNESS_r01 has no row for these)
     "x2_simhash_fingerprint",
     "x3_cosine_topk_bruteforce",

@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mission_data_pipeline_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_verify,
     lsh_candidate_pairs,
@@ -15,6 +16,7 @@ from mission_data_pipeline_spark.operators.dedup import (
 from mission_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     lsh_topk,
+    quantize_embeddings,
 )
 
 
@@ -83,6 +85,25 @@ def test_simhash_single_exchange(docs):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
+def test_connected_components_transitive_chain(spark):
+    """A 5-node chain (1-2, 2-3, 3-4, 4-5) needs min-label iteration to a
+    fixpoint — one round of min-id chaining would under-merge it."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["node"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert {out[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert {out[i] for i in (10, 11, 12)} == {10}
+    assert {out[i] for i in (20, 21)} == {20}
+
+
+def test_connected_components_converges_early(spark):
+    pairs = spark.createDataFrame([(7, 8)], "doc_a long, doc_b long")
+    out = connected_components(pairs, max_iter=1).collect()
+    assert {(r["node"], r["component_id"]) for r in out} == {(7, 7), (8, 7)}
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import math
@@ -105,6 +126,21 @@ def test_cosine_topk_exact(vectors):
     # vec 30 has identical direction (same angle, same i%3=0) → cosine 1
     assert rows[0]["cosine"] == pytest.approx(1.0)
     assert rows[0]["neighbor_id"] in (30,)
+
+
+def test_quantize_embeddings_roundtrip(vectors):
+    out = {r["vec_id"]: r for r in quantize_embeddings(vectors).collect()}
+    assert len(out) == 50
+    row = out[1]
+    orig = [0.9510565162951535, 0.3090169943749474, 1.0]  # cos/sin(pi/10), 1%3
+    assert row["scale"] == pytest.approx(1.0)
+    # round-trip error bounded by scale/254 per element
+    for q, x in zip(row["qvec"], orig):
+        assert abs(q * row["scale"] / 127 - x) <= row["scale"] / 254 + 1e-12
+    assert all(max(abs(q) for q in r["qvec"]) == 127 for r in out.values())
+    # expression-only: no Python eval in the plan
+    plan = quantize_embeddings(vectors)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_lsh_topk_approximates_exact(vectors):
