@@ -1,0 +1,80 @@
+"""Text relevance scoring over document tables — SURVEY §2.11 X4+.
+
+BM25 (Okapi) term-relevance ranking as pure DataFrame aggregation —
+the standard lexical scorer for corpus curation and retrieval-quality
+filtering in LLM data pipelines (e.g. scoring documents against a
+topic term list before sampling).
+
+Scale shape: one explode to the token table, two groupBys (term
+frequencies on (doc, term); document lengths on doc), corpus-level
+scalars (N, avgdl) carried on a broadcast one-row frame, document
+frequencies broadcast per query term. Shuffles are proportional to the
+token table — the same cost envelope as the X4 token statistics — and
+nothing driver-side ever materializes per-document state.
+
+Determinism note: per-term contributions are transcendental (ln), so
+cross-term addition order could flip the last float bit between
+engines; contributions are rounded to 9 decimals and summed exactly as
+DECIMAL(20,9) so the oracle (same math in SQL) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 score of each document against a bag of query terms.
+
+    Returns ``(doc_id, n_matched, bm25)`` for documents matching at
+    least one term. ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` (the
+    always-positive Robertson-Sparck Jones variant); ``N``/``avgdl``
+    are computed over documents with at least one token.
+    """
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    hits = tf.filter(F.col("term").isin(list(terms)))
+    dfreq = hits.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    scored = (
+        hits.join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .join(broadcast(dfreq), "term")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * tf_d * (k1 + 1.0) / norm
+    return (
+        scored.withColumn(
+            "__c", F.round(contrib, 9).cast("decimal(20,9)")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.round(F.sum("__c").cast("double"), 6).alias("bm25"),
+        )
+    )

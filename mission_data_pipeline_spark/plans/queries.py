@@ -1396,6 +1396,67 @@ _q(
 # ---------------------------------------------------------------------------
 
 
+def _bm25_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term bag
+    via operators/text.py bm25_scores; the oracle reproduces the same
+    tf/df/dl/avgdl pipeline and scoring formula in SQL (double-cast
+    literals so DuckDB's decimal arithmetic matches IEEE)."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.text import bm25_scores
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    out = bm25_scores(docs, ["spark", "query", "join", "vector"])
+    return out.orderBy("doc_id")
+
+
+_q(
+    "x4_bm25_relevance",
+    Query(
+        _bm25_spark,
+        """
+        WITH toks AS (
+          SELECT doc_id, t.term
+          FROM documents, UNNEST(string_split_regex(lower(text), '\\s+')) AS t(term)
+          WHERE length(t.term) > 0
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        hits AS (SELECT * FROM tf WHERE term IN ('spark','query','join','vector')),
+        dfreq AS (
+          SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+          FROM hits GROUP BY term
+        ),
+        scored AS (
+          SELECT h.doc_id,
+                 ln(1.0 + (s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                          / (d.df + CAST(0.5 AS DOUBLE)))
+                   * CAST(h.tf AS DOUBLE)
+                   * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                   / (CAST(h.tf AS DOUBLE)
+                      + CAST(1.2 AS DOUBLE)
+                        * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)) AS contrib
+          FROM hits h
+          JOIN dl l ON h.doc_id = l.doc_id
+          CROSS JOIN stats s
+          JOIN dfreq d ON h.term = d.term
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+               ROUND(CAST(SUM(CAST(ROUND(contrib, 9) AS DECIMAL(20,9))) AS DOUBLE),
+                     6) AS bm25
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        "X4",
+        "Okapi BM25 term-relevance ranking (tf/idf/doc-length "
+        "normalization) for corpus curation; broadcast corpus scalars, "
+        "decimal-exact cross-term sum for oracle stability",
+    ),
+)
+
+
 def _quantize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding column via
     operators/similarity.py quantize_embeddings (expression-only);
@@ -2766,6 +2827,7 @@ _CHECK_FIRST = [
     "decode_golden_matrix",
     "x2_duplicate_components",
     "x3_quantize_embeddings",
+    "x4_bm25_relevance",
     # previously driver-unchecked (CORRECTNESS_r01 has no row for these)
     "x2_simhash_fingerprint",
     "x3_cosine_topk_bruteforce",
