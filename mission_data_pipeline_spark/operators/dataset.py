@@ -78,3 +78,33 @@ def dedup_samples(params: DataFrame) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    order_cols: list[str],
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sample-and-hold: fill nulls in ``cols`` with the latest non-null
+    value at or before each row (telemetry resampling semantics — a
+    parameter holds its last reported value between updates; the wide
+    pivot's nulls between samples are exactly this gap).
+
+    One ordered window per partition: ``last(col, ignorenulls=True)``
+    over unbounded-preceding. At scale, partition on a natural key
+    (parameter name, spacecraft, day bucket): an empty
+    ``partition_cols`` means one global sort through a single task —
+    correct, but only for driver-scale frames. Filling across bucket
+    boundaries is the standard two-pass stitch (carry each bucket's
+    last value into the next).
+    """
+    w = (
+        Window.partitionBy(*(partition_cols or []))
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumns(
+        {c: F.last(F.col(c), ignorenulls=True).over(w) for c in cols}
+    )

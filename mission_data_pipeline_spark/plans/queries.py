@@ -1396,6 +1396,120 @@ _q(
 # ---------------------------------------------------------------------------
 
 
+def _ffill_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-and-hold: each event row carries the user's latest purchase
+    value at-or-before it (operators/dataset.py forward_fill); oracle is
+    last_value IGNORE NULLS over the same ordered window."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dataset import forward_fill
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT event_id, user_id, ts_ns DIV 1000 AS ts_us, "
+        "       CASE WHEN event_type = 'purchase' THEN value END AS purchase_value "
+        "FROM events WHERE user_id <= 50"
+    )
+    out = forward_fill(
+        ev,
+        ["purchase_value"],
+        order_cols=["ts_us", "event_id"],
+        partition_cols=["user_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round("purchase_value", 6).alias("held_value"),
+    ).orderBy("event_id")
+
+
+_q(
+    "w_forward_fill_hold",
+    Query(
+        _ffill_spark,
+        """
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               ROUND(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                                IGNORE NULLS)
+                     OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                           ROWS UNBOUNDED PRECEDING), 6) AS held_value
+        FROM events WHERE user_id <= 50
+        ORDER BY event_id
+        """,
+        "W4,D3+",
+        "forward fill / sample-and-hold (telemetry resampling: a parameter "
+        "holds its last reported value between updates)",
+    ),
+)
+
+
+def _hash_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible map-side hash-gate sample (operators/sampling.py);
+    membership is a pure function of (seed, doc_id), oracle recomputes
+    the same md5 bucket in SQL."""
+    from mission_data_pipeline_spark.operators.sampling import hash_sample
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    out = hash_sample(docs, 0.2, key_cols=["doc_id"], seed=7)
+    return out.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
+_q(
+    "curation_hash_sample",
+    Query(
+        _hash_sample_spark,
+        """
+        SELECT doc_id, source, lang
+        FROM documents
+        WHERE CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) < 858993459
+        ORDER BY doc_id
+        """,
+        "X-curation",
+        "deterministic hash-gate corpus sampling: membership is a pure "
+        "function of row content + seed (cluster-layout independent), "
+        "map-side only — no shuffle at any corpus size",
+    ),
+)
+
+
+def _stratified_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n-per-stratum seeded sample (operators/sampling.py)."""
+    from mission_data_pipeline_spark.operators.sampling import stratified_sample
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    out = stratified_sample(
+        docs, 5, strata_cols=["lang"], key_cols=["doc_id"], seed=3
+    )
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+_q(
+    "curation_stratified_sample",
+    Query(
+        _stratified_spark,
+        """
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || substr(md5('3|' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT), doc_id) AS rk
+          FROM documents
+        ) t WHERE rk <= 5
+        ORDER BY lang, doc_id
+        """,
+        "X-curation",
+        "exact n-per-stratum sampling with seeded-hash ranking — uniform "
+        "within stratum, independent of physical row order",
+    ),
+)
+
+
 def _bm25_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance of every document against a fixed term bag
     via operators/text.py bm25_scores; the oracle reproduces the same
@@ -2828,6 +2942,9 @@ _CHECK_FIRST = [
     "x2_duplicate_components",
     "x3_quantize_embeddings",
     "x4_bm25_relevance",
+    "w_forward_fill_hold",
+    "curation_hash_sample",
+    "curation_stratified_sample",
     # previously driver-unchecked (CORRECTNESS_r01 has no row for these)
     "x2_simhash_fingerprint",
     "x3_cosine_topk_bruteforce",

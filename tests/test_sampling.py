@@ -1,0 +1,77 @@
+"""Deterministic curation sampling (operators/sampling.py) + forward fill."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mission_data_pipeline_spark.operators.dataset import forward_fill
+from mission_data_pipeline_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, f"lang{i % 3}", f"doc text {i}") for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_hash_sample_deterministic_and_sized(corpus):
+    a = sorted(r["doc_id"] for r in hash_sample(corpus, 0.3, key_cols=["doc_id"], seed=1).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(corpus, 0.3, key_cols=["doc_id"], seed=1).collect())
+    assert a == b  # reproducible
+    assert 50 <= len(a) <= 130  # ~90 expected, binomial spread
+    c = sorted(r["doc_id"] for r in hash_sample(corpus, 0.3, key_cols=["doc_id"], seed=2).collect())
+    assert a != c  # seed changes membership
+    # nesting property: a smaller fraction is a subset of a larger one
+    d = set(r["doc_id"] for r in hash_sample(corpus, 0.1, key_cols=["doc_id"], seed=1).collect())
+    assert d <= set(a)
+    # map-side only: no exchange in the plan
+    plan = (
+        hash_sample(corpus, 0.3, key_cols=["doc_id"])._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_hash_sample_bad_fraction(corpus):
+    with pytest.raises(ValueError):
+        hash_sample(corpus, 1.5, key_cols=["doc_id"])
+
+
+def test_stratified_sample_exact_n(corpus):
+    out = stratified_sample(
+        corpus, 7, strata_cols=["lang"], key_cols=["doc_id"], seed=5
+    )
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {"lang0": 7, "lang1": 7, "lang2": 7}
+    again = stratified_sample(
+        corpus, 7, strata_cols=["lang"], key_cols=["doc_id"], seed=5
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_stratified_sample_small_stratum(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, s string")
+    out = stratified_sample(df, 5, strata_cols=["s"], key_cols=["id"])
+    assert out.count() == 3  # min(n, |stratum|)
+
+
+def test_forward_fill_holds_last_value(spark):
+    rows = [
+        ("p", 1, 10.0),
+        ("p", 2, None),
+        ("p", 3, None),
+        ("p", 4, 40.0),
+        ("p", 5, None),
+        ("q", 1, None),  # leading null in another partition stays null
+        ("q", 2, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "name string, t long, v double")
+    out = forward_fill(df, ["v"], order_cols=["t"], partition_cols=["name"])
+    got = {(r["name"], r["t"]): r["v"] for r in out.collect()}
+    assert got[("p", 2)] == 10.0 and got[("p", 3)] == 10.0
+    assert got[("p", 5)] == 40.0
+    assert got[("q", 1)] is None and got[("q", 2)] == 7.0
