@@ -108,3 +108,47 @@ def forward_fill(
     return df.withColumns(
         {c: F.last(F.col(c), ignorenulls=True).over(w) for c in cols}
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    time_col: str,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Linear interpolation of null gaps between known samples.
+
+    Interior nulls become the time-weighted blend of the surrounding
+    non-null values; nulls before the first or after the last sample
+    stay null (strict interpolation — compose with
+    :func:`forward_fill` for hold-at-tail semantics). Two ordered
+    windows per partition (latest-prior and earliest-next non-null),
+    same scale contract as :func:`forward_fill`: partition on a natural
+    key, or stitch bounded time buckets with a boundary carry.
+    """
+    parts = partition_cols or []
+    wb = (
+        Window.partitionBy(*parts)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*parts)
+        .orderBy(time_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.col(time_col).cast("double")
+    out = {}
+    for c in cols:
+        v = F.col(c)
+        known_t = F.when(v.isNotNull(), t)
+        pv = F.last(v, ignorenulls=True).over(wb)
+        pt = F.last(known_t, ignorenulls=True).over(wb)
+        nv = F.first(v, ignorenulls=True).over(wf)
+        nt = F.first(known_t, ignorenulls=True).over(wf)
+        lerp = pv + (nv - pv) * (t - pt) / (nt - pt)
+        out[c] = F.when(v.isNotNull(), v).when(
+            pv.isNotNull() & nv.isNotNull(), lerp
+        )
+    return df.withColumns(out)

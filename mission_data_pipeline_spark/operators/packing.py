@@ -1,0 +1,65 @@
+"""Token-budget sequence packing — training-batch construction.
+
+LLM pre-training packs documents into fixed-budget rows (e.g. "fill 4k
+tokens per sample"). This operator implements the deterministic greedy
+variant that keeps documents whole: walk documents in a stable order,
+accumulate token counts, and start a new pack whenever the running
+total would cross the budget boundary.
+
+Bucket assignment is ``floor(tokens_before_this_doc / budget)`` over an
+ordered running sum — documents aren't split, so a pack may exceed the
+budget by at most one document (the standard greedy-packing bound).
+The running sum is one window per shard: pack within explicit
+``shard_cols`` (source file, date bucket, hash shard) so each shard
+sorts independently — exactly how per-worker packing shards a 100 TB
+corpus; a global order would serialize into one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_token_budget(
+    docs: DataFrame,
+    budget: int,
+    *,
+    token_col: str = "n_tokens",
+    order_cols: list[str] | None = None,
+    shard_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign each document a ``pack_id`` under a per-shard token budget.
+
+    Adds ``pack_id`` (0-based within shard) and ``pack_offset`` (tokens
+    before this document inside its pack's budget space). Deterministic
+    given stable ``order_cols``. A document longer than the budget
+    spans multiple boundaries and consumes the skipped pack ids — the
+    windowable boundary-bucket formulation; a strict reset-accumulator
+    greedy is a sequential recurrence (``applyInPandas`` per shard) that
+    buys ≤1 doc of fill difference per pack.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    order = order_cols or ["doc_id"]
+    shards = shard_cols or []
+    w = (
+        Window.partitionBy(*shards)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    before = cum - F.col(token_col)
+    pack_id = F.floor(before / budget)
+    return docs.withColumn("pack_id", pack_id).withColumn(
+        "pack_offset", before - pack_id * budget
+    )
+
+
+def pack_stats(packed: DataFrame, *, shard_cols: list[str] | None = None) -> DataFrame:
+    """Per-pack accounting: document count, token total, budget fill."""
+    shards = shard_cols or []
+    return packed.groupBy(*shards, "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -1396,6 +1396,137 @@ _q(
 # ---------------------------------------------------------------------------
 
 
+def _pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget pack assignment over documents, sharded by lang
+    (operators/packing.py); the oracle reproduces the running-sum
+    boundary-bucket math in window SQL."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.packing import (
+        pack_stats,
+        pack_token_budget,
+    )
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda x: F.length(x) > 0
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    packed = pack_token_budget(
+        docs, 500, order_cols=["doc_id"], shard_cols=["lang"]
+    )
+    return (
+        pack_stats(packed, shard_cols=["lang"])
+        .select("lang", "pack_id", "n_docs", "total_tokens")
+        .orderBy("lang", "pack_id")
+    )
+
+
+_q(
+    "curation_token_packing",
+    Query(
+        _pack_spark,
+        """
+        WITH d AS (
+          SELECT doc_id, lang,
+                 len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> length(x) > 0)) AS n_tokens
+          FROM documents
+        ),
+        cum AS (
+          SELECT doc_id, lang, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS before
+          FROM d
+        )
+        SELECT lang, CAST(FLOOR(before / 500) AS BIGINT) AS pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM cum
+        GROUP BY lang, FLOOR(before / 500)
+        ORDER BY lang, pack_id
+        """,
+        "X-curation",
+        "greedy token-budget sequence packing for training-batch "
+        "construction (docs kept whole, per-shard running-sum boundary "
+        "buckets — one window per shard, no global sort)",
+    ),
+)
+
+
+def _interp_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of null gaps per user over event time
+    (operators/dataset.py interpolate_linear); oracle recomputes the
+    time-weighted blend with IGNORE NULLS windows both directions."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dataset import interpolate_linear
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT event_id, user_id, CAST(ts_ns DIV 1000 AS DOUBLE) AS t_us, "
+        "       CASE WHEN event_type = 'purchase' THEN value END AS pv "
+        "FROM events WHERE user_id <= 30 "
+        "  AND event_id = (SELECT MIN(e2.event_id) FROM events e2 "
+        "                  WHERE e2.user_id = events.user_id AND e2.ts_ns = events.ts_ns)"
+    )
+    out = interpolate_linear(ev, ["pv"], time_col="t_us", partition_cols=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("pv", 6).alias("pv_interp"),
+    ).orderBy("event_id")
+
+
+_q(
+    "w_interpolate_linear",
+    Query(
+        _interp_spark,
+        """
+        WITH base AS (
+          SELECT event_id, user_id, CAST(epoch_us(ts) AS DOUBLE) AS t_us,
+                 CASE WHEN event_type = 'purchase' THEN value END AS pv
+          FROM events WHERE user_id <= 30
+            AND event_id = (SELECT MIN(e2.event_id) FROM events e2
+                            WHERE e2.user_id = events.user_id AND e2.ts = events.ts)
+        ),
+        w AS (
+          SELECT event_id, user_id, t_us, pv,
+                 last_value(pv IGNORE NULLS) OVER wb AS prev_v,
+                 last_value(CASE WHEN pv IS NOT NULL THEN t_us END IGNORE NULLS)
+                   OVER wb AS prev_t,
+                 first_value(pv IGNORE NULLS) OVER wf AS next_v,
+                 first_value(CASE WHEN pv IS NOT NULL THEN t_us END IGNORE NULLS)
+                   OVER wf AS next_t
+          FROM base
+          WINDOW
+            wb AS (PARTITION BY user_id ORDER BY t_us
+                   ROWS UNBOUNDED PRECEDING),
+            wf AS (PARTITION BY user_id ORDER BY t_us
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id,
+               ROUND(CASE WHEN pv IS NOT NULL THEN pv
+                          WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                          THEN prev_v + (next_v - prev_v) * (t_us - prev_t)
+                                          / (next_t - prev_t)
+                     END, 6) AS pv_interp
+        FROM w
+        ORDER BY event_id
+        """,
+        "W+,T7+",
+        "linear interpolation of telemetry gaps (time-weighted blend of "
+        "surrounding samples; strict — boundary nulls preserved)",
+    ),
+)
+
+
 def _ffill_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-and-hold: each event row carries the user's latest purchase
     value at-or-before it (operators/dataset.py forward_fill); oracle is
@@ -2945,6 +3076,8 @@ _CHECK_FIRST = [
     "w_forward_fill_hold",
     "curation_hash_sample",
     "curation_stratified_sample",
+    "curation_token_packing",
+    "w_interpolate_linear",
     # previously driver-unchecked (CORRECTNESS_r01 has no row for these)
     "x2_simhash_fingerprint",
     "x3_cosine_topk_bruteforce",

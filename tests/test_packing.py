@@ -1,0 +1,62 @@
+"""Token-budget packing (operators/packing.py) + linear interpolation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mission_data_pipeline_spark.operators.dataset import interpolate_linear
+from mission_data_pipeline_spark.operators.packing import (
+    pack_stats,
+    pack_token_budget,
+)
+
+
+def test_pack_token_budget_boundaries(spark):
+    rows = [(i, 400) for i in range(10)]  # 4000 tokens @ 400 each
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_token_budget(df, 1000, order_cols=["doc_id"])
+    got = {r["doc_id"]: (r["pack_id"], r["pack_offset"]) for r in out.collect()}
+    # docs 0,1 fit pack 0 (800); doc 2 starts at 800, spans into 1200 → pack 0
+    assert got[0] == (0, 0) and got[1] == (0, 400) and got[2] == (0, 800)
+    assert got[3] == (1, 200)  # next pack starts mid-budget space
+    stats = {r["pack_id"]: r["n_docs"] for r in pack_stats(out).collect()}
+    assert sum(stats.values()) == 10
+
+
+def test_pack_sharded_and_deterministic(spark):
+    rows = [(i, f"s{i % 2}", 300 + (i % 3) * 100) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tokens long")
+    a = pack_token_budget(df, 2000, order_cols=["doc_id"], shard_cols=["shard"])
+    b = pack_token_budget(df, 2000, order_cols=["doc_id"], shard_cols=["shard"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # every pack except possibly the last per shard is filled past 80%
+    st = pack_stats(a, shard_cols=["shard"]).collect()
+    per_shard_last = {r["shard"]: max(x["pack_id"] for x in st if x["shard"] == r["shard"]) for r in st}
+    for r in st:
+        if r["pack_id"] != per_shard_last[r["shard"]]:
+            assert r["total_tokens"] >= 1600
+
+
+def test_pack_bad_budget(spark):
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        pack_token_budget(df, 0)
+
+
+def test_interpolate_linear_interior_and_edges(spark):
+    rows = [
+        ("p", 0.0, 10.0),
+        ("p", 1.0, None),
+        ("p", 3.0, None),
+        ("p", 4.0, 50.0),
+        ("p", 5.0, None),  # after last known → stays null
+        ("q", 0.0, None),  # before first known → stays null
+        ("q", 1.0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "name string, t double, v double")
+    out = interpolate_linear(df, ["v"], time_col="t", partition_cols=["name"])
+    got = {(r["name"], r["t"]): r["v"] for r in out.collect()}
+    assert got[("p", 1.0)] == pytest.approx(20.0)  # 10 + (50-10) * 1/4
+    assert got[("p", 3.0)] == pytest.approx(40.0)
+    assert got[("p", 0.0)] == 10.0 and got[("p", 4.0)] == 50.0  # knowns kept
+    assert got[("p", 5.0)] is None and got[("q", 0.0)] is None
+    assert got[("q", 1.0)] == 7.0
