@@ -1884,16 +1884,70 @@ def _lsh_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _lsh_oracle_sql(*, bits: int = 6, tables: int = 3, dim: int = 64, k: int = 5) -> str:
+    """DuckDB oracle for the full LSH ANN pipeline.
+
+    The hyperplanes are data-independent and deterministic, so the SAME
+    literal planes the Spark sketch bakes into its expressions are
+    embedded here as a VALUES list — the oracle then reproduces sketch →
+    bucket join → cosine re-rank → top-k entirely in SQL."""
+    from mission_data_pipeline_spark.operators.similarity import _hyperplane
+
+    rows = []
+    for t in range(tables):
+        for b in range(bits):
+            plane = ", ".join(repr(x) for x in _hyperplane(t, b, dim))
+            rows.append(f"({t}, {b}, [{plane}])")
+    hp_values = ",\n          ".join(rows)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        hp(tbl, bit, plane) AS (VALUES
+          {hp_values}
+        ),
+        cb AS (
+          SELECT e.vec_id AS id, hp.tbl,
+                 SUM(CASE WHEN list_dot_product(e.v, hp.plane) > 0
+                          THEN CAST(POW(2, hp.bit) AS BIGINT)
+                          ELSE 0 END) AS bucket
+          FROM e CROSS JOIN hp
+          GROUP BY e.vec_id, hp.tbl
+        ),
+        cand AS (
+          SELECT DISTINCT qb.id AS query_id, cb.id AS neighbor_id
+          FROM cb JOIN (SELECT * FROM cb WHERE id < 5) qb
+            ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+          WHERE cb.id != qb.id
+        ),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 list_cosine_similarity(eq.v, en.v) AS cos_raw
+          FROM cand c
+          JOIN e eq ON eq.vec_id = c.query_id
+          JOIN e en ON en.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank
+        FROM (
+          SELECT query_id, neighbor_id, cos_raw,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, neighbor_id) AS rank
+          FROM scored
+        ) t WHERE rank <= {k}
+        ORDER BY query_id, rank
+        """
+
+
 _q(
     "x3_lsh_topk_ann",
     Query(
         _lsh_topk_spark,
-        None,  # approximate ANN path: recall depends on the LSH sketch
-        # construction (seeded random hyperplanes); deterministic but not
-        # reasonably SQL-expressible — driver records rows-only.
+        _lsh_oracle_sql(),
         "X3",
         "approximate top-k similarity via random-hyperplane LSH buckets + "
-        "exact cosine re-rank of candidates (the 100 TB scale path)",
+        "exact cosine re-rank of candidates (the 100 TB scale path); the "
+        "deterministic literal hyperplanes are embedded in the oracle, "
+        "which replays sketch -> bucket join -> re-rank in SQL",
     ),
 )
 
