@@ -34,7 +34,12 @@ def tidy_parameter(params: DataFrame, name: str) -> DataFrame:
     )
 
 
-def to_wide(params: DataFrame, value_col: str = "eng_value") -> DataFrame:
+def to_wide(
+    params: DataFrame,
+    value_col: str = "eng_value",
+    *,
+    names: list[str] | None = None,
+) -> DataFrame:
     """Wide pivot: one column per parameter name, indexed by time.
 
     Duplicate (name, time) samples collapse **last-wins in sample
@@ -43,16 +48,16 @@ def to_wide(params: DataFrame, value_col: str = "eng_value") -> DataFrame:
     make it explicit and deterministic by ``seq_count`` — the packet
     sequence counter is the reference's insertion order.
 
-    One shuffle (groupBy time_tai); the pivot's column list is resolved
-    in a first pass over distinct names unless supplied.
+    One shuffle (groupBy time_tai). Pass ``names`` (the mission's
+    parameter dictionary — always known up front) to skip the pivot's
+    implicit distinct-names discovery pass: at 100 TB that pass is a
+    full extra scan + shuffle of the fact table just to learn a column
+    list the MIB already states.
     """
     ordered = F.max_by(F.col(value_col), F.col("seq_count"))
-    return (
-        params.groupBy("time_tai")
-        .pivot("name")
-        .agg(ordered)
-        .orderBy("time_tai")
-    )
+    grouped = params.groupBy("time_tai")
+    pivoted = grouped.pivot("name", names) if names else grouped.pivot("name")
+    return pivoted.agg(ordered).orderBy("time_tai")
 
 
 def union_datasets(a: DataFrame, b: DataFrame) -> DataFrame:

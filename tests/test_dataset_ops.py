@@ -55,6 +55,19 @@ def test_wide_pivot_duplicate_time_last_wins(spark):
     assert len(wide) == 1 and wide[0]["x"] == 2.0
 
 
+def test_wide_pivot_explicit_names_skips_discovery(spark):
+    """Passing the parameter dictionary avoids the distinct-names scan
+    and gives identical results (plus stable columns for absent names)."""
+    df = _params(spark)
+    implicit = {r["time_tai"]: r.asDict() for r in to_wide(df).collect()}
+    explicit = to_wide(df, names=["temperature", "pressure", "unseen"]).collect()
+    for r in explicit:
+        d = r.asDict()
+        assert d["unseen"] is None  # declared but never sampled
+        for k in ("temperature", "pressure"):
+            assert d[k] == implicit[d["time_tai"]][k]
+
+
 def test_union_immutable(spark):
     a, b = _params(spark), _params(spark)
     u = union_datasets(a, b)
