@@ -31,12 +31,22 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            # decimal.Decimal or similar from either engine → float
             sample = df[c].dropna()
+            # decimal.Decimal or similar from either engine → float
             if len(sample) and all(
                 type(v).__name__ == "Decimal" for v in sample.head(5)
             ):
                 df[c] = df[c].astype(float)
+            # list/ndarray cells (array columns) → tuples so the
+            # sort below can order them (ndarray is unhashable and
+            # ambiguous under comparison)
+            elif len(sample) and any(
+                isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+                for v in sample.head(5)
+            ):
+                df[c] = df[c].map(
+                    lambda v: tuple(v) if v is not None else None
+                )
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
