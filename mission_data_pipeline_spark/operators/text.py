@@ -48,7 +48,9 @@ def bm25_scores(
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
     ).filter(F.length("term") > 0)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # document length from tf, not a second pass over the token table:
+    # reuses the (doc, term) shuffle instead of re-exploding the corpus
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

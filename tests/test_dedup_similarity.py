@@ -128,6 +128,25 @@ def test_cosine_topk_exact(vectors):
     assert rows[0]["neighbor_id"] in (30,)
 
 
+def test_kmeans_centroids_improve_ivf(vectors):
+    from mission_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(vectors, n_centroids=4, seed=42)
+    rows = cents.collect()
+    assert len(rows) == 4
+    assert all(len(r["centroid_vec"]) == 3 for r in rows)
+    out = ivf_topk(
+        vectors, vectors.filter("vec_id < 3"), centroids=cents, k=2, n_probe=2
+    )
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    assert len(got) == 6  # 3 queries x top-2
+    # query 0's true nearest (vec 30: identical direction) is found
+    assert got[(0, 1)] == 30
+
+
 def test_quantize_embeddings_roundtrip(vectors):
     out = {r["vec_id"]: r for r in quantize_embeddings(vectors).collect()}
     assert len(out) == 50
