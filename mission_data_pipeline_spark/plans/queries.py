@@ -2093,6 +2093,70 @@ _q(
 )
 
 
+def _audio_meta_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV metadata decode round-trip: Spark expressions synthesize
+    canonical 44-byte RIFF/WAVE headers per document (rates/sizes derived
+    from the row), functions/multimodal.py probe_audio_meta walks the
+    chunks back, and the oracle recomputes the expected fields in SQL."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.functions.multimodal import extract_audio_meta
+
+    register_views(spark, sf_dir)
+    doc = spark.table("documents").filter(F.col("doc_id") < 150)
+    channels = (F.col("doc_id") % 2 + 1).cast("bigint")
+    rate = (F.lit(8000) + (F.col("doc_id") % 5) * 4000).cast("bigint")
+    data_size = (F.octet_length("text") * 64).cast("bigint")
+    byte_rate = rate * channels * 2
+    block_align = channels * 2
+
+    def le(c, width):  # little-endian bytes of an integer column
+        h = F.lpad(F.hex(c), width * 2, "0")
+        pairs = [F.substring(h, 2 * i + 1, 2) for i in reversed(range(width))]
+        return F.unhex(F.concat(*pairs))
+
+    payload = F.concat(
+        F.lit(b"RIFF"), le(data_size + 36, 4), F.lit(b"WAVEfmt "),
+        le(F.lit(16).cast("bigint"), 4), le(F.lit(1).cast("bigint"), 2),
+        le(channels, 2), le(rate, 4), le(byte_rate, 4), le(block_align, 2),
+        le(F.lit(16).cast("bigint"), 2), F.lit(b"data"), le(data_size, 4),
+    )
+    media = doc.select(F.col("doc_id").alias("item_id"), payload.alias("payload"))
+    return extract_audio_meta(media).withColumn(
+        "duration_s", F.round("duration_s", 6)
+    ).orderBy("item_id")
+
+
+_q(
+    "x5_audio_meta_decode",
+    Query(
+        _audio_meta_spark,
+        """
+        WITH p AS (
+          SELECT doc_id,
+                 doc_id % 2 + 1 AS channels,
+                 8000 + (doc_id % 5) * 4000 AS rate,
+                 octet_length(text::BLOB) * 64 AS data_size
+          FROM documents WHERE doc_id < 150
+        )
+        SELECT doc_id AS item_id, 'wav' AS format,
+               CAST(channels AS INT) AS n_channels,
+               CAST(rate AS INT) AS sample_rate,
+               CAST(16 AS INT) AS bits_per_sample,
+               ROUND(CAST(data_size AS DOUBLE) / (rate * channels * 2), 6)
+                 AS duration_s,
+               CAST(44 AS BIGINT) AS n_bytes
+        FROM p ORDER BY item_id
+        """,
+        "X5",
+        "REAL audio metadata decoding: RIFF/WAVE chunk walk "
+        "(probe_audio_meta) over Arrow batches; WAV headers synthesized "
+        "in-plan with expression-built little-endian fields, oracle "
+        "recomputes channels/rate/duration independently",
+    ),
+)
+
+
 def _frames_to_packets_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TM frame → packet reassembly round-trip: 200 deterministic packets
     (varying sizes, ASCII payloads) segmented into 64-byte TM frames with
@@ -3122,6 +3186,7 @@ _q(
 _CHECK_FIRST = [
     # new this round
     "x5_image_meta_decode",
+    "x5_audio_meta_decode",
     "frames_to_packets_roundtrip",
     "decode_golden_matrix",
     "x2_duplicate_components",

@@ -6,12 +6,24 @@ import pytest
 from pyspark.sql import functions as F
 
 from mission_data_pipeline_spark.functions.multimodal import (
+    extract_audio_meta,
     extract_features,
     extract_image_meta,
     media_stats,
+    probe_audio_meta,
     probe_image_meta,
     sample_frames,
 )
+
+
+def _wav(channels=2, rate=44100, bits=16, data_size=88200) -> bytes:
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * bits // 8, channels * bits // 8, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", data_size)
+    )
 
 
 def _png(w: int, h: int) -> bytes:
@@ -99,6 +111,29 @@ def test_real_image_features(spark):
     # real header-derived prefix: width, height, aspect, byte count
     assert r["feature"][:4] == [64.0, 32.0, 2.0, float(len(_png(64, 32)))]
     assert len(r["feature"]) == 8
+
+
+def test_probe_audio_meta_wav():
+    assert probe_audio_meta(_wav()) == ("wav", 2, 44100, 16, 0.5)
+    assert probe_audio_meta(_wav(1, 8000, 16, 16000)) == ("wav", 1, 8000, 16, 1.0)
+    assert probe_audio_meta(b"not audio") == (None, None, None, None, None)
+    assert probe_audio_meta(None) == (None, None, None, None, None)
+    assert probe_audio_meta(b"RIFF\x00\x00\x00\x00AVI ") == ("riff", None, None, None, None)
+    # fmt chunk but no data chunk → rates known, duration unknown
+    headerless = _wav()[:36]
+    assert probe_audio_meta(headerless) == ("wav", 2, 44100, 16, None)
+
+
+def test_extract_audio_meta_dataframe(spark):
+    df = spark.createDataFrame(
+        [(1, _wav(1, 16000, 16, 32000)), (2, b"junk"), (3, None)],
+        "item_id long, payload binary",
+    )
+    rows = {r["item_id"]: r for r in extract_audio_meta(df).collect()}
+    assert rows[1]["sample_rate"] == 16000 and rows[1]["duration_s"] == 1.0
+    assert rows[1]["n_bytes"] == len(_wav(1, 16000, 16, 32000))
+    assert rows[2]["format"] is None
+    assert rows[3]["n_bytes"] == 0
 
 
 def test_real_decoder_audio_video_still_stub(media):
