@@ -25,6 +25,40 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+#: Default scrub patterns — written in the regex subset that Java
+#: (Spark) and RE2 (DuckDB/Go tooling) interpret identically, so the
+#: same strings drive the operator and its SQL oracle.
+SCRUB_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{13,19}\b", "<LONGNUM>"),  # card/account-number shaped
+)
+
+
+def scrub_text(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str], ...] = SCRUB_PATTERNS,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, URLs, phone/card numbers) with
+    typed placeholder tokens — the standard scrub pass before a corpus
+    is used for training.
+
+    A chain of ``regexp_replace`` expressions applied in order (earlier
+    patterns win on overlaps), entirely inside whole-stage codegen: the
+    scrub adds zero shuffles and rides the same scan as any other
+    projection. Patterns stay in the Java∩RE2 regex subset so the
+    operator and its DuckDB oracle run the same strings.
+    """
+    col = F.col(text_col)
+    for pat, token in patterns:
+        col = F.regexp_replace(col, pat, token)
+    return docs.withColumn(out_col or text_col, col)
+
+
 def bm25_scores(
     docs: DataFrame,
     terms: list[str],

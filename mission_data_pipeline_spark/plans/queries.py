@@ -1641,6 +1641,74 @@ _q(
 )
 
 
+def _scrub_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub round-trip: synthetic emails/URLs/card numbers appended
+    in-plan, redacted by operators/text.py scrub_text, digests compared
+    against DuckDB running the identical Java∩RE2 pattern chain."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.text import scrub_text
+
+    register_views(spark, sf_dir)
+    doc = spark.table("documents").filter(F.col("doc_id") < 200)
+    aug = doc.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or https://site.example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" card 4111111111111111 tel 555-123-4567"),
+        ),
+    )
+    out = scrub_text(aug)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("scrubbed_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+_q(
+    "curation_pii_scrub",
+    Query(
+        _scrub_spark,
+        r"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' reach user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com or https://site.example/p/'
+                      || CAST(doc_id AS VARCHAR)
+                      || ' card 4111111111111111 tel 555-123-4567' AS text
+          FROM documents WHERE doc_id < 200
+        ),
+        scrubbed AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                         '<EMAIL>', 'g'),
+                       'https?://[^\s]+', '<URL>', 'g'),
+                     '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'),
+                   '\b\d{13,19}\b', '<LONGNUM>', 'g') AS text
+          FROM aug
+        )
+        SELECT doc_id, md5(text) AS scrubbed_md5,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM scrubbed ORDER BY doc_id
+        """,
+        "X-curation",
+        "PII scrubbing (emails/URLs/phone/card-shaped spans -> typed "
+        "placeholders) as a zero-shuffle regexp_replace chain; patterns "
+        "constrained to the Java-RE2 common subset so both engines run "
+        "the same strings",
+    ),
+)
+
+
 def _bm25_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance of every document against a fixed term bag
     via operators/text.py bm25_scores; the oracle reproduces the same
@@ -3197,6 +3265,7 @@ _CHECK_FIRST = [
     "curation_stratified_sample",
     "curation_token_packing",
     "w_interpolate_linear",
+    "curation_pii_scrub",
     # previously driver-unchecked (CORRECTNESS_r01 has no row for these)
     "x2_simhash_fingerprint",
     "x3_cosine_topk_bruteforce",

@@ -39,3 +39,21 @@ def test_bm25_golden(docs):
 def test_bm25_empty_terms_rejected(docs):
     with pytest.raises(ValueError):
         bm25_scores(docs, [])
+
+
+def test_scrub_text_redacts_pii(spark):
+    from mission_data_pipeline_spark.operators.text import scrub_text
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or visit https://a.io/x?q=1 now"),
+        (2, "call 555-123-4567 card 4111111111111111 ok"),
+        (3, "clean text with numbers 42 and 2024 stays"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in scrub_text(df).collect()}
+    assert got[1] == "contact <EMAIL> or visit <URL> now"
+    assert got[2] == "call <PHONE> card <LONGNUM> ok"
+    assert got[3] == rows[2][1]  # short numbers untouched
+    # expression-only, no shuffle
+    plan = scrub_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
