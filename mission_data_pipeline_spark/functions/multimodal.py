@@ -76,6 +76,104 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
     return [a / total for a in acc]
 
 
+#: Per-item video metadata output of :func:`extract_video_meta`.
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def probe_video_meta(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None, float | None]:
+    """REAL video header parse for MP4/ISO-BMFF (box-tree walk).
+
+    Returns ``(format, width, height, duration_s)``: duration from
+    ``moov/mvhd`` (timescale + duration), dimensions from the first
+    ``trak/tkhd`` (16.16 fixed point). Pure stdlib — container metadata
+    needs no codec; only frame decode does. Non-ISO-BMFF payloads →
+    all None; truncated boxes degrade to nulls for missing fields.
+    """
+    if not payload or len(payload) < 12 or payload[4:8] != b"ftyp":
+        return (None, None, None, None)
+    width = height = None
+    timescale = duration = None
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal width, height, timescale, duration
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack(">I", payload[pos : pos + 4])
+            btype = payload[pos + 4 : pos + 8]
+            if size < 8 or pos + size > hi:
+                return  # malformed/truncated box: stop this level
+            body_lo, body_hi = pos + 8, pos + size
+            if btype in _MP4_CONTAINERS:
+                walk(body_lo, body_hi)
+            elif btype == b"mvhd" and timescale is None:
+                ver = payload[body_lo]
+                if ver == 1 and body_lo + 32 <= body_hi:
+                    timescale = struct.unpack(
+                        ">I", payload[body_lo + 20 : body_lo + 24]
+                    )[0]
+                    duration = struct.unpack(
+                        ">Q", payload[body_lo + 24 : body_lo + 32]
+                    )[0]
+                elif ver == 0 and body_lo + 20 <= body_hi:
+                    timescale, duration = struct.unpack(
+                        ">II", payload[body_lo + 12 : body_lo + 20]
+                    )
+            elif btype == b"tkhd" and width is None:
+                ver = payload[body_lo]
+                off = body_lo + (88 if ver == 1 else 76)
+                if off + 8 <= body_hi:
+                    w_fx, h_fx = struct.unpack(">II", payload[off : off + 8])
+                    width, height = w_fx >> 16, h_fx >> 16
+            pos += size
+
+    walk(0, len(payload))
+    dur_s = (duration / timescale) if timescale and duration is not None else None
+    return ("mp4", width, height, dur_s)
+
+
+def extract_video_meta(
+    media: DataFrame, *, id_col: str = "item_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Parse real MP4 metadata per payload → :data:`VIDEO_META_SCHEMA`
+    (Arrow-batched ``mapInPandas``, same contract as the image/audio
+    probes)."""
+    cols = media.select(
+        F.col(id_col).cast("long").alias("item_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [probe_video_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "format": [m[0] for m in meta],
+                    "width": pd.array([m[1] for m in meta], dtype="Int32"),
+                    "height": pd.array([m[2] for m in meta], dtype="Int32"),
+                    "duration_s": pd.array([m[3] for m in meta], dtype="Float64"),
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return cols.mapInPandas(run, schema=VIDEO_META_SCHEMA)
+
+
 #: Per-item image metadata output of :func:`extract_image_meta`.
 IMAGE_META_SCHEMA = T.StructType(
     [

@@ -2225,6 +2225,72 @@ _q(
 )
 
 
+def _video_meta_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 metadata decode round-trip: Spark expressions synthesize
+    an ISO-BMFF box tree (ftyp + moov/mvhd + moov/trak/tkhd) per
+    document, functions/multimodal.py probe_video_meta walks it back,
+    and the oracle recomputes the expected fields in SQL."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.functions.multimodal import extract_video_meta
+
+    register_views(spark, sf_dir)
+    doc = spark.table("documents").filter(F.col("doc_id") < 150)
+    w = (F.octet_length("text") % 1280 + 16).cast("bigint")
+    h = (F.col("doc_id") % 720 + 16).cast("bigint")
+    ts = (F.lit(600) + (F.col("doc_id") % 4) * 200).cast("bigint")
+    dur = (F.octet_length("text") * 40).cast("bigint")
+    b32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    tkhd = F.concat(
+        b32(F.lit(92).cast("bigint")), F.lit(b"tkhd"), F.lit(bytes(76)),
+        b32(w * 65536), b32(h * 65536),
+    )
+    mvhd = F.concat(
+        b32(F.lit(108).cast("bigint")), F.lit(b"mvhd"), F.lit(bytes(12)),
+        b32(ts), b32(dur), F.lit(bytes(80)),
+    )
+    payload = F.concat(
+        F.lit(bytes.fromhex("00000010")), F.lit(b"ftypisom"),
+        F.lit(bytes.fromhex("00000200")),
+        b32(F.lit(216).cast("bigint")), F.lit(b"moov"),
+        mvhd,
+        b32(F.lit(100).cast("bigint")), F.lit(b"trak"),
+        tkhd,
+    )
+    media = doc.select(F.col("doc_id").alias("item_id"), payload.alias("payload"))
+    return extract_video_meta(media).withColumn(
+        "duration_s", F.round("duration_s", 6)
+    ).orderBy("item_id")
+
+
+_q(
+    "x5_video_meta_decode",
+    Query(
+        _video_meta_spark,
+        """
+        WITH p AS (
+          SELECT doc_id,
+                 octet_length(text::BLOB) % 1280 + 16 AS w,
+                 doc_id % 720 + 16 AS h,
+                 600 + (doc_id % 4) * 200 AS ts,
+                 octet_length(text::BLOB) * 40 AS dur
+          FROM documents WHERE doc_id < 150
+        )
+        SELECT doc_id AS item_id, 'mp4' AS format,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               ROUND(CAST(dur AS DOUBLE) / ts, 6) AS duration_s,
+               CAST(232 AS BIGINT) AS n_bytes
+        FROM p ORDER BY item_id
+        """,
+        "X5",
+        "REAL video metadata decoding: ISO-BMFF box-tree walk "
+        "(probe_video_meta: mvhd timescale/duration, tkhd 16.16 "
+        "dimensions) over Arrow batches; boxes synthesized in-plan, "
+        "oracle recomputes the fields independently",
+    ),
+)
+
+
 def _frames_to_packets_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TM frame → packet reassembly round-trip: 200 deterministic packets
     (varying sizes, ASCII payloads) segmented into 64-byte TM frames with
@@ -3255,6 +3321,7 @@ _CHECK_FIRST = [
     # new this round
     "x5_image_meta_decode",
     "x5_audio_meta_decode",
+    "x5_video_meta_decode",
     "frames_to_packets_roundtrip",
     "decode_golden_matrix",
     "x2_duplicate_components",

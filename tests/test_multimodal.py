@@ -113,6 +113,47 @@ def test_real_image_features(spark):
     assert len(r["feature"]) == 8
 
 
+def _box(t: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + t + body
+
+
+def _mp4(w: int, h: int, timescale: int = 1000, duration: int = 5000) -> bytes:
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    mvhd = _box(
+        b"mvhd",
+        bytes(12) + struct.pack(">II", timescale, duration) + bytes(80),
+    )
+    tkhd = _box(b"tkhd", bytes(76) + struct.pack(">II", w << 16, h << 16))
+    return ftyp + _box(b"moov", mvhd + _box(b"trak", tkhd))
+
+
+def test_probe_video_meta_mp4():
+    from mission_data_pipeline_spark.functions.multimodal import probe_video_meta
+
+    assert probe_video_meta(_mp4(1920, 1080)) == ("mp4", 1920, 1080, 5.0)
+    assert probe_video_meta(_mp4(640, 480, 90000, 45000)) == ("mp4", 640, 480, 0.5)
+    assert probe_video_meta(b"not a video") == (None, None, None, None)
+    assert probe_video_meta(None) == (None, None, None, None)
+    # ftyp only: recognized container, no metadata boxes
+    ftyp_only = _box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    assert probe_video_meta(ftyp_only) == ("mp4", None, None, None)
+    # truncated moov: degrade, don't raise
+    m = _mp4(10, 10)
+    assert probe_video_meta(m[: len(m) - 20])[0] == "mp4"
+
+
+def test_extract_video_meta_dataframe(spark):
+    from mission_data_pipeline_spark.functions.multimodal import extract_video_meta
+
+    df = spark.createDataFrame(
+        [(1, _mp4(320, 240, 600, 1200)), (2, b"junk")],
+        "item_id long, payload binary",
+    )
+    rows = {r["item_id"]: r for r in extract_video_meta(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["duration_s"]) == (320, 240, 2.0)
+    assert rows[2]["format"] is None
+
+
 def test_probe_audio_meta_wav():
     assert probe_audio_meta(_wav()) == ("wav", 2, 44100, 16, 0.5)
     assert probe_audio_meta(_wav(1, 8000, 16, 16000)) == ("wav", 1, 8000, 16, 1.0)
