@@ -113,12 +113,24 @@ def probe_video_meta(
         while pos + 8 <= hi:
             (size,) = struct.unpack(">I", payload[pos : pos + 4])
             btype = payload[pos + 4 : pos + 8]
-            if size < 8 or pos + size > hi:
-                return  # malformed/truncated box: stop this level
-            body_lo, body_hi = pos + 8, pos + size
+            body_lo = pos + 8
+            if size == 1:  # ISO-BMFF largesize: 64-bit length after the type
+                if pos + 16 > hi:
+                    return
+                (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+                body_lo = pos + 16
+                if size < 16:
+                    return
+            elif size == 0:  # box extends to the end of the enclosing scope
+                size = hi - pos
+            elif size < 8:
+                return  # malformed box: stop this level
+            if pos + size > hi:
+                return  # truncated box: stop this level
+            body_hi = pos + size
             if btype in _MP4_CONTAINERS:
                 walk(body_lo, body_hi)
-            elif btype == b"mvhd" and timescale is None:
+            elif btype == b"mvhd" and timescale is None and body_lo < body_hi:
                 ver = payload[body_lo]
                 if ver == 1 and body_lo + 32 <= body_hi:
                     timescale = struct.unpack(
@@ -131,7 +143,7 @@ def probe_video_meta(
                     timescale, duration = struct.unpack(
                         ">II", payload[body_lo + 12 : body_lo + 20]
                     )
-            elif btype == b"tkhd" and width is None:
+            elif btype == b"tkhd" and width is None and body_lo < body_hi:
                 ver = payload[body_lo]
                 off = body_lo + (88 if ver == 1 else 76)
                 if off + 8 <= body_hi:
@@ -351,14 +363,16 @@ def extract_image_meta(
 
 
 def _real_image_feature(payload: bytes | None, dim: int) -> list[float]:
-    """Header-derived image feature: [width, height, aspect, log-ish size]
-    prefix, byte-histogram fold for the remaining dims."""
+    """Header-derived image feature: [width, height, aspect, size] prefix,
+    byte-histogram fold for the remaining dims.
+
+    Null or unrecognized payloads (not PNG/JPEG/GIF/BMP) yield the all-zero
+    sentinel vector rather than raising: at scale one dirty row must never
+    fail the whole ``mapInPandas`` task.
+    """
     fmt, w, h = probe_image_meta(payload)
     if fmt is None:
-        raise ValueError(
-            "decoder='real' image feature on an unrecognized payload "
-            "(not PNG/JPEG/GIF/BMP); route non-image rows to the stub check"
-        )
+        return [0.0] * dim
     n = float(len(payload))
     head = [float(w or 0), float(h or 0), (float(w) / h) if w and h else 0.0, n]
     return (head + _fake_feature(payload, dim))[:dim] if dim > 4 else head[:dim]
@@ -392,7 +406,8 @@ def extract_features(
     — width/height/aspect/size prefix) and byte-histogram features for
     ``'text'`` rows; ``'audio'``/``'video'`` rows raise
     ``NotImplementedError`` at execution (the remaining stub boundary —
-    those codecs aren't available in this environment).
+    those codecs aren't available in this environment). Null or unknown
+    modalities yield the all-zero sentinel vector (never silently fake).
     """
     if decoder not in ("fake", "real"):
         raise ValueError("decoder must be 'fake' or 'real'")
@@ -410,7 +425,9 @@ def extract_features(
             return _real_image_feature(payload, dim)
         if media_type in ("audio", "video"):
             _require_real_decoder(media_type)()
-        return _fake_feature(payload, dim)  # text: byte histogram IS real
+        if media_type == "text":
+            return _fake_feature(payload, dim)  # byte histogram IS real for text
+        return [0.0] * dim  # null/unknown modality: zero sentinel, never fake
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -69,8 +69,9 @@ def salted_join(
     outer joins every *unmatched* small-side row would surface once per
     salt replica (n_salts duplicate null-padded rows).
     """
-    allowed = {"inner", "left", "left_outer", "left_semi", "semi", "left_anti", "anti"}
-    if how not in allowed:
+    allowed = {"inner", "left", "leftouter", "left_outer", "leftsemi",
+               "left_semi", "semi", "leftanti", "left_anti", "anti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
         raise ValueError(
             f"salted_join supports {sorted(allowed)} only, not {how!r}: "
             "the small side is replicated per salt, so right/full outer "

@@ -43,14 +43,26 @@ def exact_dedup(
 # -- shingles / MinHash -------------------------------------------------
 
 
-def shingles(docs: DataFrame, *, n: int = 3, text_col: str = "text",
-             id_col: str = "doc_id") -> DataFrame:
-    """Word n-gram shingle set per doc: (id, gram), distinct."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    grams = F.transform(
+def word_ngrams(text_col: "F.Column | str", n: int) -> "F.Column":
+    """Array of space-joined word n-grams of lowercased ``text_col``.
+
+    A doc with fewer than ``n`` tokens yields one shorter gram (its whole
+    token run); an empty doc yields an empty-string gram the callers
+    filter out. Pure expression — shared by shingling, repetition
+    signals, and decontamination so every consumer (and its SQL oracle)
+    agrees on tokenization.
+    """
+    toks = F.split(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col), r"\s+")
+    return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
+
+
+def shingles(docs: DataFrame, *, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Word n-gram shingle set per doc: (id, gram), distinct."""
+    grams = word_ngrams(text_col, n)
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
         .filter(F.length("gram") > 0)
@@ -212,7 +224,11 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    # max_iter bounds the *propagation* rounds; one extra round is allowed
+    # so a graph that converges exactly at max_iter hops can verify that
+    # the fixpoint was reached (that round observes zero changes).
+    changed = 0
+    for _ in range(max_iter + 1):
         neigh = (
             edges.join(
                 labels.select(
@@ -241,6 +257,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(a duplicate chain longer than max_iter hops exists); raise "
+            "max_iter — returning intermediate labels would silently split "
+            "one real component into several"
+        )
     return labels.select("node", F.col("comp").alias("component_id"))
 
 

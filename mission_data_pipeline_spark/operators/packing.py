@@ -56,10 +56,19 @@ def pack_token_budget(
     )
 
 
-def pack_stats(packed: DataFrame, *, shard_cols: list[str] | None = None) -> DataFrame:
-    """Per-pack accounting: document count, token total, budget fill."""
+def pack_stats(
+    packed: DataFrame,
+    *,
+    token_col: str = "n_tokens",
+    shard_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-pack accounting: document count, token total, budget fill.
+
+    ``token_col`` mirrors :func:`pack_token_budget`'s parameter so the
+    pair works on any column name.
+    """
     shards = shard_cols or []
     return packed.groupBy(*shards, "pack_id").agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(token_col).alias("total_tokens"),
     )

@@ -49,7 +49,7 @@ _RANGE_SCHEMA = (
     "path string, range_start long, range_end long, file_size long, "
     "sec_hdr_length int, frame_sync boolean, source_id string, "
     "ground_receipt_time double, max_packet_len int, resync_chain int, "
-    "apid_filter array<int>"
+    "weak_resync boolean, apid_filter array<int>"
 )
 
 
@@ -218,13 +218,27 @@ def _walk_offsets(buf: bytes, row: dict, *, eof_in_buf: bool) -> list[int]:
         if frame_sync:
             pos = _find_sync(buf, 0)
         else:
-            # Initial range lock gets the weak fallback: a silent zero-
-            # packet range is worse than a logged weak lock. Mid-walk
-            # malformed-skip rescans stay strict (garbage stays dropped).
+            # Weak fallback only when the caller opted in: a range that is
+            # entirely the interior of one huge packet legitimately owns
+            # zero packets, and a weak lock there would emit phantom rows
+            # duplicating bytes the previous range already consumed. The
+            # default is strict + a loud warning so silent-loss streams
+            # (APIDs never repeating in-range) are at least diagnosable.
             pos = _resync_heuristic(
                 buf, 0, local_end, max_packet_len, chain, eof_in_buf,
-                allow_weak_fallback=True,
+                allow_weak_fallback=bool(row.get("weak_resync")),
             )
+            if pos < 0 and local_end > 0:
+                logger.warning(
+                    "binary scan: no validated header chain locked anywhere "
+                    "in a %d-byte range starting at file offset %d — range "
+                    "emits zero packets (interior of a larger packet, or a "
+                    "stream whose APIDs never repeat in-range; for the "
+                    "latter pass weak_resync=True, frame_sync, or a larger "
+                    "split_size)",
+                    local_end,
+                    range_start,
+                )
         if pos < 0:
             return offs
 
@@ -365,6 +379,7 @@ def read_packets(
     split_size: int = 128 * 1024 * 1024,
     max_packet_len: int = 65542,
     resync_chain: int = 2,
+    weak_resync: bool = False,
 ) -> DataFrame:
     """Scan CCSDS binary file(s) into a ``packets_df`` (PACKET_SCHEMA).
 
@@ -375,6 +390,13 @@ def read_packets(
     ``apid_filter`` is pushed into the range parser (packets are dropped
     before they ever materialize as rows — reference behavior
     ``binary.py:103-104``).
+
+    ``weak_resync=True`` lets a range where the strict chain-confirmation
+    rule locks nowhere fall back to the weaker complete-count rule
+    (logged). Off by default: the fallback can emit phantom packets from
+    payload bytes of a packet owned by the previous range, breaking the
+    multi-range exactly-once invariant — enable it only for streams whose
+    APIDs genuinely never repeat within a split.
     """
     paths: list[str] = []
     for p in [path] if isinstance(path, str) else list(path):
@@ -403,6 +425,7 @@ def read_packets(
                     "ground_receipt_time": ground_receipt_time,
                     "max_packet_len": max_packet_len,
                     "resync_chain": resync_chain,
+                    "weak_resync": weak_resync,
                     "apid_filter": apid_filter,
                 }
             )

@@ -71,3 +71,19 @@ def test_salted_join_left_keeps_unmatched(spark):
         for r in salted_join(big, small, "key", n_salts=4, how="left").collect()
     }
     assert out == {"a": 9.0, "b": None}
+
+
+def test_salted_join_spelling_variants(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    small = spark.createDataFrame([(1, "x")], "k long, w string")
+    from mission_data_pipeline_spark.operators.bucketing import salted_join
+
+    # Spark's own compact spellings are accepted
+    assert salted_join(big, small, "k", how="leftouter", n_salts=4).count() == 2
+    assert salted_join(big, small, "k", how="leftsemi", n_salts=4).count() == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(big, small, "k", how="right", n_salts=4)
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(big, small, "k", how="full_outer", n_salts=4)

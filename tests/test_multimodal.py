@@ -201,3 +201,56 @@ def test_media_stats_expression_only(media):
     # no Python UDF in the plan
     plan = media_stats(media)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_probe_video_meta_edge_boxes():
+    from mission_data_pipeline_spark.functions.multimodal import probe_video_meta
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    # empty (size==8) metadata box ending exactly at the payload boundary:
+    # degrade to nulls, never IndexError
+    assert probe_video_meta(ftyp + struct.pack(">I", 8) + b"mvhd") == (
+        "mp4", None, None, None,
+    )
+    # largesize box (size field == 1, 64-bit length after the type)
+    mvhd_body = bytes(12) + struct.pack(">II", 1000, 2000) + bytes(80)
+    large_mvhd = (
+        struct.pack(">I", 1) + b"mvhd"
+        + struct.pack(">Q", 16 + len(mvhd_body)) + mvhd_body
+    )
+    assert probe_video_meta(ftyp + _box(b"moov", large_mvhd)) == (
+        "mp4", None, None, 2.0,
+    )
+    # size==0 box (extends to end of enclosing scope) as the last top-level
+    tkhd = _box(b"tkhd", bytes(76) + struct.pack(">II", 100 << 16, 50 << 16))
+    moov_body = (
+        _box(b"mvhd", bytes(12) + struct.pack(">II", 1000, 1000) + bytes(80))
+        + _box(b"trak", tkhd)
+    )
+    p = ftyp + struct.pack(">I", 0) + b"moov" + moov_body
+    assert probe_video_meta(p) == ("mp4", 100, 50, 1.0)
+
+
+def test_real_decoder_degrades_on_dirty_rows(spark):
+    schema = (
+        "item_id long, payload binary, "
+        "meta struct<media_type:string,format:string,width:int,height:int,"
+        "n_channels:int,sample_rate:int,duration_s:double>"
+    )
+    meta = (None, None, None, None, None, None)
+    df = spark.createDataFrame(
+        [
+            (1, None, ("image",) + meta),       # null payload on an image row
+            (2, b"not an image", ("image",) + meta),  # unrecognized bytes
+            (3, b"abc", ("imgae",) + meta),     # unknown modality (typo)
+        ],
+        schema,
+    )
+    rows = {
+        r["item_id"]: r
+        for r in extract_features(df, dim=4, decoder="real").collect()
+    }
+    # every dirty row yields the zero sentinel vector, not a crash and
+    # not a silently-fake feature
+    for i in (1, 2, 3):
+        assert rows[i]["feature"] == [0.0, 0.0, 0.0, 0.0]

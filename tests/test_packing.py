@@ -60,3 +60,17 @@ def test_interpolate_linear_interior_and_edges(spark):
     assert got[("p", 0.0)] == 10.0 and got[("p", 4.0)] == 50.0  # knowns kept
     assert got[("p", 5.0)] is None and got[("q", 0.0)] is None
     assert got[("q", 1.0)] == 7.0
+
+
+def test_pack_stats_honors_token_col(spark):
+    from mission_data_pipeline_spark.operators.packing import (
+        pack_stats,
+        pack_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 300)], "doc_id long, tok long"
+    )
+    packed = pack_token_budget(df, 500, token_col="tok")
+    stats = {r["pack_id"]: r for r in pack_stats(packed, token_col="tok").collect()}
+    assert stats[0]["total_tokens"] == 600 and stats[1]["total_tokens"] == 300
