@@ -114,3 +114,106 @@ def bm25_scores(
             F.round(F.sum("__c").cast("double"), 6).alias("bm25"),
         )
     )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    *,
+    ngram_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Returns ``(doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_ngram_frac)``:
+
+    - ``dup_line_frac``: fraction of (trimmed, non-empty) lines that are
+      repeats of an earlier identical line — the "duplicate line
+      fraction" filter from the Gopher/MassiveText quality rules;
+    - ``dup_line_char_frac``: same, weighted by line length in chars;
+    - ``top_ngram_frac``: occurrences of the most frequent word
+      ``ngram_n``-gram over total n-gram occurrences (the "top n-gram
+      fraction" rule).
+
+    High values on any signal mark boilerplate/spam for corpus
+    filtering. Scale shape: two explode → groupBy pipelines (lines and
+    n-grams), both partially aggregated map-side, shuffling only
+    ``(doc_id, line/gram)`` tuples — the same cost envelope as token
+    statistics; no Python, no windows, no driver state.
+    """
+    lines = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.length("line") > 0)
+    )
+    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("cnt"))
+    chars = F.col("cnt") * F.length("line")
+    line_stats = per_line.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        (F.sum(F.col("cnt") - 1).cast("double") / F.sum("cnt"))
+        .alias("dup_line_frac"),
+        (
+            F.sum((F.col("cnt") - 1) * F.length("line")).cast("double")
+            / F.sum(chars)
+        ).alias("dup_line_char_frac"),
+    )
+    from mission_data_pipeline_spark.operators.dedup import word_ngrams
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, ngram_n)).alias("gram"),
+    ).filter(F.length("gram") > 0)
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    gram_stats = per_gram.groupBy("doc_id").agg(
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_ngram_frac")
+    )
+    return line_stats.join(gram_stats, "doc_id", "left")
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents that share any word ``n``-gram with a
+    benchmark/eval set — the standard pre-training decontamination pass
+    (13-gram overlap is the published GPT-3/PaLM convention).
+
+    Returns ``docs`` plus ``n_contaminated_grams`` (count of distinct
+    doc n-grams present in the benchmark set) and ``is_contaminated``.
+
+    Scale shape: the benchmark gram set is tiny next to a 100 TB corpus
+    — it is deduplicated and **broadcast**, so the corpus-side gram
+    table joins map-side and never shuffles; per-doc hit counts then
+    aggregate on ``doc_id`` (one shuffle of the *hits only*). The
+    corpus gram explode prunes to (id, gram) before the join.
+    """
+    from mission_data_pipeline_spark.operators.dedup import shingles, word_ngrams
+
+    doc_grams = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(bench_text_col, n)).alias("gram"))
+        .filter(F.length("gram") > 0)
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+        .withColumnRenamed("doc_id", "__hit_id")
+    )
+    out = docs.join(
+        hits, F.col(id_col) == F.col("__hit_id"), "left"
+    ).drop("__hit_id")
+    n_hits = F.coalesce(F.col("n_contaminated_grams"), F.lit(0)).cast("long")
+    return out.withColumn("n_contaminated_grams", n_hits).withColumn(
+        "is_contaminated", n_hits > 0
+    )

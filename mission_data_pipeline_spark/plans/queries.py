@@ -1716,6 +1716,147 @@ _q(
 )
 
 
+def _repetition_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators/text.py
+    repetition_signals). The documents table is single-line, so the
+    query splits sentences onto lines first — both dialects apply the
+    identical transform, then the identical dup-line / top-bigram
+    math."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.text import repetition_signals
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").withColumn(
+        "text", F.regexp_replace("text", r"\. ", ".\n")
+    )
+    rep = repetition_signals(docs, ngram_n=2)
+    return rep.select(
+        "doc_id",
+        "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_ngram_frac", 6).alias("top_ngram_frac"),
+    ).orderBy("doc_id")
+
+
+_q(
+    "x4_repetition_signals",
+    Query(
+        _repetition_spark,
+        r"""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_replace(text, '\. ', '.' || chr(10), 'g') AS text
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, trim(l) AS line
+          FROM d, UNNEST(string_split(text, chr(10))) AS u(l)
+          WHERE length(trim(l)) > 0
+        ),
+        per_line AS (
+          SELECT doc_id, line, COUNT(*) AS cnt FROM lines GROUP BY 1, 2
+        ),
+        line_stats AS (
+          SELECT doc_id,
+                 CAST(SUM(cnt) AS BIGINT) AS n_lines,
+                 ROUND(CAST(SUM(cnt - 1) AS DOUBLE)
+                       / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_line_frac,
+                 ROUND(CAST(SUM((cnt - 1) * length(line)) AS DOUBLE)
+                       / CAST(SUM(cnt * length(line)) AS DOUBLE), 6)
+                   AS dup_line_char_frac
+          FROM per_line GROUP BY doc_id
+        ),
+        toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM d
+        ),
+        grams AS (
+          SELECT doc_id, gram FROM (
+            SELECT doc_id, array_to_string(t[j:j+1], ' ') AS gram
+            FROM toks, UNNEST(range(1, greatest(len(t) - 2, 0) + 2)) AS u(j)
+          ) WHERE length(gram) > 0
+        ),
+        per_gram AS (
+          SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2
+        ),
+        gram_stats AS (
+          SELECT doc_id,
+                 ROUND(CAST(MAX(cnt) AS DOUBLE)
+                       / CAST(SUM(cnt) AS DOUBLE), 6) AS top_ngram_frac
+          FROM per_gram GROUP BY doc_id
+        )
+        SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+               g.top_ngram_frac
+        FROM line_stats l LEFT JOIN gram_stats g ON l.doc_id = g.doc_id
+        ORDER BY l.doc_id
+        """,
+        "X4",
+        "Gopher/MassiveText repetition quality signals: duplicate-line "
+        "fraction (count and char weighted) + top word-bigram fraction, "
+        "two explode->groupBy pipelines with map-side partial aggregation",
+    ),
+)
+
+
+def _decontaminate_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/text.py decontaminate):
+    docs with doc_id % 20 == 0 act as the held-out eval set; the rest of
+    the corpus is flagged on any shared word 8-gram (13 is the published
+    convention; 8 keeps hits non-trivial at the synthetic doc length)."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.text import decontaminate
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    out = decontaminate(corpus, bench, n=8)
+    return out.select(
+        "doc_id", "n_contaminated_grams", "is_contaminated"
+    ).orderBy("doc_id")
+
+
+_q(
+    "curation_decontaminate",
+    Query(
+        _decontaminate_spark,
+        r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, array_to_string(t[j:j+7], ' ') AS gram
+            FROM toks, UNNEST(range(1, greatest(len(t) - 8, 0) + 2)) AS u(j)
+          ) WHERE length(gram) > 0
+        ),
+        bench AS (
+          SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0
+        ),
+        hits AS (
+          SELECT g.doc_id, COUNT(*) AS n
+          FROM grams g JOIN bench b ON g.gram = b.gram
+          WHERE g.doc_id % 20 != 0
+          GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+               COALESCE(h.n, 0) > 0 AS is_contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % 20 != 0
+        ORDER BY d.doc_id
+        """,
+        "X-curation",
+        "train/eval decontamination: flag corpus docs sharing any word "
+        "8-gram with a benchmark set; benchmark grams dedup + broadcast "
+        "so the corpus-side gram table never shuffles before the join",
+    ),
+)
+
+
 def _bm25_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance of every document against a fixed term bag
     via operators/text.py bm25_scores; the oracle reproduces the same

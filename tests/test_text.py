@@ -57,3 +57,44 @@ def test_scrub_text_redacts_pii(spark):
     # expression-only, no shuffle
     plan = scrub_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_repetition_signals_dup_lines_and_top_bigram(spark):
+    from mission_data_pipeline_spark.operators.text import repetition_signals
+
+    text = "spam spam spam spam\nunique line here\nspam spam spam spam\n\n  \n"
+    df = spark.createDataFrame([(1, text), (2, "no repeats at all")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    r1 = rows[1]
+    # 3 non-empty lines, one a duplicate of an earlier identical line
+    assert r1["n_lines"] == 3
+    assert abs(r1["dup_line_frac"] - 1 / 3) < 1e-12
+    # duplicated chars = 19 of 19+16+19
+    assert abs(r1["dup_line_char_frac"] - 19 / 54) < 1e-12
+    # "spam spam" occurs 3x per spam line... bigrams across the full doc
+    assert r1["top_ngram_frac"] > 0.5
+    r2 = rows[2]
+    assert r2["dup_line_frac"] == 0.0 and r2["top_ngram_frac"] <= 0.5
+
+
+def test_decontaminate_flags_overlap(spark):
+    from mission_data_pipeline_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight ok")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog tonight ok suffix"),
+            (2, "completely different content with no benchmark overlap at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=8).collect()}
+    assert out[1]["is_contaminated"] and out[1]["n_contaminated_grams"] > 0
+    assert not out[2]["is_contaminated"] and out[2]["n_contaminated_grams"] == 0
+    # benchmark side must broadcast: the corpus gram table never shuffles
+    plan = decontaminate(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
