@@ -68,3 +68,56 @@ def stratified_sample(
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    *,
+    group_col: str,
+    key_cols: list[str],
+    weight_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Downsample groups to a target mixture (domain/language balancing).
+
+    ``targets`` maps group value -> desired share of the output (only
+    the ratios matter; they need not sum to 1). The operator finds the
+    largest output size that honors the mixture without oversampling
+    any group — ``T = min_g(m_g / w_g)`` where ``m_g`` is the group's
+    current mass (row count, or ``sum(weight_col)`` e.g. token counts)
+    — then keeps each group at rate ``w_g * T / m_g`` with the same
+    seeded-hash gate as :func:`hash_sample`. The binding (scarcest
+    relative to its target) group is kept whole. Groups absent from
+    ``targets`` are dropped.
+
+    Scale shape: one aggregation over ``group_col`` (tiny result), the
+    per-group rates broadcast back, and the gate is a map-side filter —
+    the corpus itself never shuffles.
+    """
+    if not targets:
+        raise ValueError("mixture_sample needs at least one target share")
+    if any(w <= 0 for w in targets.values()):
+        raise ValueError("target shares must all be > 0")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )
+    mass = (
+        F.count("*") if weight_col is None else F.sum(weight_col)
+    ).cast("double")
+    masses = (
+        df.groupBy(group_col)
+        .agg(mass.alias("__m"))
+        .withColumn("__w", mapping[F.col(group_col)].cast("double"))
+        .filter(F.col("__w").isNotNull())
+    )
+    tmax = masses.agg(F.min(F.col("__m") / F.col("__w")).alias("__T"))
+    rates = masses.crossJoin(F.broadcast(tmax)).select(
+        group_col,
+        (F.col("__w") * F.col("__T") / F.col("__m")).alias("__rate"),
+    )
+    gated = df.join(F.broadcast(rates), group_col)
+    # floor, not round: Spark's double->long cast truncates while DuckDB's
+    # rounds, so only an explicit floor keeps the oracle bit-identical
+    threshold = F.floor(F.col("__rate") * F.lit(float(1 << 32)))
+    return gated.filter(_seeded_hash(key_cols, seed) < threshold).drop("__rate")

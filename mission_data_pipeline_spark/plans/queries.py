@@ -1648,6 +1648,59 @@ _q(
 )
 
 
+def _mixture_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing (operators/sampling.py
+    mixture_sample): downsample to en 60 / de 15 / fr 15 / es 10 shares
+    (zh dropped), deterministic seeded-hash gate, corpus never
+    shuffles."""
+    from mission_data_pipeline_spark.operators.sampling import mixture_sample
+
+    register_views(spark, sf_dir)
+    out = mixture_sample(
+        spark.table("documents"),
+        {"en": 0.60, "de": 0.15, "fr": 0.15, "es": 0.10},
+        group_col="lang",
+        key_cols=["doc_id"],
+        seed=7,
+    )
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+_q(
+    "curation_mixture_sample",
+    Query(
+        _mixture_spark,
+        """
+        WITH masses AS (
+          SELECT lang, CAST(COUNT(*) AS DOUBLE) AS m FROM documents GROUP BY lang
+        ),
+        tw AS (
+          SELECT lang, m,
+                 CASE lang WHEN 'en' THEN CAST(0.60 AS DOUBLE)
+                           WHEN 'de' THEN CAST(0.15 AS DOUBLE)
+                           WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+                           WHEN 'es' THEN CAST(0.10 AS DOUBLE) END AS w
+          FROM masses
+        ),
+        tmax AS (SELECT MIN(m / w) AS T FROM tw WHERE w IS NOT NULL),
+        rates AS (
+          SELECT lang, w * T / m AS rate FROM tw, tmax WHERE w IS NOT NULL
+        )
+        SELECT d.lang, d.doc_id
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE CAST(('0x' || substr(md5('7|' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT)
+              < FLOOR(r.rate * 4294967296.0)
+        ORDER BY d.lang, d.doc_id
+        """,
+        "X-curation",
+        "domain/language mixture rebalancing: largest feasible output "
+        "honoring target shares (binding group kept whole), per-group "
+        "rates broadcast, map-side seeded-hash gate — no corpus shuffle",
+    ),
+)
+
+
 def _scrub_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub round-trip: synthetic emails/URLs/card numbers appended
     in-plan, redacted by operators/text.py scrub_text, digests compared

@@ -75,3 +75,61 @@ def test_forward_fill_holds_last_value(spark):
     assert got[("p", 2)] == 10.0 and got[("p", 3)] == 10.0
     assert got[("p", 5)] == 40.0
     assert got[("q", 1)] is None and got[("q", 2)] == 7.0
+
+
+def test_mixture_sample_shares_and_binding_group(spark):
+    from mission_data_pipeline_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = mixture_sample(
+        df, {"big": 0.5, "small": 0.5}, group_col="grp", key_cols=["id"]
+    )
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    # small (200 rows) binds at 50% share: kept whole; big downsampled ~200
+    assert counts["small"] == 200
+    assert 150 <= counts["big"] <= 250  # binomial around 200
+    # deterministic: same call -> same rows
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in mixture_sample(
+        df, {"big": 0.5, "small": 0.5}, group_col="grp", key_cols=["id"]
+    ).collect())
+    assert a == b
+
+
+def test_mixture_sample_drops_untargeted_and_validates(spark):
+    import pytest
+
+    from mission_data_pipeline_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "zz")], "id long, grp string"
+    )
+    out = mixture_sample(df, {"en": 1.0, "de": 1.0}, group_col="grp", key_cols=["id"])
+    assert {r["grp"] for r in out.collect()} <= {"en", "de"}
+    with pytest.raises(ValueError):
+        mixture_sample(df, {}, group_col="grp", key_cols=["id"])
+    with pytest.raises(ValueError):
+        mixture_sample(df, {"en": 0.0}, group_col="grp", key_cols=["id"])
+
+
+def test_mixture_sample_weighted_mass(spark):
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.sampling import mixture_sample
+
+    # weight by tokens: group a has 10 rows x 100 tokens, b has 100 x 10
+    rows = [(i, "a", 100) for i in range(10)] + [
+        (100 + i, "b", 10) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, toks long")
+    out = mixture_sample(
+        df, {"a": 0.5, "b": 0.5}, group_col="grp",
+        key_cols=["id"], weight_col="toks",
+    )
+    m = {r["grp"]: r["t"] for r in out.groupBy("grp").agg(
+        F.sum("toks").alias("t")).collect()}
+    # equal token masses (1000 each): both groups kept whole
+    assert m["a"] == 1000 and m["b"] == 1000
