@@ -397,3 +397,34 @@ def quantize_embeddings(
         F.col("__scale").alias("scale"),
         q.alias("qvec"),
     )
+
+
+def ann_recall(
+    approx: DataFrame, exact: DataFrame, *, k: int = 10
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one.
+
+    Both inputs are ``(query_id, neighbor_id, ..., rank)`` frames (the
+    shared output shape of :func:`cosine_topk` / :func:`lsh_topk` /
+    :func:`ivf_topk`). Returns ``(query_id, n_exact, n_hit, recall)``
+    per query — the standard ANN quality gauge for tuning
+    ``bits``/``tables``/``n_probe`` against a ground-truth sample.
+
+    Scale shape: ground truth is computed on a *sample* of queries
+    (exact top-k is the expensive part), so both inputs are small;
+    the joins are on (query_id, neighbor_id) pairs — k rows per query.
+    """
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = a.join(e, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hit")
+    )
+    denom = e.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return denom.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        (
+            F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_exact")
+        ).alias("recall"),
+    )

@@ -213,3 +213,27 @@ def test_lsh_topk_explicit_dim_no_probe_job(vectors):
     assert sorted(map(tuple, inferred.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+def test_ann_recall_measures_quality(vectors):
+    from mission_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+    from pyspark.sql import functions as F
+
+    q = vectors.filter("vec_id < 5")
+    exact = cosine_topk(vectors, q, k=5)
+    # exact vs itself: perfect recall on every query
+    self_r = ann_recall(exact, exact, k=5)
+    assert all(r["recall"] == 1.0 for r in self_r.collect())
+    # approximate paths: recall floor on this fixture (10 angle groups,
+    # near-identical vectors exist for every query)
+    lsh = lsh_topk(vectors, q, k=5, bits=4, tables=4, dim=3)
+    ivf = ivf_topk(vectors, q, k=5, n_centroids=8, n_probe=4)
+    lsh_mean = ann_recall(lsh, exact, k=5).agg(F.avg("recall")).collect()[0][0]
+    ivf_mean = ann_recall(ivf, exact, k=5).agg(F.avg("recall")).collect()[0][0]
+    assert lsh_mean >= 0.5, lsh_mean
+    assert ivf_mean >= 0.5, ivf_mean
