@@ -20,12 +20,14 @@ from mission_data_pipeline_spark.streaming.stateful import (
 )
 from mission_data_pipeline_spark.streaming.windows import (
     dedup_late_samples,
+    dedup_stream_content,
     windowed_stats,
 )
 
 __all__ = [
     "StreamingPipeline",
     "dedup_late_samples",
+    "dedup_stream_content",
     "seq_gaps",
     "seq_gaps_batch",
     "seq_gaps_stream",

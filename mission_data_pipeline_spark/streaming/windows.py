@@ -76,3 +76,31 @@ def windowed_stats(
             "max_eng",
         )
     )
+
+
+def dedup_stream_content(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    time_col: str = "event_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup by content hash with BOUNDED state (X1 x W4).
+
+    Keys on ``xxhash64(text)`` and uses
+    ``dropDuplicatesWithinWatermark``: two copies of a document arriving
+    within ``watermark`` of each other dedup, and a key's state is
+    evicted once the watermark passes it — unlike plain
+    ``dropDuplicates``, whose state grows with every distinct document
+    ever seen (unbounded on a 100 TB firehose). Batch callers get plain
+    first-wins hash dedup from the same call (watermark is meaningless
+    there), which is how the parity test checks it.
+    """
+    df = stream.withColumn("__h", F.xxhash64(F.col(text_col)))
+    if df.isStreaming:
+        out = df.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+            ["__h"]
+        )
+    else:
+        out = df.dropDuplicates(["__h"])
+    return out.drop("__h")

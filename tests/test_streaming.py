@@ -179,3 +179,44 @@ def test_seq_gaps_stream_state_across_batches(spark, tmp_path):
     assert len(got) == 1
     r = got[0]
     assert (r["prev_seq"], r["seq_count"], r["missing"]) == (4, 9, 4)
+
+
+def test_dedup_stream_content_bounded_state(spark, tmp_path):
+    """Streaming exact content dedup via dropDuplicatesWithinWatermark:
+    duplicates across micro-batches (within the watermark) collapse to
+    one row, and the batch path gives first-wins hash-dedup parity."""
+    import json
+
+    from mission_data_pipeline_spark.streaming import dedup_stream_content
+
+    root = tmp_path / "docs"
+    root.mkdir()
+    texts = ["alpha doc", "beta doc", "alpha doc", "gamma doc", "beta doc"]
+    for i, t in enumerate(texts):
+        (root / f"f{i}.json").write_text(
+            json.dumps({"doc_id": i, "ts": f"2026-01-01 00:00:{i:02d}", "text": t})
+            + "\n"
+        )
+    schema = "doc_id long, ts string, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)  # force multiple micro-batches
+        .json(str(root))
+        .withColumn("event_time", __import__("pyspark.sql.functions", fromlist=["col"]).col("ts").cast("timestamp"))
+    )
+    out = dedup_stream_content(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_content_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT text FROM dedup_content_sink").collect()
+    assert sorted(r["text"] for r in rows) == ["alpha doc", "beta doc", "gamma doc"]
+    # batch parity: same call on a static frame
+    static = spark.read.schema(schema).json(str(root)).withColumn(
+        "event_time", __import__("pyspark.sql.functions", fromlist=["col"]).col("ts").cast("timestamp")
+    )
+    got = sorted(r["text"] for r in dedup_stream_content(static).collect())
+    assert got == ["alpha doc", "beta doc", "gamma doc"]
