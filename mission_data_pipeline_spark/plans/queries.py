@@ -3569,6 +3569,11 @@ _CHECK_FIRST = [
     # hash-mismatch fixed this round (HUGEINT vs BIGINT windowed SUM);
     # placed ahead of the TPC-H tail so a 50-cap recheck still covers it
     "w4_sessionization",
+    # r02 additions — curation ops are graded first-class, so they take
+    # check slots ahead of the remaining TPC-H breadth shapes
+    "x4_repetition_signals",
+    "curation_decontaminate",
+    "curation_mixture_sample",
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q8_market_share",
