@@ -217,3 +217,52 @@ def decontaminate(
     return out.withColumn("n_contaminated_grams", n_hits).withColumn(
         "is_contaminated", n_hits > 0
     )
+
+
+def c4_signals(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_terminal_frac: float = 0.5,
+) -> DataFrame:
+    """C4-style document quality gates (Raffel et al. 2020 cleaning rules).
+
+    Per document: ``n_words``, ``frac_lines_terminal_punct`` (lines
+    ending in ``. ! ? "``), ``has_curly_brace`` (code/markup tell),
+    ``has_lorem_ipsum``, and the composite ``keep`` verdict. All
+    higher-order array expressions over the split text — zero shuffles,
+    rides the scan like any projection; at 100 TB this is a pure
+    map-side filter in front of the expensive dedup/scoring stages.
+    """
+    text = F.col(text_col)
+    words = F.filter(
+        F.split(F.lower(text), r"\s+"), lambda x: F.length(x) > 0
+    )
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    term = F.filter(lines, lambda x: x.rlike('[.!?"]$'))
+    n_words = F.size(words).cast("long")
+    frac_term = F.when(
+        F.size(lines) > 0,
+        F.size(term).cast("double") / F.size(lines).cast("double"),
+    ).otherwise(F.lit(0.0))
+    has_brace = text.contains("{") | text.contains("}")
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    keep = (
+        (n_words >= min_words)
+        & (frac_term >= min_terminal_frac)
+        & ~has_brace
+        & ~has_lorem
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        frac_term.alias("frac_lines_terminal_punct"),
+        has_brace.alias("has_curly_brace"),
+        has_lorem.alias("has_lorem_ipsum"),
+        keep.alias("keep"),
+    )

@@ -1852,6 +1852,74 @@ _q(
 )
 
 
+def _c4_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning-rule verdicts (operators/text.py c4_signals) — the
+    documents table is single-line, so line semantics come from the
+    same sentence→line transform as x4_repetition_signals."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.text import c4_signals
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").withColumn(
+        "text", F.regexp_replace("text", r"\. ", ".\n")
+    )
+    out = c4_signals(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("frac_lines_terminal_punct", 6).alias("frac_term"),
+        "has_curly_brace",
+        "has_lorem_ipsum",
+        "keep",
+    ).orderBy("doc_id")
+
+
+_q(
+    "curation_c4_signals",
+    Query(
+        _c4_spark,
+        r"""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_replace(text, '\. ', '.' || chr(10), 'g') AS text
+          FROM documents
+        ),
+        sig AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> length(x) > 0)) AS BIGINT) AS n_words,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            x -> trim(x)),
+                             x -> length(x) > 0) AS lines,
+                 (text LIKE '%{%' OR text LIKE '%}%') AS has_curly_brace,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum
+          FROM d
+        )
+        SELECT doc_id, n_words,
+               ROUND(CASE WHEN len(lines) > 0
+                 THEN CAST(len(list_filter(lines,
+                        x -> regexp_matches(x, '[.!?"]$'))) AS DOUBLE)
+                      / CAST(len(lines) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS frac_term,
+               has_curly_brace, has_lorem_ipsum,
+               (n_words >= 5
+                AND CASE WHEN len(lines) > 0
+                  THEN CAST(len(list_filter(lines,
+                         x -> regexp_matches(x, '[.!?"]$'))) AS DOUBLE)
+                       / CAST(len(lines) AS DOUBLE)
+                  ELSE 0.0 END >= CAST(0.5 AS DOUBLE)
+                AND NOT has_curly_brace AND NOT has_lorem_ipsum) AS keep
+        FROM sig ORDER BY doc_id
+        """,
+        "X-curation",
+        "C4 cleaning-rule verdicts (word count, terminal-punctuation "
+        "line fraction, brace/lorem-ipsum tells, composite keep) as "
+        "zero-shuffle higher-order array expressions riding the scan",
+    ),
+)
+
+
 def _decontaminate_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/text.py decontaminate):
     docs with doc_id % 20 == 0 act as the held-out eval set; the rest of
@@ -3574,6 +3642,7 @@ _CHECK_FIRST = [
     "x4_repetition_signals",
     "curation_decontaminate",
     "curation_mixture_sample",
+    "curation_c4_signals",
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q8_market_share",

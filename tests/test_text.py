@@ -98,3 +98,25 @@ def test_decontaminate_flags_overlap(spark):
     # benchmark side must broadcast: the corpus gram table never shuffles
     plan = decontaminate(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_c4_signals_gates(spark):
+    from mission_data_pipeline_spark.operators.text import c4_signals
+
+    rows = [
+        (1, "This is a good clean sentence.\nAnd another proper one!"),
+        (2, "code { margin: 0; }"),            # brace tell
+        (3, "Lorem ipsum dolor sit amet etc."),  # boilerplate tell
+        (4, "short"),                           # under min_words
+        (5, "no terminal punctuation on this line\nnor on this one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_signals(df).collect()}
+    assert out[1]["keep"] and out[1]["frac_lines_terminal_punct"] == 1.0
+    assert not out[2]["keep"] and out[2]["has_curly_brace"]
+    assert not out[3]["keep"] and out[3]["has_lorem_ipsum"]
+    assert not out[4]["keep"] and out[4]["n_words"] == 1
+    assert not out[5]["keep"] and out[5]["frac_lines_terminal_punct"] == 0.0
+    # zero-shuffle: pure projection, no Exchange in the plan
+    plan = c4_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
