@@ -266,3 +266,23 @@ def c4_signals(
         has_lorem.alias("has_lorem_ipsum"),
         keep.alias("keep"),
     )
+
+
+#: GPT-2-style pre-tokenizer split pattern, constrained to the Java∩RE2
+#: regex subset (the published pattern's trailing-space lookahead is
+#: dropped — RE2 has no lookahead): contractions, space-prefixed
+#: letter/digit/punctuation runs, residual whitespace runs.
+BPE_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(col: "F.Column | str") -> "F.Column":
+    """Token count under the GPT-2-ish pre-tokenizer split — the standard
+    'how many tokens will this cost' estimator when the real BPE vocab
+    isn't in the pipeline. Pure JVM regex expression, zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0))).cast(
+        "long"
+    )

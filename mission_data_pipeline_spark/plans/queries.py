@@ -1852,6 +1852,58 @@ _q(
 )
 
 
+def _bpe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (operators/text.py bpe_token_count):
+    GPT-2-style pre-tokenizer splits in the Java∩RE2 regex subset, so
+    both engines run the identical pattern."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.text import bpe_token_count
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    per_doc = docs.select(
+        "doc_id", "lang", bpe_token_count("text").alias("n_bpe")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+            F.round(F.sum("n_bpe").cast("double") / F.count("*"), 6).alias(
+                "avg_bpe_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_q(
+    "x4_token_count_bpe",
+    Query(
+        _bpe_spark,
+        r"""
+        WITH per_doc AS (
+          SELECT doc_id, lang,
+                 len(regexp_extract_all(text,
+                   '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+                 )) AS n_bpe
+          FROM documents
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+               ROUND(CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*), 6) AS avg_bpe_tokens
+        FROM per_doc GROUP BY lang ORDER BY lang
+        """,
+        "X4",
+        "GPT-2-style BPE pre-tokenizer token counting ('how many tokens "
+        "will this cost') as one JVM regex expression; pattern kept in "
+        "the Java-RE2 common subset (no lookahead) so the oracle runs "
+        "the identical string",
+    ),
+)
+
+
 def _c4_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning-rule verdicts (operators/text.py c4_signals) — the
     documents table is single-line, so line semantics come from the
@@ -3643,6 +3695,7 @@ _CHECK_FIRST = [
     "curation_decontaminate",
     "curation_mixture_sample",
     "curation_c4_signals",
+    "x4_token_count_bpe",
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q8_market_share",

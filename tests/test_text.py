@@ -120,3 +120,18 @@ def test_c4_signals_gates(spark):
     # zero-shuffle: pure projection, no Exchange in the plan
     plan = c4_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bpe_token_count_expression(spark):
+    from mission_data_pipeline_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "It's fine."), (2, ""), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", bpe_token_count("text").alias("n")).collect()}
+    # "It" + "'s" + " fine" + "." = 4; empty = 0; "hello" + " world" = 2
+    assert out == {1: 4, 2: 0, 3: 2}
+    plan = df.select(bpe_token_count("text"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
