@@ -286,3 +286,58 @@ def bpe_token_count(col: "F.Column | str") -> "F.Column":
     return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0))).cast(
         "long"
     )
+
+
+def tfidf_sparse(
+    docs: DataFrame,
+    *,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Hashed TF-IDF document vectors in sparse form: ``(doc_id, bucket,
+    weight)`` — the text→vector bridge into the ANN/similarity path
+    without an external embedding model (HashingTF+IDF restated as pure
+    aggregation).
+
+    ``bucket = seeded_md5(term) % dim`` (hashing trick; md5 rather than
+    ``xxhash64`` so the DuckDB oracle can reproduce the bucketing),
+    ``idf = ln((N+1)/(df+1)) + 1`` (smoothed, sklearn convention).
+    Sparse rows are the honest 100 TB shape — densifying to
+    ``array<double>(dim)`` is one ``transform(sequence(...))`` away for
+    :func:`~mission_data_pipeline_spark.operators.similarity.cosine_topk`.
+
+    Shuffles: token explode → (doc, term) tf groupBy, a broadcast df
+    join, and the final (doc, bucket) collision sum — all partially
+    aggregated map-side. Bucket-collision addition order is made
+    deterministic by the round-to-9/DECIMAL sum pattern (same as BM25).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("term"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(dim),
+    )
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    w = F.round(F.col("tf").cast("double") * idf, 9).cast("decimal(20,9)")
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(broadcast(n_docs))
+        .withColumn("bucket", bucket)
+        .groupBy("doc_id", "bucket")
+        .agg(F.round(F.sum(w).cast("double"), 6).alias("weight"))
+    )

@@ -1852,6 +1852,65 @@ _q(
 )
 
 
+def _tfidf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed TF-IDF sparse vectors (operators/text.py tfidf_sparse):
+    md5 hashing-trick buckets so the oracle reproduces the bucketing;
+    bucket-collision sums use the round-9/DECIMAL determinism pattern."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.text import tfidf_sparse
+
+    register_views(spark, sf_dir)
+    out = tfidf_sparse(
+        spark.table("documents").filter(F.col("doc_id") < 100), dim=64
+    )
+    return out.orderBy("doc_id", "bucket")
+
+
+_q(
+    "x4_tfidf_sparse",
+    Query(
+        _tfidf_spark,
+        r"""
+        WITH toks AS (
+          SELECT doc_id, t AS term
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+                FROM documents WHERE doc_id < 100),
+               UNNEST(ts) AS u(t)
+          WHERE length(t) > 0
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ),
+        nd AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+          WHERE doc_id < 100
+        ),
+        dfreq AS (
+          SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+          FROM tf GROUP BY term
+        )
+        SELECT tf.doc_id,
+               CAST(('0x' || substr(md5('0|' || tf.term), 1, 12)) AS BIGINT)
+                 % 64 AS bucket,
+               ROUND(CAST(SUM(CAST(ROUND(
+                 CAST(tf.tf AS DOUBLE)
+                 * (ln((n_docs + CAST(1.0 AS DOUBLE))
+                       / (df + CAST(1.0 AS DOUBLE))) + CAST(1.0 AS DOUBLE)),
+                 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS weight
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+        GROUP BY tf.doc_id, bucket
+        ORDER BY doc_id, bucket
+        """,
+        "X4",
+        "hashed TF-IDF document vectors (HashingTF+IDF restated as pure "
+        "aggregation) in sparse (doc, bucket, weight) form — the "
+        "text-to-vector bridge into the ANN path; md5 hashing-trick "
+        "buckets, smoothed idf, DECIMAL-sum collision determinism",
+    ),
+)
+
+
 def _bpe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting (operators/text.py bpe_token_count):
     GPT-2-style pre-tokenizer splits in the Java∩RE2 regex subset, so
@@ -3696,6 +3755,7 @@ _CHECK_FIRST = [
     "curation_mixture_sample",
     "curation_c4_signals",
     "x4_token_count_bpe",
+    "x4_tfidf_sparse",
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q8_market_share",

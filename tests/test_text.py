@@ -135,3 +135,47 @@ def test_bpe_token_count_expression(spark):
     assert out == {1: 4, 2: 0, 3: 2}
     plan = df.select(bpe_token_count("text"))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_tfidf_sparse_bridges_to_ann(spark):
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import cosine_topk
+    from mission_data_pipeline_spark.operators.text import tfidf_sparse
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine for telemetry processing"),
+            (2, "spark engine for telemetry processing"),  # exact dup of 1
+            (3, "completely unrelated cooking recipe with butter and salt"),
+        ],
+        "doc_id long, text string",
+    )
+    sparse = tfidf_sparse(docs, dim=32)
+    rows = sparse.collect()
+    assert all(0 <= r["bucket"] < 32 for r in rows)
+    # identical docs -> identical sparse vectors
+    v1 = {(r["bucket"], r["weight"]) for r in rows if r["doc_id"] == 1}
+    v2 = {(r["bucket"], r["weight"]) for r in rows if r["doc_id"] == 2}
+    assert v1 == v2 and len(v1) > 0
+    # densify and run exact cosine top-k: doc 1's nearest is its dup
+    dense = (
+        sparse.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "weight"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i.cast("long")), F.lit(0.0)
+                ),
+            ).alias("embedding"),
+        )
+    )
+    top = cosine_topk(dense, dense.filter("doc_id = 1"), k=1, id_col="doc_id")
+    r = top.collect()[0]
+    assert r["neighbor_id"] == 2 and abs(r["cosine"] - 1.0) < 1e-9
