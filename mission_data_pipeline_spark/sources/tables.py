@@ -1,9 +1,11 @@
 """Loaders for the driver-provided relational test tables (TESTDATA.md).
 
-``events.ts`` arrives as TIMESTAMP(NANOS) parquet, which Spark cannot
-represent; with ``spark.sql.legacy.parquet.nanosAsLong`` the column reads
-as epoch-nanosecond longs, and we expose both the raw long (``ts_ns``)
-and a truncated-to-microsecond ``ts`` timestamp column.
+``events.ts`` has shipped in two flavors across driver rounds:
+TIMESTAMP(NANOS) parquet (which Spark reads as epoch-nanosecond longs
+under ``spark.sql.legacy.parquet.nanosAsLong``) and plain TIMESTAMP
+(micros). Either way we normalize to BOTH a raw epoch-nanosecond long
+(``ts_ns``) and a microsecond ``ts`` timestamp, so every downstream
+query can rely on the same pair of columns.
 """
 
 from __future__ import annotations
@@ -27,11 +29,22 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+                "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+            )
+        elif ts_type is not None:
+            # Plain TIMESTAMP/TIMESTAMP_NTZ parquet. The session timezone is
+            # pinned to UTC (session.py), so NTZ -> TIMESTAMP is a pure
+            # relabel and unix_micros() recovers the raw microsecond value
+            # DuckDB's epoch_us(ts) sees on the same file.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            if "ts_ns" not in df.columns:
+                df = df.withColumn(
+                    "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+                )
     return df
 
 
