@@ -308,9 +308,11 @@ def tfidf_sparse(
     ``array<double>(dim)`` is one ``transform(sequence(...))`` away for
     :func:`~mission_data_pipeline_spark.operators.similarity.cosine_topk`.
 
-    Shuffles: token explode → (doc, term) tf groupBy, a broadcast df
-    join, and the final (doc, bucket) collision sum — all partially
-    aggregated map-side. Bucket-collision addition order is made
+    Shuffles: token explode → (doc, term) tf groupBy, an unbroadcast
+    term-keyed ``dfreq`` join (the vocabulary can exceed any broadcast
+    threshold at corpus scale, so it shuffles on ``term`` — a key the
+    ``tf`` side already hashes on), and the final (doc, bucket)
+    collision sum — all partially aggregated map-side. Bucket-collision addition order is made
     deterministic by the round-to-9/DECIMAL sum pattern (same as BM25).
     """
     toks = docs.select(
@@ -340,4 +342,52 @@ def tfidf_sparse(
         .withColumn("bucket", bucket)
         .groupBy("doc_id", "bucket")
         .agg(F.round(F.sum(w).cast("double"), 6).alias("weight"))
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-unigram language-model score per document: mean
+    ``-ln p(token)`` under the corpus's own unigram distribution — the
+    cheap, model-free stand-in for CCNet's KenLM perplexity filter
+    (documents full of rare/garbled tokens score high; boilerplate full
+    of common tokens scores low). Returns ``(doc_id, n_tokens,
+    neg_logprob)``.
+
+    Scale shape: one explode → (doc, term) tf groupBy (map-side partial
+    agg), a term-keyed join against the corpus term-frequency table (the
+    tf side already hashes on ``term``, and the frequency table is
+    vocabulary-sized — unbroadcast by design, same as tfidf_sparse), and
+    the corpus total carried on a broadcast one-row frame. Per-term
+    contributions are rounded to 9 decimals and summed as DECIMAL(20,9)
+    (the BM25 determinism pattern) so the SQL oracle matches exactly.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    freq = tf.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
+    total = freq.agg(F.sum("cf").alias("ctot"))
+    contrib = -F.log(F.col("cf") / F.col("ctot")) * F.col("tf").cast("double")
+    return (
+        tf.join(freq, "term")
+        .crossJoin(broadcast(total))
+        .withColumn("__c", F.round(contrib, 9).cast("decimal(20,9)"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum("__c").alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("__s").cast("double") / F.col("n_tokens"), 6
+            ).alias("neg_logprob"),
+        )
     )

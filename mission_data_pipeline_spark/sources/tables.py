@@ -32,10 +32,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
+            # Integer division, not `/ 1000`: epoch-ns values (~1.7e18)
+            # exceed 2^53, so double division can be off by 1 µs.
             df = df.withColumnRenamed("ts", "ts_ns").withColumn(
-                "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
             )
-        elif ts_type is not None:
+        elif ts_type in ("timestamp", "timestamp_ntz"):
             # Plain TIMESTAMP/TIMESTAMP_NTZ parquet. The session timezone is
             # pinned to UTC (session.py), so NTZ -> TIMESTAMP is a pure
             # relabel and unix_micros() recovers the raw microsecond value
@@ -45,6 +47,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df = df.withColumn(
                     "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
                 )
+        elif ts_type is not None:
+            # A numeric/string ts here would silently decode as epoch
+            # seconds (off by 10^9) — fail loudly on schema drift.
+            raise TypeError(
+                f"events.ts has unexpected type {ts_type!r}; expected "
+                "bigint (epoch ns) or timestamp/timestamp_ntz"
+            )
     return df
 
 

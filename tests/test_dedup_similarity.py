@@ -237,3 +237,80 @@ def test_ann_recall_measures_quality(vectors):
     ivf_mean = ann_recall(ivf, exact, k=5).agg(F.avg("recall")).collect()[0][0]
     assert lsh_mean >= 0.5, lsh_mean
     assert ivf_mean >= 0.5, ivf_mean
+
+
+def _final_plan(df) -> str:
+    """Executed plan with AQE's '== Initial Plan ==' section stripped, so
+    node counts reflect the plan that actually ran."""
+    return (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    """Disable size-based auto-broadcast so only EXPLICIT broadcast()
+    hints survive — makes 'this join is broadcast by construction'
+    assertions meaningful rather than an artifact of tiny test data."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _smj_lines(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+
+
+def test_lsh_topk_corpus_never_shuffles(spark, no_auto_broadcast):
+    """Plan-shape guard for the docstring's scale claim: both corpus-side
+    joins (bucket join on (table, bucket); re-rank join on neighbor_id)
+    must be broadcast — the corpus is scanned map-side and never
+    shuffles. If someone drops a broadcast() hint, the join key shows up
+    in a SortMergeJoin line and this fails."""
+    import random
+
+    random.seed(7)
+    emb = spark.createDataFrame(
+        [(i, [random.random() for _ in range(8)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter("vec_id < 3")
+    out = lsh_topk(emb, q, k=3, bits=4, tables=2, dim=8)
+    out.collect()
+    plan = _final_plan(out)
+    assert plan.count("BroadcastHashJoin") == 2
+    for ln in _smj_lines(plan):
+        # the only sort-merge join allowed is candidate-pairs x query
+        # vectors (candidate-sized, keyed on query_id) — never a corpus key
+        assert "bucket" not in ln and "neighbor_id" not in ln, ln
+
+
+def test_ivf_topk_rerank_is_broadcast(spark, no_auto_broadcast):
+    """The corpus re-rank pass must stream map-side against a broadcast
+    candidate set (join on neighbor_id). Allowed shuffles: the per-id
+    assignment window, probes x assignment on centroid_id, and
+    candidate-sized joins — never the corpus on neighbor_id."""
+    import random
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        default_centroids,
+        ivf_topk,
+    )
+
+    random.seed(7)
+    emb = spark.createDataFrame(
+        [(i, [random.random() for _ in range(8)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter("vec_id < 3")
+    cents = default_centroids(emb, n_centroids=8, vec_col="embedding")
+    out = ivf_topk(emb, q, k=3, n_probe=2, centroids=cents, vec_col="embedding")
+    out.collect()
+    plan = _final_plan(out)
+    assert plan.count("BroadcastHashJoin") >= 1
+    for ln in _smj_lines(plan):
+        assert "neighbor_id" not in ln, ln

@@ -179,3 +179,67 @@ def test_tfidf_sparse_bridges_to_ann(spark):
     top = cosine_topk(dense, dense.filter("doc_id = 1"), k=1, id_col="doc_id")
     r = top.collect()[0]
     assert r["neighbor_id"] == 2 and abs(r["cosine"] - 1.0) < 1e-9
+
+
+def test_decontaminate_gram_join_is_broadcast(spark):
+    """Plan-shape guard for the scale claim: the benchmark gram set is
+    broadcast, so the corpus-side gram table joins map-side — if the
+    broadcast() hint is dropped, the gram key appears in a SortMergeJoin
+    line and this fails."""
+    from mission_data_pipeline_spark.operators.text import decontaminate
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        corpus = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(50)],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta iota")],
+            "bid long, text string",
+        )
+        out = decontaminate(corpus, bench, n=4)
+        assert out.filter("is_contaminated").count() == 50
+        plan = (
+            out._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "BroadcastHashJoin" in plan
+        for ln in plan.splitlines():
+            if "SortMergeJoin" in ln:
+                assert "gram" not in ln, ln
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    """A doc of corpus-rare tokens must out-score (higher -ln p) a doc of
+    corpus-common tokens; token accounting must match; all-identical
+    corpus scores 0."""
+    import math
+
+    from mission_data_pipeline_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common common common"),
+            (3, "rare singleton"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert got[1]["n_tokens"] == 4 and got[3]["n_tokens"] == 2
+    assert got[3]["neg_logprob"] > got[1]["neg_logprob"]
+    # exact check: p(common) = 8/10 -> -ln(0.8); p(rare)=p(singleton)=1/10
+    assert abs(got[1]["neg_logprob"] - round(-math.log(0.8), 6)) < 1e-6
+    assert abs(got[3]["neg_logprob"] - round(-math.log(0.1), 6)) < 1e-6
+
+    same = spark.createDataFrame(
+        [(1, "a a a"), (2, "a a")], "doc_id long, text string"
+    )
+    for r in unigram_logprob(same).collect():
+        assert r["neg_logprob"] == 0.0
