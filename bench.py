@@ -133,10 +133,17 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         q = QUERIES[name]
-        t0 = time.time()
-        df = q.spark(spark, sf_dir)
-        n = df.count()  # materialize the full plan
-        dt = time.time() - t0
+        # Best-of-2: this host has noisy neighbors (observed 0.5 s -> 9 s
+        # on the same query between back-to-back runs); the min of two
+        # executions measures the engine, not the co-tenant. The ETL
+        # slice below already does the same.
+        dts = []
+        for _ in range(2):
+            t0 = time.time()
+            df = q.spark(spark, sf_dir)
+            df.count()  # materialize the full plan
+            dts.append(time.time() - t0)
+        dt = min(dts)
         out["queries"][name] = round(dt, 3)
         total += dt
     bench_etl(spark, out)

@@ -72,3 +72,54 @@ def pack_stats(
         F.count("*").alias("n_docs"),
         F.sum(token_col).alias("total_tokens"),
     )
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    *,
+    size: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token training chunks with overlap —
+    the context-window chunking step that feeds tokenize/pack when
+    documents exceed the model's sequence length (stride =
+    ``size - overlap``; the final chunk keeps the tail and may be
+    short). Returns ``(doc_id, chunk_id, n_tokens, chunk_text)``.
+
+    Complementary to :func:`pack_token_budget`: packing combines short
+    documents up to a budget; chunking splits long ones down to it.
+
+    Scale shape: zero shuffle — tokenize, a per-document ``sequence()``
+    of chunk starts, one explode, and a ``slice`` per chunk, all
+    expression-only and riding the scan. Chunk count per doc is
+    ``ceil((n_tokens - overlap) / stride)``, data-derived, never
+    driver-side.
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(f"overlap must be in [0, size), got {overlap}")
+    stride = size - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+    )
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    starts = F.sequence(
+        F.lit(0), F.size("__toks") - 1, F.lit(stride)
+    )
+    d = d.select(
+        "doc_id",
+        "__toks",
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, size)
+    return d.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -1464,6 +1464,49 @@ _q(
 )
 
 
+def _chunk_tokens_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/packing.py chunk_tokens):
+    size=32, overlap=8 so the sf-test documents split into several
+    overlapping chunks each."""
+    from mission_data_pipeline_spark.operators.packing import chunk_tokens
+
+    register_views(spark, sf_dir)
+    out = chunk_tokens(spark.table("documents"), size=32, overlap=8)
+    return out.orderBy("doc_id", "chunk_id")
+
+
+_q(
+    "curation_chunk_tokens",
+    Query(
+        _chunk_tokens_spark,
+        r"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> length(x) > 0) AS toks
+          FROM documents
+        ),
+        nz AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        ch AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                 list_slice(toks, CAST(i AS INT) * 24 + 1,
+                            CAST(i AS INT) * 24 + 32) AS chunk
+          FROM nz, UNNEST(range(0, (n - 1) // 24 + 1)) AS u(i)
+        )
+        SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
+               array_to_string(chunk, ' ') AS chunk_text
+        FROM ch
+        ORDER BY doc_id, chunk_id
+        """,
+        "X-curation",
+        "fixed-token context-window chunking with overlap (stride = "
+        "size - overlap; tail kept) — splits long documents down to the "
+        "model sequence length, the complement of token-budget packing; "
+        "zero-shuffle expression-only explode",
+    ),
+)
+
+
 def _interp_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation of null gaps per user over event time
     (operators/dataset.py interpolate_linear); oracle recomputes the
@@ -3996,7 +4039,8 @@ _CHECK_FIRST = [
     "x5_multimodal_features",  # now decoder='real' with feature-value oracle
     "x4_unigram_logprob",
     "x4_top_terms",
-    # --- slots 21-50: regression rotation — green in r1 but unwatched
+    "curation_chunk_tokens",
+    # --- slots 22-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",
@@ -4027,9 +4071,9 @@ _CHECK_FIRST = [
     "q5_nation_revenue",
     "correlated_scalar_subquery",
     "d4_union_all",
-    "set_union_distinct",
     # --- past the 50 cap: remaining r1-only-green queries queue for the
     # round-4 rotation; the 50 r2-green queries follow via dict order ---
+    "set_union_distinct",
     "set_intersect",
     "set_except",
     "x1_distinct_dedup",

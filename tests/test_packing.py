@@ -74,3 +74,41 @@ def test_pack_stats_honors_token_col(spark):
     packed = pack_token_budget(df, 500, token_col="tok")
     stats = {r["pack_id"]: r for r in pack_stats(packed, token_col="tok").collect()}
     assert stats[0]["total_tokens"] == 600 and stats[1]["total_tokens"] == 300
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    from mission_data_pipeline_spark.operators.packing import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),  # shorter than one chunk
+            (3, "   "),  # whitespace only -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens(docs, size=4, overlap=2)  # stride 2
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: starts 0,2,4,6,8 -> 5 chunks; last is the 2-token tail
+    assert sorted(c for d, c in rows if d == 1) == [0, 1, 2, 3, 4]
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[(1, 1)]["chunk_text"] == "t2 t3 t4 t5"  # overlap of 2
+    assert rows[(1, 4)]["chunk_text"] == "t8 t9"
+    assert rows[(1, 4)]["n_tokens"] == 2
+    # doc 2: single short chunk, kept whole
+    assert rows[(2, 0)]["chunk_text"] == "a b c"
+    assert len([k for k in rows if k[0] == 2]) == 2  # starts 0 and 2
+    # doc 3: filtered out entirely
+    assert not [k for k in rows if k[0] == 3]
+
+
+def test_chunk_tokens_validates_params(spark):
+    import pytest as _pytest
+
+    from mission_data_pipeline_spark.operators.packing import chunk_tokens
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_tokens(docs, size=0, overlap=0)
+    with _pytest.raises(ValueError):
+        chunk_tokens(docs, size=4, overlap=4)
