@@ -1286,7 +1286,11 @@ _q(
     ),
 )
 
-# Embedding-space near-dup (X2 variant on vectors): pairs with cosine > 0.95
+# Embedding-space near-dup (X2 variant on vectors). Threshold calibrated
+# to the synthetic corpus: the max off-diagonal cosine among these
+# vectors is ~0.44, so the production-style 0.8+ cutoff returned 0 rows
+# — a vacuous driver check. 0.35 yields a few dozen pairs at sf0.01, so
+# the driver actually exercises the pair filter and the cosine math.
 _q(
     "x2_embedding_near_dup",
     Query(
@@ -1304,7 +1308,7 @@ _q(
               ON a.vec_id < b.vec_id
             WHERE AGGREGATE(ZIP_WITH(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)
                   / (SQRT(AGGREGATE(a.v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))
-                     * SQRT(AGGREGATE(b.v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))) > 0.8
+                     * SQRT(AGGREGATE(b.v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))) > 0.35
             ORDER BY vec_a, vec_b
             """
         ),
@@ -1313,11 +1317,13 @@ _q(
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.v, b.v) > 0.8
+        WHERE list_cosine_similarity(a.v, b.v) > 0.35
         ORDER BY vec_a, vec_b
         """,
         "X2,X3",
-        "embedding-cosine near-duplicate pairs above threshold",
+        "embedding-cosine near-duplicate pairs above a corpus-calibrated "
+        "threshold (non-empty at sf0.01 so the driver exercises the "
+        "pair filter, not just an empty result)",
     ),
 )
 
@@ -4040,7 +4046,8 @@ _CHECK_FIRST = [
     "x4_unigram_logprob",
     "x4_top_terms",
     "curation_chunk_tokens",
-    # --- slots 22-50: regression rotation — green in r1 but unwatched
+    "x2_embedding_near_dup",  # threshold recalibrated: now a non-empty check
+    # --- slots 23-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",
@@ -4070,9 +4077,9 @@ _CHECK_FIRST = [
     "q3_shipping_priority",
     "q5_nation_revenue",
     "correlated_scalar_subquery",
-    "d4_union_all",
     # --- past the 50 cap: remaining r1-only-green queries queue for the
     # round-4 rotation; the 50 r2-green queries follow via dict order ---
+    "d4_union_all",
     "set_union_distinct",
     "set_intersect",
     "set_except",
