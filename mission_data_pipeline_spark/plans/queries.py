@@ -518,6 +518,59 @@ _q(
     ),
 )
 
+def _salted_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-robust salted join (operators/bucketing.py salted_join):
+    l_returnflag has only 3 values, so every key is a hot key — the
+    worst case for a plain shuffle join. The salted plan spreads each
+    key over 8 reducers; the oracle is the PLAIN join, proving salting
+    is semantically transparent (no duplicated or lost rows)."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.bucketing import salted_join
+
+    register_views(spark, sf_dir)
+    big = spark.table("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    small = spark.createDataFrame(
+        [("A", 0.5), ("N", 1.0), ("R", 0.25)], "l_returnflag string, w double"
+    )
+    j = salted_join(big, small, "l_returnflag", n_salts=8)
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("l_quantity") * F.col("w")).cast("decimal(20,6)"))
+            .cast("double")
+            .alias("wsum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_q(
+    "j_salted_skew_join",
+    Query(
+        _salted_join_spark,
+        """
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity * w AS DECIMAL(20,6))) AS DOUBLE)
+                 AS wsum
+        FROM lineitem
+        JOIN (VALUES ('A', 0.5), ('N', 1.0), ('R', 0.25)) AS s(l_returnflag, w)
+          USING (l_returnflag)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+        "J*+",
+        "salted skew join: small side replicated 8x, big side scattered "
+        "by deterministic row-hash salt so hot keys spread across "
+        "reducers; oracle is the plain join (salting must be "
+        "semantically transparent)",
+    ),
+)
+
+
 _q(
     "q3_shipping_priority",
     _same(
@@ -4047,7 +4100,8 @@ _CHECK_FIRST = [
     "x4_top_terms",
     "curation_chunk_tokens",
     "x2_embedding_near_dup",  # threshold recalibrated: now a non-empty check
-    # --- slots 23-50: regression rotation — green in r1 but unwatched
+    "j_salted_skew_join",  # new: skew-salting now driver-checked
+    # --- slots 24-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",
@@ -4076,9 +4130,9 @@ _CHECK_FIRST = [
     "join_cross_small",
     "q3_shipping_priority",
     "q5_nation_revenue",
-    "correlated_scalar_subquery",
     # --- past the 50 cap: remaining r1-only-green queries queue for the
     # round-4 rotation; the 50 r2-green queries follow via dict order ---
+    "correlated_scalar_subquery",
     "d4_union_all",
     "set_union_distinct",
     "set_intersect",

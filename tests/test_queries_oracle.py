@@ -59,3 +59,23 @@ def test_entry_contract(spark):
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 50
+
+
+def test_parquet_scan_pushes_filters_and_prunes_columns(spark, sf0001):
+    """Scale guard: a filtered 2-column projection over lineitem must
+    reach the parquet scan as PushedFilters + a pruned ReadSchema — a
+    scan that reads all 11 columns for a 2-column query is the shape
+    that dies at 100 TB."""
+    from mission_data_pipeline_spark.sources.tables import load_table
+
+    df = (
+        load_table(spark, sf0001, "lineitem")
+        .filter("l_quantity > 45")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity,45" in plan
+    # column pruning: the scan schema carries only the referenced columns
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
