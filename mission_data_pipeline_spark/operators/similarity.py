@@ -28,7 +28,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from mission_data_pipeline_spark.functions.vectors import cosine_similarity
+from mission_data_pipeline_spark.functions.vectors import (
+    cosine_similarity,
+    l2_norm,
+)
 
 
 def cosine_topk(
@@ -298,6 +301,59 @@ def kmeans_centroids(
     )
 
 
+def _centroid_literals(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Materialize the centroid table driver-side, sorted by id.
+
+    Centroids are driver-sized BY CONSTRUCTION (k·dim doubles — k-means
+    and coarse-quantizer codebooks are model parameters, not data), so
+    collecting them is the IVF analog of LSH's literal hyperplanes: it
+    buys a zero-shuffle assignment expression for the corpus pass.
+    """
+    rows = centroids.select("centroid_id", "centroid_vec").collect()
+    return sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+        for r in rows
+    )
+
+
+def _centroid_sim_array(
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    *,
+    norm_col: str = "__vnorm",
+    round_digits: int = 6,
+) -> str:
+    """SQL for ``array<struct<sim, negcid>>``: round(cosine, d) of the row
+    vector against every literal centroid. ``negcid`` (= -centroid_id)
+    makes struct ordering break sim ties toward the LOWEST id under both
+    ``array_max`` (argmax assignment) and ascending ``array_sort``
+    (probe selection) — the same (sim DESC, cid ASC) order the SQL
+    oracle's ROW_NUMBER uses. One JVM-parsed expression, no join, no
+    shuffle, no -0.0 ordering hazard (negation is on the int id, never
+    on the rounded float).
+    """
+    import math
+
+    parts = []
+    for cid, vec in cents:
+        plane = ",".join(f"{x!r}D" for x in vec)
+        # same left-fold order as functions/vectors.py l2_norm, so the
+        # literal norm is bit-identical to the engine-computed one
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        norm_c = math.sqrt(acc)
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, array({plane}),"
+            f" (x, p) -> x * p), 0.0D, (acc, x) -> acc + x)"
+        )
+        sim = f"round(({dot}) / (`{norm_col}` * {norm_c!r}D), {round_digits})"
+        parts.append(
+            f"named_struct('sim', {sim}, 'negcid', {-cid}L)"
+        )
+    return f"array({', '.join(parts)})"
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -311,39 +367,59 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: partition-then-probe, the ANN scale path.
 
-    Corpus vectors are assigned to their nearest coarse centroid
-    (``ivf_assign``); each query probes only its ``n_probe`` nearest
-    partitions, so scored candidates shrink from |corpus| to roughly
-    ``n_probe/n_centroids`` of it. At 100 TB the assignment is computed
-    once and written partitioned-by(centroid_id); queries then touch only
-    the probed partitions (partition pruning on an equi-join key) —
-    contrast with the brute-force cross join, which rescans everything
-    per query batch.
+    Corpus vectors are assigned to their nearest coarse centroid; each
+    query probes only its ``n_probe`` nearest partitions, so scored
+    candidates shrink from |corpus| to roughly ``n_probe/n_centroids``
+    of it. The centroid codebook is materialized driver-side
+    (:func:`_centroid_literals`) and baked into ONE literal argmax
+    expression per row — assignment is pure map-side compute with NO
+    centroid crossJoin and NO per-id window shuffle; the probe join and
+    re-rank join both broadcast the (tiny) query-derived side, so the
+    corpus never shuffles — it is scanned twice map-side, the same
+    shape as :func:`lsh_topk`. At 100 TB the assignment is computed
+    once and written partitioned-by(centroid_id); queries then touch
+    only the probed partitions (partition pruning on an equi-join key).
     """
     if centroids is None:
         centroids = default_centroids(
             corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
         )
-    assign = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    cents = _centroid_literals(centroids)
+    if not cents:
+        raise ValueError("ivf_topk needs at least one centroid")
+    n_probe = min(n_probe, len(cents))
+    sim_arr = _centroid_sim_array(vec_col, cents)
 
-    c = centroids.select("centroid_id", F.col("centroid_vec").alias("__cv"))
+    assign = (
+        corpus.withColumn("__vnorm", l2_norm(F.col(vec_col)))
+        .withColumn(
+            "centroid_id", F.expr(f"-array_max({sim_arr}).negcid")
+        )
+        .select(F.col(id_col).alias("id"), "centroid_id")
+    )
+
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    probe_scored = q.crossJoin(broadcast(c)).select(
-        "query_id",
-        "centroid_id",
-        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("__sim"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("centroid_id")
-    )
+    # Probe selection: ascending sort of (sim, negcid) structs, take the
+    # LAST n_probe — the same membership set as (sim DESC, cid ASC)
+    # ROW_NUMBER <= n_probe (ties at the cut resolve toward low ids in
+    # both formulations).
+    probe_arr = _centroid_sim_array("__qv", cents)
     probes = (
-        probe_scored.withColumn("__rn", F.row_number().over(wp))
-        .filter(F.col("__rn") <= n_probe)
+        q.withColumn("__vnorm", l2_norm(F.col("__qv")))
+        .withColumn(
+            "centroid_id",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort({probe_arr}),"
+                    f" -{n_probe}, {n_probe}), s -> -s.negcid)"
+                )
+            ),
+        )
         .select("query_id", "centroid_id")
     )
 
     cand = (
-        probes.join(assign, "centroid_id")
+        assign.join(broadcast(probes), "centroid_id")
         .filter(F.col("id") != F.col("query_id"))
         .select("query_id", F.col("id").alias("neighbor_id"))
     )
