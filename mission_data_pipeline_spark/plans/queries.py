@@ -3369,6 +3369,79 @@ _q(
 )
 
 
+def _two_phase_distinct_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct count (operators/skew.py
+    two_phase_distinct_count): dedup-then-count spreads a hot key's rows
+    across the cluster in phase one; oracle is plain COUNT(DISTINCT)."""
+    from mission_data_pipeline_spark.operators.skew import two_phase_distinct_count
+
+    register_views(spark, sf_dir)
+    return two_phase_distinct_count(
+        spark.table("lineitem"), ["l_returnflag"], "l_partkey"
+    ).orderBy("l_returnflag")
+
+
+_q(
+    "agg_two_phase_distinct",
+    Query(
+        _two_phase_distinct_spark,
+        """
+        SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "A*+,skew",
+        "exact per-key distinct count via dedup-then-count (two shuffles, "
+        "neither skewed) — the holistic-aggregate skew rewrite; oracle is "
+        "the single-shuffle COUNT(DISTINCT)",
+    ),
+)
+
+
+def _salted_agg_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-phase salted aggregation (operators/skew.py
+    salted_agg): sums/counts merge exactly (integer-valued doubles), so
+    the salted plan must equal the plain GROUP BY oracle."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.skew import salted_agg
+
+    register_views(spark, sf_dir)
+    out = salted_agg(
+        spark.table("lineitem"),
+        ["l_returnflag"],
+        partial={
+            "s": F.sum(F.col("l_quantity").cast("decimal(20,6)")),
+            "c": F.count(F.lit(1)),
+        },
+        merge={"s": F.sum("s"), "c": F.sum("c")},
+        n_salts=8,
+        salt_on="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("c").cast("long").alias("n"),
+        F.round(F.col("s").cast("double") / F.col("c"), 6).alias("avg_qty"),
+    ).orderBy("l_returnflag")
+
+
+_q(
+    "agg_salted_avg",
+    Query(
+        _salted_agg_spark,
+        """
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "A*+,skew",
+        "two-phase salted aggregation (hot key split across 8 reducers in "
+        "phase one, exact DECIMAL partials merged in phase two) — must "
+        "equal the plain GROUP BY, proving salting is transparent",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Array higher-order functions over the embedding column
 # ---------------------------------------------------------------------------
@@ -4101,7 +4174,9 @@ _CHECK_FIRST = [
     "curation_chunk_tokens",
     "x2_embedding_near_dup",  # threshold recalibrated: now a non-empty check
     "j_salted_skew_join",  # new: skew-salting now driver-checked
-    # --- slots 24-50: regression rotation — green in r1 but unwatched
+    "agg_two_phase_distinct",  # new: skew helpers now driver-checked
+    "agg_salted_avg",
+    # --- slots 26-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",
