@@ -1420,6 +1420,74 @@ _q(
     ),
 )
 
+
+def _frame_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling fan-out (functions/multimodal.py sample_frames):
+    one payload row → every-Nth-frame rows through Arrow-batched
+    mapInPandas; the deterministic fake decoder slices the payload, so
+    the oracle recomputes every frame's digest arithmetically."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.functions.multimodal import sample_frames
+
+    register_views(spark, sf_dir)
+    doc = spark.table("documents").filter(F.col("doc_id") < 120)
+    media = doc.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("fake").alias("format"),
+            (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("meta"),
+    )
+    out = sample_frames(media, every_n=32, max_frames=4)
+    return out.select(
+        "item_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.md5("pixels").alias("pixels_md5"),
+        F.octet_length("pixels").alias("n_pixel_bytes"),
+    ).orderBy("item_id", "frame_idx")
+
+
+_q(
+    "x5_frame_sample",
+    Query(
+        _frame_sample_spark,
+        """
+        WITH d AS (
+          SELECT doc_id, text, octet_length(text::BLOB) AS len
+          FROM documents WHERE doc_id < 120
+        ),
+        fr AS (
+          SELECT doc_id, text, len, CAST(i AS INT) AS fi
+          FROM d, UNNEST(range(0, LEAST(4, GREATEST(1, len // 32)))) AS u(i)
+        )
+        SELECT doc_id AS item_id,
+               fi * 32 AS frame_idx,
+               CAST(doc_id % 640 + 16 AS INT) AS width,
+               CAST(doc_id % 480 + 16 AS INT) AS height,
+               md5(substring(text, (fi * 32) % GREATEST(len, 1) + 1, 64))
+                 AS pixels_md5,
+               CAST(length(substring(text, (fi * 32) % GREATEST(len, 1) + 1, 64))
+                    AS BIGINT) AS n_pixel_bytes
+        FROM fr
+        ORDER BY item_id, frame_idx
+        """,
+        "X5",
+        "every-Nth-frame sampling: 1 payload row fans out to frame rows "
+        "through Arrow-batched mapInPandas (deterministic fake decoder — "
+        "no video codec in env); oracle recomputes each frame's byte "
+        "slice digest from the generator",
+    ),
+)
+
 # ---------------------------------------------------------------------------
 # Telemetry-shaped relational parity queries (D2, D6)
 # ---------------------------------------------------------------------------
@@ -4176,7 +4244,8 @@ _CHECK_FIRST = [
     "j_salted_skew_join",  # new: skew-salting now driver-checked
     "agg_two_phase_distinct",  # new: skew helpers now driver-checked
     "agg_salted_avg",
-    # --- slots 26-50: regression rotation — green in r1 but unwatched
+    "x5_frame_sample",  # new: frame-sampling fan-out now driver-checked
+    # --- slots 27-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",
