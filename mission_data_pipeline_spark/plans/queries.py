@@ -1488,6 +1488,120 @@ _q(
     ),
 )
 
+
+def _media_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality corpus accounting (functions/multimodal.py
+    media_stats): pure-expression aggregation over the typed-metadata
+    struct — no decode, rides the scan."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.functions.multimodal import media_stats
+
+    register_views(spark, sf_dir)
+    doc = spark.table("documents")
+    media = doc.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("text")
+            .alias("media_type"),
+            F.lit("synthetic").alias("format"),
+            (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("meta"),
+    )
+    out = media_stats(media)
+    return out.select(
+        "media_type",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.round("avg_bytes", 6).alias("avg_bytes"),
+        F.round("avg_width", 6).alias("avg_width"),
+        F.round("avg_height", 6).alias("avg_height"),
+    ).orderBy("media_type")
+
+
+_q(
+    "x5_media_stats",
+    Query(
+        _media_stats_spark,
+        """
+        WITH m AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'image'
+                      WHEN doc_id % 3 = 1 THEN 'audio'
+                      ELSE 'text' END AS media_type,
+                 octet_length(text::BLOB) AS nb,
+                 doc_id % 640 + 16 AS w,
+                 doc_id % 480 + 16 AS h
+          FROM documents
+        )
+        SELECT media_type,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(nb) AS BIGINT) AS total_bytes,
+               ROUND(AVG(nb), 6) AS avg_bytes,
+               ROUND(AVG(w), 6) AS avg_width,
+               ROUND(AVG(h), 6) AS avg_height
+        FROM m
+        GROUP BY media_type
+        ORDER BY media_type
+        """,
+        "X5",
+        "per-modality corpus accounting over the typed-metadata struct "
+        "(counts, byte totals, dimension averages) — zero-decode "
+        "expression aggregation",
+    ),
+)
+
+
+def _kmeans_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with learned (Spark ML KMeans) centroids — the quality path.
+    No SQL oracle: k-means centers aren't reproducible in DuckDB, so
+    this is a rows-only driver check (k rows per query, stable schema);
+    exact parity of the IVF mechanics is covered by x3_ivf_topk_ann's
+    deterministic-centroid oracle."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = kmeans_centroids(emb, n_centroids=16, vec_col="v", seed=7, max_iter=5)
+    out = ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        n_probe=4,
+        centroids=cents,
+        vec_col="v",
+    )
+    return out.select("query_id", "neighbor_id", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
+_q(
+    "x3_kmeans_ivf_topk",
+    Query(
+        _kmeans_ivf_spark,
+        None,
+        "X3",
+        "IVF top-k with Spark ML KMeans coarse centroids (the recall-"
+        "quality path; deterministic-centroid mechanics oracle-checked "
+        "separately) — rows-only driver check, 5 queries x k=5 rows",
+    ),
+)
+
 # ---------------------------------------------------------------------------
 # Telemetry-shaped relational parity queries (D2, D6)
 # ---------------------------------------------------------------------------
@@ -4245,7 +4359,9 @@ _CHECK_FIRST = [
     "agg_two_phase_distinct",  # new: skew helpers now driver-checked
     "agg_salted_avg",
     "x5_frame_sample",  # new: frame-sampling fan-out now driver-checked
-    # --- slots 27-50: regression rotation — green in r1 but unwatched
+    "x5_media_stats",
+    "x3_kmeans_ivf_topk",  # rows-only (KMeans not SQL-reproducible)
+    # --- slots 29-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",
