@@ -29,6 +29,7 @@ check for those, per the contract.
 
 from __future__ import annotations
 
+import itertools
 import weakref
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -884,6 +885,144 @@ _sql_w_tumb, _duck_w_tumb = _ev(
 _q(
     "w1_tumbling_window",
     _dialect(_sql_w_tumb, _duck_w_tumb, "W1", "tumbling 1-hour window aggregate (micro-batch analog)"),
+)
+
+
+_STREAM_SINK_SEQ = itertools.count()
+
+
+def _streaming_tumbling_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming execution, driver-checked: events
+    replayed through readStream (availableNow trigger), watermarked
+    tumbling 1-hour counts into a memory sink, run to completion. In
+    complete output mode the final table equals the batch aggregate, so
+    the same SQL oracles the streaming engine's stateful path
+    (streaming/windows.py windowed_stats shape)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # streaming file source needs a directory; glob-filter to the one table
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_field = batch_schema["ts"].dataType
+    if isinstance(ts_field, T.LongType):
+        # TIMESTAMP(NANOS) flavor read as epoch-ns longs (tables.py note)
+        ev = raw.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        ev = raw.withColumn("event_time", F.col("ts").cast("timestamp"))
+    agg = (
+        ev.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("hour_start"),
+            "event_type",
+            "n",
+        )
+    )
+    sink = f"w1_stream_sink_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.table(sink).orderBy("hour_start", "event_type")
+
+
+_q(
+    "w1_streaming_tumbling",
+    Query(
+        _streaming_tumbling_spark,
+        _EV_DUCK
+        + """
+        SELECT ts_us // 1000000 // 3600 * 3600 AS hour_start,
+               event_type, COUNT(*) AS n
+        FROM ev
+        GROUP BY 1, 2
+        ORDER BY hour_start, event_type
+        """,
+        "W1,W4",
+        "REAL Structured Streaming run (readStream -> watermarked tumbling "
+        "window -> memory sink, availableNow to completion) — the final "
+        "state of the stateful streaming aggregate must equal the batch "
+        "SQL oracle",
+    ),
+)
+
+
+def _streaming_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bounded-state dedup, driver-checked: the events table is
+    streamed TWICE (two file sources unioned — every row a duplicate)
+    through dropDuplicatesWithinWatermark on event_id; the surviving
+    stream must be exactly the distinct batch table
+    (streaming/windows.py dedup_stream_content shape)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    ev = src().unionByName(src())
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        ev = ev.withColumn("event_time", F.col("ts").cast("timestamp"))
+    dd = (
+        ev.withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("event_time").alias("ts_us"),
+        )
+    )
+    sink = f"w4_stream_dedup_sink_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.table(sink).orderBy("event_id")
+
+
+_q(
+    "w4_streaming_dedup",
+    Query(
+        _streaming_dedup_spark,
+        _EV_DUCK
+        + """
+        SELECT event_id, user_id, event_type, ts_us
+        FROM ev
+        ORDER BY event_id
+        """,
+        "W4,X1",
+        "REAL streaming bounded-state dedup: the table streamed twice "
+        "(100% duplicates) through dropDuplicatesWithinWatermark must "
+        "emit exactly the distinct batch table",
+    ),
 )
 
 _sql_sess, _duck_sess = _ev(
@@ -4361,7 +4500,9 @@ _CHECK_FIRST = [
     "x5_frame_sample",  # new: frame-sampling fan-out now driver-checked
     "x5_media_stats",
     "x3_kmeans_ivf_topk",  # rows-only (KMeans not SQL-reproducible)
-    # --- slots 29-50: regression rotation — green in r1 but unwatched
+    "w1_streaming_tumbling",  # new: real streaming run vs batch oracle
+    "w4_streaming_dedup",
+    # --- slots 31-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",
