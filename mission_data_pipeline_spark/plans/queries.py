@@ -4459,6 +4459,185 @@ _q(
 
 
 # ---------------------------------------------------------------------------
+# Ingest/export round-trips: the sink and source paths driver-checked
+# end-to-end (write → distributed re-read → aggregate vs an oracle over
+# the original tables).
+# ---------------------------------------------------------------------------
+
+
+def _warc_ingest_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest (sources/warc.py): documents serialized into a real
+    WARC/1.0 archive driver-side (build_warc_record — the fixture
+    generator mirror of the parser), re-read distributed via binaryFile
+    + mapInPandas record fan-out; the oracle recomputes every record's
+    header fields and payload digest from the source table."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sources.warc import (
+        build_warc_record,
+        read_warc,
+    )
+
+    register_views(spark, sf_dir)
+    docs = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="mdps_warc_q_")
+    buf = b"".join(
+        build_warc_record(
+            r["text"].encode("utf-8"),
+            record_id=f"<urn:doc:{r['doc_id']}>",
+            target_uri=f"http://corpus.test/{r['doc_id']}",
+        )
+        for r in docs
+    )
+    with open(os.path.join(d, "q.warc"), "wb") as f:
+        f.write(buf)
+    out = read_warc(spark, os.path.join(d, "q.warc"))
+    return out.select(
+        "record_idx",
+        "record_id",
+        "target_uri",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+        "n_parse_errors",
+    ).orderBy("record_idx")
+
+
+_q(
+    "s_warc_ingest",
+    Query(
+        _warc_ingest_spark,
+        """
+        SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS record_idx,
+               '<urn:doc:' || doc_id || '>' AS record_id,
+               'http://corpus.test/' || doc_id AS target_uri,
+               CAST(octet_length(text::BLOB) AS BIGINT) AS content_length,
+               md5(text) AS payload_md5,
+               CAST(0 AS BIGINT) AS n_parse_errors
+        FROM documents WHERE doc_id < 100
+        ORDER BY record_idx
+        """,
+        "S+,X-curation",
+        "WARC (Common Crawl format) record ingest: archive built from the "
+        "source table, parsed back distributed (binaryFile + Arrow record "
+        "fan-out); oracle recomputes headers + payload digests",
+    ),
+)
+
+
+def _jsonl_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink → source round-trip (sinks/jsonl.py, sources/jsonl.py):
+    documents written as 4 JSONL shards and re-read with the explicit
+    schema; per-language accounting must match the original table."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sinks.jsonl import write_jsonl
+    from mission_data_pipeline_spark.sources.jsonl import read_jsonl
+
+    register_views(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="mdps_jsonl_q_")
+    write_jsonl(spark.table("documents"), d, n_shards=4)
+    back = read_jsonl(spark, d)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.count_distinct(F.md5("text")).alias("n_unique_texts"),
+        )
+        .orderBy("lang")
+    )
+
+
+_q(
+    "l_jsonl_roundtrip",
+    Query(
+        _jsonl_roundtrip_spark,
+        """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "L+,X-curation",
+        "JSONL shard export + schema-enforced re-read round-trip (the LLM "
+        "corpus interchange format); per-language counts, byte totals and "
+        "distinct content digests must survive the trip",
+    ),
+)
+
+
+def _parquet_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 parquet per-parameter sink → partitioned scan round-trip:
+    events projected to the tidy params shape, written Hive-partitioned
+    by name (sinks/parquet.py), re-read and aggregated; the oracle
+    computes the same accounting from the original table."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sinks.parquet import (
+        write_parquet_per_parameter,
+    )
+
+    register_views(spark, sf_dir)
+    params = spark.sql(
+        "SELECT event_type AS name, CAST(user_id AS INT) AS apid, "
+        "       ts_ns DIV 1000 AS ts_us, value AS eng_value "
+        "FROM events"
+    )
+    d = tempfile.mkdtemp(prefix="mdps_pq_q_")
+    write_parquet_per_parameter(params, d)
+    back = spark.read.parquet(d)
+    return (
+        back.groupBy("name")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts_us").cast("long").alias("ts_min"),
+            F.max("ts_us").cast("long").alias("ts_max"),
+            F.round(
+                F.sum(F.round("eng_value", 6).cast("decimal(20,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("sum_value"),
+        )
+        .orderBy("name")
+    )
+
+
+_q(
+    "l_parquet_roundtrip",
+    Query(
+        _parquet_roundtrip_spark,
+        _EV_DUCK
+        + """
+        SELECT event_type AS name, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(ts_us) AS BIGINT) AS ts_min,
+               CAST(MAX(ts_us) AS BIGINT) AS ts_max,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6)))
+                          AS DOUBLE), 6) AS sum_value
+        FROM ev GROUP BY event_type ORDER BY name
+        """,
+        "L1,L3",
+        "parquet per-parameter sink round-trip: tidy samples written "
+        "Hive-partitioned by name, re-read through the partitioned scan; "
+        "per-name accounting must match the source table exactly",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-check ordering. The round-1 driver verified the first 50 QUERIES
 # entries in insertion order; the remaining 42 declared queries got no
 # CORRECTNESS row. Reorder so the previously-unverified queries (plus
@@ -4502,7 +4681,10 @@ _CHECK_FIRST = [
     "x3_kmeans_ivf_topk",  # rows-only (KMeans not SQL-reproducible)
     "w1_streaming_tumbling",  # new: real streaming run vs batch oracle
     "w4_streaming_dedup",
-    # --- slots 31-50: regression rotation — green in r1 but unwatched
+    "s_warc_ingest",  # new: WARC/JSONL/parquet round-trips driver-checked
+    "l_jsonl_roundtrip",
+    "l_parquet_roundtrip",
+    # --- slots 34-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",

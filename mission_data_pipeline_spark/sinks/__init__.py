@@ -14,6 +14,7 @@ from mission_data_pipeline_spark.sinks.csv import (
     write_csv_wide,
 )
 from mission_data_pipeline_spark.sinks.hdf5 import write_hdf5
+from mission_data_pipeline_spark.sinks.jsonl import write_jsonl
 from mission_data_pipeline_spark.sinks.parquet import (
     write_parquet_per_parameter,
     write_parquet_wide,
@@ -23,6 +24,7 @@ __all__ = [
     "write_csv_per_parameter",
     "write_csv_wide",
     "write_hdf5",
+    "write_jsonl",
     "write_parquet_per_parameter",
     "write_parquet_wide",
 ]

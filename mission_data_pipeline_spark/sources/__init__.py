@@ -1,5 +1,19 @@
 from mission_data_pipeline_spark.sources.binary import read_packets
 from mission_data_pipeline_spark.sources.csv import read_csv_telemetry
+from mission_data_pipeline_spark.sources.jsonl import (
+    jsonl_corrupt_stats,
+    read_jsonl,
+)
 from mission_data_pipeline_spark.sources.tables import load_table, load_tables
+from mission_data_pipeline_spark.sources.warc import read_warc, warc_to_documents
 
-__all__ = ["read_packets", "read_csv_telemetry", "load_table", "load_tables"]
+__all__ = [
+    "read_packets",
+    "read_csv_telemetry",
+    "read_jsonl",
+    "jsonl_corrupt_stats",
+    "load_table",
+    "load_tables",
+    "read_warc",
+    "warc_to_documents",
+]
