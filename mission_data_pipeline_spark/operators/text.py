@@ -391,3 +391,31 @@ def unigram_logprob(
             ).alias("neg_logprob"),
         )
     )
+
+
+def filter_badwords(
+    docs: DataFrame,
+    words: list[str],
+    *,
+    text_col: str = "text",
+    keep_flag: bool = False,
+) -> DataFrame:
+    """C4's blocklist gate: drop documents containing any listed word
+    (Raffel et al. 2020 apply the "List of Dirty, Naughty, Obscene..."
+    list this way — whole-word, case-insensitive, one hit disqualifies).
+
+    One compiled regex alternation with word boundaries, kept in the
+    Java∩RE2 common subset so the operator and its SQL oracle run the
+    same pattern. Zero shuffle — a map-side gate riding the scan, like
+    :func:`c4_signals`. ``keep_flag=True`` returns all rows with a
+    ``has_badword`` column instead of filtering (for audit counts).
+    """
+    import re as _re
+
+    if not words:
+        raise ValueError("filter_badwords needs at least one word")
+    pat = r"\b(" + "|".join(_re.escape(w.lower()) for w in sorted(words)) + r")\b"
+    hit = F.lower(F.col(text_col)).rlike(pat)
+    if keep_flag:
+        return docs.withColumn("has_badword", hit)
+    return docs.filter(~hit)

@@ -4458,6 +4458,50 @@ _q(
 )
 
 
+def _content_filter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined source-blocklist + badwords content gate (operators/
+    text.py filter_badwords + a source NOT IN blocklist) — the C4-style
+    pre-dedup filter chain; oracle replays both predicates in SQL."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.text import filter_badwords
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").filter(
+        ~F.col("source").isin("src0", "src13")
+    )
+    kept = filter_badwords(docs, ["slow", "vector"])
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_q(
+    "curation_content_filter",
+    Query(
+        _content_filter_spark,
+        r"""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        FROM documents
+        WHERE source NOT IN ('src0', 'src13')
+          AND NOT regexp_matches(lower(text), '\b(slow|vector)\b')
+        GROUP BY lang
+        ORDER BY lang
+        """,
+        "X-curation",
+        "source blocklist + C4 badwords gate (whole-word alternation in "
+        "the Java∩RE2 subset) — zero-shuffle map-side content filtering "
+        "ahead of the expensive dedup/scoring stages",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Ingest/export round-trips: the sink and source paths driver-checked
 # end-to-end (write → distributed re-read → aggregate vs an oracle over
@@ -4684,7 +4728,8 @@ _CHECK_FIRST = [
     "s_warc_ingest",  # new: WARC/JSONL/parquet round-trips driver-checked
     "l_jsonl_roundtrip",
     "l_parquet_roundtrip",
-    # --- slots 34-50: regression rotation — green in r1 but unwatched
+    "curation_content_filter",  # new: C4 badwords + source blocklist
+    # --- slots 35-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",

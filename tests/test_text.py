@@ -243,3 +243,26 @@ def test_unigram_logprob_rare_tokens_score_higher(spark):
     )
     for r in unigram_logprob(same).collect():
         assert r["neg_logprob"] == 0.0
+
+
+def test_filter_badwords_whole_word_case_insensitive(spark):
+    from mission_data_pipeline_spark.operators.text import filter_badwords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a perfectly clean document"),
+            (2, "contains the BADWORD here"),
+            (3, "badwords is a different token"),  # substring, not whole word
+            (4, "ends with badword"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = filter_badwords(docs, ["badword"])
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    flagged = filter_badwords(docs, ["badword"], keep_flag=True)
+    got = {r["doc_id"]: r["has_badword"] for r in flagged.collect()}
+    assert got == {1: False, 2: True, 3: False, 4: True}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        filter_badwords(docs, [])
