@@ -18,6 +18,7 @@ from mission_data_pipeline_spark.sinks.jsonl import write_jsonl
 from mission_data_pipeline_spark.sinks.parquet import (
     write_parquet_per_parameter,
     write_parquet_wide,
+    write_sorted_parquet,
 )
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "write_jsonl",
     "write_parquet_per_parameter",
     "write_parquet_wide",
+    "write_sorted_parquet",
 ]

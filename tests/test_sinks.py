@@ -101,3 +101,36 @@ def test_hdf5_requires_h5py_or_works(spark, params_df, tmp_path):
         assert list(g["eng_value"][:]) == [5.0, 10.0, 15.0]
         assert g.attrs["unit"] == "degC"
         assert f["telemetry/volt"]["eng_value"].shape == (4,)  # 2 + 2
+
+
+def test_write_sorted_parquet_clusters_ranges(spark, tmp_path):
+    """Zone-map layout guard: files written by write_sorted_parquet must
+    carry near-disjoint min/max ranges on the sort key (that's what lets
+    parquet readers prune row groups), unlike an unsorted write."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mission_data_pipeline_spark.sinks.parquet import write_sorted_parquet
+
+    df = spark.range(0, 20000).selectExpr(
+        "cast(id * 2654435761 % 20000 as long) as k",  # scrambled order
+        "id as v",
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted_parquet(df, out, sort_cols=["k"], n_files=4)
+
+    ranges = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        md = pq.read_metadata(f)
+        col_idx = md.schema.names.index("k")
+        lo = min(md.row_group(i).column(col_idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(col_idx).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) == 4
+    ranges.sort()
+    # near-disjoint: each file's min must be above the previous file's max
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b
+    # and the read-back content must be intact
+    assert spark.read.parquet(out).count() == 20000
