@@ -4681,6 +4681,58 @@ _q(
 )
 
 
+def _csv_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 CSV per-parameter sink round-trip: doubles are text-formatted
+    %.9f on write, so the re-read parses them as DECIMAL(20,9) and sums
+    exactly; the oracle applies the same 9-digit rounding to the source."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sinks.csv import write_csv_per_parameter
+
+    register_views(spark, sf_dir)
+    params = spark.sql(
+        "SELECT event_type AS name, CAST(ts_ns DIV 1000 AS LONG) AS ts_us, "
+        "       value AS eng_value "
+        "FROM events"
+    )
+    d = tempfile.mkdtemp(prefix="mdps_csv_q_")
+    write_csv_per_parameter(params, d)
+    back = spark.read.schema(
+        "ts_us long, eng_value decimal(20,9), name string"
+    ).option("header", True).csv(d)
+    return (
+        back.groupBy("name")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts_us").cast("long").alias("ts_min"),
+            F.round(F.sum("eng_value").cast("double"), 6).alias("sum_value"),
+        )
+        .orderBy("name")
+    )
+
+
+_q(
+    "l_csv_roundtrip",
+    Query(
+        _csv_roundtrip_spark,
+        _EV_DUCK
+        + """
+        SELECT event_type AS name, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(ts_us) AS BIGINT) AS ts_min,
+               ROUND(CAST(SUM(CAST(ROUND(value, 9) AS DECIMAL(20,9)))
+                          AS DOUBLE), 6) AS sum_value
+        FROM ev GROUP BY event_type ORDER BY name
+        """,
+        "L6",
+        "CSV per-parameter sink round-trip: %.9f text formatting on "
+        "write, exact DECIMAL re-parse on read; per-name accounting must "
+        "match the source with 9-digit rounding applied",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering. The round-1 driver verified the first 50 QUERIES
 # entries in insertion order; the remaining 42 declared queries got no
@@ -4729,7 +4781,8 @@ _CHECK_FIRST = [
     "l_jsonl_roundtrip",
     "l_parquet_roundtrip",
     "curation_content_filter",  # new: C4 badwords + source blocklist
-    # --- slots 35-50: regression rotation — green in r1 but unwatched
+    "l_csv_roundtrip",
+    # --- slots 36-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",
