@@ -419,3 +419,32 @@ def filter_badwords(
     if keep_flag:
         return docs.withColumn("has_badword", hit)
     return docs.filter(~hit)
+
+
+def normalize_text(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Whitespace/control normalization — the cleanup pass before
+    tokenization and hashing (dedup keys and token counts are only
+    stable if two visually-identical documents hash identically):
+
+    1. C0/C1 control characters (except ``\\t\\n\\r``) removed;
+    2. ``\\r\\n`` / ``\\r`` → ``\\n`` (line-ending canonicalization);
+    3. horizontal runs of spaces/tabs collapsed to one space;
+    4. per-line edge whitespace trimmed, leading/trailing blank text
+       dropped.
+
+    A zero-shuffle ``regexp_replace`` chain in the Java∩RE2 subset
+    (same contract as :func:`scrub_text`), so the SQL oracle runs the
+    identical patterns.
+    """
+    c = F.col(text_col)
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    c = F.regexp_replace(c, "\\r\\n?", "\n")
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")
+    c = F.trim(c)
+    return docs.withColumn(out_col or text_col, c)

@@ -4458,6 +4458,59 @@ _q(
 )
 
 
+def _normalize_text_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (operators/text.py normalize_text) over
+    in-plan-dirtied documents: every space doubled into tabs, leading
+    blanks, CRLF + control-char tail appended — normalization must
+    recover exactly `collapsed(text) + "\\nend"`, which the oracle
+    derives analytically (no regex replay needed)."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.text import normalize_text
+
+    register_views(spark, sf_dir)
+    doc = spark.table("documents").filter(F.col("doc_id") < 200)
+    dirty = doc.withColumn(
+        "text",
+        F.concat(
+            F.lit("  "),
+            F.regexp_replace(F.col("text"), " ", "\t\t"),
+            F.lit("\r\nend\x07  "),
+        ),
+    )
+    out = normalize_text(dirty)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("norm_md5"),
+        F.length("text").alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+_q(
+    "curation_normalize_text",
+    Query(
+        _normalize_text_spark,
+        """
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(text, '[ ]+', ' ', 'g'))
+                   || chr(10) || 'end' AS norm
+          FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id, md5(norm) AS norm_md5,
+               CAST(length(norm) AS BIGINT) AS n_chars_norm
+        FROM n
+        ORDER BY doc_id
+        """,
+        "X-curation",
+        "whitespace/control/line-ending normalization (the cleanup pass "
+        "that makes dedup keys and token counts stable): zero-shuffle "
+        "regexp chain over in-plan-dirtied text; oracle derives the "
+        "expected normalized form analytically",
+    ),
+)
+
+
 def _content_filter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined source-blocklist + badwords content gate (operators/
     text.py filter_badwords + a source NOT IN blocklist) — the C4-style
@@ -4782,7 +4835,8 @@ _CHECK_FIRST = [
     "l_parquet_roundtrip",
     "curation_content_filter",  # new: C4 badwords + source blocklist
     "l_csv_roundtrip",
-    # --- slots 36-50: regression rotation — green in r1 but unwatched
+    "curation_normalize_text",
+    # --- slots 37-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",

@@ -266,3 +266,24 @@ def test_filter_badwords_whole_word_case_insensitive(spark):
 
     with _pytest.raises(ValueError):
         filter_badwords(docs, [])
+
+
+def test_normalize_text_canonicalizes_whitespace(spark):
+    from mission_data_pipeline_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "  hello\t\tworld  \r\nsecond\rline\x00\x07 "),
+            (2, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in normalize_text(docs).collect()}
+    assert got[1] == "hello world\nsecond\nline"
+    assert got[2] == "already clean"
+    # normalization makes dedup keys stable: two visually-equal docs hash equal
+    pair = spark.createDataFrame(
+        [(1, "a  b\r\nc"), (2, "a b\nc")], "doc_id long, text string"
+    )
+    texts = {r["text"] for r in normalize_text(pair).collect()}
+    assert texts == {"a b\nc"}
