@@ -84,3 +84,102 @@ def test_frame_segmentation_preserves_every_packet(sizes, frame_data_len):
         fhp = TMFramePrimaryHeader.from_bytes(f).first_header_pointer
         if fhp != 0x7FF:
             assert i * frame_data_len + fhp in starts
+
+
+# ---------------------------------------------------------------------------
+# WARC framing (sources/warc.py): Content-Length framing must round-trip
+# arbitrary payloads — including payloads that CONTAIN record separators
+# or "WARC/" magic bytes — and report clean parses with zero errors.
+# ---------------------------------------------------------------------------
+
+from mission_data_pipeline_spark.sources.warc import (  # noqa: E402
+    build_warc_record,
+    parse_warc_buffer,
+)
+
+
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=200), min_size=0, max_size=8
+    )
+)
+@settings(max_examples=200)
+def test_warc_roundtrip_arbitrary_payloads(payloads):
+    buf = b"".join(
+        build_warc_record(p, record_id=f"<urn:p:{i}>")
+        for i, p in enumerate(payloads)
+    )
+    recs, errors = parse_warc_buffer(buf)
+    assert errors == 0
+    assert [r["payload"] for r in recs] == payloads
+
+
+@given(
+    payload=st.binary(min_size=0, max_size=200),
+    cut=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=100)
+def test_warc_truncation_never_fabricates_records(payload, cut):
+    full = build_warc_record(payload)
+    recs, errors = parse_warc_buffer(full[: max(0, len(full) - cut)])
+    # a truncated single record either parses to nothing or (when only
+    # trailing separators were cut) to the one intact record — never junk
+    assert errors <= 1
+    assert all(r["payload"] == payload for r in recs)
+
+
+# ---------------------------------------------------------------------------
+# chunk_tokens (operators/packing.py): pure-python model of the chunk
+# boundary math the Spark expressions implement.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    n_tokens=st.integers(1, 300),
+    size=st.integers(1, 64),
+    overlap_frac=st.floats(0, 0.99),
+)
+@settings(max_examples=200)
+def test_chunk_boundary_math_covers_every_token(n_tokens, size, overlap_frac):
+    overlap = min(int(size * overlap_frac), size - 1)
+    stride = size - overlap
+    starts = list(range(0, n_tokens, stride))
+    # every token index is inside at least one [start, start+size) window
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + size, n_tokens)))
+    assert covered == set(range(n_tokens))
+    # consecutive full chunks overlap by exactly `overlap` tokens
+    for a, b in zip(starts, starts[1:]):
+        assert a + size - b == overlap or a + size >= n_tokens
+
+
+# ---------------------------------------------------------------------------
+# normalize_text (operators/text.py): pure-python model of the same
+# regex chain — normalization must be idempotent (a second pass is a
+# no-op), which is what makes it safe to run at any pipeline stage.
+# ---------------------------------------------------------------------------
+
+import re as _re  # noqa: E402
+
+
+def _normalize_model(s: str) -> str:
+    s = _re.sub(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "", s)
+    s = _re.sub(r"\r\n?", "\n", s)
+    s = _re.sub(r"[ \t]+", " ", s)
+    s = _re.sub(r" ?\n ?", "\n", s)
+    return s.strip(" ")  # Spark F.trim strips spaces only
+
+
+@given(
+    st.text(
+        alphabet=st.characters(max_codepoint=0x2FF),
+        min_size=0,
+        max_size=120,
+    )
+)
+@settings(max_examples=300)
+def test_normalize_model_is_idempotent(s):
+    once = _normalize_model(s)
+    assert _normalize_model(once) == once
+    assert "\r" not in once and "\t" not in once and "  " not in once
