@@ -328,30 +328,43 @@ def _centroid_sim_array(
     makes struct ordering break sim ties toward the LOWEST id under both
     ``array_max`` (argmax assignment) and ascending ``array_sort``
     (probe selection) — the same (sim DESC, cid ASC) order the SQL
-    oracle's ROW_NUMBER uses. One JVM-parsed expression, no join, no
-    shuffle, no -0.0 ordering hazard (negation is on the int id, never
-    on the rounded float).
+    oracle's ROW_NUMBER uses.
+
+    Built as ONE ``transform`` lambda over a literal centroid matrix
+    (array<array<double>>) plus literal norm/id arrays — not k copied
+    dot-product expressions. The expression tree stays O(k·dim literals
+    + 1 lambda), so Catalyst analysis and codegen cost is paid once
+    regardless of k; no join, no shuffle, no -0.0 ordering hazard
+    (negation is on the int id, never on the rounded float).
     """
     import math
 
-    parts = []
-    for cid, vec in cents:
-        plane = ",".join(f"{x!r}D" for x in vec)
+    matrix = ", ".join(
+        "array(" + ",".join(f"{x!r}D" for x in vec) + ")" for _, vec in cents
+    )
+    norms = []
+    for _, vec in cents:
         # same left-fold order as functions/vectors.py l2_norm, so the
         # literal norm is bit-identical to the engine-computed one
         acc = 0.0
         for x in vec:
             acc += x * x
-        norm_c = math.sqrt(acc)
-        dot = (
-            f"aggregate(zip_with(`{vec_col}`, array({plane}),"
-            f" (x, p) -> x * p), 0.0D, (acc, x) -> acc + x)"
-        )
-        sim = f"round(({dot}) / (`{norm_col}` * {norm_c!r}D), {round_digits})"
-        parts.append(
-            f"named_struct('sim', {sim}, 'negcid', {-cid}L)"
-        )
-    return f"array({', '.join(parts)})"
+        norms.append(math.sqrt(acc))
+    norms_sql = ",".join(f"{n!r}D" for n in norms)
+    negcids_sql = ",".join(f"{-cid}L" for cid, _ in cents)
+    dot = (
+        f"aggregate(zip_with(`{vec_col}`, element_at(array({matrix}), i + 1),"
+        f" (x, p) -> x * p), 0.0D, (acc, x) -> acc + x)"
+    )
+    sim = (
+        f"round(({dot}) / (`{norm_col}`"
+        f" * element_at(array({norms_sql}), i + 1)), {round_digits})"
+    )
+    return (
+        f"transform(sequence(0, {len(cents) - 1}), i -> named_struct("
+        f"'sim', {sim},"
+        f" 'negcid', element_at(array({negcids_sql}), i + 1)))"
+    )
 
 
 def ivf_topk(
