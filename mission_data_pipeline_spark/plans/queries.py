@@ -4555,6 +4555,89 @@ _q(
 )
 
 
+def _etl_e2e_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's core telemetry path driver-checked END-TO-END:
+    arithmetic CCSDS packets written to a real binary file, read back
+    through the split-range parallel scan (sources/binary.py), decommed
+    (operators/decom.py) and calibrated (operators/calibration.py); the
+    oracle recomputes every raw and engineering value from the packet
+    index — S1+T1+T2+T9+T11 in one correctness row (previously only
+    bench/pytest-covered as a pipeline)."""
+    import os
+    import struct
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.models.ccsds import build_packet
+    from mission_data_pipeline_spark.operators import (
+        Calibration,
+        ParameterDefinition,
+        apply_calibrations,
+        decommutate,
+    )
+    from mission_data_pipeline_spark.operators.decom import ParameterType
+    from mission_data_pipeline_spark.sources import read_packets
+
+    n = 500
+    stream = b"".join(
+        build_packet(
+            0x123,
+            i % 16384,
+            struct.pack(">HI", (i * 257) % 65536, (i * 65537) % (1 << 32)),
+        )
+        for i in range(n)
+    )
+    d = tempfile.mkdtemp(prefix="mdps_etl_q_")
+    path = os.path.join(d, "stream.bin")
+    with open(path, "wb") as f:
+        f.write(stream)
+    pk = read_packets(spark, path, split_size=4096)
+    defs = [
+        ParameterDefinition("p_u16", 0x123, 0, 16, ParameterType.UINT),
+        ParameterDefinition("p_u32", 0x123, 2, 32, ParameterType.UINT),
+    ]
+    cals = [Calibration("p_u16", "polynomial", (1.5, 0.25), unit="V")]
+    out = apply_calibrations(decommutate(pk, defs), cals)
+    return out.select(
+        "name",
+        F.col("seq_count").cast("long").alias("seq_count"),
+        F.col("raw_value").cast("long").alias("raw"),
+        F.round("eng_value", 6).alias("eng"),
+        "unit",
+    ).orderBy("name", "seq_count")
+
+
+_q(
+    "etl_binary_decom_calibrate_e2e",
+    Query(
+        _etl_e2e_spark,
+        """
+        WITH idx AS (SELECT UNNEST(range(0, 500)) AS i)
+        SELECT name, seq_count, raw, eng, unit FROM (
+          SELECT 'p_u16' AS name, CAST(i AS BIGINT) AS seq_count,
+                 CAST((i * 257) % 65536 AS BIGINT) AS raw,
+                 ROUND(1.5 + 0.25 * ((i * 257) % 65536), 6) AS eng,
+                 'V' AS unit
+          FROM idx
+          UNION ALL
+          SELECT 'p_u32', CAST(i AS BIGINT),
+                 CAST((i * 65537) % 4294967296 AS BIGINT),
+                 ROUND(CAST((i * 65537) % 4294967296 AS DOUBLE), 6),
+                 NULL
+          FROM idx
+        ) t
+        ORDER BY name, seq_count
+        """,
+        "S1,T1,T2,T9,T11",
+        "core telemetry ETL end-to-end: arithmetic packets -> real binary "
+        "file -> split-range parallel scan -> decom -> polynomial + "
+        "identity calibration; oracle recomputes every value from the "
+        "packet index",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Ingest/export round-trips: the sink and source paths driver-checked
 # end-to-end (write → distributed re-read → aggregate vs an oracle over
@@ -4836,7 +4919,8 @@ _CHECK_FIRST = [
     "curation_content_filter",  # new: C4 badwords + source blocklist
     "l_csv_roundtrip",
     "curation_normalize_text",
-    # --- slots 37-50: regression rotation — green in r1 but unwatched
+    "etl_binary_decom_calibrate_e2e",  # new: core ETL path oracle-checked
+    # --- slots 38-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",
