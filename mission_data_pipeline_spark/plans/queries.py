@@ -4555,6 +4555,72 @@ _q(
 )
 
 
+def _csv_source_e2e_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end-to-end: a wide telemetry CSV with arithmetic values and
+    deterministic NaN holes written to a real file, read through
+    read_csv_telemetry (native scan + stack melt + NaN-drop); the
+    oracle regenerates the surviving cells from the row index."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sources import read_csv_telemetry
+
+    lines = ["time,apid,seq_count,chan_a,chan_b"]
+    for i in range(300):
+        a = f"{i * 0.5 + 1.25:.2f}" if i % 7 != 3 else ""
+        # float-formatted so schema inference types both channels DOUBLE
+        # (an all-integer column would infer INT and break the melt stack)
+        b = f"{1000 - i:.1f}" if i % 11 != 5 else ""
+        lines.append(f"{float(i)},291,{i},{a},{b}")
+    d = tempfile.mkdtemp(prefix="mdps_csv_src_q_")
+    path = os.path.join(d, "telemetry.csv")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    out = read_csv_telemetry(spark, path)
+    return out.select(
+        "name",
+        F.col("seq_count").cast("long").alias("seq_count"),
+        F.round("time_tai", 6).alias("time_tai"),
+        F.round("raw_value", 6).alias("raw_value"),
+        F.round("eng_value", 6).alias("eng_value"),
+        "validity",
+    ).orderBy("name", "seq_count")
+
+
+_q(
+    "s2_csv_source_e2e",
+    Query(
+        _csv_source_e2e_spark,
+        """
+        WITH idx AS (SELECT UNNEST(range(0, 300)) AS i)
+        SELECT name, seq_count, time_tai, raw_value, eng_value, validity
+        FROM (
+          SELECT 'chan_a' AS name, CAST(i AS BIGINT) AS seq_count,
+                 ROUND(CAST(i AS DOUBLE), 6) AS time_tai,
+                 ROUND(i * 0.5 + 1.25, 6) AS raw_value,
+                 ROUND(i * 0.5 + 1.25, 6) AS eng_value,
+                 TRUE AS validity
+          FROM idx WHERE i % 7 != 3
+          UNION ALL
+          SELECT 'chan_b', CAST(i AS BIGINT),
+                 ROUND(CAST(i AS DOUBLE), 6),
+                 ROUND(CAST(1000 - i AS DOUBLE), 6),
+                 ROUND(CAST(1000 - i AS DOUBLE), 6),
+                 TRUE
+          FROM idx WHERE i % 11 != 5
+        ) t
+        ORDER BY name, seq_count
+        """,
+        "S2",
+        "CSV telemetry source end-to-end: real file -> native scan -> "
+        "stack melt -> NaN-drop; oracle regenerates surviving cells from "
+        "the row index",
+    ),
+)
+
+
 def _etl_e2e_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's core telemetry path driver-checked END-TO-END:
     arithmetic CCSDS packets written to a real binary file, read back
@@ -4920,7 +4986,8 @@ _CHECK_FIRST = [
     "l_csv_roundtrip",
     "curation_normalize_text",
     "etl_binary_decom_calibrate_e2e",  # new: core ETL path oracle-checked
-    # --- slots 38-50: regression rotation — green in r1 but unwatched
+    "s2_csv_source_e2e",
+    # --- slots 39-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",

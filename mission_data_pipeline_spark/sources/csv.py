@@ -39,7 +39,11 @@ def melt_telemetry(
         raise ValueError(f"parameter_columns not in CSV: {absent}")
 
     # stack(n, 'name1', col1, 'name2', col2, ...) — wide → long melt.
-    stack_args = ", ".join(f"'{p}', `{p}`" for p in params)
+    # Each column is cast to DOUBLE inside the stack: schema inference
+    # types an all-integer column INT and stack() requires homogeneous
+    # branches, so a mixed-type telemetry file would otherwise fail to
+    # plan (raw_value is DOUBLE in PARAMS_SCHEMA regardless).
+    stack_args = ", ".join(f"'{p}', CAST(`{p}` AS DOUBLE)" for p in params)
     long_df = raw.select(
         F.col(apid_column).cast("int").alias("apid"),
         F.col(seq_count_column).cast("int").alias("seq_count"),

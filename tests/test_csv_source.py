@@ -48,3 +48,20 @@ def test_values_match_formula(spark, csv_file):
             assert rows[i] == pytest.approx(
                 round(5000 + 200 * math.cos(i / 20), 2)
             )
+
+
+def test_melt_handles_mixed_inferred_types(spark, tmp_path):
+    """An all-integer channel infers INT while a decimal channel infers
+    DOUBLE; stack() requires homogeneous branches, so the melt must cast
+    — a mixed-type telemetry file previously failed to plan."""
+    from mission_data_pipeline_spark.sources import read_csv_telemetry
+
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "time,apid,seq_count,int_chan,float_chan\n"
+        "0.0,291,0,5,1.25\n"
+        "1.0,291,1,7,2.50\n"
+    )
+    out = read_csv_telemetry(spark, str(p))
+    got = {(r["name"], r["seq_count"]): r["raw_value"] for r in out.collect()}
+    assert got[("int_chan", 0)] == 5.0 and got[("float_chan", 1)] == 2.5
