@@ -89,21 +89,28 @@ def _hyperplane(table: int, bit: int, dim: int) -> list[float]:
 def _sketch(vec_col: str, *, bits: int, table: int, dim: int) -> Column:
     """Sign sketch of column `vec_col` against `bits` random hyperplanes.
 
-    Hyperplanes are literal arrays baked into ONE SQL expression string
-    per sketch: the per-row work is ``bits`` JVM-side dot products, and
-    plan construction costs a single py4j call (every per-element
-    ``F.lit``/``F.array``/lambda variant costs a round-trip per element
-    or per lambda, which dominates wall-clock at realistic dims).
+    Hyperplanes are baked as ONE literal ``array<array<double>>`` matrix
+    inside a single transform→aggregate expression (same construction as
+    the IVF centroid matrix): per-row work is ``bits`` JVM-side dot
+    products, plan construction is one py4j call, and the expression
+    tree stays O(1) lambdas regardless of ``bits`` — per-bit copied
+    subtrees made Catalyst analysis/codegen scale with the sketch width.
+    Bit b contributes ``2^b`` when the dot product is positive; powers
+    of two sum order-independently, so the fold order is free.
     """
-    terms = []
-    for b in range(bits):
-        plane = ",".join(f"{x!r}D" for x in _hyperplane(table, b, dim))
-        terms.append(
-            f"IF(aggregate(zip_with(`{vec_col}`, array({plane}),"
-            f" (v, p) -> v * p), 0.0D, (acc, v) -> acc + v) > 0,"
-            f" {1 << b}L, 0L)"
-        )
-    return F.expr(" + ".join(terms))
+    matrix = ", ".join(
+        "array(" + ",".join(f"{x!r}D" for x in _hyperplane(table, b, dim)) + ")"
+        for b in range(bits)
+    )
+    dot = (
+        f"aggregate(zip_with(`{vec_col}`, element_at(array({matrix}), b + 1),"
+        f" (v, p) -> v * p), 0.0D, (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"aggregate(transform(sequence(0, {bits - 1}),"
+        f" b -> IF(({dot}) > 0, shiftleft(1L, b), 0L)),"
+        f" 0L, (acc, x) -> acc + x)"
+    )
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
