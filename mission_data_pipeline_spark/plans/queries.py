@@ -4458,6 +4458,126 @@ _q(
 )
 
 
+def _incremental_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the production shape: every new crawl
+    batch is deduped AGAINST THE EXISTING CORPUS (content-hash anti
+    join), not just within itself. The incoming batch is synthesized
+    in-plan: 100 exact copies of corpus docs under new ids (must all
+    drop) + 100 genuinely-new variants (must all survive)."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    corpus = spark.table("documents")
+    copies = corpus.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    fresh = corpus.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" fresh")).alias("text"),
+    )
+    incoming = copies.unionByName(fresh)
+    survivors = incoming.join(
+        corpus.select(F.md5("text").alias("__h")).distinct(),
+        F.md5(incoming["text"]) == F.col("__h"),
+        "left_anti",
+    )
+    return survivors.select("doc_id", F.md5("text").alias("content_md5")).orderBy(
+        "doc_id"
+    )
+
+
+_q(
+    "x1_incremental_dedup",
+    Query(
+        _incremental_dedup_spark,
+        """
+        SELECT doc_id + 20000 AS doc_id, md5(text || ' fresh') AS content_md5
+        FROM documents WHERE doc_id < 100
+        ORDER BY doc_id
+        """,
+        "X1",
+        "incremental ingest dedup: new batch anti-joined on content hash "
+        "against the existing corpus — exact copies drop, new variants "
+        "survive (one shuffle on a 128-bit key; at scale the corpus side "
+        "is a pre-computed hash index)",
+    ),
+)
+
+
+def _canonical_per_cluster_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization — the step AFTER clustering:
+    keep one representative per duplicate component (longest text, tie →
+    lowest id), the standard keep-best policy. Composes the MinHash
+    candidate pairs + connected_components operator with a per-component
+    quality argmax; the oracle replays clustering via recursive CTE."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dedup import connected_components
+
+    register_views(spark, sf_dir)
+    pairs = spark.sql(f"SELECT doc_a, doc_b FROM ({_MINHASH_SPARK}) p")
+    comp = connected_components(pairs)
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    scored = comp.join(docs, comp["node"] == docs["doc_id"]).select(
+        "component_id", "doc_id", "n_chars"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("n_chars").cast("long").alias("canonical_chars"),
+        )
+        .orderBy("component_id")
+    )
+
+
+_q(
+    "x2_canonical_per_cluster",
+    Query(
+        _canonical_per_cluster_spark,
+        f"""
+        WITH RECURSIVE pairs AS (
+          SELECT doc_a, doc_b FROM ({_MINHASH_DUCK}) p
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, node) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+        ),
+        comp AS (
+          SELECT src AS doc_id, CAST(MIN(node) AS BIGINT) AS component_id
+          FROM reach GROUP BY src
+        )
+        SELECT component_id, canonical_doc, canonical_chars FROM (
+          SELECT c.component_id, d.doc_id AS canonical_doc,
+                 CAST(d.n_chars AS BIGINT) AS canonical_chars,
+                 ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                    ORDER BY d.n_chars DESC, d.doc_id) AS rn
+          FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        ) t WHERE rn = 1
+        ORDER BY component_id
+        """,
+        "X2",
+        "keep-best canonicalization per duplicate cluster (longest text, "
+        "tie -> lowest id) over MinHash components — the selection policy "
+        "step after near-dup clustering",
+    ),
+)
+
+
 def _normalize_text_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization (operators/text.py normalize_text) over
     in-plan-dirtied documents: every space doubled into tabs, leading
@@ -4987,7 +5107,9 @@ _CHECK_FIRST = [
     "curation_normalize_text",
     "etl_binary_decom_calibrate_e2e",  # new: core ETL path oracle-checked
     "s2_csv_source_e2e",
-    # --- slots 39-50: regression rotation — green in r1 but unwatched
+    "x1_incremental_dedup",
+    "x2_canonical_per_cluster",
+    # --- slots 41-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",
