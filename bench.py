@@ -50,6 +50,22 @@ HEADLINE = [
     "x5_multimodal_payload_meta",
 ]
 
+# Timed separately and NOT folded into headline_queries_total so the
+# headline stays comparable across rounds; gives per-round visibility
+# into the LLM-curation / ANN operator costs at bench scale.
+EXTENDED = [
+    "curation_c4_signals",
+    "curation_pii_scrub",
+    "curation_decontaminate",
+    "curation_token_packing",
+    "curation_chunk_tokens",
+    "x4_bm25_relevance",
+    "x4_unigram_logprob",
+    "x4_tfidf_sparse",
+    "x2_lsh_near_dedup_survivors",
+    "x3_ann_recall",
+]
+
 N_ETL_PACKETS = 200_000
 
 
@@ -149,6 +165,19 @@ def main() -> None:
     bench_etl(spark, out)
     total += out["queries"]["etl_binary_decom_calibrate"]
     out["value"] = round(total, 3)
+
+    ext: dict = {}
+    for name in EXTENDED:
+        q = QUERIES[name]
+        dts = []
+        for _ in range(2):
+            t0 = time.time()
+            q.spark(spark, sf_dir).count()
+            dts.append(time.time() - t0)
+        ext[name] = round(min(dts), 3)
+    out["extended_queries"] = ext
+    out["extended_total"] = round(sum(ext.values()), 3)
+
     print(json.dumps(out))
     spark.stop()
 
