@@ -179,3 +179,37 @@ def test_dataframe_cal_table_path_matches_literal(spark):
         key=lambda r: (r["name"], r["raw_value"]),
     )
     assert [r.asDict() for r in lit_rows] == [r.asDict() for r in df_rows]
+
+
+def test_decom_calibrate_is_shuffle_free(spark, hk_bin):
+    """Scale-shape guard: config-as-plan-metadata means the entire
+    scan → decom → calibrate chain is a narrow pipeline — zero
+    exchanges, zero join nodes (the MIB compiles into expressions, so
+    the fact side never shuffles)."""
+    from mission_data_pipeline_spark.operators import (
+        Calibration,
+        ParameterDefinition,
+        apply_calibrations,
+        decommutate,
+    )
+    from mission_data_pipeline_spark.sources import read_packets
+
+    pk = read_packets(spark, hk_bin, sec_hdr_length=4)
+    defs = [ParameterDefinition("obc_temp", 0x100, 0, 16)]
+    out = apply_calibrations(
+        decommutate(pk, defs),
+        [Calibration("obc_temp", "polynomial", (-55.0, 0.04394531), unit="degC")],
+    )
+    out.collect()
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # The only exchange allowed is read_packets' range-descriptor
+    # repartition (one row PER SCAN RANGE — task distribution, not a
+    # data shuffle); packet/param rows must never hash-shuffle and no
+    # join node may appear (the MIB compiles into expressions).
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan

@@ -97,3 +97,34 @@ def test_asof_rejects_bad_direction(spark, quotes_trades):
     quotes, trades = quotes_trades
     with pytest.raises(ValueError):
         asof_join(trades, quotes, on="t", by=["sym"], direction="nearest")
+
+
+def _final_plan(df) -> str:
+    return (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+
+
+def test_asof_join_single_shuffle_no_range_explosion(spark):
+    """Scale-shape guard: the as-of join is union + one windowed carry —
+    exactly ONE hash exchange on the `by` keys and NO join node at all
+    (an inequality-join formulation would plan a range cross product
+    that explodes at scale)."""
+    from mission_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(k, float(t)) for k in ("a", "b") for t in range(0, 100, 3)],
+        "k string, t double",
+    )
+    right = spark.createDataFrame(
+        [(k, float(t), t * 10) for k in ("a", "b") for t in range(0, 100, 7)],
+        "k string, t double, v long",
+    )
+    out = asof_join(left, right, on="t", by=["k"])
+    out.collect()
+    plan = _final_plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # no join operator — union + window carry

@@ -79,3 +79,25 @@ def test_parquet_scan_pushes_filters_and_prunes_columns(spark, sf0001):
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "l_orderkey" in read_schema and "l_quantity" in read_schema
     assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+
+
+def test_driver_contract_surface(spark, sf0001):
+    """Mirror of the driver's smoke check: entry() runs and yields rows
+    with a stable schema; every oracle_sql() key is a queries() key; the
+    check-first ordering references only declared queries with no dups."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    from mission_data_pipeline_spark.plans.queries import _CHECK_FIRST, QUERIES
+
+    df = e.entry(spark)
+    assert len(df.columns) > 0 and df.count() > 0
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) == len(QUERIES)
+    assert len(set(_CHECK_FIRST)) == len(_CHECK_FIRST)
+    assert all(n in QUERIES for n in _CHECK_FIRST)
