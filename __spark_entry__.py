@@ -16,9 +16,18 @@ from pyspark.sql import DataFrame, SparkSession
 from mission_data_pipeline_spark.plans.queries import QUERIES
 
 
+def _pin_session_conf(spark: SparkSession) -> None:
+    """Conf the query library assumes, applied to whatever session the
+    driver hands us: nanos-as-long for the TIMESTAMP(NANOS) events
+    flavor, and UTC so timestamp<->string rendering matches the
+    UTC-assuming DuckDB oracles regardless of host timezone."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _pin_session_conf(spark)
     return QUERIES["q1_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
 
 
@@ -27,7 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _wrap(name: str) -> Callable[[SparkSession, str], DataFrame]:
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            _pin_session_conf(spark)
             return QUERIES[name].spark(spark, sf_dir)
 
         return run
