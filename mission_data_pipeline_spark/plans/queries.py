@@ -1333,6 +1333,60 @@ _q(
     ),
 )
 
+# SimHash near-dup PAIRS: Hamming distance over the fingerprints — the
+# selection step after fingerprinting (at scale, band the fingerprint
+# prefixes to avoid the all-pairs join; the bounded subset here checks
+# the distance math itself).
+_HAMMING_BODY = """
+, fp AS (
+    SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS fp
+    FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count({xor}) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count({xor}) <= 2
+ORDER BY doc_a, doc_b
+"""
+_q(
+    "x2_simhash_near_pairs",
+    _dialect(
+        "WITH "
+        + _GRAMS_SPARK
+        + """
+, gh AS (SELECT doc_id, CAST(CONV(SUBSTR(MD5(gram), 1, 12), 16, 10) AS BIGINT) AS h FROM grams)
+, bitsrc AS (SELECT EXPLODE(SEQUENCE(0, 15)) AS bit)
+, bits AS (
+    SELECT doc_id, b.bit,
+           CASE WHEN SUM(CASE WHEN (gh.h & CAST(POW(2, b.bit) AS BIGINT)) != 0
+                              THEN 1 ELSE -1 END) > 0
+                THEN CAST(POW(2, b.bit) AS BIGINT) ELSE 0 END AS bitval
+    FROM gh CROSS JOIN bitsrc b
+    GROUP BY doc_id, b.bit
+)
+"""
+        + _HAMMING_BODY.format(xor="a.fp ^ b.fp"),
+        "WITH "
+        + _GRAMS_DUCK
+        + """
+, gh AS (SELECT doc_id, CAST(('0x' || SUBSTR(MD5(gram), 1, 12)) AS BIGINT) AS h FROM grams)
+, bitsrc AS (SELECT UNNEST(range(0, 16)) AS bit)
+, bits AS (
+    SELECT doc_id, b.bit,
+           CASE WHEN SUM(CASE WHEN (gh.h & CAST(POW(2, b.bit) AS BIGINT)) != 0
+                              THEN 1 ELSE -1 END) > 0
+                THEN CAST(POW(2, b.bit) AS BIGINT) ELSE 0 END AS bitval
+    FROM gh CROSS JOIN bitsrc b
+    GROUP BY doc_id, b.bit
+)
+"""
+        + _HAMMING_BODY.format(xor="xor(a.fp, b.fp)"),
+        "X2",
+        "SimHash near-dup pairs by Hamming distance (<= 2 of 16 bits) — "
+        "the distance-threshold selection after fingerprinting",
+    ),
+)
+
 # ---------------------------------------------------------------------------
 # Similarity search (X3)
 # ---------------------------------------------------------------------------
@@ -5109,7 +5163,8 @@ _CHECK_FIRST = [
     "s2_csv_source_e2e",
     "x1_incremental_dedup",
     "x2_canonical_per_cluster",
-    # --- slots 41-50: regression rotation — green in r1 but unwatched
+    "x2_simhash_near_pairs",
+    # --- slots 42-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",
