@@ -448,3 +448,56 @@ def normalize_text(
     c = F.regexp_replace(c, " ?\\n ?", "\n")
     c = F.trim(c)
     return docs.withColumn(out_col or text_col, c)
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-bigram conditional LM score per document: mean
+    ``-ln P(w2 | w1)`` with ``P = count(w1 w2) / count(w1 ·)`` — one
+    order up from :func:`unigram_logprob` toward the KenLM-style
+    n-gram perplexity filters (CCNet); word order now matters, so
+    shuffled boilerplate scores high even when its unigram mix looks
+    normal. Returns ``(doc_id, n_bigrams, neg_logprob)``; documents
+    with fewer than two tokens have no bigrams and are omitted.
+
+    Scale shape: one bigram explode → (doc, gram) tf groupBy (map-side
+    partial), corpus bigram counts and head counts both gram/vocab-keyed
+    joins on keys the tf side already hashes on; DECIMAL-sum
+    determinism as in BM25/unigram.
+    """
+    from mission_data_pipeline_spark.operators.dedup import word_ngrams
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, 2)).alias("gram"),
+    ).filter(F.col("gram").contains(" "))
+    tf = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("tf"))
+    bigc = tf.groupBy("gram").agg(F.sum("tf").cast("double").alias("cb"))
+    headc = (
+        bigc.withColumn("head", F.substring_index("gram", " ", 1))
+        .groupBy("head")
+        .agg(F.sum("cb").alias("ch"))
+    )
+    contrib = -F.log(F.col("cb") / F.col("ch")) * F.col("tf").cast("double")
+    return (
+        tf.join(bigc, "gram")
+        .withColumn("head", F.substring_index("gram", " ", 1))
+        .join(headc, "head")
+        .withColumn("__c", F.round(contrib, 9).cast("decimal(20,9)"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum("__c").alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("__s").cast("double") / F.col("n_bigrams"), 6
+            ).alias("neg_logprob"),
+        )
+    )

@@ -2439,6 +2439,64 @@ _q(
 )
 
 
+def _bigram_logprob_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram conditional LM score (operators/text.py
+    bigram_logprob) — order-sensitive quality scoring one n-gram order
+    above the unigram filter."""
+    from mission_data_pipeline_spark.operators.text import bigram_logprob
+
+    register_views(spark, sf_dir)
+    return bigram_logprob(spark.table("documents")).orderBy("doc_id")
+
+
+_q(
+    "x4_bigram_logprob",
+    Query(
+        _bigram_logprob_spark,
+        r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(t, CAST(i AS INT) + 1,
+                                            CAST(i AS INT) + 2), ' ') AS gram
+          FROM toks, UNNEST(range(0, greatest(len(t) - 2, 0) + 1)) AS u(i)
+        ),
+        g AS (SELECT * FROM grams WHERE contains(gram, ' ')),
+        tf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+        bigc AS (
+          SELECT gram, CAST(SUM(tf) AS DOUBLE) AS cb FROM tf GROUP BY gram
+        ),
+        headc AS (
+          SELECT split_part(gram, ' ', 1) AS head, SUM(cb) AS ch
+          FROM bigc GROUP BY 1
+        ),
+        agg AS (
+          SELECT tf.doc_id, SUM(tf.tf) AS n_bigrams,
+                 SUM(CAST(ROUND(
+                   -ln(bigc.cb / headc.ch) * CAST(tf.tf AS DOUBLE),
+                   9) AS DECIMAL(20,9))) AS s
+          FROM tf
+          JOIN bigc USING (gram)
+          JOIN headc ON headc.head = split_part(tf.gram, ' ', 1)
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               ROUND(CAST(s AS DOUBLE) / n_bigrams, 6) AS neg_logprob
+        FROM agg
+        ORDER BY doc_id
+        """,
+        "X4",
+        "corpus-bigram conditional LM score (mean -ln P(w2|w1)) — "
+        "order-sensitive quality scoring toward KenLM-style n-gram "
+        "perplexity filters; gram/vocab-keyed joins, DECIMAL-sum "
+        "determinism",
+    ),
+)
+
+
 _q(
     "x4_top_terms",
     _dialect(
@@ -5164,7 +5222,8 @@ _CHECK_FIRST = [
     "x1_incremental_dedup",
     "x2_canonical_per_cluster",
     "x2_simhash_near_pairs",
-    # --- slots 42-50: regression rotation — green in r1 but unwatched
+    "x4_bigram_logprob",
+    # --- slots 43-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",

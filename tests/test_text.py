@@ -287,3 +287,47 @@ def test_normalize_text_canonicalizes_whitespace(spark):
     )
     texts = {r["text"] for r in normalize_text(pair).collect()}
     assert texts == {"a b\nc"}
+
+
+def test_bigram_logprob_order_sensitivity(spark):
+    """Bigram scoring must penalize word-order scrambling that unigram
+    scoring cannot see: same token multiset, different order, higher
+    -ln P(w2|w1)."""
+    import math
+
+    from mission_data_pipeline_spark.operators.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),
+            (2, "a b c a b c"),
+            (3, "c b a c b a c b a"),  # same unigrams, reversed transitions
+            (4, "solo"),  # single token: no bigrams, omitted
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert 4 not in rows
+    assert rows[1]["n_bigrams"] == 8
+    # 'a b' transitions dominate the corpus, so docs 1/2 (all common
+    # transitions) must score lower than doc 3 (rare 'b a' transitions)
+    assert rows[1]["neg_logprob"] < rows[3]["neg_logprob"]
+    # exact: corpus bigram counts c('a b')=12? compute independently
+    # heads: c('a .')-starts and c('b .')-starts from the three docs
+    from collections import Counter
+
+    grams = Counter()
+    for t in ("a b c a b c a b c", "a b c a b c", "c b a c b a c b a"):
+        w = t.split()
+        grams.update(zip(w, w[1:]))
+    heads = Counter()
+    for (w1, _), c in grams.items():
+        heads[w1] += c
+    for doc_id, text in ((1, "a b c a b c a b c"), (3, "c b a c b a c b a")):
+        w = text.split()
+        contribs = [
+            round(-math.log(grams[bg] / heads[bg[0]]), 9)
+            for bg in zip(w, w[1:])
+        ]
+        exp = round(sum(contribs) / len(contribs), 6)
+        assert abs(rows[doc_id]["neg_logprob"] - exp) < 1e-6
