@@ -194,7 +194,11 @@ def decontaminate(
     — it is deduplicated and **broadcast**, so the corpus-side gram
     table joins map-side and never shuffles; per-doc hit counts then
     aggregate on ``doc_id`` (one shuffle of the *hits only*). The
-    corpus gram explode prunes to (id, gram) before the join.
+    corpus gram explode prunes to (id, gram) before the join. The
+    final docs ⋈ hits left join is deliberately NOT broadcast-hinted:
+    hits is usually tiny (AQE converts it to broadcast at runtime) but
+    is bounded only by the contaminated-doc count, so a static hint
+    could OOM an adversarial corpus.
     """
     from mission_data_pipeline_spark.operators.dedup import shingles, word_ngrams
 
