@@ -1052,6 +1052,66 @@ _q(
     _dialect(_sql_sess, _duck_sess, "W4+", "gap-based sessionization (1h inactivity) via LAG + running sum"),
 )
 
+
+def _native_session_window_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (the streaming-capable
+    merging-window primitive) checked against a first-principles gap
+    oracle: window.start = first event, window.end = last event + gap."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT user_id, timestamp_micros(ts_ns DIV 1000) AS event_time "
+        "FROM events WHERE user_id <= 50"
+    )
+    agg = ev.groupBy(
+        "user_id", F.session_window("event_time", "1 hour").alias("w")
+    ).agg(F.count("*").alias("n_events"))
+    return agg.select(
+        "user_id",
+        F.unix_micros("w.start").alias("start_us"),
+        F.unix_micros("w.end").alias("end_us"),
+        "n_events",
+    ).orderBy("user_id", "start_us")
+
+
+_q(
+    "w4_native_session_window",
+    Query(
+        _native_session_window_spark,
+        _EV_DUCK
+        + """
+        , g AS (
+          SELECT user_id, ts_us,
+                 CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                          ORDER BY ts_us) > 3600000000
+                       OR LAG(ts_us) OVER (PARTITION BY user_id
+                          ORDER BY ts_us) IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM ev WHERE user_id <= 50
+        ),
+        s AS (
+          SELECT user_id, ts_us,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g
+        )
+        SELECT user_id,
+               CAST(MIN(ts_us) AS BIGINT) AS start_us,
+               CAST(MAX(ts_us) + 3600000000 AS BIGINT) AS end_us,
+               COUNT(*) AS n_events
+        FROM s
+        GROUP BY user_id, session_id
+        ORDER BY user_id, start_us
+        """,
+        "W4+,W1",
+        "Spark's native session_window merging-window operator vs a "
+        "first-principles LAG-gap oracle (start = first event, end = "
+        "last event + gap) — the two sessionization formulations must "
+        "agree exactly",
+    ),
+)
+
 # ---------------------------------------------------------------------------
 # JSON (X6)
 # ---------------------------------------------------------------------------
@@ -5223,7 +5283,8 @@ _CHECK_FIRST = [
     "x2_canonical_per_cluster",
     "x2_simhash_near_pairs",
     "x4_bigram_logprob",
-    # --- slots 43-50: regression rotation — green in r1 but unwatched
+    "w4_native_session_window",
+    # --- slots 44-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",
