@@ -1053,6 +1053,54 @@ _q(
 )
 
 
+def _native_tumbling_window_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE window() tumbling operator (what the streaming
+    aggregates run on) vs pure epoch arithmetic in the oracle."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT event_type, value, timestamp_micros(ts_ns DIV 1000) AS event_time "
+        "FROM events"
+    )
+    agg = ev.groupBy(
+        F.window("event_time", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.round("value", 6).cast("decimal(20,6)")).cast("double"), 6
+        ).alias("sum_value"),
+    )
+    return agg.select(
+        F.unix_micros("w.start").alias("start_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).orderBy("start_us", "event_type")
+
+
+_q(
+    "w1_native_tumbling_window",
+    Query(
+        _native_tumbling_window_spark,
+        _EV_DUCK
+        + """
+        SELECT CAST(ts_us // 3600000000 * 3600000000 AS BIGINT) AS start_us,
+               event_type, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6)))
+                          AS DOUBLE), 6) AS sum_value
+        FROM ev
+        GROUP BY 1, 2
+        ORDER BY start_us, event_type
+        """,
+        "W1",
+        "Spark's native window() tumbling operator vs pure epoch "
+        "arithmetic — bucket boundaries and per-bucket aggregates must "
+        "agree exactly",
+    ),
+)
+
+
 def _native_session_window_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE session_window operator (the streaming-capable
     merging-window primitive) checked against a first-principles gap
@@ -5284,7 +5332,8 @@ _CHECK_FIRST = [
     "x2_simhash_near_pairs",
     "x4_bigram_logprob",
     "w4_native_session_window",
-    # --- slots 44-50: regression rotation — green in r1 but unwatched
+    "w1_native_tumbling_window",
+    # --- slots 45-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",
