@@ -1053,6 +1053,61 @@ _q(
 )
 
 
+def _native_unpivot_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE DataFrame.unpivot (melt) API vs the stack()-based
+    SQL formulation the CSV source uses — wide→long restatements must
+    agree exactly."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    wide = spark.sql(
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+        "       l_discount, l_tax "
+        "FROM lineitem WHERE l_orderkey < 200"
+    )
+    long = wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return long.select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        F.round("value", 6).alias("value"),
+    ).orderBy("l_orderkey", "l_linenumber", "measure")
+
+
+_q(
+    "s2_native_unpivot",
+    Query(
+        _native_unpivot_spark,
+        """
+        SELECT l_orderkey, l_linenumber, measure, ROUND(value, 6) AS value
+        FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                 l_quantity AS value FROM lineitem WHERE l_orderkey < 200
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+          FROM lineitem WHERE l_orderkey < 200
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          FROM lineitem WHERE l_orderkey < 200
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+          FROM lineitem WHERE l_orderkey < 200
+        ) t
+        ORDER BY l_orderkey, l_linenumber, measure
+        """,
+        "S2,D2",
+        "Spark's native DataFrame.unpivot (melt) API vs a UNION ALL "
+        "derivation — the wide-to-long restatement the telemetry melt "
+        "relies on, via the first-class API",
+    ),
+)
+
+
 def _native_tumbling_window_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE window() tumbling operator (what the streaming
     aggregates run on) vs pure epoch arithmetic in the oracle."""
@@ -5333,7 +5388,8 @@ _CHECK_FIRST = [
     "x4_bigram_logprob",
     "w4_native_session_window",
     "w1_native_tumbling_window",
-    # --- slots 45-50: regression rotation — green in r1 but unwatched
+    "s2_native_unpivot",
+    # --- slots 46-50: regression rotation — green in r1 but unwatched
     # since (the driver's 50-slot window hasn't covered them for a round) ---
     "q1_pricing_summary",
     "agg_global_stats",
