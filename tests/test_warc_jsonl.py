@@ -100,3 +100,21 @@ def test_jsonl_roundtrip_and_corrupt_stats(spark, tmp_path):
     assert stats["n_rows"] == 2 and stats["n_corrupt"] == 1
     clean = read_jsonl(spark, str(bad_dir))
     assert clean.count() == 1
+
+
+def test_read_warc_multimember_gzip(spark, tmp_path):
+    """Common Crawl .warc.gz files are CONCATENATED per-record gzip
+    members; the decompression path must walk every member, not stop at
+    the first (a zlib-based refactor would silently truncate here)."""
+    import gzip as _gzip
+
+    buf = b"".join(
+        _gzip.compress(build_warc_record(f"member {i}".encode()))
+        for i in range(4)
+    )
+    p = tmp_path / "cc.warc.gz"
+    p.write_bytes(buf)
+    out = read_warc(spark, str(p), gzip_per_file=True).orderBy("record_idx")
+    rows = out.collect()
+    assert [r["payload"] for r in rows] == [f"member {i}".encode() for i in range(4)]
+    assert all(r["n_parse_errors"] == 0 for r in rows)
