@@ -331,3 +331,32 @@ def test_bigram_logprob_order_sensitivity(spark):
         ]
         exp = round(sum(contribs) / len(contribs), 6)
         assert abs(rows[doc_id]["neg_logprob"] - exp) < 1e-6
+
+
+def test_text_operators_handle_empty_corpus(spark):
+    """Every corpus-level scorer must yield an empty (not failing)
+    result on an empty input — at scale a filter chain can legitimately
+    drain a partition or a whole shard."""
+    from mission_data_pipeline_spark.operators.text import (
+        bigram_logprob,
+        c4_signals,
+        filter_badwords,
+        normalize_text,
+        repetition_signals,
+        scrub_text,
+        tfidf_sparse,
+        unigram_logprob,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    for op in (
+        lambda d: unigram_logprob(d),
+        lambda d: bigram_logprob(d),
+        lambda d: tfidf_sparse(d, dim=16),
+        lambda d: c4_signals(d),
+        lambda d: repetition_signals(d),
+        lambda d: scrub_text(d),
+        lambda d: normalize_text(d),
+        lambda d: filter_badwords(d, ["bad"]),
+    ):
+        assert op(empty).count() == 0
