@@ -316,3 +316,55 @@ def test_ivf_topk_rerank_is_broadcast(spark, no_auto_broadcast):
     assert plan.count("BroadcastHashJoin") >= 2
     for ln in _smj_lines(plan):
         assert "neighbor_id" not in ln and "centroid_id" not in ln, ln
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Drained-shard robustness: every dedup/similarity/sampling/packing
+    operator yields an empty result on empty input (ivf_topk's
+    zero-centroid guard raises by design — an accidentally-empty
+    codebook on a real corpus must fail loudly, not return nothing)."""
+    from mission_data_pipeline_spark.operators.dedup import (
+        exact_dedup,
+        near_dedup_minhash,
+        simhash,
+    )
+    from mission_data_pipeline_spark.operators.packing import (
+        chunk_tokens,
+        pack_token_budget,
+    )
+    from mission_data_pipeline_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+    from mission_data_pipeline_spark.operators.similarity import (
+        default_centroids,
+        ivf_topk,
+        quantize_embeddings,
+    )
+
+    ed = spark.createDataFrame([], "doc_id long, text string")
+    ee = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert exact_dedup(ed).count() == 0
+    assert near_dedup_minhash(
+        ed, n=2, num_hashes=4, bands=2, threshold=0.5
+    ).count() == 0
+    assert simhash(ed).count() == 0
+    assert connected_components(
+        spark.createDataFrame([], "doc_a long, doc_b long")
+    ).count() == 0
+    assert cosine_topk(ee, ee).count() == 0
+    assert lsh_topk(ee, ee, dim=8).count() == 0
+    assert quantize_embeddings(ee).count() == 0
+    assert hash_sample(ed, fraction=0.5, key_cols=["text"]).count() == 0
+    assert stratified_sample(
+        ed.withColumn("lang", F.lit("en")),
+        n_per_stratum=2,
+        strata_cols=["lang"],
+        key_cols=["text"],
+    ).count() == 0
+    assert pack_token_budget(
+        ed.withColumn("n_tokens", F.col("doc_id")), 100
+    ).count() == 0
+    assert chunk_tokens(ed, size=8, overlap=2).count() == 0
+    with pytest.raises(ValueError):
+        ivf_topk(ee, ee, centroids=default_centroids(ee), vec_col="embedding")
