@@ -27,6 +27,12 @@ SAMPLE = [
     "x2_minhash_bands",
     "x3_cosine_topk_bruteforce",
     "x4_quality_score",
+    # round-3 exotic execution paths (streaming run, file round-trips,
+    # e2e fixtures) — a pytest row protects them between driver rounds
+    "w1_streaming_tumbling",
+    "s_warc_ingest",
+    "etl_binary_decom_calibrate_e2e",
+    "x3_ann_recall",
 ]
 
 
