@@ -1,6 +1,6 @@
 """Spot-check declared queries against DuckDB at sf0.001 (fast subset).
 
-The full 57-query suite runs via ``scripts/check_correctness.py`` at
+The full declared-query suite runs via ``scripts/check_correctness.py`` at
 sf0.01 (the driver's gate); this keeps a representative sample inside
 the pytest loop so regressions surface immediately.
 """
