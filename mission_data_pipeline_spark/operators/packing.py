@@ -86,7 +86,8 @@ def chunk_tokens(
     the context-window chunking step that feeds tokenize/pack when
     documents exceed the model's sequence length (stride =
     ``size - overlap``; the final chunk keeps the tail and may be
-    short). Returns ``(doc_id, chunk_id, n_tokens, chunk_text)``.
+    short, but a tail fully contained in the previous chunk is never
+    emitted). Returns ``(doc_id, chunk_id, n_tokens, chunk_text)``.
 
     Complementary to :func:`pack_token_budget`: packing combines short
     documents up to a budget; chunking splits long ones down to it.
@@ -108,8 +109,15 @@ def chunk_tokens(
     d = docs.select(
         F.col(id_col).alias("doc_id"), toks.alias("__toks")
     ).filter(F.size("__toks") > 0)
+    # Cap the last start so a chunk is emitted only if it contains at
+    # least one token the previous chunk didn't (start <= n - overlap - 1);
+    # otherwise a short tail chunk fully contained in its predecessor
+    # would duplicate training text. Yields exactly
+    # ceil((n_tokens - overlap) / stride) chunks for n_tokens > overlap.
     starts = F.sequence(
-        F.lit(0), F.size("__toks") - 1, F.lit(stride)
+        F.lit(0),
+        F.greatest(F.size("__toks") - (overlap + 1), F.lit(0)),
+        F.lit(stride),
     )
     d = d.select(
         "doc_id",

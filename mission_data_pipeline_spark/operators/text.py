@@ -438,8 +438,9 @@ def normalize_text(
     1. C0/C1 control characters (except ``\\t\\n\\r``) removed;
     2. ``\\r\\n`` / ``\\r`` → ``\\n`` (line-ending canonicalization);
     3. horizontal runs of spaces/tabs collapsed to one space;
-    4. per-line edge whitespace trimmed, leading/trailing blank text
-       dropped.
+    4. per-line edge spaces/tabs trimmed, plus edge spaces of the whole
+       document (``trim`` strips spaces only — leading/trailing blank
+       lines/newlines are preserved, matching the property-test model).
 
     A zero-shuffle ``regexp_replace`` chain in the Java∩RE2 subset
     (same contract as :func:`scrub_text`), so the SQL oracle runs the

@@ -498,11 +498,15 @@ _q(
         """
         SELECT c_custkey, c_name
         FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
         ORDER BY c_custkey
         """,
         "J*",
-        "anti join: customers with no orders",
+        "anti join: customers with no 1998-or-later orders (every testdata "
+        "customer has at least one order, so the unfiltered variant was a "
+        "vacuous 0-row check; this window keeps the result non-empty)",
     ),
 )
 
@@ -684,13 +688,15 @@ _q(
     "set_except",
     _same(
         """
-        SELECT c_custkey AS k FROM customer
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
         EXCEPT
-        SELECT o_custkey AS k FROM orders
+        SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
         ORDER BY k
         """,
         "D4+",
-        "EXCEPT (anti set difference)",
+        "EXCEPT (anti set difference): BUILDING-segment customers minus "
+        "those with an urgent order (the unfiltered customer-minus-orders "
+        "variant was a vacuous 0-row check — every customer has orders)",
     ),
 )
 
@@ -1349,16 +1355,25 @@ _q(
     "x1_dedup_exact_hash",
     _same(
         """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text
+          FROM documents WHERE doc_id < 50
+        )
         SELECT MD5(text) AS fingerprint,
                COUNT(*) AS n_copies,
                CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
-        FROM documents
+        FROM corpus
         GROUP BY MD5(text)
         HAVING COUNT(*) > 1
         ORDER BY fingerprint
         """,
         "X1",
-        "exact near-zero-cost dedup: hash-group, keep lowest id",
+        "exact near-zero-cost dedup: hash-group, keep lowest id — over an "
+        "in-plan-seeded corpus (the raw testdata has no byte-identical "
+        "texts, so the unseeded variant was a vacuous 0-row check; 50 "
+        "re-ingested copies make the keeper selection observable)",
     ),
 )
 
@@ -1395,13 +1410,49 @@ JOIN sizes sb ON p.doc_b = sb.doc_id
 WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.4
 ORDER BY p.doc_a, p.doc_b
 """
+# Seeded variants for the Jaccard pair check: the raw corpus has no
+# near-duplicate pairs above the 0.4 threshold (the unseeded check was
+# vacuous — 0 rows would pass with a broken operator), so each doc_id<30
+# document gets an in-plan mutated twin (id+1000, short suffix appended)
+# whose 5-gram set overlaps its original almost completely.
+_GRAMS_SEEDED_SPARK = """
+  grams AS (
+    SELECT doc_id, gram FROM (
+      SELECT doc_id,
+             EXPLODE(ARRAY_DISTINCT(TRANSFORM(
+               SEQUENCE(1, GREATEST(LENGTH(text) - 4, 1)),
+               i -> SUBSTR(text, i, 5)))) AS gram
+      FROM (
+        SELECT doc_id, text FROM documents WHERE doc_id < 30
+        UNION ALL
+        SELECT doc_id + 1000 AS doc_id,
+               CONCAT(text, ' near dup tail') AS text
+        FROM documents WHERE doc_id < 30
+      )
+    ) g
+  )
+"""
+_GRAMS_SEEDED_DUCK = """
+  grams AS (
+    SELECT DISTINCT doc_id, substr(d.text, CAST(g AS INT), 5) AS gram
+    FROM (
+      SELECT doc_id, text FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id + 1000 AS doc_id,
+             text || ' near dup tail' AS text
+      FROM documents WHERE doc_id < 30
+    ) AS d, UNNEST(range(1, greatest(length(d.text) - 3, 2))) AS t(g)
+  )
+"""
 _q(
     "x2_ngram_jaccard_pairs",
     _dialect(
-        "WITH " + _GRAMS_SPARK + _JACCARD_BODY,
-        "WITH " + _GRAMS_DUCK + _JACCARD_BODY,
+        "WITH " + _GRAMS_SEEDED_SPARK + _JACCARD_BODY,
+        "WITH " + _GRAMS_SEEDED_DUCK + _JACCARD_BODY,
         "X2",
-        "character-5-gram exact Jaccard near-dup pairs (bounded subset; "
+        "character-5-gram exact Jaccard near-dup pairs over an in-plan-"
+        "seeded corpus (each doc_id<30 doc gets a suffix-mutated twin, so "
+        "the >=0.4 pairs are non-empty and the score math is observable; "
         "the unbounded scale path is MinHash-LSH, see x2_minhash_bands)",
     ),
 )
@@ -2088,7 +2139,7 @@ _q(
           SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
                  list_slice(toks, CAST(i AS INT) * 24 + 1,
                             CAST(i AS INT) * 24 + 32) AS chunk
-          FROM nz, UNNEST(range(0, (n - 1) // 24 + 1)) AS u(i)
+          FROM nz, UNNEST(range(0, greatest(n - 9, 0) // 24 + 1)) AS u(i)
         )
         SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
                array_to_string(chunk, ' ') AS chunk_text
@@ -4121,15 +4172,17 @@ _q(
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
         JOIN nation ON c_nationkey = n_nationkey
-        WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-          AND o_orderdate < TIMESTAMP '1994-04-01 00:00:00'
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
           AND l_returnflag = 'R'
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
         """,
         "J*,A*,D8",
-        "TPC-H Q10: 4-table join + agg + top-N by revenue",
+        "TPC-H Q10 (window shifted to 1996 Q1 — the classic 1994 window "
+        "predates this testdata's 1995-2001 order dates and returned 0 "
+        "rows, a vacuous check): 4-table join + agg + top-N by revenue",
     ),
 )
 

@@ -70,15 +70,25 @@ def read_jsonl(
 
 def jsonl_corrupt_stats(spark: SparkSession, path: str, **kwargs) -> DataFrame:
     """(n_rows, n_corrupt, corrupt_frac) for a JSONL path — the ingest
-    quality gate to check before dropping bad lines."""
+    quality gate to check before dropping bad lines.
+
+    Eager: the aggregate is materialized inside the call (one row) so the
+    scan's cache can be released before returning — a long-lived session
+    calling this per-shard must not accumulate storage memory.
+    """
     # Spark refuses plans that reference ONLY the internal corrupt-record
     # column of a raw JSON scan; caching first is the documented pattern
     # (the gate typically runs on a sample shard, not the full corpus).
     df = read_jsonl(spark, path, keep_corrupt=True, **kwargs).cache()
-    return df.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count(F.col(_CORRUPT)).alias("n_corrupt"),
-        (
-            F.count(F.col(_CORRUPT)) / F.count(F.lit(1))
-        ).alias("corrupt_frac"),
-    )
+    try:
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.col(_CORRUPT)).alias("n_corrupt"),
+            (
+                F.count(F.col(_CORRUPT)) / F.count(F.lit(1))
+            ).alias("corrupt_frac"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        df.unpersist()

@@ -112,6 +112,12 @@ def parse_warc_buffer(buf: bytes) -> tuple[list[dict], int]:
         except ValueError:
             errors += 1
             break
+        if length < 0:
+            # A negative declared length would move `pos` backwards (or
+            # hold it still), looping forever on untrusted input — treat
+            # it as framing corruption like any other malformed header.
+            errors += 1
+            break
         body_start = hdr_end + 4
         if body_start + length > n:
             errors += 1  # truncated record

@@ -89,17 +89,47 @@ def test_chunk_tokens_overlap_and_tail(spark):
     )
     out = chunk_tokens(docs, size=4, overlap=2)  # stride 2
     rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
-    # doc 1: starts 0,2,4,6,8 -> 5 chunks; last is the 2-token tail
-    assert sorted(c for d, c in rows if d == 1) == [0, 1, 2, 3, 4]
+    # doc 1: starts 0,2,4,6 -> ceil((10-2)/2) = 4 chunks; a start at 8
+    # would yield "t8 t9", fully contained in chunk 3 -> not emitted
+    assert sorted(c for d, c in rows if d == 1) == [0, 1, 2, 3]
     assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
     assert rows[(1, 1)]["chunk_text"] == "t2 t3 t4 t5"  # overlap of 2
-    assert rows[(1, 4)]["chunk_text"] == "t8 t9"
-    assert rows[(1, 4)]["n_tokens"] == 2
-    # doc 2: single short chunk, kept whole
+    assert rows[(1, 3)]["chunk_text"] == "t6 t7 t8 t9"
+    assert rows[(1, 3)]["n_tokens"] == 4
+    # doc 2: single short chunk, kept whole (no redundant "c" tail)
     assert rows[(2, 0)]["chunk_text"] == "a b c"
-    assert len([k for k in rows if k[0] == 2]) == 2  # starts 0 and 2
+    assert len([k for k in rows if k[0] == 2]) == 1
     # doc 3: filtered out entirely
     assert not [k for k in rows if k[0] == 3]
+
+
+def test_chunk_tokens_covers_all_tokens_no_redundant_chunks(spark):
+    # Every token appears in some chunk, and every chunk contributes at
+    # least one token not covered by its predecessor.
+    from mission_data_pipeline_spark.operators.packing import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"w{i}" for i in range(n))) for n in range(1, 40)],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens(docs, size=8, overlap=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    stride = 5
+    for n, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        # full coverage: last chunk reaches the final token
+        last_start = (len(chunks) - 1) * stride
+        assert chunks[-1]["chunk_text"].split()[-1] == f"w{n - 1}"
+        # chunk count matches the documented ceil((n - overlap)/stride)
+        expected = -(-(n - 3) // stride) if n > 3 else 1
+        assert len(chunks) == expected, (n, len(chunks), expected)
+        # no chunk fully contained in the previous one
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert not set(cur["chunk_text"].split()) <= set(
+                prev["chunk_text"].split()
+            )
 
 
 def test_chunk_tokens_validates_params(spark):

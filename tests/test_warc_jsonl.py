@@ -59,6 +59,19 @@ def test_parse_warc_truncated_counts_error():
     assert parse_warc_buffer(b"") == ([], 0)
 
 
+def test_parse_warc_negative_length_terminates():
+    # A record declaring Content-Length = -(its framing size) would pin
+    # `pos` in place forever without the length >= 0 guard; the parse
+    # must terminate and count it as a framing error.
+    good = build_warc_record(b"ok payload")
+    evil = good.replace(b"Content-Length: 10", b"Content-Length: -44")
+    recs, errors = parse_warc_buffer(good + evil)
+    assert len(recs) == 1 and errors == 1
+    # negative length alone, first record
+    recs2, errors2 = parse_warc_buffer(evil)
+    assert recs2 == [] and errors2 == 1
+
+
 def test_read_warc_distributed(spark, warc_file):
     out = read_warc(spark, warc_file).orderBy("record_idx")
     rows = out.collect()
