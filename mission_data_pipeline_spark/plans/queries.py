@@ -1968,13 +1968,25 @@ _q(
 
 def _kmeans_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with learned (Spark ML KMeans) centroids — the quality path.
-    No SQL oracle: k-means centers aren't reproducible in DuckDB, so
-    this is a rows-only driver check (k rows per query, stable schema);
-    exact parity of the IVF mechanics is covered by x3_ivf_topk_ann's
-    deterministic-centroid oracle."""
-    from pyspark.sql import functions as F
 
+    KMeans centers aren't reproducible in DuckDB, so the neighbor lists
+    themselves can't be oracle-checked — but their *quality* can: the
+    query emits one row (n_queries, n_exact, recall_ok) where recall_ok
+    asserts aggregate recall@5 against exact rounded-cosine ground truth
+    is >= 0.6. The ground-truth counts ARE SQL-reproducible, and a
+    broken assignment/probe path craters recall, so a hash match is a
+    real correctness bound (measured: 0.72-1.0 across seeds/SFs at
+    n_probe=8 of 16 centroids — >=0.6 leaves margin for KMeans float
+    jitter without ever passing a broken operator). Exact parity of the
+    IVF mechanics is separately covered by x3_ivf_topk_ann's
+    deterministic-centroid oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from mission_data_pipeline_spark.functions.vectors import cosine_similarity
     from mission_data_pipeline_spark.operators.similarity import (
+        ann_recall,
         ivf_topk,
         kmeans_centroids,
     )
@@ -1983,17 +1995,35 @@ def _kmeans_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    cents = kmeans_centroids(emb, n_centroids=16, vec_col="v", seed=7, max_iter=5)
-    out = ivf_topk(
-        emb,
-        emb.filter(F.col("vec_id") < 5),
-        k=5,
-        n_probe=4,
-        centroids=cents,
-        vec_col="v",
+    q = emb.filter(F.col("vec_id") < 5)
+
+    qd = q.select(F.col("vec_id").alias("query_id"), F.col("v").alias("__qv"))
+    scored = (
+        emb.crossJoin(broadcast(qd))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col("__qv"), F.col("v")), 6
+            ).alias("cosine"),
+        )
     )
-    return out.select("query_id", "neighbor_id", "rank").orderBy(
-        "query_id", "rank"
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    exact = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+
+    cents = kmeans_centroids(emb, n_centroids=16, vec_col="v", seed=7, max_iter=10)
+    approx = ivf_topk(emb, q, k=5, n_probe=8, centroids=cents, vec_col="v")
+    return ann_recall(approx, exact, k=5).agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("n_exact").cast("long").alias("n_exact"),
+        (
+            F.sum("n_hit").cast("double") / F.sum("n_exact") >= 0.6
+        ).alias("recall_ok"),
     )
 
 
@@ -2001,11 +2031,29 @@ _q(
     "x3_kmeans_ivf_topk",
     Query(
         _kmeans_ivf_spark,
-        None,
+        """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             exact AS (
+               SELECT query_id, neighbor_id FROM (
+                 SELECT q.query_id, e.vec_id AS neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY q.query_id
+                          ORDER BY ROUND(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                                   e.vec_id) AS rank
+                 FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+               ) t WHERE rank <= 5
+             )
+        SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               TRUE AS recall_ok
+        FROM exact
+        """,
         "X3",
-        "IVF top-k with Spark ML KMeans coarse centroids (the recall-"
-        "quality path; deterministic-centroid mechanics oracle-checked "
-        "separately) — rows-only driver check, 5 queries x k=5 rows",
+        "IVF top-k with Spark ML KMeans coarse centroids, graded as a "
+        "recall bound: aggregate recall@5 vs exact rounded-cosine ground "
+        "truth must clear 0.6 (the SQL-reproducible part — ground-truth "
+        "counts — is hash-matched; the learned centers themselves are "
+        "not SQL-expressible)",
     ),
 )
 
@@ -5384,71 +5432,25 @@ _q(
 
 
 # ---------------------------------------------------------------------------
-# Driver-check ordering. The round-1 driver verified the first 50 QUERIES
-# entries in insertion order; the remaining 42 declared queries got no
-# CORRECTNESS row. Reorder so the previously-unverified queries (plus
-# w4_sessionization, whose oracle cast was fixed this round) are checked
-# first; everything already green in CORRECTNESS_r01.json follows.
+# Driver-check ordering (round 4). The driver verifies the first ~50 QUERIES
+# entries per round; this list rotates so no query's last driver check goes
+# stale. Slots 1-7: queries changed this round (five de-vacuified 0-row
+# oracle rows + the new KMeans-IVF recall bound + the chunk-tokens tail-chunk
+# fix). Slots 8-47: every query whose last driver row is round 1 (two rounds
+# stale). Slots 48-50 and the tail: round-2-checked queries oldest-first,
+# then round-3-checked — the round-5 window picks up where this one ends.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # --- slots 1-3: red in CORRECTNESS_r02, oracle type-skew fixed this
-    # round (CAST SUM(CASE)/COUNT_IF to BIGINT; u64 rendered as STRING) ---
-    "decode_golden_matrix",
-    "agg_conditional_bool",
-    "q12_shipmode_priority",
-    # --- slots 4-16: declared but never driver-checked (r1+r2 both capped
-    # at 50 rows before reaching them); all pass check_correctness locally ---
-    "x4_token_count_bpe",
-    "x4_tfidf_sparse",
-    "limit_check_alarm",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity",
-    # --- slots 17-20: new / rewritten this round ---
-    "x3_ann_recall",
-    "x5_multimodal_features",  # now decoder='real' with feature-value oracle
-    "x4_unigram_logprob",
-    "x4_top_terms",
+    # --- slots 1-7: changed this round (must re-verify) ---
+    "q10_returned_items",
+    "join_anti",
+    "set_except",
+    "x1_dedup_exact_hash",
+    "x2_ngram_jaccard_pairs",
+    "x3_kmeans_ivf_topk",
     "curation_chunk_tokens",
-    "x2_embedding_near_dup",  # threshold recalibrated: now a non-empty check
-    "j_salted_skew_join",  # new: skew-salting now driver-checked
-    "agg_two_phase_distinct",  # new: skew helpers now driver-checked
-    "agg_salted_avg",
-    "x5_frame_sample",  # new: frame-sampling fan-out now driver-checked
-    "x5_media_stats",
-    "x3_kmeans_ivf_topk",  # rows-only (KMeans not SQL-reproducible)
-    "w1_streaming_tumbling",  # new: real streaming run vs batch oracle
-    "w4_streaming_dedup",
-    "s_warc_ingest",  # new: WARC/JSONL/parquet round-trips driver-checked
-    "l_jsonl_roundtrip",
-    "l_parquet_roundtrip",
-    "curation_content_filter",  # new: C4 badwords + source blocklist
-    "l_csv_roundtrip",
-    "curation_normalize_text",
-    "etl_binary_decom_calibrate_e2e",  # new: core ETL path oracle-checked
-    "s2_csv_source_e2e",
-    "x1_incremental_dedup",
-    "x2_canonical_per_cluster",
-    "x2_simhash_near_pairs",
-    "x4_bigram_logprob",
-    "w4_native_session_window",
-    "w1_native_tumbling_window",
-    "s2_native_unpivot",
-    # --- slots 46-50: regression rotation — green in r1 but unwatched
-    # since (the driver's 50-slot window hasn't covered them for a round) ---
-    "q1_pricing_summary",
-    "agg_global_stats",
-    "agg_variance_manual",
-    "agg_distinct_by_group",
-    "agg_having",
+    # --- slots 8-47: last driver row is round 1 (stalest) ---
     "rollup_flag_status",
     "cube_priority_status",
     "grouping_sets_mixed",
@@ -5467,17 +5469,13 @@ _CHECK_FIRST = [
     "join_right",
     "join_full_outer",
     "join_semi_exists",
-    "join_anti",
     "join_cross_small",
     "q3_shipping_priority",
     "q5_nation_revenue",
-    # --- past the 50 cap: remaining r1-only-green queries queue for the
-    # round-4 rotation; the 50 r2-green queries follow via dict order ---
     "correlated_scalar_subquery",
     "d4_union_all",
     "set_union_distinct",
     "set_intersect",
-    "set_except",
     "x1_distinct_dedup",
     "d3_pivot_wide",
     "s2_unpivot_melt",
@@ -5492,9 +5490,101 @@ _CHECK_FIRST = [
     "x4_quality_score",
     "x4_lang_signal",
     "x4_fingerprint",
-    "x1_dedup_exact_hash",
-    "x2_ngram_jaccard_pairs",
     "x2_minhash_bands",
+    # --- slots 48+: round-2-checked, oldest rotation tier ---
+    "w4_sessionization",
+    "x2_simhash_fingerprint",
+    "x3_cosine_topk_bruteforce",
+    "x3_knn_label_vote",
+    "x5_multimodal_payload_meta",
+    "d6_per_name_time_range",
+    "d2_tidy_projection_sorted",
+    "curation_token_packing",
+    "w_interpolate_linear",
+    "w_forward_fill_hold",
+    "curation_hash_sample",
+    "curation_stratified_sample",
+    "curation_mixture_sample",
+    "curation_pii_scrub",
+    "x4_repetition_signals",
+    "curation_c4_signals",
+    "curation_decontaminate",
+    "x4_bm25_relevance",
+    "x3_quantize_embeddings",
+    "x2_duplicate_components",
+    "x2_lsh_near_dedup_survivors",
+    "x3_lsh_topk_ann",
+    "x5_audio_meta_decode",
+    "x5_video_meta_decode",
+    "frames_to_packets_roundtrip",
+    "x5_image_meta_decode",
+    "w4_last_wins_dedup",
+    "asof_join_latest_purchase",
+    "range_join_event_pairs",
+    "w_ranking_functions",
+    "w_analytic_functions",
+    "w2_sliding_window",
+    "time_bucket_rollup",
+    "agg_percentiles",
+    "agg_stats_corr",
+    "x3_vector_array_stats",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q14_promo_effect",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
+    "x3_ivf_topk_ann",
+    # --- round-3-checked tail (freshest, checked last) ---
+    "decode_golden_matrix",
+    "agg_conditional_bool",
+    "q12_shipmode_priority",
+    "x4_token_count_bpe",
+    "x4_tfidf_sparse",
+    "limit_check_alarm",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
+    "x3_ann_recall",
+    "x5_multimodal_features",
+    "x4_unigram_logprob",
+    "x4_top_terms",
+    "x2_embedding_near_dup",
+    "j_salted_skew_join",
+    "agg_two_phase_distinct",
+    "agg_salted_avg",
+    "x5_frame_sample",
+    "x5_media_stats",
+    "w1_streaming_tumbling",
+    "w4_streaming_dedup",
+    "s_warc_ingest",
+    "l_jsonl_roundtrip",
+    "l_parquet_roundtrip",
+    "curation_content_filter",
+    "l_csv_roundtrip",
+    "curation_normalize_text",
+    "etl_binary_decom_calibrate_e2e",
+    "s2_csv_source_e2e",
+    "x1_incremental_dedup",
+    "x2_canonical_per_cluster",
+    "x2_simhash_near_pairs",
+    "x4_bigram_logprob",
+    "w4_native_session_window",
+    "w1_native_tumbling_window",
+    "s2_native_unpivot",
+    "q1_pricing_summary",
+    "agg_global_stats",
+    "agg_variance_manual",
+    "agg_distinct_by_group",
+    "agg_having",
 ]
 
 QUERIES = {

@@ -13,7 +13,11 @@ most one partition, never the dataset. For 100 TB stay in Parquet; this
 exists for tool compatibility at export scale.
 
 ``h5py`` is an optional dependency; the sink raises a clear error when
-it is absent.
+it is absent. The export logic (per-parameter grouping, numeric/string
+split, resizable append, unit attrs, chunked flush) is backend-agnostic
+and unit-tested against a fake in-memory h5 backend, so only the literal
+h5py byte encoding is env-gated — the same documented-boundary pattern
+as the codec-less media decode.
 """
 
 from __future__ import annotations
@@ -21,12 +25,12 @@ from __future__ import annotations
 from collections import defaultdict
 from typing import Any
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 try:  # optional dependency
     import h5py  # type: ignore
-    import numpy as np
 except ImportError:  # pragma: no cover - exercised only without h5py
     h5py = None  # type: ignore[assignment]
 
@@ -63,6 +67,7 @@ def write_hdf5(
     *,
     mode: str = "a",
     chunk_rows: int = 500_000,
+    _h5: Any = None,
 ) -> None:
     """Export tidy samples to one HDF5 file on the driver.
 
@@ -71,8 +76,13 @@ def write_hdf5(
     truncates. Non-numeric ``eng_value`` samples (where the engine
     carried the value in ``eng_value_str``) land in a parallel
     ``eng_value_str`` string dataset (``hdf5.py:94-99,128-134``).
+
+    ``_h5`` injects an alternate h5py-compatible backend (used by tests
+    to verify the export logic where h5py is unavailable; production
+    callers never pass it).
     """
-    if h5py is None:
+    h5 = _h5 if _h5 is not None else h5py
+    if h5 is None:
         raise ImportError(
             "write_hdf5 requires the optional dependency h5py "
             "(pip install h5py); Parquet sinks are the supported "
@@ -87,7 +97,7 @@ def write_hdf5(
         ]
     ).toLocalIterator(prefetchPartitions=True)
 
-    with h5py.File(out_path, mode) as f:
+    with h5.File(out_path, mode) as f:
         tele = f.require_group("telemetry")
         buf: dict[str, list] = defaultdict(list)
 
@@ -112,7 +122,7 @@ def write_hdf5(
                 if stringy:
                     vals = np.asarray(
                         [r["eng_value_str"] or "" for r in stringy],
-                        dtype=h5py.string_dtype(),
+                        dtype=h5.string_dtype(),
                     )
                     _append(g, "eng_value_str", vals, vals.dtype)
                 unit = next((r["unit"] for r in rows if r["unit"]), None)

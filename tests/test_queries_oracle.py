@@ -33,6 +33,10 @@ SAMPLE = [
     "s_warc_ingest",
     "etl_binary_decom_calibrate_e2e",
     "x3_ann_recall",
+    # round-4: de-vacuified seeded-dedup check + the KMeans-IVF recall
+    # bound (its first correctness signal — keep it exercised)
+    "x1_dedup_exact_hash",
+    "x3_kmeans_ivf_topk",
 ]
 
 

@@ -103,6 +103,112 @@ def test_hdf5_requires_h5py_or_works(spark, params_df, tmp_path):
         assert f["telemetry/volt"]["eng_value"].shape == (4,)  # 2 + 2
 
 
+class _FakeDataset:
+    """h5py.Dataset stand-in: 1-D resizable numpy-backed array."""
+
+    def __init__(self, data):
+        import numpy as np
+
+        self.data = np.asarray(data)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    def resize(self, n, axis=0):
+        import numpy as np
+
+        assert axis == 0
+        grown = np.zeros(n, dtype=self.data.dtype)
+        grown[: self.data.shape[0]] = self.data
+        self.data = grown
+
+    def __setitem__(self, key, value):
+        self.data[key] = value
+
+
+class _FakeGroup:
+    def __init__(self):
+        self.members: dict = {}
+        self.attrs: dict = {}
+
+    def require_group(self, name):
+        return self.members.setdefault(name, _FakeGroup())
+
+    def create_dataset(self, name, data=None, **_kw):
+        assert name not in self.members
+        self.members[name] = _FakeDataset(data)
+
+    def __contains__(self, name):
+        return name in self.members
+
+    def __getitem__(self, name):
+        return self.members[name]
+
+
+class _FakeH5:
+    """Minimal h5py-compatible backend: exposes File/string_dtype, keeps
+    files in a dict so "a" mode re-opens the same tree."""
+
+    def __init__(self):
+        self.files: dict = {}
+
+    def string_dtype(self):
+        return object
+
+    def File(self, path, mode):
+        if mode == "w" or path not in self.files:
+            self.files[path] = _FakeGroup()
+        root = self.files[path]
+
+        class _Ctx:
+            def __enter__(_self):
+                return root
+
+            def __exit__(_self, *exc):
+                return False
+
+        return _Ctx()
+
+
+def test_hdf5_export_logic_without_h5py(spark, params_df, tmp_path):
+    """The driver-side export logic — reference parity for
+    src/mdp/plugins/loaders/hdf5.py: /telemetry/<param> layout,
+    cross-call resizable append, numeric/string dataset split, unit
+    attr, validity coercion — verified through an injected in-memory
+    backend, since h5py (the byte-encoding layer only) is absent in
+    this environment."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sinks import write_hdf5
+
+    h5 = _FakeH5()
+    out = str(tmp_path / "fake.h5")
+    write_hdf5(params_df, out, mode="w", _h5=h5)
+    write_hdf5(params_df.filter("name = 'volt'"), out, _h5=h5)  # append
+
+    root = h5.files[out]
+    tele = root["telemetry"]
+    assert sorted(tele.members) == ["temp", "volt"]
+    g = tele["temp"]
+    assert list(g["eng_value"].data) == [5.0, 10.0, 15.0]
+    assert list(g["time_tai"].data) == [0.0, 1.0, 2.0]
+    assert list(g["validity"].data) == [1, 1, 1]
+    assert g.attrs["unit"] == "degC"
+    # cross-call append resized the volt datasets: 2 + 2 rows
+    assert tele["volt"]["eng_value"].shape == (4,)
+    assert list(tele["volt"]["eng_value"].data) == [7.0, 8.0, 7.0, 8.0]
+
+    # string-valued samples land in a parallel eng_value_str dataset
+    sdf = params_df.withColumn(
+        "eng_value", F.lit(None).cast("double")
+    ).withColumn("eng_value_str", F.lit("SAFE_MODE"))
+    write_hdf5(sdf.filter("name = 'temp'"), out, _h5=h5)
+    g = h5.files[out]["telemetry"]["temp"]
+    assert list(g["eng_value_str"].data) == ["SAFE_MODE"] * 3
+    assert g["eng_value"].shape == (3,)  # numeric datasets untouched
+
+
 def test_write_sorted_parquet_clusters_ranges(spark, tmp_path):
     """Zone-map layout guard: files written by write_sorted_parquet must
     carry near-disjoint min/max ranges on the sort key (that's what lets
