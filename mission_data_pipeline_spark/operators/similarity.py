@@ -393,11 +393,12 @@ def ivf_topk(
     of it. The centroid codebook is materialized driver-side
     (:func:`_centroid_literals`) and baked into ONE literal argmax
     expression per row — assignment is pure map-side compute with NO
-    centroid crossJoin and NO per-id window shuffle; the probe join and
-    re-rank join both broadcast the (tiny) query-derived side, so the
-    corpus never shuffles — it is scanned twice map-side, the same
-    shape as :func:`lsh_topk`. At 100 TB the assignment is computed
-    once and written partitioned-by(centroid_id); queries then touch
+    centroid crossJoin and NO per-id window shuffle. The assignment
+    pass carries the vector column through, so the probe join (which
+    broadcasts the tiny query-derived side) feeds re-ranking directly:
+    the corpus is scanned exactly ONCE, map-side, never shuffled. At
+    100 TB the assignment is computed once and written
+    partitioned-by(centroid_id) with the vectors; queries then touch
     only the probed partitions (partition pruning on an equi-join key).
     """
     if centroids is None:
@@ -415,7 +416,11 @@ def ivf_topk(
         .withColumn(
             "centroid_id", F.expr(f"-array_max({sim_arr}).negcid")
         )
-        .select(F.col(id_col).alias("id"), "centroid_id")
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "centroid_id",
+            F.col(vec_col).alias("__cv"),
+        )
     )
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
@@ -435,22 +440,23 @@ def ivf_topk(
                 )
             ),
         )
-        .select("query_id", "centroid_id")
+        .select("query_id", "centroid_id", "__qv")
     )
 
-    cand = (
+    # The probe side carries the query vector, so candidate selection
+    # and exact re-ranking happen in the SAME broadcast join — one
+    # corpus scan total, streaming map-side. Shuffling (or re-scanning)
+    # the full corpus per query batch is the shape that dies at 100 TB.
+    scored = (
         assign.join(broadcast(probes), "centroid_id")
-        .filter(F.col("id") != F.col("query_id"))
-        .select("query_id", F.col("id").alias("neighbor_id"))
-    )
-    # Broadcast the small (query, candidate) side so the corpus re-rank
-    # pass streams map-side — shuffling the full corpus per query batch
-    # is the shape that dies at 100 TB.
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    scored = cv.join(broadcast(cand.join(q, "query_id")), "neighbor_id").select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("__qv"), F.col("__cv")), 6
+            ).alias("cosine"),
+        )
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

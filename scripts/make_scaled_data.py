@@ -1,0 +1,135 @@
+"""Build an ~sf1 benchmark dataset by replicating the driver's sf0.1
+tables N times with join-consistent key offsets.
+
+Purpose: scale-validation bench only (BASELINE.md round-4 table). The
+driver's sf0.1 parquet stays the correctness/bench source of truth;
+this derivative exists because every plan claim ("corpus never
+shuffles", "scan dominates") was previously evidenced at a SF where
+fixed overhead is ~half of wall-time.
+
+Replication rules (TPC-H-style):
+- region/nation: fixed (copied once) — they are the broadcast dims.
+- customer/supplier/part/orders/lineitem: replica r adds r*stride to
+  every synthetic key (custkey, suppkey, partkey, orderkey) so FK
+  relationships hold within each replica and keys stay globally
+  unique. nationkey is left alone (dims fixed).
+- orders.o_orderdate / lineitem.l_shipdate are left alone so date-
+  window predicates keep the same selectivity.
+- events: event_id/user_id offset; ts shifted by r seconds so
+  sessionization/windows see distinct-but-overlapping streams.
+- documents: doc_id offset; text suffixed with a replica tag so exact
+  dedup does not collapse replicas to 1/N.
+- embeddings: vec_id offset; a tiny deterministic per-replica rotation
+  (+r*1e-3 on one coordinate) so ANN work does not degenerate to
+  all-ties.
+
+Usage: python scripts/make_scaled_data.py [--src DIR] [--out DIR] [--n N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+FIXED = ["region", "nation"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/sfx1")
+    ap.add_argument("--n", type=int, default=10)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    con = duckdb.connect()
+
+    def src(t: str) -> str:
+        return f"read_parquet('{args.src}/{t}.parquet')"
+
+    def write(t: str, sql: str) -> None:
+        out = f"{args.out}/{t}.parquet"
+        con.sql(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+    for t in FIXED:
+        write(t, f"SELECT * FROM {src(t)}")
+
+    # stride per key family: next power of 10 above the max key, so
+    # offset keys are disjoint and join-consistent across replicas
+    def stride(table: str, col: str) -> int:
+        mx = con.sql(f"SELECT max({col}) FROM {src(table)}").fetchone()[0]
+        s = 1
+        while s <= mx:
+            s *= 10
+        return s
+
+    ck, sk, pk, ok = (
+        stride("customer", "c_custkey"),
+        stride("supplier", "s_suppkey"),
+        stride("part", "p_partkey"),
+        stride("orders", "o_orderkey"),
+    )
+    n = args.n
+    rep = f"(SELECT unnest(range({n})) AS r)"
+
+    write(
+        "customer",
+        f"SELECT c_custkey + r*{ck} AS c_custkey, c_name, c_nationkey,"
+        f" c_acctbal, c_mktsegment FROM {src('customer')} CROSS JOIN {rep}",
+    )
+    write(
+        "supplier",
+        f"SELECT s_suppkey + r*{sk} AS s_suppkey, s_name, s_nationkey,"
+        f" s_acctbal FROM {src('supplier')} CROSS JOIN {rep}",
+    )
+    write(
+        "part",
+        f"SELECT p_partkey + r*{pk} AS p_partkey, p_name, p_brand, p_type,"
+        f" p_size, p_retailprice FROM {src('part')} CROSS JOIN {rep}",
+    )
+    write(
+        "orders",
+        f"SELECT o_orderkey + r*{ok} AS o_orderkey, o_custkey + r*{ck} AS"
+        f" o_custkey, o_orderstatus, o_totalprice, o_orderdate,"
+        f" o_orderpriority FROM {src('orders')} CROSS JOIN {rep}",
+    )
+    write(
+        "lineitem",
+        f"SELECT l_orderkey + r*{ok} AS l_orderkey, l_partkey + r*{pk} AS"
+        f" l_partkey, l_suppkey + r*{sk} AS l_suppkey, l_linenumber,"
+        f" l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,"
+        f" l_linestatus, l_shipdate FROM {src('lineitem')} CROSS JOIN {rep}",
+    )
+
+    ek = stride("events", "event_id")
+    uk = stride("events", "user_id")
+    write(
+        "events",
+        f"SELECT event_id + r*{ek} AS event_id, ts + to_seconds(r) AS ts,"
+        f" user_id + r*{uk} AS user_id, event_type, value, props"
+        f" FROM {src('events')} CROSS JOIN {rep}",
+    )
+
+    dk = stride("documents", "doc_id")
+    write(
+        "documents",
+        f"SELECT doc_id + r*{dk} AS doc_id,"
+        f" CASE WHEN r = 0 THEN text ELSE text || ' r' || r END AS text,"
+        f" lang, source, n_chars FROM {src('documents')} CROSS JOIN {rep}",
+    )
+
+    vk = stride("embeddings", "vec_id")
+    write(
+        "embeddings",
+        f"SELECT vec_id + r*{vk} AS vec_id,"
+        f" list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN"
+        f" CAST(x + r*0.001 AS FLOAT) ELSE x END) AS embedding,"
+        f" label FROM {src('embeddings')} CROSS JOIN {rep}",
+    )
+
+
+if __name__ == "__main__":
+    main()

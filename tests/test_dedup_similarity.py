@@ -291,11 +291,9 @@ def test_lsh_topk_corpus_never_shuffles(spark, no_auto_broadcast):
 
 def test_ivf_topk_rerank_is_broadcast(spark, no_auto_broadcast):
     """The corpus never shuffles in ivf_topk: assignment is a literal
-    argmax expression (no centroid crossJoin, no per-id window), the
-    probe join broadcasts the query-derived side (so no sort-merge on
-    centroid_id), and the re-rank joins a broadcast candidate set (so
-    none on neighbor_id). The only allowed sort-merge join is the
-    candidate-sized cand x query-vectors join on query_id."""
+    argmax expression (no centroid crossJoin, no per-id window), and the
+    single probe-and-rerank join broadcasts the query-derived side — one
+    corpus scan, no sort-merge join anywhere in the plan."""
     import random
 
     from mission_data_pipeline_spark.operators.similarity import (
@@ -313,9 +311,8 @@ def test_ivf_topk_rerank_is_broadcast(spark, no_auto_broadcast):
     out = ivf_topk(emb, q, k=3, n_probe=2, centroids=cents, vec_col="embedding")
     out.collect()
     plan = _final_plan(out)
-    assert plan.count("BroadcastHashJoin") >= 2
-    for ln in _smj_lines(plan):
-        assert "neighbor_id" not in ln and "centroid_id" not in ln, ln
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert not _smj_lines(plan), _smj_lines(plan)
 
 
 def test_operators_handle_empty_inputs(spark):
