@@ -168,35 +168,48 @@ def lsh_topk(
     the candidate count. At 100 TB, corpus buckets can additionally be
     written bucketed-by(bucket) so repeated query batches co-locate.
 
+    The bucket pass carries the vector column through, so the broadcast
+    bucket join scores candidates immediately: ONE corpus scan total,
+    map-side, never shuffled. A candidate colliding in several tables is
+    scored once per collision and deduped by a tiny
+    ``groupBy(query, neighbor)`` over identical cosines — the extra
+    compute is bounded by collisions (<< corpus), while the saved
+    full-corpus re-rank scan is the dominant cost at scale.
+
     Pass ``dim`` when the embedding width is known (it is, for any real
     corpus) to skip the one-row probe job that infers it.
     """
     if dim is None:
         dim = _vec_dim(corpus, vec_col)
-    cb = lsh_buckets(
-        corpus, bits=bits, tables=tables, id_col=id_col, vec_col=vec_col, dim=dim
-    )
-    qb = lsh_buckets(
-        queries, bits=bits, tables=tables, id_col=id_col, vec_col=vec_col, dim=dim
-    )
-    # The query side is small by contract; broadcast it at every join so
-    # the corpus NEVER shuffles — it is scanned twice (bucket pass,
-    # re-rank pass), both map-side, both pruned to (id, vec).
-    cand = (
-        cb.withColumnRenamed("id", "neighbor_id")
-        .join(broadcast(qb.withColumnRenamed("id", "query_id")), ["table", "bucket"])
+
+    def _bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        per_table = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    _sketch(vec_col, bits=bits, table=t, dim=dim).alias("bucket"),
+                )
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.explode(per_table).alias("tb"),
+        ).select(out_id, out_vec, "tb.table", "tb.bucket")
+
+    cb = _bucketed(corpus, "neighbor_id", "__cv")
+    qb = _bucketed(queries, "query_id", "__qv")
+    scored = (
+        cb.join(broadcast(qb), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
-    scored = cv.join(broadcast(cand.join(qv, "query_id")), "neighbor_id").select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
