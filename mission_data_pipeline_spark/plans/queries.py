@@ -4031,6 +4031,62 @@ _q(
     ),
 )
 
+# Sketch aggregates: the oracle pattern is the same self-validating
+# shape as x3_ann_recall — the exact side is SQL-reproducible (hashes
+# must match), and an in-query bound asserts the sketch's accuracy
+# against it (a broken sketch flips the boolean and fails the row).
+# Both sketches are deterministic for a fixed dataset + parameter, so
+# the bound is a stable property, not a flaky sample.
+_q(
+    "agg_hll_distinct_bound",
+    _dialect(
+        """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               ABS(APPROX_COUNT_DISTINCT(user_id, 0.02)
+                   - COUNT(DISTINCT user_id))
+                 <= CAST(0.05 * COUNT(DISTINCT user_id) AS BIGINT)
+                 AS hll_within_5pct
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS hll_within_5pct
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "A*+",
+        "HyperLogLog++ distinct-count sketch (rsd=0.02) asserted within "
+        "5% of exact — partial-agg mergeable, the 100 TB shape for "
+        "distinct counts (no two-phase exact-distinct shuffle)",
+    ),
+)
+
+_q(
+    "agg_approx_percentile_bound",
+    _dialect(
+        """
+        SELECT l_returnflag,
+               ROUND(PERCENTILE(l_extendedprice, 0.5), 6) AS exact_p50,
+               ABS(APPROX_PERCENTILE(l_extendedprice, 0.5, 10000)
+                   - PERCENTILE(l_extendedprice, 0.5))
+                 <= 0.01 * PERCENTILE(l_extendedprice, 0.5)
+                 AS approx_within_1pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        """
+        SELECT l_returnflag,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS exact_p50,
+               TRUE AS approx_within_1pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "A*+",
+        "Greenwald-Khanna approximate-percentile sketch (accuracy=1e4) "
+        "asserted within 1% of the exact order statistic — mergeable "
+        "partial aggregation instead of a full sort per group",
+    ),
+)
+
 _q(
     "agg_stats_corr",
     _same(
@@ -5442,7 +5498,14 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # --- slots 1-7: changed this round (must re-verify) ---
+    # --- new or changed this round (must re-verify): round-4 items
+    # first (one-scan + NumPy-vectorized ANN paths; new sketch-bound
+    # aggregates), then the round-4-opening fixes ---
+    "agg_hll_distinct_bound",
+    "agg_approx_percentile_bound",
+    "x3_ivf_topk_ann",
+    "x3_lsh_topk_ann",
+    "x3_ann_recall",
     "q10_returned_items",
     "join_anti",
     "set_except",
@@ -5513,7 +5576,6 @@ _CHECK_FIRST = [
     "x3_quantize_embeddings",
     "x2_duplicate_components",
     "x2_lsh_near_dedup_survivors",
-    "x3_lsh_topk_ann",
     "x5_audio_meta_decode",
     "x5_video_meta_decode",
     "frames_to_packets_roundtrip",
@@ -5535,7 +5597,6 @@ _CHECK_FIRST = [
     "q19_discounted_revenue",
     "q20_volume_suppliers",
     "q21_waiting_suppliers",
-    "x3_ivf_topk_ann",
     # --- round-3-checked tail (freshest, checked last) ---
     "decode_golden_matrix",
     "agg_conditional_bool",
@@ -5553,7 +5614,6 @@ _CHECK_FIRST = [
     "q16_supplier_part_count",
     "q17_small_quantity_revenue",
     "q22_global_sales_opportunity",
-    "x3_ann_recall",
     "x5_multimodal_features",
     "x4_unigram_logprob",
     "x4_top_terms",
