@@ -49,6 +49,7 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, neighbor_id, cosine, rank).
 
@@ -60,6 +61,10 @@ def cosine_topk(
     per-pair expression even at bench scale). No join at all: the
     corpus is scanned once, map-side, never shuffled; only the
     candidate-sized scored rows reach the per-query top-k window.
+
+    ``round_digits`` rounds the cosine BEFORE ranking — ground-truth
+    passes (ann_recall callers) use it so ties order identically in an
+    ANSI-SQL oracle reproduction.
     """
     id_type = queries.schema[id_col].dataType.simpleString()
     qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
@@ -82,7 +87,10 @@ def cosine_topk(
             return pd.Series([], dtype="object")
         mat = np.vstack(v.to_numpy())
         mnorm = np.sqrt((mat * mat).sum(axis=1))
-        return pd.Series(list((mat @ qmat.T) / (mnorm[:, None] * qnorm[None, :])))
+        sims = (mat @ qmat.T) / (mnorm[:, None] * qnorm[None, :])
+        if round_digits is not None:
+            sims = np.round(sims, round_digits)
+        return pd.Series(list(sims))
 
     qid_lit = F.array(*[F.lit(i).cast(id_type) for i, _ in qpairs])
     scored = (

@@ -1980,13 +1980,11 @@ def _kmeans_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     jitter without ever passing a broken operator). Exact parity of the
     IVF mechanics is separately covered by x3_ivf_topk_ann's
     deterministic-centroid oracle."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import broadcast
 
-    from mission_data_pipeline_spark.functions.vectors import cosine_similarity
     from mission_data_pipeline_spark.operators.similarity import (
         ann_recall,
+        cosine_topk,
         ivf_topk,
         kmeans_centroids,
     )
@@ -1997,24 +1995,7 @@ def _kmeans_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = emb.filter(F.col("vec_id") < 5)
 
-    qd = q.select(F.col("vec_id").alias("query_id"), F.col("v").alias("__qv"))
-    scored = (
-        emb.crossJoin(broadcast(qd))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                cosine_similarity(F.col("__qv"), F.col("v")), 6
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    exact = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= 5
-    )
+    exact = cosine_topk(emb, q, k=5, vec_col="v", round_digits=6)
 
     cents = kmeans_centroids(emb, n_centroids=16, vec_col="v", seed=7, max_iter=10)
     approx = ivf_topk(emb, q, k=5, n_probe=8, centroids=cents, vec_col="v")
@@ -4496,13 +4477,11 @@ def _ann_recall_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_topk (operators/similarity.py) against exact cosine ground truth
     on the same query set. Ground truth ranks by round(cosine, 6) so both
     engines order ties identically."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import broadcast
 
-    from mission_data_pipeline_spark.functions.vectors import cosine_similarity
     from mission_data_pipeline_spark.operators.similarity import (
         ann_recall,
+        cosine_topk,
         default_centroids,
         ivf_topk,
         lsh_topk,
@@ -4514,24 +4493,7 @@ def _ann_recall_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = emb.filter(F.col("vec_id") < 5)
 
-    qd = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
-    scored = (
-        emb.crossJoin(broadcast(qd))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                cosine_similarity(F.col("__qv"), F.col("embedding")), 6
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    exact = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= 5
-    )
+    exact = cosine_topk(emb, q, k=5, round_digits=6)
 
     # Recall-tuned sketch: fewer bits + more tables than the determinism
     # query (x3_lsh_topk_ann) — 8 buckets x 12 tables trades candidate
