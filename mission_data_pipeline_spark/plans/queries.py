@@ -1031,6 +1031,96 @@ _q(
     ),
 )
 
+
+def _streaming_stream_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL watermarked stream-stream interval join: click events joined
+    to same-user purchase events within 30 minutes. Both sides carry a
+    watermark and the join condition bounds event-time distance, so
+    Spark can expire join state — the shape that keeps a 100 TB/day
+    dual-stream correlation bounded in memory. availableNow over the
+    bounded file source drains both sides; the emitted matches must
+    equal the batch interval join the oracle runs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src(event_type: str, prefix: str) -> DataFrame:
+        ev = (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("event_type") == event_type)
+        )
+        if isinstance(batch_schema["ts"].dataType, T.LongType):
+            ev = ev.withColumn(
+                "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        else:
+            ev = ev.withColumn("event_time", F.col("ts").cast("timestamp"))
+        return ev.select(
+            F.col("event_id").alias(f"{prefix}_event_id"),
+            F.col("user_id").alias(f"{prefix}_user_id"),
+            F.col("event_time").alias(f"{prefix}_time"),
+        ).withWatermark(f"{prefix}_time", "1 hour")
+
+    clicks = src("click", "click")
+    purchases = src("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            click_user_id = purchase_user_id AND
+            purchase_time >= click_time AND
+            purchase_time <= click_time + INTERVAL 30 MINUTES
+            """
+        ),
+    ).select(
+        "click_event_id",
+        "purchase_event_id",
+        F.col("click_user_id").alias("user_id"),
+        F.unix_micros("click_time").alias("click_ts_us"),
+        F.unix_micros("purchase_time").alias("purchase_ts_us"),
+    )
+    sink = f"w_stream_join_sink_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.table(sink).orderBy("click_event_id", "purchase_event_id")
+
+
+_q(
+    "w_streaming_stream_join",
+    Query(
+        _streaming_stream_join_spark,
+        _EV_DUCK
+        + """
+        SELECT c.event_id AS click_event_id,
+               p.event_id AS purchase_event_id,
+               c.user_id,
+               c.ts_us AS click_ts_us,
+               p.ts_us AS purchase_ts_us
+        FROM ev c JOIN ev p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 1800000000
+        ORDER BY click_event_id, purchase_event_id
+        """,
+        "W+,J2+",
+        "REAL watermarked stream-stream interval join (clicks x same-user "
+        "purchases within 30 min): state-bounded dual-stream correlation, "
+        "emitted matches must equal the batch interval join",
+    ),
+)
+
 _sql_sess, _duck_sess = _ev(
     """
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
@@ -5463,6 +5553,7 @@ _CHECK_FIRST = [
     # --- new or changed this round (must re-verify): round-4 items
     # first (one-scan + NumPy-vectorized ANN paths; new sketch-bound
     # aggregates), then the round-4-opening fixes ---
+    "w_streaming_stream_join",
     "agg_hll_distinct_bound",
     "agg_approx_percentile_bound",
     "x3_ivf_topk_ann",
