@@ -121,3 +121,47 @@ def mixture_sample(
     # rounds, so only an explicit floor keeps the oracle bit-identical
     threshold = F.floor(F.col("__rate") * F.lit(float(1 << 32)))
     return gated.filter(_seeded_hash(key_cols, seed) < threshold).drop("__rate")
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float,
+    *,
+    group_col: str,
+    key_cols: list[str],
+    weight_col: str | None = None,
+    seed: int = 0,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Temperature-flattened natural mixture (the multilingual-LM
+    sampling scheme: target share of group g is proportional to
+    ``m_g ** alpha``, e.g. alpha=0.3 in published multilingual-BERT /
+    XLM-R recipes). Group g is kept at rate
+    ``(m_min / m_g) ** (1 - alpha)``: alpha=1 keeps the natural
+    mixture (all rates 1), alpha=0 equalizes every group's mass down
+    to the smallest, in between flattens heads toward tails. Heads are
+    downsampled, the scarcest group is kept whole — never oversampled.
+
+    Same scale shape as :func:`mixture_sample`: one tiny group
+    aggregation, rates broadcast back, map-side seeded-hash gate — the
+    corpus never shuffles. The rate is rounded to ``round_digits``
+    before gating so the threshold is reproducible across engines
+    (pow() last-ulp differences between libm implementations).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    mass = (
+        F.count("*") if weight_col is None else F.sum(weight_col)
+    ).cast("double")
+    masses = df.groupBy(group_col).agg(mass.alias("__m"))
+    mmin = masses.agg(F.min("__m").alias("__mmin"))
+    rates = masses.crossJoin(F.broadcast(mmin)).select(
+        group_col,
+        F.round(
+            F.pow(F.col("__mmin") / F.col("__m"), F.lit(1.0 - alpha)),
+            round_digits,
+        ).alias("__rate"),
+    )
+    gated = df.join(F.broadcast(rates), group_col)
+    threshold = F.floor(F.col("__rate") * F.lit(float(1 << 32)))
+    return gated.filter(_seeded_hash(key_cols, seed) < threshold).drop("__rate")

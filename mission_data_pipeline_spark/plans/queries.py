@@ -2511,6 +2511,67 @@ _q(
 )
 
 
+def _temperature_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixture (operators/sampling.py
+    temperature_sample, the published multilingual-LM alpha-sampling
+    scheme): alpha=0.3 flattens head languages toward the tail; the
+    smallest language is kept whole. Membership is a pure function of
+    (seed, doc_id, per-group rate), all SQL-reproducible."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.sampling import temperature_sample
+
+    register_views(spark, sf_dir)
+    out = temperature_sample(
+        spark.table("documents"),
+        0.3,
+        group_col="lang",
+        key_cols=["doc_id"],
+        seed=7,
+    )
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+_q(
+    "curation_temperature_sample",
+    Query(
+        _temperature_spark,
+        """
+        WITH masses AS (
+          SELECT lang, CAST(COUNT(*) AS DOUBLE) AS m FROM documents GROUP BY lang
+        ),
+        mmin AS (SELECT MIN(m) AS mn FROM masses),
+        rates AS (
+          SELECT lang, ROUND(POWER(mn / m, 0.7), 9) AS rate FROM masses, mmin
+        ),
+        kept AS (
+          SELECT d.lang, d.doc_id
+          FROM documents d JOIN rates r ON d.lang = r.lang
+          WHERE CAST(('0x' || substr(md5('7|' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT)
+                < FLOOR(r.rate * 4294967296.0)
+        )
+        SELECT lang, COUNT(*) AS n_kept,
+               MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM kept GROUP BY lang ORDER BY lang
+        """,
+        "X-curation",
+        "temperature-flattened mixture (share ~ mass^alpha, alpha=0.3 — "
+        "the multilingual-LM sampling recipe): heads downsampled toward "
+        "tails, scarcest group kept whole, map-side gate, no corpus "
+        "shuffle",
+    ),
+)
+
+
 def _scrub_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub round-trip: synthetic emails/URLs/card numbers appended
     in-plan, redacted by operators/text.py scrub_text, digests compared
@@ -5554,6 +5615,7 @@ _CHECK_FIRST = [
     # first (one-scan + NumPy-vectorized ANN paths; new sketch-bound
     # aggregates), then the round-4-opening fixes ---
     "w_streaming_stream_join",
+    "curation_temperature_sample",
     "agg_hll_distinct_bound",
     "agg_approx_percentile_bound",
     "x3_ivf_topk_ann",

@@ -133,3 +133,49 @@ def test_mixture_sample_weighted_mass(spark):
         F.sum("toks").alias("t")).collect()}
     # equal token masses (1000 each): both groups kept whole
     assert m["a"] == 1000 and m["b"] == 1000
+
+
+def test_temperature_sample_flattens_heads(spark):
+    from mission_data_pipeline_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    # alpha=0: equalize — big downsampled to ~|small|=100, small whole
+    out0 = temperature_sample(df, 0.0, group_col="grp", key_cols=["id"])
+    c0 = {r["grp"]: r["n"] for r in out0.groupBy("grp").agg(
+        F.count("*").alias("n")).collect()}
+    assert c0["small"] == 100
+    assert 60 <= c0["big"] <= 140  # binomial around 100
+    # alpha=1: natural mixture — everything kept
+    out1 = temperature_sample(df, 1.0, group_col="grp", key_cols=["id"])
+    assert out1.count() == 1000
+    # 0<alpha<1 interpolates: big kept more than at alpha=0, less than whole
+    outh = temperature_sample(df, 0.5, group_col="grp", key_cols=["id"])
+    ch = {r["grp"]: r["n"] for r in outh.groupBy("grp").agg(
+        F.count("*").alias("n")).collect()}
+    assert ch["small"] == 100
+    assert c0["big"] < ch["big"] < 900
+    # deterministic
+    assert sorted(r["id"] for r in outh.collect()) == sorted(
+        r["id"] for r in temperature_sample(
+            df, 0.5, group_col="grp", key_cols=["id"]).collect())
+    with pytest.raises(ValueError):
+        temperature_sample(df, 1.5, group_col="grp", key_cols=["id"])
+
+
+def test_temperature_sample_weighted_mass(spark):
+    from mission_data_pipeline_spark.operators.sampling import temperature_sample
+
+    # token-weighted: a has 4000 token mass, b has 1000
+    rows = [(i, "a", 400) for i in range(10)] + [
+        (100 + i, "b", 100) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, toks long")
+    out = temperature_sample(
+        df, 0.0, group_col="grp", key_cols=["id"], weight_col="toks"
+    )
+    m = {r["grp"]: r["t"] for r in out.groupBy("grp").agg(
+        F.sum("toks").alias("t")).collect()}
+    # b kept whole; a downsampled toward b's 1000-token mass
+    assert m["b"] == 1000
+    assert m["a"] < 4000
