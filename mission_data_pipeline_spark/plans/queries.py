@@ -5548,6 +5548,53 @@ _q(
 )
 
 
+def _orc_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink round-trip: documents written lang-partitioned through
+    Spark's built-in ORC source (second columnar format beside parquet
+    — same predicate-pushdown/column-pruning surface), re-read and
+    aggregated; the oracle computes the same accounting from the
+    original table. Hive partitioning drops the physical lang column
+    into the directory key exactly as the parquet sinks do."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="mdps_orc_q_")
+    spark.table("documents").write.mode("overwrite").partitionBy(
+        "lang"
+    ).orc(d)
+    back = spark.read.orc(d)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+_q(
+    "l_orc_roundtrip",
+    Query(
+        _orc_roundtrip_spark,
+        """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "L+",
+        "ORC columnar sink round-trip (lang-partitioned write, "
+        "partitioned re-read): per-lang accounting must match the "
+        "source table exactly",
+    ),
+)
+
+
 def _csv_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6 CSV per-parameter sink round-trip: doubles are text-formatted
     %.9f on write, so the re-read parses them as DECIMAL(20,9) and sums
@@ -5616,6 +5663,7 @@ _CHECK_FIRST = [
     # aggregates), then the round-4-opening fixes ---
     "w_streaming_stream_join",
     "curation_temperature_sample",
+    "l_orc_roundtrip",
     "agg_hll_distinct_bound",
     "agg_approx_percentile_bound",
     "x3_ivf_topk_ann",
