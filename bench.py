@@ -64,6 +64,10 @@ EXTENDED = [
     "x4_tfidf_sparse",
     "x2_lsh_near_dedup_survivors",
     "x3_ann_recall",
+    # round 4 additions (extended_total grows ~0.5 s; round-over-round
+    # comparisons should use the per-query entries)
+    "curation_temperature_sample",
+    "agg_hll_distinct_bound",
 ]
 
 N_ETL_PACKETS = 200_000
