@@ -80,17 +80,22 @@ def cosine_topk(
     )
     qmat = np.array([v for _, v in qpairs], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    dim = qmat.shape[1]
 
     @pandas_udf(ArrayType(DoubleType()))
     def cos_all(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="object")
-        mat = np.vstack(v.to_numpy())
+        mask, mat = _valid_matrix(v, dim)
         mnorm = np.sqrt((mat * mat).sum(axis=1))
         sims = (mat @ qmat.T) / (mnorm[:, None] * qnorm[None, :])
         if round_digits is not None:
             sims = np.round(sims, round_digits)
-        return pd.Series(list(sims))
+        out = np.full(len(v), None, dtype=object)
+        # object-array intermediate: direct `out[mask] = list(sims)` would
+        # re-coerce the row list to a 2-D array and fail boolean assignment
+        vals = np.empty(len(mat), dtype=object)
+        vals[:] = list(sims)
+        out[mask] = vals
+        return pd.Series(out)
 
     qid_lit = F.array(*[F.lit(i).cast(id_type) for i, _ in qpairs])
     scored = (
@@ -141,8 +146,26 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
+def _valid_matrix(v: pd.Series, dim: int):
+    """(mask, matrix) for an Arrow batch of vectors: rows that are NULL
+    or the wrong width are masked out instead of crashing the batch
+    (``np.vstack`` on ragged input raises). A 100 TB corpus WILL
+    contain the occasional malformed row; the skip-don't-crash contract
+    the sources follow applies to the vector ops too — masked rows get
+    a NULL output, which downstream posexplode/equi-joins drop.
+    """
+    arr = v.to_numpy()
+    mask = np.array(
+        [x is not None and len(x) == dim for x in arr], dtype=bool
+    )
+    if not mask.any():
+        return mask, np.empty((0, dim), dtype=np.float64)
+    return mask, np.vstack(arr[mask]).astype(np.float64, copy=False)
+
+
 def _np_bucket_udf(*, bits: int, tables: int, dim: int):
-    """Arrow-batched LSH sketch: ``array<long>`` of per-table buckets.
+    """Arrow-batched LSH sketch: ``array<long>`` of per-table buckets
+    (NULL for malformed vectors — see :func:`_valid_matrix`).
 
     The corpus-side sketch is dense linear algebra (|rows| x dim @
     dim x tables*bits), which Catalyst can only express as interpreted
@@ -166,20 +189,23 @@ def _np_bucket_udf(*, bits: int, tables: int, dim: int):
 
     @pandas_udf(ArrayType(LongType()))
     def buckets(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="object")
-        mat = np.vstack(v.to_numpy())
-        signs = (mat @ planes.T) > 0  # n x (tables*bits)
+        mask, mat = _valid_matrix(v, dim)
+        signs = (mat @ planes.T) > 0  # n_valid x (tables*bits)
         per_table = (
             signs.reshape(len(mat), tables, bits) * weights[None, None, :]
         ).sum(axis=2)
-        return pd.Series(list(per_table))
+        out = np.full(len(v), None, dtype=object)
+        vals = np.empty(len(mat), dtype=object)
+        vals[:] = list(per_table)
+        out[mask] = vals
+        return pd.Series(out)
 
     return buckets
 
 
 def _np_argmax_udf(cents: list[tuple[int, list[float]]], *, round_digits: int = 6):
-    """Arrow-batched IVF assignment: nearest-centroid id per vector.
+    """Arrow-batched IVF assignment: nearest-centroid id per vector
+    (NULL for malformed vectors — see :func:`_valid_matrix`).
 
     Same vectorization rationale as :func:`_np_bucket_udf`. Semantics
     match the expression/oracle formulation exactly: similarity is
@@ -190,17 +216,18 @@ def _np_argmax_udf(cents: list[tuple[int, list[float]]], *, round_digits: int = 
     cmat = np.array([vec for _, vec in cents], dtype=np.float64)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
     cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    dim = cmat.shape[1]
 
     @pandas_udf(LongType())
     def assign(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="int64")
-        mat = np.vstack(v.to_numpy())
+        mask, mat = _valid_matrix(v, dim)
         vnorm = np.sqrt((mat * mat).sum(axis=1))
         sims = np.round(
             (mat @ cmat.T) / (vnorm[:, None] * cnorm[None, :]), round_digits
         )
-        return pd.Series(cids[np.argmax(sims, axis=1)])
+        out = np.full(len(v), None, dtype=object)
+        out[mask] = cids[np.argmax(sims, axis=1)] if len(mat) else []
+        return pd.Series(out, dtype=object)
 
     return assign
 

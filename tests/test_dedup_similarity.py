@@ -362,3 +362,45 @@ def test_operators_handle_empty_inputs(spark):
     assert chunk_tokens(ed, size=8, overlap=2).count() == 0
     with pytest.raises(ValueError):
         ivf_topk(ee, ee, centroids=default_centroids(ee), vec_col="embedding")
+
+
+def test_similarity_ops_skip_malformed_vectors(spark):
+    """Skip-don't-crash for vector ops: NULL and wrong-width embeddings
+    must not kill the Arrow batch (np.vstack on ragged input raises);
+    they are masked to NULL sketches/assignments, which downstream
+    posexplode/equi-joins drop — results over the valid rows are
+    unchanged."""
+    import random
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        default_centroids,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    random.seed(11)
+    good = [(i, [random.random() for _ in range(8)]) for i in range(50)]
+    bad = [(100, None), (101, [1.0, 2.0])]  # NULL + wrong width
+    emb = spark.createDataFrame(
+        good + bad, "vec_id long, embedding array<double>"
+    )
+    clean = spark.createDataFrame(good, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id < 3")
+
+    for out in (
+        cosine_topk(emb, q, k=3),
+        lsh_topk(emb, q, k=3, bits=4, tables=2, dim=8),
+        ivf_topk(
+            emb, q, k=3, n_probe=2,
+            centroids=default_centroids(clean, n_centroids=8), 
+        ),
+    ):
+        rows = out.collect()  # must not raise
+        assert rows, "valid rows must still produce neighbors"
+        assert all(r["neighbor_id"] < 100 for r in rows)
+
+    # parity: malformed rows don't perturb the valid-row results
+    a = sorted(map(tuple, cosine_topk(emb, q, k=3).collect()))
+    b = sorted(map(tuple, cosine_topk(clean, q, k=3).collect()))
+    assert a == b
