@@ -506,3 +506,200 @@ def bigram_logprob(
             ).alias("neg_logprob"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "fps",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every ``k``-token gram with a seeded
+    rolling hash, slide a ``window``-wide frame over the hash sequence,
+    keep the minimum of each frame, and de-duplicate. The selected
+    minima are guaranteed to include a shared fingerprint for any
+    shared run of at least ``k + window - 1`` tokens, so two documents
+    that share a long-enough passage always share a fingerprint — the
+    locality property plain MinHash lacks (reference fingerprints whole
+    records only; this is the sub-document rolling-hash variant the
+    large-scale curation brief asks for).
+
+    Pure higher-order-function pipeline (``transform`` over
+    ``sequence`` + ``slice`` + ``array_min``): zero shuffle, zero
+    Python — the fingerprint set rides the scan like any projection.
+    The gram hash is the same seeded-md5 32-bit bucket the sampling
+    operators use, so the SQL oracle recomputes it exactly.
+
+    Documents with fewer than ``k`` tokens get an empty set; documents
+    with fewer than ``k + window - 1`` tokens get the single global
+    minimum (the standard short-document degeneration).
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
+    # Each stage is its own projection: higher-order functions run
+    # interpreted (no codegen subexpression elimination), so inlining
+    # `hashes` into every `when` branch would re-hash the whole gram
+    # list per reference — measured ~25x slower. CollapseProject keeps
+    # these apart because collapsing would duplicate non-cheap exprs.
+    _t, _g, _h = f"__{out_col}_toks", f"__{out_col}_grams", f"__{out_col}_hash"
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    staged = docs.withColumn(_t, toks)
+    n = F.size(F.col(_t))
+    staged = staged.withColumn(
+        _g,
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.array_join(F.slice(F.col(_t), i, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    staged = staged.withColumn(
+        _h,
+        F.transform(
+            F.col(_g),
+            lambda g: F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), g)), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    )
+    m = F.size(F.col(_h))
+    fps = F.when(
+        m >= window,
+        F.transform(
+            F.sequence(F.lit(1), m - window + 1),
+            lambda i: F.array_min(F.slice(F.col(_h), i, window)),
+        ),
+    ).otherwise(
+        F.when(m > 0, F.array(F.array_min(F.col(_h)))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    return staged.withColumn(
+        out_col, F.array_sort(F.array_distinct(fps))
+    ).drop(_t, _g, _h)
+
+
+def lang_id_naive_bayes(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    train_modulus: int = 5,
+) -> DataFrame:
+    """Multinomial naive-Bayes language identification — the n-gram
+    statistical lang-ID scheme (langid.py / fastText-style) trained and
+    scored entirely inside the engine. Documents whose ``id % modulus
+    != 0`` train per-language token distributions (add-one smoothing
+    over the shared vocabulary) and label priors; the held-out rest are
+    classified by argmax posterior. Returns one row per held-out
+    document: ``(doc_id, true_lang, pred_lang)``.
+
+    Scale shape: the model is vocabulary x languages — broadcast-tiny
+    by construction (vocabularies are bounded; languages are dozens) —
+    so classification is an explode → (doc, term) tf groupBy, a
+    broadcast join against the model, and one (doc) aggregation.
+    The corpus is scanned twice (train counts, test scoring); nothing
+    driver-side materializes per-document state.
+
+    Determinism: log-probabilities are scaled to integer nano-units
+    (``round(ln(p) * 1e9)`` as BIGINT) so every downstream sum and
+    comparison is exact integer arithmetic — no float addition order,
+    no decimal-widening dialect differences; the argmax tie-breaks on
+    language code, so the prediction is a pure function of the corpus.
+    """
+    if train_modulus < 2:
+        raise ValueError(f"train_modulus must be >= 2, got {train_modulus}")
+    is_train = (F.col(id_col) % train_modulus) != 0
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("lang"),
+        is_train.alias("__train"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    train = toks.filter("__train")
+
+    counts = train.groupBy("lang", "term").agg(F.count("*").alias("c"))
+    lang_tot = counts.groupBy("lang").agg(F.sum("c").alias("n_lang"))
+    vocab = counts.select("term").distinct().agg(
+        F.count("*").cast("double").alias("v")
+    )
+    n_train_docs = (
+        docs.filter(is_train)
+        .agg(F.count("*").cast("double").alias("n_docs"))
+    )
+    priors = (
+        docs.filter(is_train)
+        .groupBy(F.col(label_col).alias("lang"))
+        .agg(F.count("*").cast("double").alias("n_lang_docs"))
+        .crossJoin(broadcast(n_train_docs))
+        .select(
+            "lang",
+            F.round(F.log(F.col("n_lang_docs") / F.col("n_docs")) * 1e9)
+            .cast("long")
+            .alias("log_prior"),
+        )
+    )
+    # Per-(lang, term) smoothed log-likelihood + per-lang unseen-token
+    # default ln(1 / (n_lang + V)); both in integer nano-log units.
+    langs = lang_tot.crossJoin(broadcast(vocab)).select(
+        "lang",
+        "n_lang",
+        "v",
+        F.round(-F.log(F.col("n_lang") + F.col("v")) * 1e9)
+        .cast("long")
+        .alias("logp_unseen"),
+    )
+    model = (
+        counts.join(langs, "lang")
+        .select(
+            "lang",
+            "term",
+            F.round(
+                F.log((F.col("c") + 1) / (F.col("n_lang") + F.col("v"))) * 1e9
+            )
+            .cast("long")
+            .alias("logp"),
+        )
+    )
+
+    tf = (
+        toks.filter(~F.col("__train"))
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumnRenamed("lang", "true_lang")
+    )
+    scored = (
+        tf.crossJoin(broadcast(langs.select("lang", "logp_unseen")))
+        .join(broadcast(model), ["lang", "term"], "left")
+        .withColumn(
+            "__c",
+            F.col("tf") * F.coalesce(F.col("logp"), F.col("logp_unseen")),
+        )
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(F.sum("__c").cast("long").alias("__like"))
+        .join(broadcast(priors), "lang")
+        .withColumn("score", F.col("__like") + F.col("log_prior"))
+    )
+    return (
+        scored.groupBy("doc_id", "true_lang")
+        .agg(
+            F.max(F.struct(F.col("score"), F.col("lang"))).alias("__best")
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("__best.lang").alias("pred_lang"),
+        )
+    )

@@ -360,3 +360,95 @@ def test_text_operators_handle_empty_corpus(spark):
         lambda d: filter_badwords(d, ["bad"]),
     ):
         assert op(empty).count() == 0
+
+
+def test_winnow_fingerprints_locality_and_edges(spark):
+    from mission_data_pipeline_spark.operators.text import winnow_fingerprints
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    rows = [
+        (1, base),
+        # same text with a local edit at the end: winnowing guarantees a
+        # shared fingerprint for any shared run of >= k+window-1 tokens
+        (2, base + " extra tokens appended here"),
+        # completely different text: no shared grams, no shared fps
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "a b"),  # fewer than k tokens -> empty set
+        (5, "a b c d e"),  # >=k grams but fewer than window -> global min
+        (6, ""),  # empty -> empty set
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: list(r["fps"])
+        for r in winnow_fingerprints(df, k=4, window=5, seed=7).collect()
+    }
+    assert set(out[1]) & set(out[2]), "local edit must keep shared fps"
+    assert not set(out[1]) & set(out[3]), "disjoint text shares nothing"
+    assert out[4] == [] and out[6] == []
+    assert len(out[5]) == 1  # 2 grams < window -> single global minimum
+    # deterministic: same seed reproduces; different seed reshuffles
+    again = {
+        r["doc_id"]: list(r["fps"])
+        for r in winnow_fingerprints(df, k=4, window=5, seed=7).collect()
+    }
+    assert again == out
+    other = {
+        r["doc_id"]: list(r["fps"])
+        for r in winnow_fingerprints(df, k=4, window=5, seed=8).collect()
+    }
+    assert other[1] != out[1]
+    # sorted-distinct contract
+    assert all(v == sorted(set(v)) for v in out.values())
+
+
+def test_winnow_fingerprints_rejects_bad_params(spark):
+    from mission_data_pipeline_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0)
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(df, window=0)
+
+
+def test_lang_id_naive_bayes_separable_corpus(spark):
+    from mission_data_pipeline_spark.operators.text import lang_id_naive_bayes
+
+    # Two languages with disjoint vocabularies: NB must classify the
+    # held-out docs (doc_id % 3 == 0) perfectly.
+    rows = []
+    for i in range(30):
+        rows.append((2 * i, "aa bb cc aa bb", "xx"))
+        rows.append((2 * i + 1, "dd ee ff dd ee", "yy"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = lang_id_naive_bayes(df, train_modulus=3).collect()
+    held_out = [r for r in rows if r[0] % 3 == 0]
+    assert len(out) == len(held_out)
+    assert all(r["pred_lang"] == r["true_lang"] for r in out)
+
+
+def test_lang_id_naive_bayes_prior_tiebreak(spark):
+    from mission_data_pipeline_spark.operators.text import lang_id_naive_bayes
+
+    # Identical token distributions: the likelihoods tie, so the label
+    # prior decides — the majority language wins for every test doc.
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, "tok tok tok", "big"))
+    for i in range(5):
+        rows.append((2 * i + 1, "tok tok tok", "small"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = lang_id_naive_bayes(df, train_modulus=4).collect()
+    assert out and all(r["pred_lang"] == "big" for r in out)
+
+
+def test_lang_id_naive_bayes_rejects_bad_modulus(spark):
+    from mission_data_pipeline_spark.operators.text import lang_id_naive_bayes
+
+    df = spark.createDataFrame([(1, "a", "x")], "doc_id long, text string, lang string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lang_id_naive_bayes(df, train_modulus=1)
