@@ -2573,6 +2573,152 @@ _q(
     ),
 )
 
+# EWMA determinism: the frame's values are COLLECT_LIST'd in frame order
+# (deterministic: ROWS frame over a total order), then both engines
+# reduce the <=10-element list with integer-scaled weights —
+# round(x * (1-a)^j * 1e6) as BIGINT — so no float addition-order or
+# segment-tree-vs-sequential window-sum divergence can change the hash.
+_q(
+    "w_ewma_smooth",
+    _dialect(
+        """
+        WITH ev AS (
+          SELECT event_id, user_id, ts_ns DIV 1000 AS ts_us, value
+          FROM events WHERE user_id <= 30
+        ), fr AS (
+          SELECT event_id, user_id, ts_us, value,
+                 COLLECT_LIST(value) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals
+          FROM ev
+        )
+        SELECT event_id, user_id, ts_us, ROUND(value, 6) AS value,
+               ROUND(
+                 CAST(AGGREGATE(SEQUENCE(0, SIZE(vals) - 1), 0L,
+                        (acc, j) -> acc + CAST(ROUND(
+                          ELEMENT_AT(vals, SIZE(vals) - j)
+                          * POW(0.7, j) * 1e6) AS LONG)) AS DOUBLE)
+                 / CAST(AGGREGATE(SEQUENCE(0, SIZE(vals) - 1), 0L,
+                        (acc, j) -> acc + CAST(ROUND(
+                          POW(0.7, j) * 1e6) AS LONG)) AS DOUBLE),
+                 6) AS ewma
+        FROM fr
+        ORDER BY user_id, ts_us, event_id
+        """,
+        """
+        WITH ev AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+          FROM events WHERE user_id <= 30
+        ), fr AS (
+          SELECT event_id, user_id, ts_us, value,
+                 list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals
+          FROM ev
+        )
+        SELECT event_id, user_id, ts_us, ROUND(value, 6) AS value,
+               ROUND(
+                 CAST(list_sum(list_transform(
+                        generate_series(0, len(vals) - 1),
+                        j -> CAST(ROUND(vals[len(vals) - j]
+                                        * POW(0.7, j) * 1e6) AS BIGINT)))
+                      AS DOUBLE)
+                 / CAST(list_sum(list_transform(
+                        generate_series(0, len(vals) - 1),
+                        j -> CAST(ROUND(POW(0.7, j) * 1e6) AS BIGINT)))
+                      AS DOUBLE),
+                 6) AS ewma
+        FROM fr
+        ORDER BY user_id, ts_us, event_id
+        """,
+        "W+",
+        "exponentially-weighted moving average over a trailing 10-row "
+        "frame per user (alpha=0.3, normalized weights — the pandas "
+        "ewm(adjust=True) convention): telemetry smoothing as a pure "
+        "window + HOF reduction, one shuffle on the partition key",
+    ),
+)
+
+# Rolling z-score: window sums run as DECIMAL (exact, order-independent)
+# so Spark's sequential frame evaluation and DuckDB's segment-tree
+# window aggregation cannot diverge; the variance/z arithmetic is then
+# a single identical IEEE expression on both sides.
+_q(
+    "w_zscore_anomaly",
+    _dialect(
+        """
+        WITH ev AS (
+          SELECT event_id, user_id, ts_ns DIV 1000 AS ts_us, value,
+                 CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v,
+                 CAST(ROUND(value * value, 6) AS DECIMAL(28,6)) AS v2
+          FROM events WHERE user_id <= 20
+        ), st AS (
+          SELECT event_id, user_id, ts_us, value,
+                 COUNT(*) OVER w AS n,
+                 SUM(v) OVER w AS s,
+                 SUM(v2) OVER w AS s2
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id, ts_us, ROUND(value, 6) AS value,
+               ROUND(z, 6) AS zscore,
+               CASE WHEN z IS NOT NULL AND ABS(z) > 2.5
+                    THEN 1 ELSE 0 END AS is_anomaly
+        FROM (
+          SELECT *,
+                 CASE WHEN n >= 5
+                           AND (CAST(s2 AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                               / (n - 1) > 0
+                      THEN (value - CAST(s AS DOUBLE) / n)
+                           / SQRT((CAST(s2 AS DOUBLE)
+                                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                                  / (n - 1))
+                 END AS z
+          FROM st) t
+        ORDER BY user_id, ts_us, event_id
+        """,
+        """
+        WITH ev AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+                 CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v,
+                 CAST(ROUND(value * value, 6) AS DECIMAL(28,6)) AS v2
+          FROM events WHERE user_id <= 20
+        ), st AS (
+          SELECT event_id, user_id, ts_us, value,
+                 COUNT(*) OVER w AS n,
+                 SUM(v) OVER w AS s,
+                 SUM(v2) OVER w AS s2
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id, ts_us, ROUND(value, 6) AS value,
+               ROUND(z, 6) AS zscore,
+               CASE WHEN z IS NOT NULL AND ABS(z) > 2.5
+                    THEN 1 ELSE 0 END AS is_anomaly
+        FROM (
+          SELECT *,
+                 CASE WHEN n >= 5
+                           AND (CAST(s2 AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                               / (n - 1) > 0
+                      THEN (value - CAST(s AS DOUBLE) / n)
+                           / SQRT((CAST(s2 AS DOUBLE)
+                                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                                  / (n - 1))
+                 END AS z
+          FROM st) t
+        ORDER BY user_id, ts_us, event_id
+        """,
+        "W+,A*+",
+        "rolling z-score anomaly flag over a trailing 20-row frame per "
+        "user (limit-check generalization: the threshold adapts to the "
+        "parameter's own recent statistics instead of a fixed band)",
+    ),
+)
+
 
 def _hash_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible map-side hash-gate sample (operators/sampling.py);
@@ -5912,6 +6058,8 @@ _CHECK_FIRST = [
     "agg_theta_distinct_bound",
     "x4_winnow_fingerprint",
     "x4_lang_id_confusion",
+    "w_ewma_smooth",
+    "w_zscore_anomaly",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",
