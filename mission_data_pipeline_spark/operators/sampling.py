@@ -165,3 +165,83 @@ def temperature_sample(
     gated = df.join(F.broadcast(rates), group_col)
     threshold = F.floor(F.col("__rate") * F.lit(float(1 << 32)))
     return gated.filter(_seeded_hash(key_cols, seed) < threshold).drop("__rate")
+
+
+def split_assign(
+    df: DataFrame,
+    splits: dict[str, float],
+    *,
+    key_cols: list[str],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each row lands in
+    exactly one named split, chosen by its seeded hash bucket against
+    cumulative share thresholds. Disjointness and exhaustiveness are
+    structural (one CASE over one hash), membership is a pure function
+    of row content + seed — re-running on any cluster layout, or on a
+    re-partitioned copy of the corpus, reproduces the same assignment
+    (the property train/test leakage audits depend on).
+
+    Map-side projection only — no shuffle at any corpus size. Shares
+    are normalized to sum to 1, so ``{"train": 8, "val": 1, "test": 1}``
+    means 80/10/10.
+    """
+    if len(splits) < 2:
+        raise ValueError("split_assign needs at least two splits")
+    if any(w <= 0 for w in splits.values()):
+        raise ValueError("split shares must all be > 0")
+    total = float(sum(splits.values()))
+    bucket = _seeded_hash(key_cols, seed)
+    expr = None
+    acc = 0.0
+    names = sorted(splits)  # deterministic threshold order
+    for name in names[:-1]:
+        acc += splits[name] / total
+        threshold = int(acc * (1 << 32))
+        cond = bucket < F.lit(threshold)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn(out_col, expr.otherwise(F.lit(names[-1])))
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    *,
+    weight_col: str,
+    key_cols: list[str],
+    seed: int = 0,
+    round_digits: int = 12,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    2006 exponential-keys scheme): each row draws a reproducible
+    uniform ``u`` from its seeded hash and ranks by ``u ** (1/w)``;
+    the top ``n`` keys are a weighted sample without replacement —
+    e.g. sampling documents proportional to token count so the sample's
+    token mass, not its document count, matches the corpus.
+
+    Scale shape: the key is a map-side expression; selection is one
+    global top-n (rank + filter — the same cost as any exact top-k).
+    For gigantic corpora, pre-filter with a per-partition top-n before
+    the global one. The key is rounded (pow() last-ulp differences
+    between engines) and ties break on ``key_cols``, so the selected
+    set is a pure function of the corpus.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    u = (_seeded_hash(key_cols, seed) + 1).cast("double") / F.lit(float(1 << 32))
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), round_digits
+    )
+    w = Window.orderBy(F.desc("__es_key"), *[F.col(c) for c in key_cols])
+    return (
+        df.withColumn("__es_key", key)
+        .filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__es_key", "__rk")
+    )

@@ -2899,6 +2899,105 @@ _q(
 )
 
 
+def _split_assign_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/sampling.py
+    split_assign): 80/10/10 on a seeded hash of doc_id; the per-split
+    accounting (counts + doc_id digests) pins every row's assignment.
+    Disjoint and exhaustive by construction (one CASE over one hash)."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.sampling import split_assign
+
+    register_views(spark, sf_dir)
+    out = split_assign(
+        spark.table("documents"),
+        {"train": 8, "val": 1, "test": 1},
+        key_cols=["doc_id"],
+        seed=13,
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("doc_id_sum"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+_q(
+    "curation_split_assign",
+    Query(
+        _split_assign_spark,
+        """
+        WITH assigned AS (
+          SELECT doc_id,
+                 CASE WHEN CAST(('0x' || substr(md5('13|' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) < 429496729 THEN 'test'
+                      WHEN CAST(('0x' || substr(md5('13|' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) < 3865470566 THEN 'train'
+                      ELSE 'val' END AS split
+          FROM documents
+        )
+        SELECT split, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum,
+               MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM assigned GROUP BY split ORDER BY split
+        """,
+        "X-curation",
+        "hash-bucketed train/val/test split assignment (80/10/10): "
+        "membership a pure function of row content + seed, disjoint and "
+        "exhaustive structurally, zero shuffle — the reproducible-split "
+        "primitive leakage audits depend on",
+    ),
+)
+
+
+def _weighted_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/sampling.py
+    weighted_sample, Efraimidis-Spirakis exponential keys): top-50 by
+    u^(1/n_chars) — document selection probability proportional to
+    length, so the sample tracks token mass, not doc count."""
+    from mission_data_pipeline_spark.operators.sampling import weighted_sample
+
+    register_views(spark, sf_dir)
+    out = weighted_sample(
+        spark.table("documents"),
+        50,
+        weight_col="n_chars",
+        key_cols=["doc_id"],
+        seed=17,
+    )
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+_q(
+    "curation_weighted_sample",
+    Query(
+        _weighted_sample_spark,
+        """
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+                 ROW_NUMBER() OVER (
+                   ORDER BY ROUND(POWER(
+                     (CAST(('0x' || substr(md5('17|' || CAST(doc_id AS VARCHAR)),
+                            1, 8)) AS BIGINT) + 1) / 4294967296.0,
+                     1.0 / n_chars), 12) DESC, doc_id) AS rk
+          FROM documents WHERE n_chars > 0
+        ) t WHERE rk <= 50
+        ORDER BY doc_id
+        """,
+        "X-curation",
+        "Efraimidis-Spirakis weighted sampling without replacement "
+        "(key = u^(1/w), top-n): inclusion probability proportional to "
+        "document weight; map-side keys + one exact top-n, rounded key "
+        "with id tie-break for cross-engine determinism",
+    ),
+)
+
+
 def _scrub_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub round-trip: synthetic emails/URLs/card numbers appended
     in-plan, redacted by operators/text.py scrub_text, digests compared
@@ -6060,6 +6159,8 @@ _CHECK_FIRST = [
     "x4_lang_id_confusion",
     "w_ewma_smooth",
     "w_zscore_anomaly",
+    "curation_split_assign",
+    "curation_weighted_sample",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",

@@ -179,3 +179,82 @@ def test_temperature_sample_weighted_mass(spark):
     # b kept whole; a downsampled toward b's 1000-token mass
     assert m["b"] == 1000
     assert m["a"] < 4000
+
+
+def test_split_assign_disjoint_exhaustive_reproducible(corpus):
+    from mission_data_pipeline_spark.operators.sampling import split_assign
+
+    out = split_assign(
+        corpus, {"train": 8, "val": 1, "test": 1}, key_cols=["doc_id"], seed=5
+    )
+    rows = out.collect()
+    assert len(rows) == 300  # exhaustive: every row assigned
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) <= {"train", "val", "test"}
+    # disjoint by construction: each doc appears exactly once overall
+    assert sum(len(v) for v in by_split.values()) == 300
+    # roughly 80/10/10 (binomial tolerance)
+    assert 200 < len(by_split["train"]) < 280
+    # reproducible: same seed identical; different seed differs
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            corpus, {"train": 8, "val": 1, "test": 1},
+            key_cols=["doc_id"], seed=5,
+        ).collect()
+    }
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+    other = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            corpus, {"train": 8, "val": 1, "test": 1},
+            key_cols=["doc_id"], seed=6,
+        ).collect()
+    }
+    assert any(other[d] != s for d, s in again.items())
+
+
+def test_split_assign_validates(corpus):
+    from mission_data_pipeline_spark.operators.sampling import split_assign
+
+    with pytest.raises(ValueError):
+        split_assign(corpus, {"train": 1}, key_cols=["doc_id"])
+    with pytest.raises(ValueError):
+        split_assign(corpus, {"a": 1, "b": -1}, key_cols=["doc_id"])
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from mission_data_pipeline_spark.operators.sampling import weighted_sample
+
+    # 100 heavy rows (w=1000) + 100 light rows (w=1): a 50-row weighted
+    # sample should be overwhelmingly heavy rows.
+    rows = [(i, 1000.0) for i in range(100)] + [(100 + i, 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, 50, weight_col="w", key_cols=["doc_id"], seed=1)
+    got = [r["doc_id"] for r in out.collect()]
+    assert len(got) == 50
+    assert sum(1 for d in got if d < 100) >= 45
+    # without replacement: no duplicates
+    assert len(set(got)) == 50
+    # deterministic
+    again = [
+        r["doc_id"]
+        for r in weighted_sample(
+            df, 50, weight_col="w", key_cols=["doc_id"], seed=1
+        ).collect()
+    ]
+    assert sorted(got) == sorted(again)
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from mission_data_pipeline_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -2.0), (4, 5.0)], "doc_id long, w double"
+    )
+    out = weighted_sample(df, 10, weight_col="w", key_cols=["doc_id"])
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 4]
+    with pytest.raises(ValueError):
+        weighted_sample(df, 0, weight_col="w", key_cols=["doc_id"])
