@@ -1032,6 +1032,109 @@ _q(
 )
 
 
+def _streaming_stateful_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator, driver-checked
+    (streaming/stateful.py cumulative_group_stats): events re-laid-out
+    as four files and streamed with maxFilesPerTrigger=1, so per-user
+    state genuinely crosses micro-batch boundaries; every batch emits
+    the user's cumulative stats, and the final emission per user must
+    equal the batch GROUP BY. The run aborts loudly if the source
+    collapsed into a single micro-batch (emissions == users), so the
+    cross-batch state carry is actually exercised, not assumed."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.streaming.stateful import (
+        cumulative_group_stats,
+    )
+
+    register_views(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="mdps_stateful_stream_")
+    try:
+        (
+            spark.table("events")
+            .filter(F.col("user_id") <= 100)
+            .select(
+                F.col("user_id").alias("key"),
+                F.col("event_id").alias("id"),
+                F.expr("ts_ns DIV 1000").alias("ts_us"),
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        stream = (
+            spark.readStream.schema("key long, id long, ts_us long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        sink = f"w3_stateful_sink_{next(_STREAM_SINK_SEQ)}"
+        q = (
+            cumulative_group_stats(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+        emitted = spark.table(sink)
+        n_emissions, n_keys = emitted.agg(
+            F.count("*"), F.count_distinct("key")
+        ).first()
+        if n_emissions <= n_keys:
+            raise RuntimeError(
+                f"stateful stream ran as a single micro-batch "
+                f"({n_emissions} emissions for {n_keys} keys) — "
+                "cross-batch state carry was not exercised"
+            )
+        return (
+            emitted.groupBy(F.col("key").alias("user_id"))
+            .agg(
+                F.max(
+                    F.struct("n_events", "id_sum", "ts_min_us", "ts_max_us")
+                ).alias("f")
+            )
+            .select(
+                "user_id",
+                F.col("f.n_events").alias("n_events"),
+                F.col("f.id_sum").alias("id_sum"),
+                F.col("f.ts_min_us").alias("ts_min_us"),
+                F.col("f.ts_max_us").alias("ts_max_us"),
+            )
+            .orderBy("user_id")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_q(
+    "w3_streaming_stateful_cumulative",
+    Query(
+        _streaming_stateful_spark,
+        """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum,
+               MIN(epoch_us(ts)) AS ts_min_us,
+               MAX(epoch_us(ts)) AS ts_max_us
+        FROM events WHERE user_id <= 100
+        GROUP BY user_id ORDER BY user_id
+        """,
+        "W3,W1+",
+        "REAL custom stateful streaming run (applyInPandasWithState, "
+        "append mode): per-user cumulative stats carried in the state "
+        "store across four forced micro-batches; integer accumulators "
+        "make the final emission order-independent and equal to the "
+        "batch GROUP BY oracle",
+    ),
+)
+
+
 def _streaming_stream_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL watermarked stream-stream interval join: click events joined
     to same-user purchase events within 30 minutes. Both sides carry a
@@ -6161,6 +6264,7 @@ _CHECK_FIRST = [
     "w_zscore_anomaly",
     "curation_split_assign",
     "curation_weighted_sample",
+    "w3_streaming_stateful_cumulative",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",

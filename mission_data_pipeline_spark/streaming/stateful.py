@@ -113,3 +113,76 @@ def seq_gaps_stream(packets: DataFrame) -> DataFrame:
 def seq_gaps(packets: DataFrame) -> DataFrame:
     """Dispatch on execution mode (same semantics either way)."""
     return seq_gaps_stream(packets) if packets.isStreaming else seq_gaps_batch(packets)
+
+
+# -- cumulative per-key running stats ----------------------------------
+
+CUMULATIVE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("id_sum", T.LongType()),
+        T.StructField("ts_min_us", T.LongType()),
+        T.StructField("ts_max_us", T.LongType()),
+    ]
+)
+
+_CUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("id_sum", T.LongType()),
+        T.StructField("ts_min", T.LongType()),
+        T.StructField("ts_max", T.LongType()),
+    ]
+)
+
+
+def _cumulative_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (k,) = key
+    n, id_sum, ts_min, ts_max = (
+        state.get if state.exists else (0, 0, None, None)
+    )
+    for pdf in pdfs:
+        n += len(pdf)
+        id_sum += int(pdf["id"].sum())
+        lo, hi = int(pdf["ts_us"].min()), int(pdf["ts_us"].max())
+        ts_min = lo if ts_min is None else min(ts_min, lo)
+        ts_max = hi if ts_max is None else max(ts_max, hi)
+    state.update((int(n), int(id_sum), int(ts_min), int(ts_max)))
+    yield pd.DataFrame(
+        [
+            {
+                "key": k,
+                "n_events": n,
+                "id_sum": id_sum,
+                "ts_min_us": ts_min,
+                "ts_max_us": ts_max,
+            }
+        ]
+    )
+
+
+def cumulative_group_stats(stream: DataFrame) -> DataFrame:
+    """Cumulative per-key running statistics as a CUSTOM stateful
+    streaming operator (``applyInPandasWithState``) — the "running
+    aggregate that survives micro-batch boundaries" shape built-in
+    streaming aggregation only offers in complete/update output modes.
+    Input needs columns ``(key, id, ts_us)``; each micro-batch emits
+    the group's cumulative ``(n_events, id_sum, ts_min_us, ts_max_us)``
+    so far, folding the state-store record carried across batches.
+
+    All accumulators are integers (count, integer id sum, min/max), so
+    the cumulative values are order-independent — the final emission
+    per key must equal the batch GROUP BY, regardless of how the file
+    source split the data into micro-batches. State is one 4-long
+    record per key: O(#keys), independent of throughput.
+    """
+    return stream.groupBy("key").applyInPandasWithState(
+        _cumulative_fn,
+        outputStructType=CUMULATIVE_SCHEMA,
+        stateStructType=_CUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

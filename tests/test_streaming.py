@@ -220,3 +220,55 @@ def test_dedup_stream_content_bounded_state(spark, tmp_path):
     )
     got = sorted(r["text"] for r in dedup_stream_content(static).collect())
     assert got == ["alpha doc", "beta doc", "gamma doc"]
+
+
+def test_cumulative_group_stats_state_across_batches(spark, tmp_path):
+    """The cumulative running aggregate folds state across micro-batches:
+    a key split over two files must emit increasing cumulative counts,
+    and the final emission equals the batch totals."""
+    import json
+
+    from mission_data_pipeline_spark.streaming.stateful import (
+        cumulative_group_stats,
+    )
+
+    root = tmp_path / "ev"
+    root.mkdir()
+    # key 1 appears in both files; key 2 only in the second
+    batch1 = [(1, 10, 100), (1, 11, 200)]
+    batch2 = [(1, 12, 50), (2, 20, 300)]
+    for name, rows in (("a.json", batch1), ("b.json", batch2)):
+        (root / name).write_text(
+            "\n".join(
+                json.dumps({"key": k, "id": i, "ts_us": t}) for k, i, t in rows
+            )
+            + "\n"
+        )
+    stream = (
+        spark.readStream.schema("key long, id long, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(root))
+    )
+    q = (
+        cumulative_group_stats(stream)
+        .writeStream.format("memory")
+        .queryName("cum_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cum_sink").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(r)
+    # key 1 emitted twice (once per micro-batch), cumulative growing
+    ones = sorted(by_key[1], key=lambda r: r["n_events"])
+    assert [r["n_events"] for r in ones] == [2, 3]
+    final = ones[-1]
+    assert final["id_sum"] == 33
+    assert (final["ts_min_us"], final["ts_max_us"]) == (50, 200)
+    # key 2 seen only in batch 2: single emission with its own totals
+    (two,) = by_key[2]
+    assert (two["n_events"], two["id_sum"]) == (1, 20)
+    assert (two["ts_min_us"], two["ts_max_us"]) == (300, 300)
