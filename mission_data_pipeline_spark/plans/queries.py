@@ -1135,6 +1135,117 @@ _q(
 )
 
 
+def _funnel_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase (operators/analytics.py
+    funnel_depths): each stage only counts strictly after the user's
+    earliest qualifying previous stage. Output is the depth histogram."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.analytics import funnel_depths
+
+    register_views(spark, sf_dir)
+    # First-two-days window: over the full month every user converts
+    # (depth-3 only — a vacuous histogram); the narrow window spreads
+    # users across all four depths so the ordering semantics are pinned.
+    ev = (
+        spark.table("events")
+        .select("user_id", "event_type", F.expr("ts_ns DIV 1000").alias("ts_us"))
+        .filter(F.col("ts_us") < F.lit(1704240000000000))  # < 2024-01-03 UTC
+    )
+    return (
+        funnel_depths(ev, ["view", "click", "purchase"])
+        .groupBy("funnel_depth")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("funnel_depth")
+    )
+
+
+_q(
+    "w_funnel_depth_histogram",
+    Query(
+        _funnel_spark,
+        """
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+          WHERE epoch_us(ts) < 1704240000000000
+        ), s1 AS (
+          SELECT user_id, MIN(ts_us) AS t FROM ev
+          WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, MIN(e.ts_us) AS t
+          FROM ev e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts_us > s1.t
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, MIN(e.ts_us) AS t
+          FROM ev e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts_us > s2.t
+          GROUP BY e.user_id
+        ), depths AS (
+          SELECT u.user_id,
+                 CASE WHEN s3.user_id IS NOT NULL THEN 3
+                      WHEN s2.user_id IS NOT NULL THEN 2
+                      WHEN s1.user_id IS NOT NULL THEN 1
+                      ELSE 0 END AS funnel_depth
+          FROM (SELECT DISTINCT user_id FROM ev) u
+          LEFT JOIN s1 ON u.user_id = s1.user_id
+          LEFT JOIN s2 ON u.user_id = s2.user_id
+          LEFT JOIN s3 ON u.user_id = s3.user_id
+        )
+        SELECT funnel_depth, COUNT(*) AS n_users
+        FROM depths GROUP BY funnel_depth ORDER BY funnel_depth
+        """,
+        "A*+,W+",
+        "ordered funnel analysis (view -> click -> purchase, strict "
+        "temporal order): per-user progression depth via chained "
+        "filtered min-ts stages, all user-keyed equi-joins — no "
+        "sequence explode, no window over the full event stream",
+    ),
+)
+
+
+def _retention_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain retention triangle (operators/analytics.py
+    retention_cohorts): cohort by first active day, count distinct
+    active users per (cohort, offset) cell."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.analytics import (
+        retention_cohorts,
+    )
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "user_id", F.expr("ts_ns DIV 1000").alias("ts_us")
+    )
+    return retention_cohorts(ev).orderBy("cohort_day", "day_offset")
+
+
+_q(
+    "w_retention_cohorts",
+    Query(
+        _retention_spark,
+        """
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        ), first AS (
+          SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id
+        )
+        SELECT f.cohort AS cohort_day,
+               e.day - f.cohort AS day_offset,
+               COUNT(DISTINCT e.user_id) AS n_active
+        FROM ev e JOIN first f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+        ORDER BY cohort_day, day_offset
+        """,
+        "A*+,W+",
+        "retention cohort triangle: users cohorted by first-seen day, "
+        "per-(cohort, offset) distinct-active counts — one min-groupBy, "
+        "one user-keyed join back, one cohort-sized aggregation",
+    ),
+)
+
+
 def _streaming_stream_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL watermarked stream-stream interval join: click events joined
     to same-user purchase events within 30 minutes. Both sides carry a
@@ -6265,6 +6376,8 @@ _CHECK_FIRST = [
     "curation_split_assign",
     "curation_weighted_sample",
     "w3_streaming_stateful_cumulative",
+    "w_funnel_depth_histogram",
+    "w_retention_cohorts",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",

@@ -130,3 +130,59 @@ def test_salted_agg_matches_direct(spark):
     got = {r["k"]: (r["s"], r["c"], r["avg"]) for r in out.collect()}
     assert got["hot"] == (499500.0, 1000, 499.5)
     assert got["cold"] == (5.0, 1, 5.0)
+
+
+def test_funnel_depths_strict_ordering(spark):
+    from mission_data_pipeline_spark.operators.analytics import funnel_depths
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: purchase BEFORE click -> depth 2, not 3
+        (2, "view", 10), (2, "purchase", 15), (2, "click", 20),
+        # user 3: click before any view -> depth 1 (view alone)
+        (3, "click", 5), (3, "view", 10),
+        # user 4: never views -> depth 0
+        (4, "purchase", 10),
+        # user 5: simultaneous ts does NOT count (strictly after)
+        (5, "view", 10), (5, "click", 10),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+    got = {
+        r["user_id"]: r["funnel_depth"]
+        for r in funnel_depths(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1}
+
+
+def test_funnel_depths_validates_stages(spark):
+    import pytest as _pytest
+
+    from mission_data_pipeline_spark.operators.analytics import funnel_depths
+
+    df = spark.createDataFrame(
+        [(1, "view", 1)], "user_id long, event_type string, ts_us long"
+    )
+    with _pytest.raises(ValueError):
+        funnel_depths(df, ["view"])
+    with _pytest.raises(ValueError):
+        funnel_depths(df, ["view", "view"])
+
+
+def test_retention_cohorts_triangle(spark):
+    from mission_data_pipeline_spark.operators.analytics import retention_cohorts
+
+    day = 86_400_000_000
+    rows = [
+        # cohort day 0: users 1,2. user 1 returns day 1 and 2; user 2 never
+        (1, 0), (1, day + 5), (1, 2 * day + 5),
+        (2, 10),
+        # cohort day 1: user 3, returns day 2
+        (3, day + 1), (3, 2 * day + 1),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long")
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_active"]
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1, (1, 1): 1}
