@@ -298,3 +298,62 @@ def simhash(docs: DataFrame, *, n: int = 3, bits: int = 64,
             F.col(f"__s{b}") > 0, F.expr(f"shiftleft(1L, {b})")
         ).otherwise(F.lit(0).cast("long"))
     return votes.select("doc_id", fp.alias("simhash"))
+
+
+def duplicate_span_fraction(
+    docs: DataFrame,
+    *,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring duplication per document (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of a document's ``n``-token spans that also occur verbatim
+    in at least one OTHER document — the memorization-risk signal that
+    drives substring-level (not whole-document) dedup decisions.
+    Returns ``(doc_id, n_grams, n_dup_occurrences, dup_fraction)`` for
+    documents with at least one full span.
+
+    Scale shape: one explode to the position-gram table, a gram-keyed
+    groupBy for cross-document occurrence counts, and a gram-keyed join
+    back — all shuffles proportional to the token table, no pairwise
+    comparison anywhere. Grams are grouped by raw text here so the SQL
+    oracle is exact; a 100 TB deployment would key the shuffle on
+    ``xxhash64(gram)`` instead to move 8-byte keys (collisions only
+    ever overcount a span as duplicated, never lose one).
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    # Drop the short-gram degeneration (docs with < n tokens): a span
+    # shorter than n tokens is not an n-token duplicate.
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    ).filter(
+        F.size(F.split(F.col("gram"), " ")) >= F.lit(n)
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    cross = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("__nd")
+    )
+    dup = (
+        grams.join(cross.filter(F.col("__nd") >= 2), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_occurrences"))
+    )
+    return (
+        per_doc.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup_occurrences", F.lit(0)).alias(
+                "n_dup_occurrences"
+            ),
+            F.round(
+                F.coalesce("n_dup_occurrences", F.lit(0))
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

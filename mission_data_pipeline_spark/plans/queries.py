@@ -1246,6 +1246,86 @@ _q(
 )
 
 
+def _dup_span_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring duplication fraction (operators/dedup.py
+    duplicate_span_fraction, the Lee et al. 2022 memorization-risk
+    signal). The raw corpus shares no verbatim 12-token spans, so the
+    check seeds 40 in-plan partial copies (each reuses its source's
+    first 20 tokens then diverges) — sources and copies must score
+    dup_fraction > 0, untouched docs 0."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        duplicate_span_fraction,
+    )
+
+    register_views(spark, sf_dir)
+    base = spark.table("documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    copies = base.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(toks, 1, 20), " "),
+            F.lit(" uniq"),
+            F.col("doc_id").cast("string"),
+            F.lit(" tail marker tokens"),
+        ).alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(copies)
+    return duplicate_span_fraction(corpus, n=12).orderBy("doc_id")
+
+
+_q(
+    "x2_duplicate_span_fraction",
+    Query(
+        _dup_span_spark,
+        """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 200
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 array_to_string(
+                   string_split_regex(lower(text), '\\s+')[1:20], ' ')
+                 || ' uniq' || CAST(doc_id AS VARCHAR)
+                 || ' tail marker tokens' AS text
+          FROM documents WHERE doc_id < 40
+        ), tok AS (
+          SELECT doc_id,
+                 string_split_regex(lower(text), '\\s+') AS toks
+          FROM corpus
+        ), grams AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 12
+                 THEN list_transform(generate_series(1, len(toks) - 11),
+                                     i -> array_to_string(toks[i:i+11], ' '))
+                 ELSE []::VARCHAR[] END) AS gram
+          FROM tok
+        ), per_doc AS (
+          SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+        ), cross_doc AS (
+          SELECT gram FROM grams GROUP BY gram
+          HAVING COUNT(DISTINCT doc_id) >= 2
+        ), dup AS (
+          SELECT g.doc_id, COUNT(*) AS n_dup
+          FROM grams g JOIN cross_doc c ON g.gram = c.gram
+          GROUP BY g.doc_id
+        )
+        SELECT p.doc_id, p.n_grams,
+               COALESCE(d.n_dup, 0) AS n_dup_occurrences,
+               ROUND(COALESCE(d.n_dup, 0) / CAST(p.n_grams AS DOUBLE), 6)
+                 AS dup_fraction
+        FROM per_doc p LEFT JOIN dup d ON p.doc_id = d.doc_id
+        ORDER BY p.doc_id
+        """,
+        "X2,X1",
+        "exact substring duplication fraction (Lee et al. 2022): share "
+        "of a doc's 12-token spans occurring verbatim in another doc — "
+        "explode to position grams, gram-keyed cross-doc counts, join "
+        "back; token-table-proportional shuffles, no pairwise scan",
+    ),
+)
+
+
 def _streaming_stream_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL watermarked stream-stream interval join: click events joined
     to same-user purchase events within 30 minutes. Both sides carry a
@@ -6378,6 +6458,7 @@ _CHECK_FIRST = [
     "w3_streaming_stateful_cumulative",
     "w_funnel_depth_histogram",
     "w_retention_cohorts",
+    "x2_duplicate_span_fraction",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",

@@ -404,3 +404,31 @@ def test_similarity_ops_skip_malformed_vectors(spark):
     a = sorted(map(tuple, cosine_topk(emb, q, k=3).collect()))
     b = sorted(map(tuple, cosine_topk(clean, q, k=3).collect()))
     assert a == b
+
+
+def test_duplicate_span_fraction_golden(spark):
+    from mission_data_pipeline_spark.operators.dedup import (
+        duplicate_span_fraction,
+    )
+
+    a = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, a),                                # shares 1 gram run with 2
+        (2, a + " extra"),                     # superset of 1
+        (3, "totally different words here now then also more and so on"),
+        (4, "short doc"),                      # < n tokens -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicate_span_fraction(df, n=10).collect()}
+    # doc 4 has no 10-token span at all
+    assert set(got) == {1, 2, 3}
+    # doc 1: its single 10-gram also opens doc 2 -> fully duplicated
+    assert got[1]["n_grams"] == 1 and got[1]["dup_fraction"] == 1.0
+    # doc 2: 2 grams, one shared -> 0.5
+    assert got[2]["n_grams"] == 2 and got[2]["dup_fraction"] == 0.5
+    # doc 3: nothing shared
+    assert got[3]["n_dup_occurrences"] == 0 and got[3]["dup_fraction"] == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        duplicate_span_fraction(df, n=1)
