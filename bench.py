@@ -68,6 +68,14 @@ EXTENDED = [
     # comparisons should use the per-query entries)
     "curation_temperature_sample",
     "agg_hll_distinct_bound",
+    # round 4, second batch: winnowing fingerprints, lang-ID, sequence
+    # analytics, substring-dup fraction, KLL sketch
+    "x4_winnow_fingerprint",
+    "x4_lang_id_confusion",
+    "w_funnel_depth_histogram",
+    "w_retention_cohorts",
+    "x2_duplicate_span_fraction",
+    "agg_kll_quantile_bound",
 ]
 
 N_ETL_PACKETS = 200_000
