@@ -224,12 +224,13 @@ def weighted_sample(
     e.g. sampling documents proportional to token count so the sample's
     token mass, not its document count, matches the corpus.
 
-    Scale shape: the key is a map-side expression; selection is one
-    global top-n (rank + filter — the same cost as any exact top-k).
-    For gigantic corpora, pre-filter with a per-partition top-n before
-    the global one. The key is rounded (pow() last-ulp differences
-    between engines) and ties break on ``key_cols``, so the selected
-    set is a pure function of the corpus.
+    Scale shape: the key is a map-side expression; selection is
+    ``orderBy(key).limit(n)``, which Catalyst executes as
+    TakeOrderedAndProject — each partition keeps its local top-n and
+    only n-row candidate sets merge, never a global sort or a
+    single-partition window. The key is rounded (pow() last-ulp
+    differences between engines) and ties break on ``key_cols``, so
+    the selected set is a pure function of the corpus.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -237,11 +238,10 @@ def weighted_sample(
     key = F.round(
         F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), round_digits
     )
-    w = Window.orderBy(F.desc("__es_key"), *[F.col(c) for c in key_cols])
     return (
-        df.withColumn("__es_key", key)
-        .filter(F.col(weight_col).cast("double") > 0)
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= n)
-        .drop("__es_key", "__rk")
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("__es_key", key)
+        .orderBy(F.desc("__es_key"), *[F.col(c) for c in key_cols])
+        .limit(n)
+        .drop("__es_key")
     )

@@ -258,3 +258,17 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 4]
     with pytest.raises(ValueError):
         weighted_sample(df, 0, weight_col="w", key_cols=["doc_id"])
+
+
+def test_weighted_sample_plans_distributed_topn(corpus):
+    """The E-S selection must plan as TakeOrderedAndProject (per-partition
+    local top-n, n-row merges) — not a single-partition global window."""
+    from mission_data_pipeline_spark.operators.sampling import weighted_sample
+
+    df = corpus.withColumn(
+        "w", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(2.0)
+    )
+    out = weighted_sample(df, 5, weight_col="w", key_cols=["doc_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
