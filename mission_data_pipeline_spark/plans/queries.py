@@ -5000,6 +5000,33 @@ _q(
     ),
 )
 
+# Fixed-bin histogram: bucket index is a single identical IEEE
+# expression ((x-lo)/w, floor, clamp) on both sides — deterministic
+# because every engine computes the same double before flooring.
+_q(
+    "agg_value_histogram",
+    _same(
+        """
+        SELECT bucket,
+               COUNT(*) AS n,
+               ROUND(MIN(value), 6) AS lo_val,
+               ROUND(MAX(value), 6) AS hi_val
+        FROM (
+          SELECT value,
+                 LEAST(GREATEST(CAST(FLOOR((value - (-500.0)) / 100.0)
+                                     AS INT), 0), 9) AS bucket
+          FROM events
+        ) t
+        GROUP BY bucket ORDER BY bucket
+        """,
+        "A*+",
+        "fixed-bin value histogram (10 clamped buckets over [-500, 500)): "
+        "distribution profiling as one map-side bucket expression + "
+        "partial-agg groupBy — the cardinality-bounded shape, vs "
+        "histogram_numeric whose merge order is nondeterministic",
+    ),
+)
+
 _q(
     "agg_stats_corr",
     _same(
@@ -6459,6 +6486,7 @@ _CHECK_FIRST = [
     "w_funnel_depth_histogram",
     "w_retention_cohorts",
     "x2_duplicate_span_fraction",
+    "agg_value_histogram",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",

@@ -452,3 +452,25 @@ def test_lang_id_naive_bayes_rejects_bad_modulus(spark):
 
     with _pytest.raises(ValueError):
         lang_id_naive_bayes(df, train_modulus=1)
+
+
+def test_new_text_operators_handle_null_text(spark):
+    """NULL text must degrade gracefully, never throw (ANSI mode)."""
+    from mission_data_pipeline_spark.operators.dedup import (
+        duplicate_span_fraction,
+    )
+    from mission_data_pipeline_spark.operators.text import (
+        lang_id_naive_bayes,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "en"), (2, "a b c d e f g h i j k l", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    w = {r["doc_id"]: list(r["fps"]) for r in winnow_fingerprints(df).collect()}
+    assert w[1] == [] and len(w[2]) > 0
+    d = duplicate_span_fraction(df, n=3).collect()
+    assert [r["doc_id"] for r in d] == [2]  # null-text doc contributes no spans
+    # null text trains nothing; classification stays empty, not an error
+    assert lang_id_naive_bayes(df, train_modulus=2).collect() == []
