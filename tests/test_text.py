@@ -474,3 +474,19 @@ def test_new_text_operators_handle_null_text(spark):
     assert [r["doc_id"] for r in d] == [2]  # null-text doc contributes no spans
     # null text trains nothing; classification stays empty, not an error
     assert lang_id_naive_bayes(df, train_modulus=2).collect() == []
+
+
+def test_lang_id_classification_joins_broadcast(spark):
+    """The vocabulary x languages model must broadcast to the token
+    table — classification adds no model-side shuffle of the corpus."""
+    from mission_data_pipeline_spark.operators.text import lang_id_naive_bayes
+
+    rows = [(i, "aa bb cc", "x" if i % 2 else "y") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    plan = (
+        lang_id_naive_bayes(df, train_modulus=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
