@@ -636,3 +636,108 @@ def ann_recall(
             F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_exact")
         ).alias("recall"),
     )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    index_dir: str,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index on disk: every corpus vector written
+    with its coarse-centroid assignment, ``partitionBy("centroid_id")``
+    — the at-rest layout the :func:`ivf_topk` docstring promises for
+    100 TB. Assignment is the same zero-shuffle Arrow-batched NumPy
+    argmax as the in-memory path, computed ONCE at write time; probes
+    then read only their partitions (see :func:`ivf_probe_index`).
+    """
+    cents = _centroid_literals(centroids)
+    if not cents:
+        raise ValueError("ivf_write_index needs at least one centroid")
+    np_assign = _np_argmax_udf(cents)
+    (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            np_assign(F.col(vec_col)).alias("centroid_id"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(index_dir)
+    )
+
+
+def ivf_probe_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k probe against an on-disk IVF index
+    (:func:`ivf_write_index` layout): each query selects its ``n_probe``
+    nearest centroids, the scan filters ``centroid_id IN (batch probe
+    set)`` — a STATIC predicate on the partition column, so Spark
+    prunes every unprobed partition directory before reading a byte —
+    and candidate scoring + exact re-rank ride the one pruned scan via
+    a broadcast of the query-derived probe side.
+
+    The probe-set collect is query-batch-sized (``n_queries x n_probe``
+    ints) by construction — the driver-side step is the IVF analog of
+    the literal centroid codebook, never corpus-sized. Results are
+    identical to the in-memory :func:`ivf_topk` with the same corpus,
+    centroids, and parameters.
+    """
+    cents = _centroid_literals(centroids)
+    if not cents:
+        raise ValueError("ivf_probe_index needs at least one centroid")
+    n_probe = min(n_probe, len(cents))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    probe_arr = _centroid_sim_array("__qv", cents)
+    probes = (
+        q.withColumn("__vnorm", l2_norm(F.col("__qv")))
+        .withColumn(
+            "centroid_id",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort({probe_arr}),"
+                    f" -{n_probe}, {n_probe}), s -> -s.negcid)"
+                )
+            ),
+        )
+        .select("query_id", "centroid_id", "__qv")
+    )
+    probe_ids = sorted(
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    scan = spark.read.parquet(index_dir).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    scored = (
+        scan.join(broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col("__qv"), F.col(vec_col)), 6
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -5431,6 +5431,57 @@ _q(
 )
 
 
+def _ivf_disk_index_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest IVF story made real (operators/similarity.py
+    ivf_write_index / ivf_probe_index): assignment computed once and
+    written partitionBy(centroid_id); probes filter the partition
+    column with a static batch predicate, so every unprobed partition
+    directory is pruned before a byte is read. Same parameters as
+    x3_ivf_topk_ann — the on-disk path must reproduce the in-memory
+    result exactly, so it shares that query's oracle verbatim."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        default_centroids,
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = default_centroids(emb, n_centroids=32, vec_col="v")
+    d = tempfile.mkdtemp(prefix="mdps_ivf_idx_q_")
+    ivf_write_index(emb, d, cents, vec_col="v")
+    out = ivf_probe_index(
+        spark,
+        d,
+        emb.filter(F.col("vec_id") < 5),
+        cents,
+        k=10,
+        n_probe=4,
+        vec_col="v",
+    )
+    return out.orderBy("query_id", "rank")
+
+
+_q(
+    "x3_ivf_disk_index_topk",
+    Query(
+        _ivf_disk_index_spark,
+        _IVF_TOPK_DUCK,
+        "X3,L1+",
+        "on-disk IVF index round-trip: write partitioned-by(centroid_id), "
+        "probe with static partition pruning (only probed directories "
+        "are scanned) — must equal the in-memory ivf_topk result, so it "
+        "shares its DuckDB oracle verbatim",
+    ),
+)
+
+
 def _ann_recall_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN *quality* as a driver-checked number: recall@5 of lsh_topk and
     ivf_topk (operators/similarity.py) against exact cosine ground truth
@@ -6487,6 +6538,7 @@ _CHECK_FIRST = [
     "w_retention_cohorts",
     "x2_duplicate_span_fraction",
     "agg_value_histogram",
+    "x3_ivf_disk_index_topk",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",

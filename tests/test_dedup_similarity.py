@@ -432,3 +432,43 @@ def test_duplicate_span_fraction_golden(spark):
 
     with _pytest.raises(ValueError):
         duplicate_span_fraction(df, n=1)
+
+
+def test_ivf_disk_index_parity_and_partition_pruning(spark, tmp_path):
+    """The on-disk IVF index must reproduce the in-memory ivf_topk
+    exactly, and the probe scan must carry a partition filter on
+    centroid_id (unprobed directories pruned, never read)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        default_centroids,
+        ivf_probe_index,
+        ivf_topk,
+        ivf_write_index,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = default_centroids(emb, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    mem = ivf_topk(emb, queries, k=5, n_probe=3, centroids=cents)
+    d = str(tmp_path / "ivf_idx")
+    ivf_write_index(emb, d, cents)
+    disk = ivf_probe_index(spark, d, queries, cents, k=5, n_probe=3)
+
+    assert sorted(map(tuple, mem.collect())) == sorted(map(tuple, disk.collect()))
+
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    # the scan must not read all 8 partitions: <=3 probes per query,
+    # <=9 distinct probed centroids total (here far fewer)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "partition filter must be non-empty"
