@@ -6454,6 +6454,72 @@ _q(
 )
 
 
+def _merge_upsert_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO round-trip (sinks/merge.py merge_upsert): a base of
+    docs 0-99 (version 1) receives an update batch — docs 50-149 at
+    version 2 with edited text, plus a STALE version-0 re-delivery of
+    doc 10 that must lose. The final on-disk state is re-read and
+    digested; the oracle computes the expected post-merge state
+    directly from the source table. The stale row losing is what
+    separates last-wins MERGE from blind append/overwrite."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sinks.merge import merge_upsert
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    base = docs.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.lit(1).alias("version"), "text"
+    )
+    d = tempfile.mkdtemp(prefix="mdps_merge_q_") + "/ds"
+    merge_upsert(spark, d, base, key_cols=["doc_id"], version_col="version")
+    updates = (
+        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 150))
+        .select(
+            "doc_id",
+            F.lit(2).alias("version"),
+            F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") == 10).select(
+                "doc_id",
+                F.lit(0).alias("version"),
+                F.lit("stale delivery").alias("text"),
+            )
+        )
+    )
+    merge_upsert(spark, d, updates, key_cols=["doc_id"], version_col="version")
+    return (
+        spark.read.parquet(d)
+        .select("doc_id", "version", F.md5("text").alias("text_digest"))
+        .orderBy("doc_id")
+    )
+
+
+_q(
+    "l_merge_upsert_roundtrip",
+    Query(
+        _merge_upsert_spark,
+        """
+        SELECT doc_id,
+               CASE WHEN doc_id >= 50 THEN 2 ELSE 1 END AS version,
+               CASE WHEN doc_id >= 50 THEN md5(text || ' v2')
+                    ELSE md5(text) END AS text_digest
+        FROM documents WHERE doc_id < 150
+        ORDER BY doc_id
+        """,
+        "L+",
+        "lakehouse-style MERGE INTO over plain parquet (last-wins by "
+        "version, staged rewrite + atomic rename): update/insert/"
+        "stale-re-delivery batch applied; final state must equal the "
+        "oracle's directly-computed expectation, proving idempotent "
+        "at-least-once ingestion semantics",
+    ),
+)
+
+
 def _csv_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6 CSV per-parameter sink round-trip: doubles are text-formatted
     %.9f on write, so the re-read parses them as DECIMAL(20,9) and sums
@@ -6539,6 +6605,7 @@ _CHECK_FIRST = [
     "x2_duplicate_span_fraction",
     "agg_value_histogram",
     "x3_ivf_disk_index_topk",
+    "l_merge_upsert_roundtrip",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",

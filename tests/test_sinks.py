@@ -240,3 +240,57 @@ def test_write_sorted_parquet_clusters_ranges(spark, tmp_path):
         assert hi_a <= lo_b
     # and the read-back content must be intact
     assert spark.read.parquet(out).count() == 20000
+
+
+def test_merge_upsert_last_wins_and_idempotent(spark, tmp_path):
+    from mission_data_pipeline_spark.sinks.merge import merge_upsert
+
+    base_dir = str(tmp_path / "ds")
+    v1 = spark.createDataFrame(
+        [(1, 1, "a1"), (2, 1, "b1"), (3, 1, "c1")], "k long, v long, val string"
+    )
+    merge_upsert(spark, base_dir, v1, key_cols=["k"], version_col="v")
+    # update k=2, insert k=4, deliver a STALE row for k=3 (v=0: must lose)
+    upd = spark.createDataFrame(
+        [(2, 2, "b2"), (4, 2, "d2"), (3, 0, "stale")], "k long, v long, val string"
+    )
+    merge_upsert(spark, base_dir, upd, key_cols=["k"], version_col="v")
+    expect = {(1, 1, "a1"), (2, 2, "b2"), (3, 1, "c1"), (4, 2, "d2")}
+    got = {tuple(r) for r in spark.read.parquet(base_dir).collect()}
+    assert got == expect
+    # idempotent: re-delivering the same batch changes nothing
+    merge_upsert(spark, base_dir, upd, key_cols=["k"], version_col="v")
+    assert {tuple(r) for r in spark.read.parquet(base_dir).collect()} == expect
+
+
+def test_merge_upsert_partition_filter_scopes_rewrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sinks.merge import merge_upsert
+
+    base_dir = str(tmp_path / "scoped")
+    v1 = spark.createDataFrame(
+        [(1, "x", 1, "a"), (2, "x", 1, "b"), (3, "y", 1, "c")],
+        "k long, part string, v long, val string",
+    )
+    merge_upsert(spark, base_dir, v1, key_cols=["k"], version_col="v")
+    upd = spark.createDataFrame(
+        [(2, "x", 2, "b2")], "k long, part string, v long, val string"
+    )
+    merge_upsert(
+        spark, base_dir, upd,
+        key_cols=["k"], version_col="v",
+        partition_filter=F.col("part") == "x",
+    )
+    got = {tuple(r) for r in spark.read.parquet(base_dir).collect()}
+    assert got == {(1, "x", 1, "a"), (2, "x", 2, "b2"), (3, "y", 1, "c")}
+
+
+def test_merge_upsert_validates_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from mission_data_pipeline_spark.sinks.merge import merge_upsert
+
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    with _pytest.raises(ValueError):
+        merge_upsert(spark, str(tmp_path / "x"), df, key_cols=[], version_col="v")
