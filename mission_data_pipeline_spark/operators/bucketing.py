@@ -34,15 +34,21 @@ def write_bucketed(
     sort_by: list[str] | None = None,
     mode: str = "overwrite",
     fmt: str = "parquet",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` bucketed (and optionally sorted) by the join keys.
 
     Sorting within buckets additionally removes the per-task Sort from
     later sort-merge joins — the scan feeds the join directly.
+    ``path`` makes the table external (data at ``path`` instead of the
+    session warehouse — callers who stage bucketed copies in a temp
+    directory use this so nothing lands in the working directory).
     """
     writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *keys)
     if sort_by:
         writer = writer.sortBy(*sort_by)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -576,6 +576,87 @@ _q(
 )
 
 
+_Q3_SQL_ORACLE = None  # set right below, shared with the bucketed variant
+
+
+def _q3_bucketed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 over pre-bucketed fact tables (operators/bucketing.py
+    write_bucketed): lineitem and orders staged bucketed-by-orderkey in
+    a temp dir, so the fact-fact join plans with NO shuffle Exchange on
+    either side — the amortized co-location shape for joins that repeat
+    every pipeline run. The function asserts the Exchange-free property
+    on the executed plan and fails loudly if a shuffle sneaks in; the
+    oracle is plain Q3 (bucketing must be semantically transparent)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.bucketing import write_bucketed
+
+    register_views(spark, sf_dir)
+    uid = next(_STREAM_SINK_SEQ)
+    tmp = tempfile.mkdtemp(prefix="mdps_bucketed_q3_")
+    lt, ot = f"q3b_lineitem_{uid}", f"q3b_orders_{uid}"
+    for name in (lt, ot):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_bucketed(
+        spark.table("lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+        ),
+        lt,
+        keys=["l_orderkey"],
+        n_buckets=8,
+        sort_by=["l_orderkey"],
+        path=f"{tmp}/lineitem",
+    )
+    write_bucketed(
+        spark.table("orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        ot,
+        keys=["o_orderkey"],
+        n_buckets=8,
+        sort_by=["o_orderkey"],
+        path=f"{tmp}/orders",
+    )
+    cust = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = (
+        spark.table(ot)
+        .filter(F.col("o_orderdate") < "1998-03-15")
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    l = spark.table(lt).filter(F.col("l_shipdate") > "1995-03-15")
+    out = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(20,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    if "Exchange hashpartitioning" in final:
+        raise RuntimeError(
+            "bucketed Q3 planned a shuffle Exchange — co-location lost:\n"
+            + final[:4000]
+        )
+    return out
+
+
 _q(
     "q3_shipping_priority",
     _same(
@@ -595,6 +676,33 @@ _q(
         """,
         "J*,A2,D8",
         "TPC-H Q3-style three-way join + top-N",
+    ),
+)
+
+_q(
+    "q3_bucketed_colocated",
+    Query(
+        _q3_bucketed_spark,
+        f"""
+        SELECT l.l_orderkey,
+               {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+        """,
+        "J*+,co-location",
+        "Q3 over pre-bucketed fact tables: both fact sides staged "
+        "bucketed-by-orderkey, the fact-fact join and the downstream "
+        "groupBy plan with zero shuffle Exchange (asserted in-plan, "
+        "loud failure) — the amortized co-location shape for repeated "
+        "joins; oracle is plain Q3, bucketing semantically transparent",
     ),
 )
 
@@ -6606,6 +6714,7 @@ _CHECK_FIRST = [
     "agg_value_histogram",
     "x3_ivf_disk_index_topk",
     "l_merge_upsert_roundtrip",
+    "q3_bucketed_colocated",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",
