@@ -1243,6 +1243,113 @@ _q(
 )
 
 
+def _foreachbatch_upsert_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest from an at-least-once stream, composed from
+    two primitives the engine already proves separately: foreachBatch
+    micro-batch delivery (streaming/pipeline.py shape) + the idempotent
+    last-wins MERGE sink (sinks/merge.py). Events are re-laid-out as
+    four files and streamed one file per micro-batch; every batch
+    merge-upserts into the same parquet base keyed on event_id. After
+    the stream completes, the FIRST batch is re-delivered (version 0 —
+    a restart replay) and must change nothing. Final state must equal
+    the plain batch table."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sinks.merge import merge_upsert
+
+    register_views(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="mdps_febu_src_")
+    base = tempfile.mkdtemp(prefix="mdps_febu_base_") + "/ds"
+    try:
+        (
+            spark.table("events")
+            .filter(F.col("user_id") <= 60)
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.expr("ts_ns DIV 1000").alias("ts_us"),
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+
+        def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            merge_upsert(
+                spark,
+                base,
+                batch_df.withColumn("version", F.lit(epoch_id + 1)),
+                key_cols=["event_id"],
+                version_col="version",
+            )
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts_us long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="mdps_febu_ckpt_"),
+            )
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+        # Restart replay: re-deliver one source file as a STALE batch
+        # (version 0 < every applied version) — idempotence means the
+        # final state is untouched.
+        first_file = sorted(
+            f for f in __import__("os").listdir(src) if f.endswith(".parquet")
+        )[0]
+        merge_upsert(
+            spark,
+            base,
+            spark.read.parquet(f"{src}/{first_file}").withColumn(
+                "version", F.lit(0)
+            ),
+            key_cols=["event_id"],
+            version_col="version",
+        )
+        return (
+            spark.read.parquet(base)
+            .select("event_id", "user_id", "event_type", "ts_us")
+            .orderBy("event_id")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+_q(
+    "w_streaming_foreachbatch_upsert",
+    Query(
+        _foreachbatch_upsert_spark,
+        """
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        FROM events WHERE user_id <= 60
+        ORDER BY event_id
+        """,
+        "W1,L+,P2",
+        "REAL foreachBatch run composed with the idempotent MERGE sink: "
+        "four micro-batches upsert into one parquet base, then a stale "
+        "restart replay of batch one must change nothing — exactly-once "
+        "ingest from at-least-once delivery, final state equals the "
+        "batch table",
+    ),
+)
+
+
 def _funnel_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase (operators/analytics.py
     funnel_depths): each stage only counts strictly after the user's
@@ -6715,6 +6822,7 @@ _CHECK_FIRST = [
     "x3_ivf_disk_index_topk",
     "l_merge_upsert_roundtrip",
     "q3_bucketed_colocated",
+    "w_streaming_foreachbatch_upsert",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",
