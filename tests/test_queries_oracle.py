@@ -37,6 +37,16 @@ SAMPLE = [
     # bound (its first correctness signal — keep it exercised)
     "x1_dedup_exact_hash",
     "x3_kmeans_ivf_topk",
+    # round-4 second batch: the exotic execution paths (custom stateful
+    # streaming, on-disk IVF probe, MERGE round-trips, bucketed join,
+    # in-engine classifier) — each exercises machinery no other pytest
+    # row touches
+    "w3_streaming_stateful_cumulative",
+    "x3_ivf_disk_index_topk",
+    "l_merge_upsert_roundtrip",
+    "w_streaming_foreachbatch_upsert",
+    "q3_bucketed_colocated",
+    "x4_lang_id_confusion",
 ]
 
 
