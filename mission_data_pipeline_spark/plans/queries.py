@@ -3726,6 +3726,164 @@ def _unigram_logprob_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(spark.table("documents")).orderBy("doc_id")
 
 
+def _quality_tiers_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tier bucketing for curriculum/sampling decisions: docs
+    split into quartile tiers of their LM score. The scale shape is
+    threshold-broadcast, NOT a global NTILE — exact quartile thresholds
+    are one aggregate (three doubles), broadcast back, and the tier is
+    a map-side CASE; a window-ntile over the corpus would funnel every
+    row through one task."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.text import unigram_logprob
+
+    register_views(spark, sf_dir)
+    scores = unigram_logprob(spark.table("documents"))
+    qs = scores.agg(
+        F.expr("percentile(neg_logprob, 0.25)").alias("q1"),
+        F.expr("percentile(neg_logprob, 0.5)").alias("q2"),
+        F.expr("percentile(neg_logprob, 0.75)").alias("q3"),
+    )
+    tier = (
+        F.lit(1)
+        + (F.col("neg_logprob") > F.col("q1")).cast("int")
+        + (F.col("neg_logprob") > F.col("q2")).cast("int")
+        + (F.col("neg_logprob") > F.col("q3")).cast("int")
+    )
+    return (
+        scores.crossJoin(F.broadcast(qs))
+        .select("doc_id", "n_tokens", "neg_logprob", tier.alias("tier"))
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.min("neg_logprob"), 6).alias("min_score"),
+            F.round(F.max("neg_logprob"), 6).alias("max_score"),
+        )
+        .orderBy("tier")
+    )
+
+
+_UNIGRAM_SCORE_DUCK = r"""
+        WITH toks AS (
+          SELECT doc_id, t AS term
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+                FROM documents),
+               UNNEST(ts) AS u(t)
+          WHERE length(t) > 0
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ),
+        freq AS (
+          SELECT term, CAST(SUM(tf) AS DOUBLE) AS cf FROM tf GROUP BY term
+        ),
+        tot AS (SELECT SUM(cf) AS ctot FROM freq),
+        scores AS (
+          SELECT tf.doc_id,
+                 CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                 ROUND(CAST(SUM(CAST(ROUND(
+                   -ln(freq.cf / tot.ctot) * CAST(tf.tf AS DOUBLE),
+                   9) AS DECIMAL(20,9))) AS DOUBLE)
+                   / SUM(tf.tf), 6) AS neg_logprob
+          FROM tf JOIN freq USING (term) CROSS JOIN tot
+          GROUP BY tf.doc_id
+        )
+"""
+
+_q(
+    "curation_quality_tiers",
+    Query(
+        _quality_tiers_spark,
+        _UNIGRAM_SCORE_DUCK
+        + """
+        , qs AS (
+          SELECT QUANTILE_CONT(neg_logprob, 0.25) AS q1,
+                 QUANTILE_CONT(neg_logprob, 0.5) AS q2,
+                 QUANTILE_CONT(neg_logprob, 0.75) AS q3
+          FROM scores
+        )
+        SELECT 1 + CAST(neg_logprob > q1 AS INT)
+                 + CAST(neg_logprob > q2 AS INT)
+                 + CAST(neg_logprob > q3 AS INT) AS tier,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               ROUND(MIN(neg_logprob), 6) AS min_score,
+               ROUND(MAX(neg_logprob), 6) AS max_score
+        FROM scores CROSS JOIN qs
+        GROUP BY tier ORDER BY tier
+        """,
+        "X4,X-curation",
+        "quality-tier bucketing over the LM score (curriculum/sampling "
+        "input): exact quartile thresholds broadcast back, tier as a "
+        "map-side CASE — never a corpus-wide single-partition NTILE",
+    ),
+)
+
+_q(
+    "x4_zipf_slope",
+    _dialect(
+        r"""
+        WITH freq AS (
+          SELECT term, COUNT(*) AS cf FROM (
+            SELECT EXPLODE(SPLIT(LOWER(text), '\\s+')) AS term FROM documents
+          ) t WHERE LENGTH(term) > 0 GROUP BY term
+        ), ranked AS (
+          SELECT CAST(ROUND(LN(ROW_NUMBER() OVER (ORDER BY cf DESC, term)), 9)
+                      AS DECIMAL(12,9)) AS x,
+                 CAST(ROUND(LN(cf), 9) AS DECIMAL(12,9)) AS y
+          FROM freq
+        ), sums AS (
+          SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM ranked
+        )
+        SELECT n AS n_terms,
+               ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                     6) AS zipf_slope,
+               ROUND((CAST(sy AS DOUBLE)
+                      - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+        FROM sums
+        """,
+        r"""
+        WITH freq AS (
+          SELECT t AS term, COUNT(*) AS cf FROM (
+            SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
+            FROM documents
+          ) WHERE length(t) > 0 GROUP BY t
+        ), ranked AS (
+          SELECT CAST(ROUND(LN(ROW_NUMBER() OVER (ORDER BY cf DESC, term)), 9)
+                      AS DECIMAL(12,9)) AS x,
+                 CAST(ROUND(LN(cf), 9) AS DECIMAL(12,9)) AS y
+          FROM freq
+        ), sums AS (
+          SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM ranked
+        )
+        SELECT n AS n_terms,
+               ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                     6) AS zipf_slope,
+               ROUND((CAST(sy AS DOUBLE)
+                      - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+        FROM sums
+        """,
+        "X4,A*+",
+        "Zipf rank-frequency fit (least-squares slope of ln-freq vs "
+        "ln-rank): the corpus-health diagnostic for vocabulary "
+        "degeneration; the rank window runs over the vocabulary-sized "
+        "aggregate (never the token table), and the regression sums are "
+        "exact decimals so the fit is bit-reproducible cross-engine",
+    ),
+)
+
+
 _q(
     "x4_unigram_logprob",
     Query(
@@ -6823,6 +6981,8 @@ _CHECK_FIRST = [
     "l_merge_upsert_roundtrip",
     "q3_bucketed_colocated",
     "w_streaming_foreachbatch_upsert",
+    "curation_quality_tiers",
+    "x4_zipf_slope",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",
