@@ -576,7 +576,23 @@ _q(
 )
 
 
-_Q3_SQL_ORACLE = None  # set right below, shared with the bucketed variant
+# ONE Q3 text: q3_shipping_priority runs/oracles it directly, and
+# q3_bucketed_colocated oracles against it — "bucketing is semantically
+# transparent" only means something if both compare to the same query.
+_Q3_SQL = f"""
+        SELECT l.l_orderkey,
+               {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+        """
 
 
 def _q3_bucketed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,20 +676,7 @@ def _q3_bucketed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q(
     "q3_shipping_priority",
     _same(
-        f"""
-        SELECT l.l_orderkey,
-               {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
-               CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate
-        FROM customer c
-        JOIN orders o ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE c.c_mktsegment = 'BUILDING'
-          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-        GROUP BY l.l_orderkey, o.o_orderdate
-        ORDER BY revenue DESC, l.l_orderkey
-        LIMIT 10
-        """,
+        _Q3_SQL,
         "J*,A2,D8",
         "TPC-H Q3-style three-way join + top-N",
     ),
@@ -683,20 +686,7 @@ _q(
     "q3_bucketed_colocated",
     Query(
         _q3_bucketed_spark,
-        f"""
-        SELECT l.l_orderkey,
-               {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
-               CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate
-        FROM customer c
-        JOIN orders o ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE c.c_mktsegment = 'BUILDING'
-          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-        GROUP BY l.l_orderkey, o.o_orderdate
-        ORDER BY revenue DESC, l.l_orderkey
-        LIMIT 10
-        """,
+        _Q3_SQL,
         "J*+,co-location",
         "Q3 over pre-bucketed fact tables: both fact sides staged "
         "bucketed-by-orderkey, the fact-fact join and the downstream "
@@ -1969,14 +1959,17 @@ def _winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, k=4, window=5, seed=11, text_col="text_edit", out_col="fps_b"
     )
     inter = F.size(F.array_intersect("fps_a", "fps_b"))
+    union = F.size(F.array_union("fps_a", "fps_b"))
     return out.select(
         "doc_id",
         F.size("fps_a").alias("n_fps"),
         F.size("fps_b").alias("n_fps_edit"),
         inter.alias("n_shared"),
-        F.round(
-            inter.cast("double") / F.size(F.array_union("fps_a", "fps_b")), 6
-        ).alias("jaccard"),
+        # Empty-set guard on BOTH sides: a doc with < k tokens has no
+        # fingerprints, and 0/0 would be NaN here but NULL in DuckDB.
+        F.when(
+            union > 0, F.round(inter.cast("double") / union, 6)
+        ).otherwise(F.lit(0.0)).alias("jaccard"),
         F.aggregate(
             "fps_a", F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("fp_sum"),
@@ -2031,9 +2024,11 @@ _q(
                len(fa) AS n_fps,
                len(fb) AS n_fps_edit,
                len(list_intersect(fa, fb)) AS n_shared,
-               ROUND(CAST(len(list_intersect(fa, fb)) AS DOUBLE)
-                     / len(list_distinct(list_concat(fa, fb))), 6) AS jaccard,
-               CAST(list_sum(fa) AS BIGINT) AS fp_sum
+               CASE WHEN len(list_distinct(list_concat(fa, fb))) > 0
+                    THEN ROUND(CAST(len(list_intersect(fa, fb)) AS DOUBLE)
+                               / len(list_distinct(list_concat(fa, fb))), 6)
+                    ELSE 0.0 END AS jaccard,
+               COALESCE(CAST(list_sum(fa) AS BIGINT), 0) AS fp_sum
         FROM fp
         ORDER BY doc_id
         """,
@@ -3888,33 +3883,13 @@ _q(
     "x4_unigram_logprob",
     Query(
         _unigram_logprob_spark,
-        r"""
-        WITH toks AS (
-          SELECT doc_id, t AS term
-          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
-                FROM documents),
-               UNNEST(ts) AS u(t)
-          WHERE length(t) > 0
-        ),
-        tf AS (
-          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
-        ),
-        freq AS (
-          SELECT term, CAST(SUM(tf) AS DOUBLE) AS cf FROM tf GROUP BY term
-        ),
-        tot AS (SELECT SUM(cf) AS ctot FROM freq),
-        agg AS (
-          SELECT tf.doc_id,
-                 SUM(tf.tf) AS n_tokens,
-                 SUM(CAST(ROUND(
-                   -ln(freq.cf / tot.ctot) * CAST(tf.tf AS DOUBLE),
-                   9) AS DECIMAL(20,9))) AS s
-          FROM tf JOIN freq USING (term) CROSS JOIN tot
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-               ROUND(CAST(s AS DOUBLE) / n_tokens, 6) AS neg_logprob
-        FROM agg
+        # Shares the scores CTE with curation_quality_tiers: the tier
+        # thresholds must be computed over bit-identical per-doc scores,
+        # so there is exactly ONE SQL definition of the score.
+        _UNIGRAM_SCORE_DUCK
+        + """
+        SELECT doc_id, n_tokens, neg_logprob
+        FROM scores
         ORDER BY doc_id
         """,
         "X4",

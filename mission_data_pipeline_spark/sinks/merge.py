@@ -67,8 +67,12 @@ def merge_upsert(
     if os.path.isdir(base_dir):
         base = spark.read.parquet(base_dir)
         if partition_filter is not None:
-            untouched = base.filter(~partition_filter)
-            base = base.filter(partition_filter)
+            # coalesce(pf, False): a row where the predicate evaluates
+            # to NULL belongs to exactly one side (untouched) — a bare
+            # ~pf would exclude it from BOTH and silently drop it.
+            pf = F.coalesce(partition_filter, F.lit(False))
+            untouched = base.filter(~pf)
+            base = base.filter(pf)
             merged = last_wins(
                 base.unionByName(updates),
                 key_cols=key_cols,
@@ -89,12 +93,26 @@ def merge_upsert(
     )
     try:
         merged.write.mode("overwrite").parquet(staging)
-        old = base_dir + ".old" if os.path.isdir(base_dir) else None
-        if old is not None:
-            os.rename(base_dir, old)
-        os.rename(staging, base_dir)
-        if old is not None:
-            shutil.rmtree(old, ignore_errors=True)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
+    # Swap. Two renames, with rollback on the second failing; a leftover
+    # `.old` from a previous interrupted run is cleared first so it can
+    # never block the rename. A hard crash BETWEEN the renames leaves
+    # the previous state recoverable at `<base>.old` (single-syscall
+    # atomicity across two paths needs a manifest/catalog layer, which
+    # plain parquet does not have).
+    old = base_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    had_base = os.path.isdir(base_dir)
+    if had_base:
+        os.rename(base_dir, old)
+    try:
+        os.rename(staging, base_dir)
+    except BaseException:
+        if had_base and not os.path.isdir(base_dir):
+            os.rename(old, base_dir)  # roll back: base restored intact
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    if had_base:
+        shutil.rmtree(old, ignore_errors=True)

@@ -294,3 +294,28 @@ def test_merge_upsert_validates_keys(spark, tmp_path):
     df = spark.createDataFrame([(1, 1)], "k long, v long")
     with _pytest.raises(ValueError):
         merge_upsert(spark, str(tmp_path / "x"), df, key_cols=[], version_col="v")
+
+
+def test_merge_upsert_null_partition_predicate_rows_survive(spark, tmp_path):
+    """A base row where the partition predicate evaluates to NULL must
+    be carried over untouched — not silently dropped."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sinks.merge import merge_upsert
+
+    base_dir = str(tmp_path / "nullpart")
+    v1 = spark.createDataFrame(
+        [(1, "x", 1, "a"), (2, None, 1, "n")],
+        "k long, part string, v long, val string",
+    )
+    merge_upsert(spark, base_dir, v1, key_cols=["k"], version_col="v")
+    upd = spark.createDataFrame(
+        [(1, "x", 2, "a2")], "k long, part string, v long, val string"
+    )
+    merge_upsert(
+        spark, base_dir, upd,
+        key_cols=["k"], version_col="v",
+        partition_filter=F.col("part") == "x",
+    )
+    got = {tuple(r) for r in spark.read.parquet(base_dir).collect()}
+    assert got == {(1, "x", 2, "a2"), (2, None, 1, "n")}
