@@ -1340,6 +1340,143 @@ _q(
 )
 
 
+# Record-linkage: blocked fuzzy match. The block-key equi-join (3-char
+# prefix) is what makes this scale — candidate pairs are per-block, not
+# |queries| x |names|; the integer edit distance and (distance, name)
+# tie-break keep the best-match selection deterministic cross-engine.
+_q(
+    "j_fuzzy_match_join",
+    _same(
+        """
+        WITH names AS (SELECT DISTINCT p_name FROM part),
+        qs AS (
+          SELECT p_name AS orig,
+                 CONCAT(SUBSTR(p_name, 1, 4), SUBSTR(p_name, 6)) AS q
+          FROM names WHERE LENGTH(p_name) >= 7
+        ),
+        cand AS (
+          SELECT qs.orig, qs.q, n.p_name AS matched,
+                 LEVENSHTEIN(qs.q, n.p_name) AS dist
+          FROM qs JOIN names n
+            ON SUBSTR(qs.q, 1, 3) = SUBSTR(n.p_name, 1, 3)
+          WHERE LEVENSHTEIN(qs.q, n.p_name) <= 2
+        )
+        SELECT orig, q, matched, dist FROM (
+          SELECT orig, q, matched, dist,
+                 ROW_NUMBER() OVER (PARTITION BY orig
+                                    ORDER BY dist, matched) AS rn
+          FROM cand
+        ) t WHERE rn = 1
+        ORDER BY orig
+        """,
+        "J*+,X-curation",
+        "blocked fuzzy-match join (record linkage): typo'd queries "
+        "(one char dropped) matched back to the name catalog via a "
+        "3-char-prefix block join + Levenshtein <= 2 + best-match "
+        "rank — candidate pairs are per-block, never a cross join",
+    ),
+)
+
+_q(
+    "w_scd2_intervals",
+    _dialect(
+        """
+        WITH ev AS (
+          SELECT user_id, event_type, ts_ns DIV 1000 AS ts_us, event_id
+          FROM events WHERE user_id <= 30
+        ), ordered AS (
+          SELECT user_id, event_type, ts_us, event_id,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id) AS prev_type
+          FROM ev
+        ), changes AS (
+          SELECT user_id, event_type, ts_us, event_id FROM ordered
+          WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id, event_type AS state, ts_us AS valid_from,
+               LEAD(ts_us) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS valid_to,
+               CASE WHEN LEAD(ts_us) OVER (PARTITION BY user_id
+                                           ORDER BY ts_us, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_current
+        FROM changes
+        ORDER BY user_id, valid_from, event_id
+        """,
+        """
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+          FROM events WHERE user_id <= 30
+        ), ordered AS (
+          SELECT user_id, event_type, ts_us, event_id,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id) AS prev_type
+          FROM ev
+        ), changes AS (
+          SELECT user_id, event_type, ts_us, event_id FROM ordered
+          WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id, event_type AS state, ts_us AS valid_from,
+               LEAD(ts_us) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS valid_to,
+               CASE WHEN LEAD(ts_us) OVER (PARTITION BY user_id
+                                           ORDER BY ts_us, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_current
+        FROM changes
+        ORDER BY user_id, valid_from, event_id
+        """,
+        "W+,J2+",
+        "SCD type-2 interval construction: collapse each user's event "
+        "stream into state-validity intervals (change rows + LEAD "
+        "closes each interval, open tail flagged current) — the "
+        "dimension-history build behind as-of joins, one window pass",
+    ),
+)
+
+_q(
+    "w_top_user_journeys",
+    _dialect(
+        """
+        WITH ev AS (
+          SELECT user_id, event_type, ts_ns DIV 1000 AS ts_us, event_id
+          FROM events
+        ), j AS (
+          SELECT user_id,
+                 ARRAY_JOIN(TRANSFORM(
+                   SLICE(ARRAY_SORT(COLLECT_LIST(
+                     STRUCT(ts_us, event_id, event_type))), 1, 5),
+                   s -> s.event_type), '>') AS path
+          FROM ev GROUP BY user_id
+        )
+        SELECT path, COUNT(*) AS n_users
+        FROM j GROUP BY path
+        ORDER BY n_users DESC, path
+        LIMIT 10
+        """,
+        """
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+          FROM events
+        ), j AS (
+          SELECT user_id,
+                 array_to_string(
+                   (list(event_type ORDER BY ts_us, event_id))[1:5],
+                   '>') AS path
+          FROM ev GROUP BY user_id
+        )
+        SELECT path, COUNT(*) AS n_users
+        FROM j GROUP BY path
+        ORDER BY n_users DESC, path
+        LIMIT 10
+        """,
+        "W+,A*+",
+        "top early-journey paths: each user's first five events as an "
+        "ordered path string (struct-sort inside the group — "
+        "deterministic under ts+id tie-break), counted and ranked — "
+        "the behavioral-sequence mining complement to the funnel",
+    ),
+)
+
+
 def _funnel_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase (operators/analytics.py
     funnel_depths): each stage only counts strictly after the user's
@@ -6958,6 +7095,9 @@ _CHECK_FIRST = [
     "w_streaming_foreachbatch_upsert",
     "curation_quality_tiers",
     "x4_zipf_slope",
+    "j_fuzzy_match_join",
+    "w_scd2_intervals",
+    "w_top_user_journeys",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",
