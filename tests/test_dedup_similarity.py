@@ -472,3 +472,27 @@ def test_ivf_disk_index_parity_and_partition_pruning(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and m.group(1).strip(), "partition filter must be non-empty"
+
+
+def test_duplicate_span_fraction_total_duplication_property(spark):
+    """50 random docs each duplicated under a different id, ONE job:
+    every row of an exactly-duplicated corpus must score dup_fraction
+    1.0 (all of its spans occur verbatim in its twin)."""
+    import random
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        duplicate_span_fraction,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = []
+    for i in range(50):
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 30)))
+        rows.append((2 * i, text))
+        rows.append((2 * i + 1, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_span_fraction(df, n=5).collect()
+    # docs shorter than n have no spans and produce no row; every
+    # emitted row must be fully duplicated
+    assert out and all(r["dup_fraction"] == 1.0 for r in out)

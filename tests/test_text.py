@@ -490,3 +490,29 @@ def test_lang_id_classification_joins_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_winnow_locality_property_bulk(spark):
+    """Winnowing's guarantee, checked over 100 random pairs in ONE job:
+    any two texts sharing a run of >= k+window-1 tokens share at least
+    one fingerprint. Each pair is (base, base + random suffix) with
+    |base| >= 8 = k+window-1, so sharing is guaranteed for all pairs."""
+    import random
+
+    from mission_data_pipeline_spark.operators.text import winnow_fingerprints
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(100):
+        base = [rng.choice(vocab) for _ in range(rng.randint(8, 40))]
+        edit = base + [rng.choice(vocab) for _ in range(rng.randint(1, 10))]
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(edit)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in winnow_fingerprints(df, k=4, window=5, seed=3).collect()
+    }
+    for i in range(100):
+        assert fps[2 * i] & fps[2 * i + 1], f"pair {i} shares no fingerprint"
