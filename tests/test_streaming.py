@@ -272,3 +272,76 @@ def test_cumulative_group_stats_state_across_batches(spark, tmp_path):
     (two,) = by_key[2]
     assert (two["n_events"], two["id_sum"]) == (1, 20)
     assert (two["ts_min_us"], two["ts_max_us"]) == (300, 300)
+
+
+def test_checkpoint_restart_exactly_once_with_merge_sink(spark, tmp_path):
+    """Kill a stream mid-run, restart from the SAME checkpoint: the file
+    source replays only unprocessed files, and the idempotent MERGE sink
+    absorbs any boundary re-delivery — the final base equals the input
+    exactly once, no dupes, no holes."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sinks.merge import merge_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [(i, i * 10) for i in range(40)]
+    for f in range(4):
+        (src / f"f{f}.json").write_text(
+            "\n".join(
+                json.dumps({"k": k, "val": v})
+                for k, v in rows[f * 10 : (f + 1) * 10]
+            )
+            + "\n"
+        )
+    base = str(tmp_path / "base")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema("k long, val long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        return (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: merge_upsert(
+                    spark,
+                    base,
+                    df.withColumn("v", F.lit(bid + 1)),
+                    key_cols=["k"],
+                    version_col="v",
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # First run: stop as soon as at least one batch has committed.
+    q = start()
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    n_partial = (
+        spark.read.parquet(base).count()
+        if __import__("os").path.isdir(base)
+        else 0
+    )
+    assert n_partial < 40, "stream finished before we could interrupt it"
+
+    # Restart from the same checkpoint: must complete the remainder.
+    q2 = start()
+    q2.awaitTermination(120)
+    got = {
+        (r["k"], r["val"]) for r in spark.read.parquet(base).select("k", "val").collect()
+    }
+    assert got == set(rows), (len(got), n_partial)
