@@ -121,3 +121,16 @@ def test_driver_contract_surface(spark, sf0001):
     assert len(q) == len(QUERIES)
     assert len(set(_CHECK_FIRST)) == len(_CHECK_FIRST)
     assert all(n in QUERIES for n in _CHECK_FIRST)
+
+
+def test_every_query_mapped_in_coverage_doc():
+    """COVERAGE.md is the judge-facing operator map — every declared
+    query must appear in it (a silent str.replace no-op once dropped a
+    row; this pins the invariant)."""
+    import pathlib
+
+    cov = (
+        pathlib.Path(__file__).parent.parent / "COVERAGE.md"
+    ).read_text()
+    missing = [n for n in QUERIES if f"`{n}`" not in cov]
+    assert not missing, f"queries absent from COVERAGE.md: {missing}"
