@@ -1340,6 +1340,130 @@ _q(
 )
 
 
+def _profile_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling (operators/quality.py
+    profile_columns) over the documents table."""
+    from mission_data_pipeline_spark.operators.quality import profile_columns
+
+    register_views(spark, sf_dir)
+    return profile_columns(
+        spark.table("documents"), ["doc_id", "lang", "source", "n_chars"]
+    ).orderBy("col_name")
+
+
+_q(
+    "x6_table_profile",
+    Query(
+        _profile_spark,
+        """
+        WITH n AS (SELECT COUNT(*) AS n_rows FROM documents)
+        SELECT * FROM (
+          SELECT 'doc_id' AS col_name, n.n_rows,
+                 n.n_rows - COUNT(doc_id) AS n_null,
+                 COUNT(DISTINCT doc_id) AS n_distinct,
+                 CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+                 CAST(MAX(doc_id) AS VARCHAR) AS max_value
+          FROM documents, n GROUP BY n.n_rows
+          UNION ALL
+          SELECT 'lang', n.n_rows, n.n_rows - COUNT(lang),
+                 COUNT(DISTINCT lang),
+                 CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+          FROM documents, n GROUP BY n.n_rows
+          UNION ALL
+          SELECT 'source', n.n_rows, n.n_rows - COUNT(source),
+                 COUNT(DISTINCT source),
+                 CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+          FROM documents, n GROUP BY n.n_rows
+          UNION ALL
+          SELECT 'n_chars', n.n_rows, n.n_rows - COUNT(n_chars),
+                 COUNT(DISTINCT n_chars),
+                 CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+          FROM documents, n GROUP BY n.n_rows
+        ) t ORDER BY col_name
+        """,
+        "X6,A*+",
+        "Deequ/TFDV-style column profiling (count / nulls / distinct / "
+        "min / max per column) in ONE aggregation pass — the data-"
+        "quality report gating a corpus before training",
+    ),
+)
+
+
+def _constraints_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint validation (operators/quality.py
+    validate_constraints): uniqueness, completeness, range and
+    accepted-set checks evaluated in one pass; the report carries the
+    measured metric, so the oracle recomputes each check directly."""
+    from mission_data_pipeline_spark.operators.quality import (
+        Constraint,
+        validate_constraints,
+    )
+
+    register_views(spark, sf_dir)
+    checks = [
+        Constraint("unique", "event_id"),
+        Constraint("complete", "ts"),
+        Constraint("between", "value", lo=-10000.0, hi=10000.0),
+        Constraint(
+            "accepted_values",
+            "event_type",
+            values=("view", "click", "purchase", "signup", "error"),
+        ),
+        Constraint("min_fraction_complete", "props", min_fraction=0.5),
+    ]
+    return validate_constraints(spark.table("events"), checks).orderBy(
+        "check", "column"
+    )
+
+
+_q(
+    "x6_constraint_report",
+    Query(
+        _constraints_spark,
+        """
+        WITH m AS (
+          SELECT COUNT(*) AS n,
+                 CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS DOUBLE)
+                   AS uniq_viol,
+                 CAST(COUNT(*) - COUNT(ts) AS DOUBLE) / COUNT(*)
+                   AS ts_null_frac,
+                 CAST(COUNT_IF(value < -10000.0 OR value > 10000.0) AS DOUBLE)
+                   AS range_viol,
+                 CAST(COUNT_IF(event_type IS NOT NULL AND event_type NOT IN
+                      ('view','click','purchase','signup','error')) AS DOUBLE)
+                   AS set_viol,
+                 CAST(COUNT(*) - COUNT(props) AS DOUBLE) / COUNT(*)
+                   AS props_null_frac
+          FROM events
+        )
+        SELECT * FROM (
+          SELECT 'accepted_values' AS check, 'event_type' AS column,
+                 ROUND(set_viol, 9) AS metric, 0.0 AS threshold,
+                 set_viol <= 0.0 AS passed FROM m
+          UNION ALL
+          SELECT 'between', 'value', ROUND(range_viol, 9), 0.0,
+                 range_viol <= 0.0 FROM m
+          UNION ALL
+          SELECT 'complete', 'ts', ROUND(ts_null_frac, 9), 0.0,
+                 ts_null_frac <= 0.0 FROM m
+          UNION ALL
+          SELECT 'min_fraction_complete', 'props',
+                 ROUND(props_null_frac, 9), 0.5,
+                 props_null_frac <= 0.5 FROM m
+          UNION ALL
+          SELECT 'unique', 'event_id', ROUND(uniq_viol, 9), 0.0,
+                 uniq_viol <= 0.0 FROM m
+        ) t ORDER BY t.check, t.column
+        """,
+        "X6,P2+",
+        "declarative data-quality gate (uniqueness / completeness / "
+        "range / accepted-set / completeness-fraction) evaluated in ONE "
+        "table scan; the report carries the measured metric alongside "
+        "the verdict so a failing gate explains itself",
+    ),
+)
+
+
 # Record-linkage: blocked fuzzy match. The block-key equi-join (3-char
 # prefix) is what makes this scale — candidate pairs are per-block, not
 # |queries| x |names|; the integer edit distance and (distance, name)
@@ -7098,6 +7222,8 @@ _CHECK_FIRST = [
     "j_fuzzy_match_join",
     "w_scd2_intervals",
     "w_top_user_journeys",
+    "x6_table_profile",
+    "x6_constraint_report",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",

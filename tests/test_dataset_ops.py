@@ -186,3 +186,58 @@ def test_retention_cohorts_triangle(spark):
         for r in retention_cohorts(df).collect()
     }
     assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_profile_columns_single_pass_report(spark):
+    from mission_data_pipeline_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, None, 30.0), (3, "b", 40.0)],
+        "id long, cat string, v double",
+    )
+    got = {r["col_name"]: r for r in profile_columns(df, ["id", "cat", "v"]).collect()}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_null"] == 0
+    assert got["id"]["n_distinct"] == 3  # id 3 repeats
+    assert got["cat"]["n_null"] == 1 and got["cat"]["n_distinct"] == 2
+    assert (got["v"]["min_value"], got["v"]["max_value"]) == ("10.0", "40.0")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_columns(df, [])
+    with _pytest.raises(ValueError):
+        profile_columns(df, ["nope"])
+
+
+def test_validate_constraints_report(spark):
+    from mission_data_pipeline_spark.operators.quality import (
+        Constraint,
+        validate_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", 5.0), (2, "x", 50.0), (2, "y", None), (4, "z", 7.0)],
+        "id long, cat string, v double",
+    )
+    checks = [
+        Constraint("unique", "id"),                       # id=2 dup -> fail
+        Constraint("complete", "v"),                      # one null -> fail
+        Constraint("between", "v", lo=0.0, hi=10.0),      # 50 out -> fail
+        Constraint("accepted_values", "cat", values=("x", "y", "z")),  # pass
+        Constraint("min_fraction_complete", "v", min_fraction=0.5),    # pass
+    ]
+    got = {(r["check"], r["column"]): r for r in validate_constraints(df, checks).collect()}
+    assert not got[("unique", "id")]["passed"]
+    assert got[("unique", "id")]["metric"] == 1.0
+    assert not got[("complete", "v")]["passed"]
+    assert not got[("between", "v")]["passed"]
+    assert got[("between", "v")]["metric"] == 1.0
+    assert got[("accepted_values", "cat")]["passed"]
+    assert got[("min_fraction_complete", "v")]["passed"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        Constraint("between", "v")  # missing bounds
+    with _pytest.raises(ValueError):
+        Constraint("nope", "v")
+    with _pytest.raises(ValueError):
+        validate_constraints(df, [])
