@@ -1340,6 +1340,96 @@ _q(
 )
 
 
+def _udaf_median_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF (functions/udx.py grouped_median): the
+    user-defined-aggregate extension point, Arrow-batched per group;
+    median chosen because sort-based statistics are order-independent
+    (an accumulating float UDAF would not be layout-deterministic)."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.functions.udx import grouped_median
+
+    register_views(spark, sf_dir)
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        # note: Spark disallows mixing a GROUPED_AGG pandas UDF with
+        # JVM aggregates in one agg() — the UDAF aggregates alone
+        .agg(F.round(grouped_median("value"), 6).alias("median_value"))
+        .orderBy("event_type")
+    )
+
+
+_q(
+    "udaf_grouped_median",
+    Query(
+        _udaf_median_spark,
+        """
+        SELECT event_type,
+               ROUND(QUANTILE_CONT(value, 0.5), 6) AS median_value
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "§2.10 UDAF",
+        "user-defined aggregate via GROUPED_AGG pandas UDF (Arrow "
+        "batch per group, per-group not per-row Python); interpolated "
+        "median matches QUANTILE_CONT exactly because sort-based "
+        "statistics are addition-order independent",
+    ),
+)
+
+
+def _udtf_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (functions/udx.py TokenSpans) used LATERAL-ly in
+    SQL: one row per token with position and length, aggregated so the
+    output stays small. The hot-path equivalent is posexplode — the
+    query proves the user-defined table-function extension point."""
+    from mission_data_pipeline_spark.functions.udx import register_udx
+
+    register_views(spark, sf_dir)
+    register_udx(spark)
+    return spark.sql(
+        """
+        SELECT t.pos,
+               COUNT(*) AS n_tokens,
+               SUM(t.tok_len) AS total_len,
+               MIN(t.tok) AS first_tok
+        FROM (SELECT text FROM documents WHERE doc_id < 100) d,
+             LATERAL token_spans(d.text) t
+        GROUP BY t.pos
+        HAVING t.pos < 10
+        ORDER BY t.pos
+        """
+    )
+
+
+_q(
+    "udtf_token_spans",
+    Query(
+        _udtf_spans_spark,
+        """
+        WITH spans AS (
+          SELECT unnest(list_transform(
+                   string_split(text, ' '),
+                   (x, i) -> struct_pack(tok := x, pos := CAST(i - 1 AS INT),
+                                         tok_len := CAST(len(x) AS INT))),
+                 recursive := true)
+          FROM documents WHERE doc_id < 100
+        )
+        SELECT pos, COUNT(*) AS n_tokens,
+               CAST(SUM(tok_len) AS BIGINT) AS total_len,
+               MIN(tok) AS first_tok
+        FROM spans WHERE len(tok) > 0
+        GROUP BY pos HAVING pos < 10
+        ORDER BY pos
+        """,
+        "§2.10 UDTF",
+        "user-defined table function (Python UDTF, LATERAL in SQL): "
+        "per-token fan-out with position/length — the UDTF extension "
+        "point, with posexplode documented as the hot-path equivalent",
+    ),
+)
+
+
 def _profile_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass column profiling (operators/quality.py
     profile_columns) over the documents table."""
@@ -7224,6 +7314,8 @@ _CHECK_FIRST = [
     "w_top_user_journeys",
     "x6_table_profile",
     "x6_constraint_report",
+    "udaf_grouped_median",
+    "udtf_token_spans",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",

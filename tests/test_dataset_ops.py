@@ -241,3 +241,37 @@ def test_validate_constraints_report(spark):
         Constraint("nope", "v")
     with _pytest.raises(ValueError):
         validate_constraints(df, [])
+
+
+def test_udx_grouped_median_and_token_spans(spark):
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.functions.udx import (
+        grouped_median,
+        register_udx,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("a", 3.0), ("b", 4.0), ("b", 6.0)],
+        "g string, v double",
+    )
+    got = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g").agg(grouped_median("v").alias("m")).collect()
+    }
+    assert got == {"a": 3.0, "b": 5.0}  # odd: middle; even: interpolated
+
+    register_udx(spark)
+    spark.createDataFrame(
+        [(1, "alpha bb c"), (2, None), (3, "")],
+        "id long, text string",
+    ).createOrReplaceTempView("udx_docs")
+    rows = spark.sql(
+        "SELECT d.id, t.* FROM udx_docs d, LATERAL token_spans(d.text) t"
+        " ORDER BY d.id, t.pos"
+    ).collect()
+    assert [(r["id"], r["tok"], r["pos"], r["tok_len"]) for r in rows] == [
+        (1, "alpha", 0, 5),
+        (1, "bb", 1, 2),
+        (1, "c", 2, 1),
+    ]  # null/empty text yields no rows
