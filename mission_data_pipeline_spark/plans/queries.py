@@ -1233,6 +1233,62 @@ _q(
 )
 
 
+def _stream_static_enrich_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static join run: the events stream enriched against
+    the static customer dimension (the reference-data pattern — the
+    static side is re-read per micro-batch, so dimension updates are
+    picked up without restarting the stream). Complete-mode counts per
+    (segment, event_type) must equal the batch join."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    register_views(spark, sf_dir)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    static = spark.table("customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        raw.join(static, raw["user_id"] == static["c_custkey"])
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    sink = f"w_stream_static_sink_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.table(sink).orderBy("c_mktsegment", "event_type")
+
+
+_q(
+    "w_streaming_static_enrich",
+    Query(
+        _stream_static_enrich_spark,
+        """
+        SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment, e.event_type
+        ORDER BY c.c_mktsegment, e.event_type
+        """,
+        "W1+,J*",
+        "REAL stream-static join run: streaming events enriched against "
+        "the static customer dimension (re-read per micro-batch — the "
+        "slowly-changing reference-data pattern); complete-mode final "
+        "state equals the batch join",
+    ),
+)
+
+
 def _foreachbatch_upsert_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once ingest from an at-least-once stream, composed from
     two primitives the engine already proves separately: foreachBatch
@@ -7316,6 +7372,7 @@ _CHECK_FIRST = [
     "x6_constraint_report",
     "udaf_grouped_median",
     "udtf_token_spans",
+    "w_streaming_static_enrich",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",
