@@ -1610,6 +1610,57 @@ _q(
 )
 
 
+def _hinted_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit physical join-strategy control: the same orders ⋈
+    lineitem aggregate forced through SHUFFLE_HASH (hash-build instead
+    of the default sort-merge — skips both sort passes when the build
+    side's partitions fit in memory). The plan is asserted in-query
+    (loud failure if the hint is ignored); the oracle is the plain
+    join, because a physical strategy must never change results."""
+    register_views(spark, sf_dir)
+    out = spark.sql(
+        """
+        SELECT /*+ SHUFFLE_HASH(o) */
+               o.o_orderpriority,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+                 AS total_qty
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    if "ShuffledHashJoin" not in final:
+        raise RuntimeError(
+            "SHUFFLE_HASH hint was not honored — plan:\n" + final[:3000]
+        )
+    return out
+
+
+_q(
+    "j_hinted_shuffle_hash",
+    Query(
+        _hinted_join_spark,
+        """
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+                 AS total_qty
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """,
+        "J*+",
+        "join-strategy hint surface: SHUFFLE_HASH forces a hash-build "
+        "join over the default sort-merge (asserted in-plan, loud "
+        "failure if ignored); results must equal the unhinted join — "
+        "physical strategy is semantics-free",
+    ),
+)
+
+
 # Record-linkage: blocked fuzzy match. The block-key equi-join (3-char
 # prefix) is what makes this scale — candidate pairs are per-block, not
 # |queries| x |names|; the integer edit distance and (distance, name)
@@ -7373,6 +7424,7 @@ _CHECK_FIRST = [
     "udaf_grouped_median",
     "udtf_token_spans",
     "w_streaming_static_enrich",
+    "j_hinted_shuffle_hash",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",
