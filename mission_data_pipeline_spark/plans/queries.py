@@ -811,6 +811,76 @@ _q(
     ),
 )
 
+# Bag semantics: EXCEPT ALL / INTERSECT ALL subtract/keep per-OCCURRENCE
+# (multiplicity-aware), unlike their set twins above — the multiset
+# variant matters whenever row counts carry meaning (inventory deltas,
+# event multiplicity reconciliation).
+_q(
+    "set_bag_semantics_all",
+    _same(
+        """
+        SELECT 'except_all' AS op, nk, COUNT(*) AS n FROM (
+          SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000
+          EXCEPT ALL
+          SELECT s_nationkey AS nk FROM supplier
+        ) GROUP BY nk
+        UNION ALL
+        SELECT 'intersect_all', nk, COUNT(*) FROM (
+          SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000
+          INTERSECT ALL
+          SELECT s_nationkey AS nk FROM supplier
+        ) GROUP BY nk
+        ORDER BY op, nk
+        """,
+        "D4+",
+        "EXCEPT ALL / INTERSECT ALL bag semantics: per-occurrence "
+        "subtraction/retention (multiplicity-aware), vs the set "
+        "variants' per-value behavior",
+    ),
+)
+
+_q(
+    "join_null_safe_eq",
+    _dialect(
+        """
+        WITH a AS (
+          SELECT CASE WHEN l_linenumber > 5 THEN NULL
+                      ELSE l_linenumber END AS k,
+                 COUNT(*) AS na
+          FROM lineitem GROUP BY 1
+        ), b AS (
+          SELECT CASE WHEN l_linenumber % 2 = 0 THEN NULL
+                      ELSE l_linenumber END AS k,
+                 COUNT(*) AS nb
+          FROM lineitem GROUP BY 1
+        )
+        SELECT a.k, a.na, b.nb
+        FROM a JOIN b ON a.k <=> b.k
+        ORDER BY a.k NULLS FIRST
+        """,
+        """
+        WITH a AS (
+          SELECT CASE WHEN l_linenumber > 5 THEN NULL
+                      ELSE l_linenumber END AS k,
+                 COUNT(*) AS na
+          FROM lineitem GROUP BY 1
+        ), b AS (
+          SELECT CASE WHEN l_linenumber % 2 = 0 THEN NULL
+                      ELSE l_linenumber END AS k,
+                 COUNT(*) AS nb
+          FROM lineitem GROUP BY 1
+        )
+        SELECT a.k, a.na, b.nb
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        ORDER BY a.k NULLS FIRST
+        """,
+        "J*+",
+        "null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+        "keys match each other — the semantic plain equi-joins silently "
+        "drop; required for joining on nullable dimension keys",
+    ),
+)
+
 # ---------------------------------------------------------------------------
 # Pivot / unpivot (D3, S2)
 # ---------------------------------------------------------------------------
@@ -7425,6 +7495,8 @@ _CHECK_FIRST = [
     "udtf_token_spans",
     "w_streaming_static_enrich",
     "j_hinted_shuffle_hash",
+    "set_bag_semantics_all",
+    "join_null_safe_eq",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",
