@@ -1680,6 +1680,77 @@ _q(
 )
 
 
+def _jsonl_quarantine_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-line quarantine path (sources/jsonl.py): a JSONL shard is
+    built from documents 0-49 with every doc_id%5==0 line deliberately
+    truncated mid-object; jsonl_corrupt_stats must count exactly those,
+    and the DROPMALFORMED clean read must keep exactly the others —
+    both totals derived by the oracle from the source table, so a
+    quarantine that drops too much or too little hash-mismatches."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sources.jsonl import (
+        jsonl_corrupt_stats,
+        read_jsonl,
+    )
+
+    register_views(spark, sf_dir)
+    fixture = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()
+    )  # fixture construction: 50 rows driver-side, the WARC-query pattern
+    lines = []
+    for r in sorted(fixture, key=lambda r: r["doc_id"]):
+        if r["doc_id"] % 5 == 0:
+            lines.append('{"doc_id": ' + str(r["doc_id"]))  # truncated
+        else:
+            lines.append(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}))
+    d = tempfile.mkdtemp(prefix="mdps_jsonl_quar_")
+    with open(f"{d}/shard.jsonl", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    schema = "doc_id long, text string"
+    stats = jsonl_corrupt_stats(spark, f"{d}/shard.jsonl", schema=schema)
+    clean = read_jsonl(spark, f"{d}/shard.jsonl", schema=schema).agg(
+        F.count("*").alias("n_clean"),
+        F.sum("doc_id").cast("long").alias("clean_docid_sum"),
+    )
+    return stats.select(
+        "n_rows", "n_corrupt", F.round("corrupt_frac", 6).alias("corrupt_frac")
+    ).crossJoin(clean)
+
+
+_q(
+    "s_jsonl_corrupt_quarantine",
+    Query(
+        _jsonl_quarantine_spark,
+        """
+        SELECT
+          (SELECT COUNT(*) FROM documents WHERE doc_id < 50) AS n_rows,
+          (SELECT COUNT(*) FROM documents
+           WHERE doc_id < 50 AND doc_id % 5 = 0) AS n_corrupt,
+          ROUND((SELECT COUNT(*) FROM documents
+                 WHERE doc_id < 50 AND doc_id % 5 = 0)
+                / CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 50)
+                       AS DOUBLE), 6) AS corrupt_frac,
+          (SELECT COUNT(*) FROM documents
+           WHERE doc_id < 50 AND doc_id % 5 <> 0) AS n_clean,
+          (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+           WHERE doc_id < 50 AND doc_id % 5 <> 0) AS clean_docid_sum
+        """,
+        "S+,P2+",
+        "JSONL corrupt-line quarantine: truncated lines land in "
+        "_corrupt_record and are counted (measure before dropping), the "
+        "DROPMALFORMED clean path keeps exactly the rest — both totals "
+        "derived from the source table by the oracle",
+    ),
+)
+
+
 def _hinted_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit physical join-strategy control: the same orders ⋈
     lineitem aggregate forced through SHUFFLE_HASH (hash-build instead
@@ -7497,6 +7568,7 @@ _CHECK_FIRST = [
     "j_hinted_shuffle_hash",
     "set_bag_semantics_all",
     "join_null_safe_eq",
+    "s_jsonl_corrupt_quarantine",
     "x3_ivf_topk_ann",
     "x3_lsh_topk_ann",
     "x3_ann_recall",
