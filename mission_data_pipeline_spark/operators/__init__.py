@@ -7,8 +7,22 @@ from mission_data_pipeline_spark.operators.dataset import (
     union_datasets,
     parameter_stats,
 )
+from mission_data_pipeline_spark.operators.analytics import (
+    funnel_depths,
+    retention_cohorts,
+)
+from mission_data_pipeline_spark.operators.quality import (
+    Constraint,
+    profile_columns,
+    validate_constraints,
+)
 
 __all__ = [
+    "Constraint",
+    "funnel_depths",
+    "profile_columns",
+    "retention_cohorts",
+    "validate_constraints",
     "ParameterDefinition",
     "decommutate",
     "Calibration",

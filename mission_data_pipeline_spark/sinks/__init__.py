@@ -15,6 +15,7 @@ from mission_data_pipeline_spark.sinks.csv import (
 )
 from mission_data_pipeline_spark.sinks.hdf5 import write_hdf5
 from mission_data_pipeline_spark.sinks.jsonl import write_jsonl
+from mission_data_pipeline_spark.sinks.merge import last_wins, merge_upsert
 from mission_data_pipeline_spark.sinks.parquet import (
     write_parquet_per_parameter,
     write_parquet_wide,
@@ -22,6 +23,8 @@ from mission_data_pipeline_spark.sinks.parquet import (
 )
 
 __all__ = [
+    "last_wins",
+    "merge_upsert",
     "write_csv_per_parameter",
     "write_csv_wide",
     "write_hdf5",
