@@ -32,8 +32,12 @@ from pyspark.sql.functions import pandas_udf, udtf
 def grouped_median(v: pd.Series) -> float:
     """Exact interpolated median (numpy sort-based) — GROUPED_AGG
     pandas UDF; order-independent, hence deterministic on any cluster
-    layout. Matches PERCENTILE(x, 0.5) / QUANTILE_CONT semantics."""
-    return float(np.median(v.to_numpy(dtype="float64")))
+    layout. Matches PERCENTILE(x, 0.5) / QUANTILE_CONT semantics,
+    including NULL handling: SQL quantile aggregates ignore NULLs, so
+    drop them before the sort (a NULL→NaN leak would poison
+    np.median); an all-NULL group yields NULL, not NaN."""
+    arr = v.dropna().to_numpy(dtype="float64")
+    return float(np.median(arr)) if arr.size else None
 
 
 @udtf(returnType="tok string, pos int, tok_len int")

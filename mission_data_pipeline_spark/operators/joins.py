@@ -44,6 +44,9 @@ def asof_join(
     ``direction='backward'`` (default): nearest right row with
     ``right.on <= left.on``; ``'forward'``: nearest with ``>=``.
     ``by``: equality keys (e.g. the parameter name / spacecraft id).
+    With ``by`` empty/None the join is GLOBAL and runs as a
+    range-partitioned segmented scan (see :func:`_keyless_carry`) —
+    never a single-partition window.
     ``tolerance``: maximum |left.on - right.on|; matches farther than
     this come back null (pandas ``merge_asof`` semantics).
 
@@ -86,23 +89,25 @@ def asof_join(
 
     u = lt.unionByName(rt_full)
 
-    if direction == "backward":
+    if by:
         # right rows sort before left rows at equal time → inclusive match
+        asc = direction == "backward"
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .orderBy(
+                F.col("__t").asc() if asc else F.col("__t").desc(),
+                F.col("__side").asc(),
+            )
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carried = F.last("__r", ignorenulls=True).over(w)
+        matched = u.withColumn(
+            "__m", F.last("__r", ignorenulls=True).over(w)
+        ).filter(F.col("__side") == 1)
     else:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col("__t").desc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carried = F.last("__r", ignorenulls=True).over(w)
-
-    matched = u.withColumn("__m", carried).filter(F.col("__side") == 1)
+        # Keyless as-of: Window.partitionBy() would plan a
+        # SinglePartition exchange — the whole input through one task.
+        # Use a distributed segmented scan instead (see _keyless_carry).
+        matched = _keyless_carry(u, direction).filter(F.col("__side") == 1)
 
     if tolerance is not None:
         dt = F.abs(F.col("__t") - F.col("__m")[on])
@@ -114,6 +119,62 @@ def asof_join(
     out_cols.append(F.col("__m")[on].alias(f"{right_prefix}{on}"))
     out_cols.extend(F.col("__m")[c].alias(f"{right_prefix}{c}") for c in payload)
     return matched.select(*out_cols)
+
+
+def _keyless_carry(u: DataFrame, direction: str) -> DataFrame:
+    """Carry the most recent right-side struct onto every row of the
+    tagged union ``u`` WITHOUT equality keys — the distributed
+    segmented-scan shape (no single-partition window):
+
+    1. ``repartitionByRange`` on the traversal order, so each task owns
+       one contiguous time slice and partition ids ascend with it.
+    2. Per-slice window (partitioned by the slice id) computes the
+       local carry — parallel across slices.
+    3. A partition-summary table (one right-struct per slice, picked by
+       ``max_by``/``min_by``) yields each slice's carry-IN from all
+       earlier slices via a pid-triangle join + ``max_by`` — bounded by
+       shuffle-partitions², config-sized, never data-sized.
+    4. ``coalesce(local, carry_in)`` stitches the slices together.
+
+    Equal sort keys land in one range partition, and at a boundary a
+    right row (side 0) sorts into the earlier slice than the same-time
+    left row, so the inclusive same-time match survives the split."""
+    asc = direction == "backward"
+    sort_cols = [
+        F.col("__t").asc() if asc else F.col("__t").desc(),
+        F.col("__side").asc(),
+    ]
+    n = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    rp = u.repartitionByRange(n, *sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Per-slice last-in-traversal right struct: traversal runs ascending
+    # __t for backward (→ max_by), descending for forward (→ min_by).
+    pick = F.max_by if asc else F.min_by
+    sums = (
+        rp.filter(F.col("__side") == 0)
+        .groupBy(F.col("__pid").alias("__spid"))
+        .agg(pick("__r", F.col("__t")).alias("__pr"))
+    )
+    dom = u.sparkSession.range(n).select(F.col("id").cast("int").alias("__pid"))
+    carry_in = (
+        dom.join(sums, F.col("__spid") < F.col("__pid"), "inner")
+        .groupBy("__pid")
+        .agg(F.max_by("__pr", F.col("__spid")).alias("__ci"))
+    )
+    return (
+        rp.join(F.broadcast(carry_in), "__pid", "left")
+        .withColumn(
+            "__m",
+            F.coalesce(F.last("__r", ignorenulls=True).over(wloc), F.col("__ci")),
+        )
+        .drop("__pid", "__ci")
+    )
 
 
 def range_join(

@@ -123,8 +123,17 @@ def validate_constraints(
                 .alias(f"__m{i}")
             )
         elif c.kind in ("complete", "min_fraction_complete"):
+            # Guard 0/0: under Spark 4's ANSI mode an empty input would
+            # crash the gate with DIVIDE_BY_ZERO instead of reporting.
+            # An empty table has no incomplete rows → fraction 0 → pass
+            # (emptiness itself is a row-count constraint, not a
+            # completeness one).
             aggs.append(
-                ((F.count("*") - F.count(col)) / F.count("*"))
+                F.when(
+                    F.count("*") > 0,
+                    (F.count("*") - F.count(col)) / F.count("*"),
+                )
+                .otherwise(F.lit(0.0))
                 .cast("double")
                 .alias(f"__m{i}")
             )

@@ -30,6 +30,9 @@ check for those, per the contract.
 from __future__ import annotations
 
 import itertools
+import os
+import shutil
+import tempfile
 import weakref
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -37,6 +40,20 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from mission_data_pipeline_spark.sources.tables import TABLES, load_table
+
+
+def _scratch_dir(name: str) -> str:
+    """Fixed per-query scratch directory, wiped and recreated on every
+    invocation. Query functions return DataFrames the caller collects
+    LAZILY, so a scratch dir must outlive the function — per-call
+    ``mkdtemp`` therefore accumulates one directory per bench/oracle
+    run and never frees it. A fixed path bounds the residue to a single
+    leftover per query name, reclaimed by the next invocation (query
+    runs are sequential by the driver's contract)."""
+    d = os.path.join(tempfile.gettempdir(), "mdps_scratch", name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
 
 
 @dataclass(frozen=True)
@@ -603,16 +620,16 @@ def _q3_bucketed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     every pipeline run. The function asserts the Exchange-free property
     on the executed plan and fails loudly if a shuffle sneaks in; the
     oracle is plain Q3 (bucketing must be semantically transparent)."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from mission_data_pipeline_spark.operators.bucketing import write_bucketed
 
     register_views(spark, sf_dir)
-    uid = next(_STREAM_SINK_SEQ)
-    tmp = tempfile.mkdtemp(prefix="mdps_bucketed_q3_")
-    lt, ot = f"q3b_lineitem_{uid}", f"q3b_orders_{uid}"
+    # Fixed table names + a wiped scratch dir: repeated bench/oracle
+    # runs overwrite one metastore entry instead of accumulating
+    # q3b_*_N tables and mkdtemp directories forever.
+    tmp = _scratch_dir("bucketed_q3")
+    lt, ot = "q3b_lineitem", "q3b_orders"
     for name in (lt, ot):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
     write_bucketed(
@@ -1209,9 +1226,6 @@ def _streaming_stateful_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the batch GROUP BY. The run aborts loudly if the source
     collapsed into a single micro-batch (emissions == users), so the
     cross-batch state carry is actually exercised, not assumed."""
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from mission_data_pipeline_spark.streaming.stateful import (
@@ -1369,16 +1383,14 @@ def _foreachbatch_upsert_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stream completes, the FIRST batch is re-delivered (version 0 —
     a restart replay) and must change nothing. Final state must equal
     the plain batch table."""
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from mission_data_pipeline_spark.sinks.merge import merge_upsert
 
     register_views(spark, sf_dir)
-    src = tempfile.mkdtemp(prefix="mdps_febu_src_")
-    base = tempfile.mkdtemp(prefix="mdps_febu_base_") + "/ds"
+    src = _scratch_dir("febu_src")
+    ckpt = _scratch_dir("febu_ckpt")
+    base = _scratch_dir("febu_base") + "/ds"
     try:
         (
             spark.table("events")
@@ -1413,10 +1425,7 @@ def _foreachbatch_upsert_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             stream.writeStream.foreachBatch(apply_batch)
             .trigger(availableNow=True)
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix="mdps_febu_ckpt_"),
-            )
+            .option("checkpointLocation", ckpt)
             .start()
         )
         try:
@@ -1688,7 +1697,6 @@ def _jsonl_quarantine_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     both totals derived by the oracle from the source table, so a
     quarantine that drops too much or too little hash-mismatches."""
     import json as _json
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -1710,7 +1718,7 @@ def _jsonl_quarantine_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             lines.append('{"doc_id": ' + str(r["doc_id"]))  # truncated
         else:
             lines.append(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}))
-    d = tempfile.mkdtemp(prefix="mdps_jsonl_quar_")
+    d = _scratch_dir("jsonl_quar")
     with open(f"{d}/shard.jsonl", "w") as f:
         f.write("\n".join(lines) + "\n")
     schema = "doc_id long, text string"
@@ -6386,7 +6394,6 @@ def _ivf_disk_index_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory is pruned before a byte is read. Same parameters as
     x3_ivf_topk_ann — the on-disk path must reproduce the in-memory
     result exactly, so it shares that query's oracle verbatim."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -6401,7 +6408,7 @@ def _ivf_disk_index_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     cents = default_centroids(emb, n_centroids=32, vec_col="v")
-    d = tempfile.mkdtemp(prefix="mdps_ivf_idx_q_")
+    d = _scratch_dir("ivf_idx_q")
     ivf_write_index(emb, d, cents, vec_col="v")
     out = ivf_probe_index(
         spark,
@@ -7032,7 +7039,6 @@ def _csv_source_e2e_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_csv_telemetry (native scan + stack melt + NaN-drop); the
     oracle regenerates the surviving cells from the row index."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -7045,7 +7051,7 @@ def _csv_source_e2e_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (an all-integer column would infer INT and break the melt stack)
         b = f"{1000 - i:.1f}" if i % 11 != 5 else ""
         lines.append(f"{float(i)},291,{i},{a},{b}")
-    d = tempfile.mkdtemp(prefix="mdps_csv_src_q_")
+    d = _scratch_dir("csv_src_q")
     path = os.path.join(d, "telemetry.csv")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -7102,7 +7108,6 @@ def _etl_e2e_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench/pytest-covered as a pipeline)."""
     import os
     import struct
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -7125,7 +7130,7 @@ def _etl_e2e_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(n)
     )
-    d = tempfile.mkdtemp(prefix="mdps_etl_q_")
+    d = _scratch_dir("etl_q")
     path = os.path.join(d, "stream.bin")
     with open(path, "wb") as f:
         f.write(stream)
@@ -7189,7 +7194,6 @@ def _warc_ingest_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     + mapInPandas record fan-out; the oracle recomputes every record's
     header fields and payload digest from the source table."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -7206,7 +7210,7 @@ def _warc_ingest_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .collect()
     )
-    d = tempfile.mkdtemp(prefix="mdps_warc_q_")
+    d = _scratch_dir("warc_q")
     buf = b"".join(
         build_warc_record(
             r["text"].encode("utf-8"),
@@ -7254,7 +7258,6 @@ def _jsonl_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL sink → source round-trip (sinks/jsonl.py, sources/jsonl.py):
     documents written as 4 JSONL shards and re-read with the explicit
     schema; per-language accounting must match the original table."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -7262,7 +7265,7 @@ def _jsonl_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mission_data_pipeline_spark.sources.jsonl import read_jsonl
 
     register_views(spark, sf_dir)
-    d = tempfile.mkdtemp(prefix="mdps_jsonl_q_")
+    d = _scratch_dir("jsonl_q")
     write_jsonl(spark.table("documents"), d, n_shards=4)
     back = read_jsonl(spark, d)
     return (
@@ -7299,7 +7302,6 @@ def _parquet_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     events projected to the tidy params shape, written Hive-partitioned
     by name (sinks/parquet.py), re-read and aggregated; the oracle
     computes the same accounting from the original table."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -7313,7 +7315,7 @@ def _parquet_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       ts_ns DIV 1000 AS ts_us, value AS eng_value "
         "FROM events"
     )
-    d = tempfile.mkdtemp(prefix="mdps_pq_q_")
+    d = _scratch_dir("pq_q")
     write_parquet_per_parameter(params, d)
     back = spark.read.parquet(d)
     return (
@@ -7361,12 +7363,11 @@ def _orc_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated; the oracle computes the same accounting from the
     original table. Hive partitioning drops the physical lang column
     into the directory key exactly as the parquet sinks do."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
     register_views(spark, sf_dir)
-    d = tempfile.mkdtemp(prefix="mdps_orc_q_")
+    d = _scratch_dir("orc_q")
     spark.table("documents").write.mode("overwrite").partitionBy(
         "lang"
     ).orc(d)
@@ -7409,7 +7410,6 @@ def _merge_upsert_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     digested; the oracle computes the expected post-merge state
     directly from the source table. The stale row losing is what
     separates last-wins MERGE from blind append/overwrite."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -7420,7 +7420,7 @@ def _merge_upsert_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.filter(F.col("doc_id") < 100).select(
         "doc_id", F.lit(1).alias("version"), "text"
     )
-    d = tempfile.mkdtemp(prefix="mdps_merge_q_") + "/ds"
+    d = _scratch_dir("merge_q") + "/ds"
     merge_upsert(spark, d, base, key_cols=["doc_id"], version_col="version")
     updates = (
         docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 150))
@@ -7471,7 +7471,6 @@ def _csv_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6 CSV per-parameter sink round-trip: doubles are text-formatted
     %.9f on write, so the re-read parses them as DECIMAL(20,9) and sums
     exactly; the oracle applies the same 9-digit rounding to the source."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -7483,7 +7482,7 @@ def _csv_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       value AS eng_value "
         "FROM events"
     )
-    d = tempfile.mkdtemp(prefix="mdps_csv_q_")
+    d = _scratch_dir("csv_q")
     write_csv_per_parameter(params, d)
     back = spark.read.schema(
         "ts_us long, eng_value decimal(20,9), name string"

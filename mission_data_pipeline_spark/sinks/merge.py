@@ -64,6 +64,20 @@ def merge_upsert(
     """
     if not key_cols:
         raise ValueError("merge_upsert needs at least one key column")
+    if partition_filter is not None:
+        # An update row OUTSIDE the filtered region would merge against
+        # nothing while its key's base row is carried over untouched —
+        # the sink would then hold both rows, breaking the last-wins
+        # key invariant. Refuse, like Delta's replaceWhere does.
+        pf_out = ~F.coalesce(partition_filter, F.lit(False))
+        stray = updates.filter(pf_out).limit(1).count()
+        if stray:
+            raise ValueError(
+                "merge_upsert: updates contain rows outside "
+                "partition_filter; widen the filter or pre-filter the "
+                "update batch (out-of-scope updates would duplicate "
+                "their keys in the sink)"
+            )
     if os.path.isdir(base_dir):
         base = spark.read.parquet(base_dir)
         if partition_filter is not None:

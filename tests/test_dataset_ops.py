@@ -242,6 +242,23 @@ def test_validate_constraints_report(spark):
     with _pytest.raises(ValueError):
         validate_constraints(df, [])
 
+    # Empty input must REPORT (0/0 would crash under ANSI mode), and an
+    # empty table passes completeness — no rows are incomplete.
+    empty = df.limit(0)
+    got0 = {
+        (r["check"], r["column"]): r
+        for r in validate_constraints(
+            empty,
+            [
+                Constraint("complete", "v"),
+                Constraint("min_fraction_complete", "v", min_fraction=0.9),
+            ],
+        ).collect()
+    }
+    assert got0[("complete", "v")]["passed"]
+    assert got0[("complete", "v")]["metric"] == 0.0
+    assert got0[("min_fraction_complete", "v")]["passed"]
+
 
 def test_udx_grouped_median_and_token_spans(spark):
     from pyspark.sql import functions as F
@@ -260,6 +277,18 @@ def test_udx_grouped_median_and_token_spans(spark):
         for r in df.groupBy("g").agg(grouped_median("v").alias("m")).collect()
     }
     assert got == {"a": 3.0, "b": 5.0}  # odd: middle; even: interpolated
+
+    # NULL handling matches SQL quantile aggregates: NULLs are ignored
+    # (not NaN-poisoned); an all-NULL group is NULL, not NaN.
+    dfn = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None)],
+        "g string, v double",
+    )
+    gotn = {
+        r["g"]: r["m"]
+        for r in dfn.groupBy("g").agg(grouped_median("v").alias("m")).collect()
+    }
+    assert gotn == {"a": 2.0, "b": None}
 
     register_udx(spark)
     spark.createDataFrame(

@@ -128,3 +128,65 @@ def test_asof_join_single_shuffle_no_range_explosion(spark):
     plan = _final_plan(out)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan  # no join operator — union + window carry
+
+
+def test_asof_keyless_matches_keyed_and_avoids_single_partition(spark):
+    """Keyless (`by=[]`) as-of must (a) agree with the keyed path run on
+    a constant key — same semantics, different physical shape — and
+    (b) never plan a SinglePartition exchange: the carry runs as a
+    range-partitioned segmented scan, parallel across time slices."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.joins import asof_join
+
+    rnd = random.Random(11)
+    # distinct times on both sides -> fully deterministic matches
+    lt = rnd.sample(range(10_000), 400)
+    rt = rnd.sample(range(10_000), 60)
+    left = spark.createDataFrame(
+        [(i, float(t)) for i, t in enumerate(lt)], "lid long, t double"
+    )
+    right = spark.createDataFrame(
+        [(float(t), f"r{i}") for i, t in enumerate(rt)], "t double, rv string"
+    )
+    for direction in ("backward", "forward"):
+        for tol in (None, 500.0):
+            keyless = asof_join(
+                left, right, on="t", by=[], direction=direction, tolerance=tol
+            )
+            keyed = asof_join(
+                left.withColumn("k", F.lit(1)),
+                right.withColumn("k", F.lit(1)),
+                on="t",
+                by=["k"],
+                direction=direction,
+                tolerance=tol,
+            ).drop("k")
+            a = sorted(map(tuple, keyless.collect()))
+            b = sorted(map(tuple, keyed.collect()))
+            assert a == b, (direction, tol)
+            assert len(a) == 400  # left row count preserved
+    plan = _final_plan(asof_join(left, right, on="t", by=[]))
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+
+
+def test_asof_keyless_boundary_carry_across_slices(spark):
+    """Right rows far rarer than range slices: most slices have NO right
+    row, so their matches must arrive via the cross-slice carry-in."""
+    from mission_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "lid long, t double"
+    )
+    right = spark.createDataFrame(
+        [(0.0, "lo"), (500.0, "hi")], "t double, rv string"
+    )
+    got = {
+        r["lid"]: r["right_rv"]
+        for r in asof_join(left, right, on="t", by=[]).collect()
+    }
+    assert all(got[i] == "lo" for i in range(0, 500))
+    assert all(got[i] == "hi" for i in range(500, 1000))

@@ -319,3 +319,34 @@ def test_merge_upsert_null_partition_predicate_rows_survive(spark, tmp_path):
     )
     got = {tuple(r) for r in spark.read.parquet(base_dir).collect()}
     assert got == {(1, "x", 2, "a2"), (2, None, 1, "n")}
+
+
+def test_merge_upsert_rejects_out_of_scope_updates(spark, tmp_path):
+    """An update row OUTSIDE partition_filter would merge against
+    nothing while its key's base row is carried over untouched — both
+    rows would survive, silently breaking the last-wins key invariant.
+    The sink must refuse (Delta's replaceWhere does the same)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sinks.merge import merge_upsert
+
+    base_dir = str(tmp_path / "oos")
+    v1 = spark.createDataFrame(
+        [(1, "x", 1, "a"), (3, "y", 1, "c")],
+        "k long, part string, v long, val string",
+    )
+    merge_upsert(spark, base_dir, v1, key_cols=["k"], version_col="v")
+    # update targets key 3 which lives in part='y', outside the filter
+    upd = spark.createDataFrame(
+        [(3, "y", 2, "c2")], "k long, part string, v long, val string"
+    )
+    with _pytest.raises(ValueError, match="outside partition_filter"):
+        merge_upsert(
+            spark, base_dir, upd,
+            key_cols=["k"], version_col="v",
+            partition_filter=F.col("part") == "x",
+        )
+    # base untouched by the refused merge
+    got = {tuple(r) for r in spark.read.parquet(base_dir).collect()}
+    assert got == {(1, "x", 1, "a"), (3, "y", 1, "c")}
