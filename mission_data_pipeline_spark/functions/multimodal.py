@@ -4,14 +4,17 @@ The engine's multimodal data model is the TelemetryPacket pattern
 (SURVEY §1.1) generalized: an opaque ``binary`` payload column plus a
 typed metadata struct (:data:`MEDIA_META_SCHEMA`).
 
-IMAGE metadata decoding is REAL: :func:`probe_image_meta` parses
+IMAGE decoding is REAL: :func:`probe_image_meta` parses
 format/width/height straight from PNG IHDR, JPEG SOF, GIF and BMP
-headers with stdlib ``struct`` — no codec library needed — and
-:func:`extract_image_meta` runs it over Arrow batches. Full pixel
-decoding and the audio/video modalities remain STUBBED
-(``decoder="real"`` raises ``NotImplementedError`` for them) because no
-codec libraries (PIL/ffmpeg/librosa) ship in this environment; the
-``decoder="fake"`` path is the deterministic test double for those.
+headers with stdlib ``struct``, and :func:`decode_png_pixels` decodes
+full PNG pixel data (chunk walk → zlib IDAT inflate → NumPy scanline
+unfilter, all five filters) with no codec library at all —
+:func:`image_pixel_stats` runs it over Arrow batches and
+:func:`encode_png` round-trips it for tests/fixtures. JPEG entropy
+decode and the audio/video SAMPLE modalities remain STUBBED
+(``decoder="real"`` raises ``NotImplementedError`` for them) because
+those need codec libraries (PIL/ffmpeg/librosa) this environment lacks;
+the ``decoder="fake"`` path is the deterministic test double for those.
 
 Scale shape: decode is embarrassingly parallel and CPU-bound → Arrow
 batches through ``mapInPandas`` (never per-row UDFs), with
@@ -362,14 +365,250 @@ def extract_image_meta(
     return cols.mapInPandas(run, schema=IMAGE_META_SCHEMA)
 
 
+#: Per-image decoded pixel statistics — output of :func:`image_pixel_stats`.
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_min", T.IntegerType(), True),
+        T.StructField("px_max", T.IntegerType(), True),
+        T.StructField("px_mean", T.DoubleType(), True),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → channel count (8-bit depth only).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels, *, filters=None) -> bytes:
+    """Minimal REAL PNG encoder (stdlib zlib, 8-bit, non-interlaced).
+
+    ``pixels``: uint8 array of shape (h, w) or (h, w, c) with c in
+    {1, 2, 3, 4} → color type 0/4/2/6. ``filters``: optional per-row
+    filter types (0-4); defaults to all-0. Exists so tests and fixture
+    queries can synthesize byte-exact PNGs that exercise every scanline
+    filter :func:`decode_png_pixels` must invert — a fixture/test
+    utility, not a sink (real pipelines write parquet, not PNG).
+    """
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    flt = list(filters) if filters is not None else [0] * h
+    raw = arr.reshape(h, w * c).astype(np.int16)
+    out = []
+    prior = np.zeros(w * c, dtype=np.int16)
+    for y in range(h):
+        row, f = raw[y], flt[y]
+        if f == 0:
+            enc = row.copy()
+        elif f == 2:
+            enc = (row - prior) % 256
+        else:
+            enc = np.empty_like(row)
+            for i in range(w * c):
+                a = int(row[i - c]) if i >= c else 0
+                b = int(prior[i])
+                d = int(prior[i - c]) if i >= c else 0
+                if f == 1:
+                    enc[i] = (int(row[i]) - a) % 256
+                elif f == 3:
+                    enc[i] = (int(row[i]) - (a + b) // 2) % 256
+                else:  # 4
+                    enc[i] = (int(row[i]) - _paeth(a, b, d)) % 256
+        out.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prior = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(out))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes | None):
+    """REAL PNG pixel decode with ONLY stdlib zlib + NumPy: chunk walk,
+    IDAT inflate, scanline unfilter (all five filter types). Returns a
+    uint8 array of shape (h, w, channels), or None for anything it
+    cannot decode (non-PNG, interlaced, depth != 8, palette, truncated,
+    corrupt deflate) — at scale one dirty payload must never fail the
+    Arrow batch, so the boundary is a sentinel, not an exception.
+
+    Sub/Average/Paeth unfiltering is inherently sequential along a
+    scanline (each byte needs the reconstructed left neighbor), so those
+    rows run a Python loop; Up/None vectorize whole-row. Parallelism at
+    scale comes from images-per-batch across tasks, not from within one
+    image — the same shape a codec library would have.
+    """
+    import zlib
+
+    import numpy as np
+
+    try:
+        if not payload or not payload.startswith(_PNG_SIG):
+            return None
+        pos, ihdr, idat = len(_PNG_SIG), None, []
+        while pos + 8 <= len(payload):
+            (ln,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + ln]
+            if len(body) < ln:
+                return None  # truncated chunk
+            if tag == b"IHDR":
+                ihdr = body
+            elif tag == b"IDAT":
+                idat.append(body)
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln  # len + tag + body + crc
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", ihdr
+        )
+        c = _PNG_CHANNELS.get(color_type)
+        if depth != 8 or c is None or comp or filt or interlace or not (w and h):
+            return None
+        stride = w * c
+        data = zlib.decompress(b"".join(idat))
+        if len(data) != h * (stride + 1):
+            return None
+        rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
+        recon = np.zeros((h, stride), dtype=np.uint8)
+        prior = np.zeros(stride, dtype=np.int16)
+        for y in range(h):
+            f, enc = int(rows[y, 0]), rows[y, 1:].astype(np.int16)
+            if f == 0:
+                rec = enc
+            elif f == 2:
+                rec = (enc + prior) % 256
+            elif f == 1:
+                # recon[i] = enc[i] + recon[i-c]: per-channel cumsum mod 256
+                rec = enc.copy()
+                for off in range(c):
+                    rec[off::c] = np.cumsum(rec[off::c]) % 256
+            elif f in (3, 4):
+                rec = np.empty_like(enc)
+                for i in range(stride):
+                    a = int(rec[i - c]) if i >= c else 0
+                    b = int(prior[i])
+                    d = int(prior[i - c]) if i >= c else 0
+                    pred = (a + b) // 2 if f == 3 else _paeth(a, b, d)
+                    rec[i] = (int(enc[i]) + pred) % 256
+            else:
+                return None  # invalid filter type
+            recon[y] = rec.astype(np.uint8)
+            prior = rec
+        return recon.reshape(h, w, c)
+    except Exception:
+        return None
+
+
+def image_pixel_stats(
+    media: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decoded-pixel statistics per PNG payload: (width, height,
+    channels, px_sum, px_min, px_max, px_mean) — the feature-extraction
+    step of a multimodal curation pipeline, run on REAL pixels
+    (:func:`decode_png_pixels`), not headers. Undecodable payloads
+    yield null stats rows (sentinel, never a task failure). Arrow
+    batches through ``mapInPandas``; per-image work is independent, so
+    the operator scales with partitions like any map."""
+    cols = media.select(
+        F.col(id_col).cast("long").alias("item_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                px = decode_png_pixels(payload)
+                if px is None:
+                    recs.append((item_id, None, None, None, None, None, None, None))
+                else:
+                    h, w, c = px.shape
+                    s = int(px.sum(dtype="int64"))
+                    recs.append(
+                        (
+                            item_id,
+                            w,
+                            h,
+                            c,
+                            s,
+                            int(px.min()),
+                            int(px.max()),
+                            round(s / (h * w * c), 6),
+                        )
+                    )
+            out = pd.DataFrame(
+                recs,
+                columns=[
+                    "item_id", "width", "height", "channels",
+                    "px_sum", "px_min", "px_max", "px_mean",
+                ],
+            )
+            for col in ("width", "height", "channels", "px_min", "px_max"):
+                out[col] = pd.array(out[col], dtype="Int32")
+            out["px_sum"] = pd.array(out["px_sum"], dtype="Int64")
+            yield out
+
+    return cols.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
+
+
 def _real_image_feature(payload: bytes | None, dim: int) -> list[float]:
-    """Header-derived image feature: [width, height, aspect, size] prefix,
-    byte-histogram fold for the remaining dims.
+    """Real image feature vector. For a fully-decodable PNG
+    (:func:`decode_png_pixels`): [width, height, aspect, size, pixel
+    mean, pixel std, pixel min, pixel max] prefix — REAL pixel
+    statistics, not header guesses. For header-only/other formats
+    (JPEG/GIF/BMP — entropy decode needs codec libs this environment
+    lacks): [width, height, aspect, size] from the header parse. Both
+    fall back to a byte-histogram fold for remaining dims.
 
     Null or unrecognized payloads (not PNG/JPEG/GIF/BMP) yield the all-zero
     sentinel vector rather than raising: at scale one dirty row must never
     fail the whole ``mapInPandas`` task.
     """
+    px = decode_png_pixels(payload)
+    if px is not None:
+        h, w, c = px.shape
+        pf = px.astype("float64")
+        head = [
+            float(w), float(h), float(w) / h, float(len(payload)),
+            float(pf.mean()), float(pf.std()), float(px.min()), float(px.max()),
+        ]
+        return (head + _fake_feature(payload, dim))[:dim] if dim > 8 else head[:dim]
     fmt, w, h = probe_image_meta(payload)
     if fmt is None:
         return [0.0] * dim

@@ -349,11 +349,33 @@ def tfidf_sparse(
     )
 
 
+def _heavy_tail_join(
+    left: DataFrame, freq: DataFrame, key: str, heavy_k: int
+) -> DataFrame:
+    """Inner-join ``left`` with a key-unique frequency table, Zipf-aware:
+    the top-``heavy_k`` rows of ``freq`` by count are BROADCAST (Zipf
+    means ~1k terms carry most of the token mass, and exactly those hot
+    keys skew a sort-merge join's term sort), so the overwhelming
+    majority of left rows match map-side with no shuffle; only the
+    rare-term tail — many distinct keys, few rows each, hence skew-free
+    — takes the shuffle join. Result is row-identical to
+    ``left.join(freq, key)``; ``heavy_k=0`` disables the split."""
+    if heavy_k <= 0:
+        return left.join(freq, key)
+    cnt = [c for c in freq.columns if c != key][0]
+    heavy = freq.orderBy(F.col(cnt).desc(), F.col(key)).limit(heavy_k)
+    tagged = left.join(broadcast(heavy), key, "left")
+    matched = tagged.filter(F.col(cnt).isNotNull())
+    tail = tagged.filter(F.col(cnt).isNull()).drop(cnt).join(freq, key)
+    return matched.unionByName(tail)
+
+
 def unigram_logprob(
     docs: DataFrame,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    heavy_k: int = 0,
 ) -> DataFrame:
     """Corpus-unigram language-model score per document: mean
     ``-ln p(token)`` under the corpus's own unigram distribution — the
@@ -363,12 +385,16 @@ def unigram_logprob(
     neg_logprob)``.
 
     Scale shape: one explode → (doc, term) tf groupBy (map-side partial
-    agg), a term-keyed join against the corpus term-frequency table (the
-    tf side already hashes on ``term``, and the frequency table is
-    vocabulary-sized — unbroadcast by design, same as tfidf_sparse), and
-    the corpus total carried on a broadcast one-row frame. Per-term
-    contributions are rounded to 9 decimals and summed as DECIMAL(20,9)
-    (the BM25 determinism pattern) so the SQL oracle matches exactly.
+    agg), a term-keyed join against the
+    vocabulary-sized frequency table. ``heavy_k>0`` switches the join
+    hybrid (:func:`_heavy_tail_join`) for corpora whose hot keys skew
+    the shuffle; default flat — A/B at sf1 measured the hybrid 2x
+    SLOWER here (its matched/tail union recomputes the tf subtree),
+    while AQE skew handling covers the flat join's hot keys. The
+    corpus total rides a broadcast one-row frame.
+    Per-term contributions are rounded to 9 decimals and summed as
+    DECIMAL(20,9) (the BM25 determinism pattern) so the SQL oracle
+    matches exactly.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -379,7 +405,7 @@ def unigram_logprob(
     total = freq.agg(F.sum("cf").alias("ctot"))
     contrib = -F.log(F.col("cf") / F.col("ctot")) * F.col("tf").cast("double")
     return (
-        tf.join(freq, "term")
+        _heavy_tail_join(tf, freq, "term", heavy_k)
         .crossJoin(broadcast(total))
         .withColumn("__c", F.round(contrib, 9).cast("decimal(20,9)"))
         .groupBy("doc_id")
@@ -460,6 +486,7 @@ def bigram_logprob(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    heavy_k: int = 0,
 ) -> DataFrame:
     """Corpus-bigram conditional LM score per document: mean
     ``-ln P(w2 | w1)`` with ``P = count(w1 w2) / count(w1 ·)`` — one
@@ -470,9 +497,13 @@ def bigram_logprob(
     with fewer than two tokens have no bigrams and are omitted.
 
     Scale shape: one bigram explode → (doc, gram) tf groupBy (map-side
-    partial), corpus bigram counts and head counts both gram/vocab-keyed
-    joins on keys the tf side already hashes on; DECIMAL-sum
-    determinism as in BM25/unigram.
+    partial), gram- and head-keyed joins
+    against corpus count tables. ``heavy_k>0`` runs BOTH joins hybrid
+    (:func:`_heavy_tail_join`) — broadcast hot bigrams/head words, and
+    head counts are doubly Zipf-concentrated — but the measured sf1
+    default is flat (hybrid 2x slower here: union-branch subtree
+    recomputation outweighs the skew it removes; see unigram note).
+    DECIMAL-sum determinism as in BM25/unigram.
     """
     from mission_data_pipeline_spark.operators.dedup import word_ngrams
 
@@ -489,9 +520,14 @@ def bigram_logprob(
     )
     contrib = -F.log(F.col("cb") / F.col("ch")) * F.col("tf").cast("double")
     return (
-        tf.join(bigc, "gram")
-        .withColumn("head", F.substring_index("gram", " ", 1))
-        .join(headc, "head")
+        _heavy_tail_join(
+            _heavy_tail_join(tf, bigc, "gram", heavy_k).withColumn(
+                "head", F.substring_index("gram", " ", 1)
+            ),
+            headc,
+            "head",
+            heavy_k,
+        )
         .withColumn("__c", F.round(contrib, 9).cast("decimal(20,9)"))
         .groupBy("doc_id")
         .agg(

@@ -45,6 +45,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # File-split sizing: the default 4 MiB open-cost floors
+        # maxSplitBytes at 4 MiB, so a compressed text table of a few
+        # MiB scans as 1-2 tasks even when its row groups would split
+        # finer — and per-row work (tokenize, decode, ngram) then runs
+        # near-serial. 512 KiB keeps small-but-expensive inputs
+        # parallel; at 100 TB files are >128 MiB and maxPartitionBytes
+        # governs instead, so the setting is inert where it should be.
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))

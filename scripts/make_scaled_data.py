@@ -48,9 +48,17 @@ def main() -> None:
     def src(t: str) -> str:
         return f"read_parquet('{args.src}/{t}.parquet')"
 
-    def write(t: str, sql: str) -> None:
+    def write(t: str, sql: str, rg: int = 65536) -> None:
+        # Bounded ROW_GROUP_SIZE: DuckDB's default writes the whole
+        # table as ONE row group at these sizes, and Spark cannot split
+        # inside a row group — a single-row-group file caps scan (and
+        # tokenize/decode) parallelism at 1 task no matter the cluster,
+        # which is a file-layout artifact, not an engine property. At
+        # real scale data arrives as many files/row groups; 64k-row groups
+        # (2k for the text/vector tables, whose per-row work dominates)
+        # make this derivative behave like that.
         out = f"{args.out}/{t}.parquet"
-        con.sql(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+        con.sql(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})")
         n = con.sql(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
         print(f"{t}: {n} rows")
 
@@ -119,6 +127,7 @@ def main() -> None:
         f"SELECT doc_id + r*{dk} AS doc_id,"
         f" CASE WHEN r = 0 THEN text ELSE text || ' r' || r END AS text,"
         f" lang, source, n_chars FROM {src('documents')} CROSS JOIN {rep}",
+        rg=2048,
     )
 
     vk = stride("embeddings", "vec_id")
@@ -128,6 +137,7 @@ def main() -> None:
         f" list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN"
         f" CAST(x + r*0.001 AS FLOAT) ELSE x END) AS embedding,"
         f" label FROM {src('embeddings')} CROSS JOIN {rep}",
+        rg=2048,
     )
 
 

@@ -254,3 +254,90 @@ def test_real_decoder_degrades_on_dirty_rows(spark):
     # not a silently-fake feature
     for i in (1, 2, 3):
         assert rows[i]["feature"] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_png_encode_decode_roundtrip_all_filters():
+    """decode_png_pixels must invert every scanline filter type (0-4)
+    for every supported channel count, byte-exactly."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(9)
+    for c in (1, 2, 3, 4):
+        for h, w in ((1, 1), (5, 3), (11, 16)):
+            px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+            for filters in (None, [(y + 2) % 5 for y in range(h)], [4] * h):
+                back = decode_png_pixels(encode_png(px, filters=filters))
+                assert back is not None and np.array_equal(back, px), (c, h, w)
+
+
+def test_png_decode_malformed_sentinels():
+    """Malformed payloads must yield None (sentinel), never raise: at
+    scale one dirty row must not fail the Arrow batch."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    assert decode_png_pixels(good) is not None
+    assert decode_png_pixels(None) is None
+    assert decode_png_pixels(b"") is None
+    assert decode_png_pixels(b"not a png at all") is None
+    assert decode_png_pixels(good[:20]) is None          # truncated in IHDR
+    assert decode_png_pixels(good[: len(good) // 2]) is None  # truncated IDAT
+    bad = bytearray(good)
+    bad[45] ^= 0xFF  # corrupt deflate stream
+    assert decode_png_pixels(bytes(bad)) is None
+    # header-only PNG (x5_image_meta_decode fixture shape): no IDAT
+    header_only = bytes.fromhex(
+        "89504E470D0A1A0A0000000D49484452000000100000001008060000001F15C489"
+    )
+    assert decode_png_pixels(header_only) is None
+
+
+def test_image_pixel_stats_operator(spark):
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        encode_png,
+        image_pixel_stats,
+    )
+
+    px0 = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)  # 0..47
+    rows = [
+        (1, bytearray(encode_png(px0, filters=[0, 1, 2, 4]))),
+        (2, bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    got = {r["item_id"]: r for r in image_pixel_stats(df).collect()}
+    r1 = got[1]
+    assert (r1["width"], r1["height"], r1["channels"]) == (4, 4, 3)
+    assert r1["px_sum"] == sum(range(48))
+    assert (r1["px_min"], r1["px_max"]) == (0, 47)
+    assert r1["px_mean"] == round(sum(range(48)) / 48, 6)
+    r2 = got[2]
+    assert r2["width"] is None and r2["px_sum"] is None
+
+
+def test_real_feature_uses_decoded_pixels(spark):
+    """decoder='real' on a full PNG must emit pixel statistics (mean/
+    std/min/max), not just header fields."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        _real_image_feature,
+        encode_png,
+    )
+
+    px = np.full((2, 3, 1), 7, dtype=np.uint8)
+    payload = encode_png(px)
+    f = _real_image_feature(payload, 8)
+    assert f[:3] == [3.0, 2.0, 1.5]
+    assert f[4:8] == [7.0, 0.0, 7.0, 7.0]  # mean, std, min, max

@@ -516,3 +516,60 @@ def test_winnow_locality_property_bulk(spark):
     }
     for i in range(100):
         assert fps[2 * i] & fps[2 * i + 1], f"pair {i} shares no fingerprint"
+
+
+def test_word_ngrams_regex_edge_semantics(spark):
+    """The regex-lookaround n-gram rewrite must keep the legacy edge
+    contract: <n tokens -> one whole-run gram; empty doc -> [""];
+    overlapping grams, single-space joined, lowercased."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dedup import word_ngrams
+
+    rows = [
+        (1, "The quick Brown fox"),
+        (2, "one two"),      # exactly n tokens for n=2
+        (3, "solo"),          # fewer than n
+        (4, ""),              # empty
+        (5, "a  b\t c\nd"),   # messy whitespace
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", word_ngrams("text", 2).alias("g")
+        ).collect()
+    }
+    assert got[1] == ["the quick", "quick brown", "brown fox"]
+    assert got[2] == ["one two"]
+    assert got[3] == ["solo"]
+    assert got[4] == [""]
+    assert got[5] == ["a b", "b c", "c d"]
+    got3 = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", word_ngrams("text", 3).alias("g")
+        ).collect()
+    }
+    assert got3[1] == ["the quick brown", "quick brown fox"]
+    assert got3[2] == ["one two"]  # whole-run fallback
+
+
+def test_heavy_tail_join_equivalence(spark):
+    """heavy_k>0 (broadcast hot keys + shuffled tail) must be
+    row-identical to the flat vocabulary join, for any heavy_k."""
+    from mission_data_pipeline_spark.operators.text import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta " * (i % 5 + 1)) + f"rare{i} tail{i%7}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    for op in (unigram_logprob, bigram_logprob):
+        flat = sorted(map(tuple, op(docs, heavy_k=0).collect()))
+        for k in (1, 3, 10_000):
+            hyb = sorted(map(tuple, op(docs, heavy_k=k).collect()))
+            assert hyb == flat, (op.__name__, k)
