@@ -23,6 +23,10 @@ def _pin_session_conf(spark: SparkSession) -> None:
     UTC-assuming DuckDB oracles regardless of host timezone."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Split small-but-expensive compressed text tables finer than the
+    # 4 MiB open-cost default allows (per-row tokenize work would run
+    # near-serial); inert for >=128 MiB files. Mirrors session.py.
+    spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
 
 
 def entry(spark: SparkSession) -> DataFrame:

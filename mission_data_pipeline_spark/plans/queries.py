@@ -2203,12 +2203,9 @@ def _streaming_stream_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("click_event_id", "purchase_event_id")
 
 
-_q(
-    "w_streaming_stream_join",
-    Query(
-        _streaming_stream_join_spark,
-        _EV_DUCK
-        + """
+_STREAM_JOIN_ORACLE = (
+    _EV_DUCK
+    + """
         SELECT c.event_id AS click_event_id,
                p.event_id AS purchase_event_id,
                c.user_id,
@@ -2219,11 +2216,166 @@ _q(
          AND c.event_type = 'click' AND p.event_type = 'purchase'
          AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 1800000000
         ORDER BY click_event_id, purchase_event_id
-        """,
+        """
+)
+
+_q(
+    "w_streaming_stream_join",
+    Query(
+        _streaming_stream_join_spark,
+        _STREAM_JOIN_ORACLE,
         "W+,J2+",
         "REAL watermarked stream-stream interval join (clicks x same-user "
         "purchases within 30 min): state-bounded dual-stream correlation, "
         "emitted matches must equal the batch interval join",
+    ),
+)
+
+
+def _stream_join_restart_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-RESTART replay proof for the stream-stream interval
+    join: the click side is staged as four event-time-quartile files;
+    run 1 (availableNow, maxFilesPerTrigger=1, durable parquet sink +
+    checkpoint) sees only the first two, is stopped, the last two
+    appear, and run 2 restarts FROM THE SAME CHECKPOINT. The file
+    source's seen-files log must skip the already-processed quartiles,
+    the sink's metadata log must commit the new matches exactly once,
+    and the final sink state must hash-equal the batch interval join.
+
+    The quartile split is BY EVENT TIME with ascending file mtimes —
+    after run 1 the global watermark sits at (end-of-quartile-2 − 1h),
+    so no quartile-3/4 click is late and every purchase still matchable
+    by a future click is younger than the state-eviction bound; an
+    arrival-order split would let watermark eviction silently drop
+    matches the batch oracle keeps. Aborts loudly if run 1 processed
+    everything (restart not exercised) or the sink did not grow."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        ts_us = F.expr("ts DIV 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "event_type", ts_us.cast("long").alias("ts_us")
+    )
+    lo, hi = clicks_b.agg(F.min("ts_us"), F.max("ts_us")).first()
+    click_dir = _scratch_dir("ssj_restart_clicks")
+    ckpt = _scratch_dir("ssj_restart_ckpt")
+    out = _scratch_dir("ssj_restart_out")
+    stage = _scratch_dir("ssj_restart_stage")
+
+    def stage_quartile(k: int) -> None:
+        q_lo = lo + (hi - lo + 1) * k // 4
+        q_hi = lo + (hi - lo + 1) * (k + 1) // 4
+        part = (
+            clicks_b.filter((F.col("ts_us") >= q_lo) & (F.col("ts_us") < q_hi))
+            if k < 3
+            else clicks_b.filter(F.col("ts_us") >= q_lo)
+        )
+        tmp = f"{stage}/q{k}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src_file = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = f"{click_dir}/q{k}.parquet"
+        os.replace(f"{tmp}/{src_file}", dst)
+        os.utime(dst, (1_600_000_000 + k, 1_600_000_000 + k))  # mtime order
+
+    def run_once() -> None:
+        clicks = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts_us long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(click_dir)
+            .select(
+                F.col("event_id").alias("click_event_id"),
+                F.col("user_id").alias("click_user_id"),
+                F.timestamp_micros("ts_us").alias("click_time"),
+            )
+            .withWatermark("click_time", "1 hour")
+        )
+        purchases = (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("event_type") == "purchase")
+        )
+        if isinstance(batch_schema["ts"].dataType, T.LongType):
+            purchases = purchases.withColumn(
+                "purchase_time", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        else:
+            purchases = purchases.withColumn(
+                "purchase_time", F.col("ts").cast("timestamp")
+            )
+        purchases = purchases.select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("purchase_user_id"),
+            "purchase_time",
+        ).withWatermark("purchase_time", "1 hour")
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                """
+                click_user_id = purchase_user_id AND
+                purchase_time >= click_time AND
+                purchase_time <= click_time + INTERVAL 30 MINUTES
+                """
+            ),
+        ).select(
+            "click_event_id",
+            "purchase_event_id",
+            F.col("click_user_id").alias("user_id"),
+            F.unix_micros("click_time").alias("click_ts_us"),
+            F.unix_micros("purchase_time").alias("purchase_ts_us"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    stage_quartile(0)
+    stage_quartile(1)
+    run_once()
+    n_run1 = spark.read.parquet(out).count()
+    stage_quartile(2)
+    stage_quartile(3)
+    run_once()  # RESTART from the same checkpoint
+    final = spark.read.parquet(out)
+    n_final = final.count()
+    if not (0 < n_run1 < n_final):
+        raise RuntimeError(
+            "restart not exercised: run1 emitted "
+            f"{n_run1} of {n_final} matches — quartile split degenerated"
+        )
+    return final.orderBy("click_event_id", "purchase_event_id")
+
+
+_q(
+    "w_streaming_stream_join_restart",
+    Query(
+        _stream_join_restart_spark,
+        _STREAM_JOIN_ORACLE,
+        "W+,P2+",
+        "stream-stream join restart-from-checkpoint replay: half the "
+        "click quartiles processed, query stopped, rest appear, restart "
+        "resumes from the seen-files/offset log — final durable sink "
+        "state must hash-equal the batch interval join (exactly-once "
+        "across restarts)",
     ),
 )
 
@@ -7257,6 +7409,78 @@ _q(
         "file -> split-range parallel scan -> decom -> polynomial + "
         "identity calibration; oracle recomputes every value from the "
         "packet index",
+    ),
+)
+
+
+def _ccsds_datasource_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.read.format('ccsds') end-to-end (sources/ccsds_datasource.py,
+    SURVEY §4.2 option b): the same arithmetic packet stream as the ETL
+    e2e query, but scanned through the registered Python Data Source —
+    driver-side range planning into InputPartitions, per-range Arrow
+    RecordBatch parse on executors, APID pushdown as a reader option
+    (a second APID is interleaved and must be dropped inside the scan).
+    Oracle recomputes header fields + payload digests from the index."""
+    import os
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.models.ccsds import build_packet
+    from mission_data_pipeline_spark.sources import register_ccsds_source
+
+    n = 400
+    # Per-APID CONTINUOUS seq counters (CCSDS 133.0-B-2 §4.1.3.4 — the
+    # invariant the split-range resync heuristic confirms against; a
+    # shared counter across APIDs is spec-violating telemetry and makes
+    # boundaries unconfirmable): every 4th packet is APID 0x200, the
+    # rest 0x123, each counting its own sequence.
+    stream = b"".join(
+        build_packet(
+            0x123 if i % 4 else 0x200,
+            (i - (i + 3) // 4) if i % 4 else i // 4,
+            struct.pack(">HI", (i * 257) % 65536, (i * 65537) % (1 << 32)),
+        )
+        for i in range(n)
+    )
+    d = _scratch_dir("ccsds_ds_q")
+    path = os.path.join(d, "stream.bin")
+    with open(path, "wb") as f:
+        f.write(stream)
+    register_ccsds_source(spark)
+    pk = (
+        spark.read.format("ccsds")
+        .option("split_size", 4096)
+        .option("apid_filter", "291")  # 0x123
+        .load(path)
+    )
+    return pk.select(
+        F.col("seq_count").cast("long").alias("seq_count"),
+        F.col("apid").cast("int").alias("apid"),
+        F.col("data_length").cast("int").alias("data_length"),
+        F.hex("user_data").alias("content_hex"),
+    ).orderBy("seq_count")
+
+
+_q(
+    "s1_ccsds_datasource_scan",
+    Query(
+        _ccsds_datasource_spark,
+        """
+        WITH idx AS (SELECT UNNEST(range(0, 400)) AS i)
+        SELECT CAST(i - (i + 3) // 4 AS BIGINT) AS seq_count,
+               CAST(291 AS INT) AS apid,
+               CAST(5 AS INT) AS data_length,
+               upper(lpad(to_hex((i * 257) % 65536), 4, '0')
+                     || lpad(to_hex((i * 65537) % 4294967296), 8, '0'))
+                 AS content_hex
+        FROM idx WHERE i % 4 != 0
+        ORDER BY seq_count
+        """,
+        "S1,S3",
+        "registered ccsds Data Source format: InputPartition range "
+        "planning + Arrow-batch range parse + APID pushdown option; "
+        "oracle recomputes headers and payload digests from the index",
     ),
 )
 

@@ -1,4 +1,8 @@
-from mission_data_pipeline_spark.sources.binary import read_packets
+from mission_data_pipeline_spark.sources.binary import plan_ranges, read_packets
+from mission_data_pipeline_spark.sources.ccsds_datasource import (
+    CcsdsDataSource,
+    register_ccsds_source,
+)
 from mission_data_pipeline_spark.sources.csv import read_csv_telemetry
 from mission_data_pipeline_spark.sources.jsonl import (
     jsonl_corrupt_stats,
@@ -9,6 +13,9 @@ from mission_data_pipeline_spark.sources.warc import read_warc, warc_to_document
 
 __all__ = [
     "read_packets",
+    "plan_ranges",
+    "CcsdsDataSource",
+    "register_ccsds_source",
     "read_csv_telemetry",
     "read_jsonl",
     "jsonl_corrupt_stats",

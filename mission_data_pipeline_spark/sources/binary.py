@@ -367,8 +367,7 @@ def _split_ranges(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             yield pd.DataFrame(cols, columns=[f.name for f in PACKET_SCHEMA.fields])
 
 
-def read_packets(
-    spark: SparkSession,
+def plan_ranges(
     path: str | list[str],
     *,
     apid_filter: list[int] | None = None,
@@ -380,24 +379,10 @@ def read_packets(
     max_packet_len: int = 65542,
     resync_chain: int = 2,
     weak_resync: bool = False,
-) -> DataFrame:
-    """Scan CCSDS binary file(s) into a ``packets_df`` (PACKET_SCHEMA).
-
-    ``split_size`` controls scan parallelism: each file is carved into
-    ceil(size / split_size) ranges, one Spark task each. The default
-    128 MiB matches ``spark.sql.files.maxPartitionBytes``.
-
-    ``apid_filter`` is pushed into the range parser (packets are dropped
-    before they ever materialize as rows — reference behavior
-    ``binary.py:103-104``).
-
-    ``weak_resync=True`` lets a range where the strict chain-confirmation
-    rule locks nowhere fall back to the weaker complete-count rule
-    (logged). Off by default: the fallback can emit phantom packets from
-    payload bytes of a packet owned by the previous range, breaking the
-    multi-range exactly-once invariant — enable it only for streams whose
-    APIDs genuinely never repeat within a split.
-    """
+) -> list[dict]:
+    """Resolve paths/globs and carve them into scan-range descriptors
+    (one per future task) — shared by :func:`read_packets` and the
+    ``ccsds`` DataSource's ``partitions()``."""
     paths: list[str] = []
     for p in [path] if isinstance(path, str) else list(path):
         matches = sorted(glob(p)) if any(c in p for c in "*?[") else [p]
@@ -430,7 +415,52 @@ def read_packets(
                 }
             )
             start += split_size
+    return ranges
 
+
+def read_packets(
+    spark: SparkSession,
+    path: str | list[str],
+    *,
+    apid_filter: list[int] | None = None,
+    sec_hdr_length: int = 0,
+    frame_sync: bool = False,
+    source_id: str | None = None,
+    ground_receipt_time: float | None = None,
+    split_size: int = 128 * 1024 * 1024,
+    max_packet_len: int = 65542,
+    resync_chain: int = 2,
+    weak_resync: bool = False,
+) -> DataFrame:
+    """Scan CCSDS binary file(s) into a ``packets_df`` (PACKET_SCHEMA).
+
+    ``split_size`` controls scan parallelism: each file is carved into
+    ceil(size / split_size) ranges, one Spark task each. The default
+    128 MiB matches ``spark.sql.files.maxPartitionBytes``.
+
+    ``apid_filter`` is pushed into the range parser (packets are dropped
+    before they ever materialize as rows — reference behavior
+    ``binary.py:103-104``).
+
+    ``weak_resync=True`` lets a range where the strict chain-confirmation
+    rule locks nowhere fall back to the weaker complete-count rule
+    (logged). Off by default: the fallback can emit phantom packets from
+    payload bytes of a packet owned by the previous range, breaking the
+    multi-range exactly-once invariant — enable it only for streams whose
+    APIDs genuinely never repeat within a split.
+    """
+    ranges = plan_ranges(
+        path,
+        apid_filter=apid_filter,
+        sec_hdr_length=sec_hdr_length,
+        frame_sync=frame_sync,
+        source_id=source_id,
+        ground_receipt_time=ground_receipt_time,
+        split_size=split_size,
+        max_packet_len=max_packet_len,
+        resync_chain=resync_chain,
+        weak_resync=weak_resync,
+    )
     if not ranges:  # all files empty
         return spark.createDataFrame([], schema=PACKET_SCHEMA)
     ranges_df = spark.createDataFrame(ranges, schema=_RANGE_SCHEMA)

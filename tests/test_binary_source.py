@@ -166,3 +166,47 @@ def test_weak_fallback_recovers_nonrepeating_apid_stream(spark, tmp_root):
     # exactly-once across ranges, via the weak fallback lock
     assert split.count() == 300
     assert split.select("file_offset").distinct().count() == 300
+
+
+def test_ccsds_datasource_matches_read_packets(spark, tmp_path):
+    """spark.read.format('ccsds') must be row-identical to read_packets
+    for the same options — single and multi-range, filtered and not."""
+    from mission_data_pipeline_spark.models.ccsds import (
+        generate_housekeeping_stream,
+    )
+    from mission_data_pipeline_spark.sources import (
+        read_packets,
+        register_ccsds_source,
+    )
+
+    p = str(tmp_path / "hk.bin")
+    with open(p, "wb") as f:
+        f.write(generate_housekeeping_stream(300))
+    register_ccsds_source(spark)
+    for opts in (
+        {"sec_hdr_length": 4},
+        {"sec_hdr_length": 4, "split_size": 2048},
+        {"sec_hdr_length": 4, "split_size": 2048, "apid_filter": [0x100]},
+    ):
+        rd = spark.read.format("ccsds")
+        for k, v in opts.items():
+            rd = rd.option(
+                k, ",".join(map(str, v)) if isinstance(v, list) else v
+            )
+        a = sorted(map(tuple, rd.load(p).collect()))
+        b = sorted(map(tuple, read_packets(spark, p, **opts).collect()))
+        assert a == b and a, opts
+
+
+def test_ccsds_datasource_empty_file_and_missing_path(spark, tmp_path):
+    from mission_data_pipeline_spark.sources import register_ccsds_source
+
+    register_ccsds_source(spark)
+    empty = str(tmp_path / "empty.bin")
+    open(empty, "wb").close()
+    assert spark.read.format("ccsds").load(empty).count() == 0
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises((FileNotFoundError, Py4JJavaError, Exception)):
+        spark.read.format("ccsds").load(str(tmp_path / "nope.bin")).collect()
