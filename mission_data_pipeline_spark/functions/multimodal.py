@@ -10,11 +10,15 @@ headers with stdlib ``struct``, and :func:`decode_png_pixels` decodes
 full PNG pixel data (chunk walk → zlib IDAT inflate → NumPy scanline
 unfilter, all five filters) with no codec library at all —
 :func:`image_pixel_stats` runs it over Arrow batches and
-:func:`encode_png` round-trips it for tests/fixtures. JPEG entropy
-decode and the audio/video SAMPLE modalities remain STUBBED
-(``decoder="real"`` raises ``NotImplementedError`` for them) because
-those need codec libraries (PIL/ffmpeg/librosa) this environment lacks;
-the ``decoder="fake"`` path is the deterministic test double for those.
+:func:`encode_png` round-trips it for tests/fixtures. AUDIO decoding is
+REAL for uncompressed PCM WAV: :func:`decode_wav_samples` (RIFF walk →
+NumPy sample view) feeds :func:`audio_sample_stats` and the real audio
+features, with :func:`encode_wav` as the fixture mirror. JPEG entropy
+decode, compressed audio (MP3/AAC) and video SAMPLE decode remain
+STUBBED (``decoder="real"`` raises ``NotImplementedError`` for them)
+because those need codec libraries (PIL/ffmpeg/librosa) this
+environment lacks; ``decoder="fake"`` is their deterministic test
+double.
 
 Scale shape: decode is embarrassingly parallel and CPU-bound → Arrow
 batches through ``mapInPandas`` (never per-row UDFs), with
@@ -365,6 +369,151 @@ def extract_image_meta(
     return cols.mapInPandas(run, schema=IMAGE_META_SCHEMA)
 
 
+#: Per-item decoded audio sample statistics — :func:`audio_sample_stats`.
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("s_sum", T.LongType(), True),
+        T.StructField("s_min", T.IntegerType(), True),
+        T.StructField("s_max", T.IntegerType(), True),
+        T.StructField("s_sumsq", T.LongType(), True),
+    ]
+)
+
+
+def encode_wav(samples, *, rate: int = 16000) -> bytes:
+    """Minimal REAL PCM WAV encoder (stdlib struct; int16 LE). ``samples``
+    is an int16 array of shape (n,) or (n, channels). Fixture/test
+    utility — the mirror of :func:`decode_wav_samples`."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    data = arr.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav_samples(payload: bytes | None):
+    """REAL PCM WAV sample decode with stdlib only: RIFF chunk walk →
+    fmt validation (format code 1 = uncompressed PCM, 8- or 16-bit) →
+    NumPy view over the data chunk. Returns ``(samples, rate)`` with
+    ``samples`` shaped (n_frames, channels) as int32 (16-bit signed LE
+    or 8-bit unsigned per the WAV spec), or None for anything it cannot
+    decode (non-WAV, compressed/float formats, truncated data) — the
+    same sentinel-not-exception boundary as :func:`decode_png_pixels`.
+    Compressed audio (MP3/AAC/…) stays behind the codec-library stub.
+    """
+    import numpy as np
+
+    try:
+        if (
+            not payload
+            or len(payload) < 12
+            or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WAVE"
+        ):
+            return None
+        pos, n = 12, len(payload)
+        fmt_body = data = None
+        while pos + 8 <= n:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + size]
+            if len(body) < size:
+                return None  # truncated chunk
+            if cid == b"fmt ":
+                fmt_body = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)
+        if fmt_body is None or data is None or len(fmt_body) < 16:
+            return None
+        code, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt_body[:16])
+        if code != 1 or not ch or bits not in (8, 16):
+            return None
+        width = bits // 8
+        frames = len(data) // (ch * width)
+        if frames == 0:
+            return None
+        data = data[: frames * ch * width]
+        dt = "<i2" if bits == 16 else "u1"
+        arr = np.frombuffer(data, dtype=dt).astype(np.int32)
+        return arr.reshape(frames, ch), int(rate)
+    except Exception:
+        return None
+
+
+def audio_sample_stats(
+    media: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decoded-sample statistics per PCM WAV payload: (n_frames,
+    n_channels, sample_rate, s_sum, s_min, s_max, s_sumsq) on REAL
+    samples (:func:`decode_wav_samples`) — exact integers, so the
+    oracle can recompute them arithmetically. Undecodable payloads
+    yield null-stats sentinel rows. Arrow batches via ``mapInPandas``."""
+    cols = media.select(
+        F.col(id_col).cast("long").alias("item_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                dec = decode_wav_samples(payload)
+                if dec is None:
+                    recs.append(
+                        (item_id, None, None, None, None, None, None, None)
+                    )
+                else:
+                    s, rate = dec
+                    recs.append(
+                        (
+                            item_id,
+                            s.shape[0],
+                            s.shape[1],
+                            rate,
+                            int(s.sum(dtype="int64")),
+                            int(s.min()),
+                            int(s.max()),
+                            int((s.astype("int64") ** 2).sum()),
+                        )
+                    )
+            out = pd.DataFrame(
+                recs,
+                columns=[
+                    "item_id", "n_frames", "n_channels", "sample_rate",
+                    "s_sum", "s_min", "s_max", "s_sumsq",
+                ],
+            )
+            for col in ("n_channels", "sample_rate", "s_min", "s_max"):
+                out[col] = pd.array(out[col], dtype="Int32")
+            for col in ("n_frames", "s_sum", "s_sumsq"):
+                out[col] = pd.array(out[col], dtype="Int64")
+            yield out
+
+    return cols.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+
+
 #: Per-image decoded pixel statistics — output of :func:`image_pixel_stats`.
 PIXEL_STATS_SCHEMA = T.StructType(
     [
@@ -617,6 +766,28 @@ def _real_image_feature(payload: bytes | None, dim: int) -> list[float]:
     return (head + _fake_feature(payload, dim))[:dim] if dim > 4 else head[:dim]
 
 
+def _real_audio_feature(payload: bytes | None, dim: int) -> list[float]:
+    """Real audio feature vector from decoded PCM WAV samples
+    (:func:`decode_wav_samples`): [n_frames, channels, rate, size,
+    sample mean, RMS, min, max] prefix + byte-histogram fold. Anything
+    not uncompressed PCM (MP3/AAC/float WAV) still raises the codec
+    stub — compressed audio genuinely needs libraries this environment
+    lacks, and faking it would violate the real-not-fake contract."""
+    import numpy as np
+
+    dec = decode_wav_samples(payload)
+    if dec is None:
+        _require_real_decoder("audio")()
+    s, rate = dec
+    sf = s.astype("float64")
+    head = [
+        float(s.shape[0]), float(s.shape[1]), float(rate), float(len(payload)),
+        float(sf.mean()), float(np.sqrt((sf**2).mean())),
+        float(s.min()), float(s.max()),
+    ]
+    return (head + _fake_feature(payload, dim))[:dim] if dim > 8 else head[:dim]
+
+
 def _require_real_decoder(modality: str) -> Callable:
     def _raise(*_a, **_kw):
         raise NotImplementedError(
@@ -640,13 +811,15 @@ def extract_features(
     """Decode payloads → fixed-dim float features via Arrow batches.
 
     ``decoder='fake'``: deterministic byte-histogram features (test
-    double for every modality). ``decoder='real'``: REAL header-derived
-    features for ``media_type='image'`` rows (:func:`probe_image_meta`
-    — width/height/aspect/size prefix) and byte-histogram features for
-    ``'text'`` rows; ``'audio'``/``'video'`` rows raise
-    ``NotImplementedError`` at execution (the remaining stub boundary —
-    those codecs aren't available in this environment). Null or unknown
-    modalities yield the all-zero sentinel vector (never silently fake).
+    double for every modality). ``decoder='real'``: REAL features —
+    decoded-pixel statistics for PNG images / header fields for other
+    image formats (:func:`_real_image_feature`), decoded-sample
+    statistics for PCM WAV audio (:func:`_real_audio_feature`),
+    byte-histogram for ``'text'``; compressed audio and ``'video'``
+    rows raise ``NotImplementedError`` at execution (the remaining stub
+    boundary — those codecs aren't available in this environment).
+    Null or unknown modalities yield the all-zero sentinel vector
+    (never silently fake).
     """
     if decoder not in ("fake", "real"):
         raise ValueError("decoder must be 'fake' or 'real'")
@@ -662,7 +835,9 @@ def extract_features(
             return _fake_feature(payload, dim)
         if media_type == "image":
             return _real_image_feature(payload, dim)
-        if media_type in ("audio", "video"):
+        if media_type == "audio":
+            return _real_audio_feature(payload, dim)
+        if media_type == "video":
             _require_real_decoder(media_type)()
         if media_type == "text":
             return _fake_feature(payload, dim)  # byte histogram IS real for text

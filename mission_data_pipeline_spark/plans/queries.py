@@ -5420,6 +5420,80 @@ _q(
 )
 
 
+def _audio_sample_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM WAV sample decode (functions/multimodal.py
+    decode_wav_samples — RIFF chunk walk + NumPy sample view, stdlib
+    only): 50 fixture WAVs with sample(k,i,c) = ((k*7 + i*37 + c*101)
+    mod 4001) - 2000, varied frame counts / channel counts / rates;
+    every sixth payload is corrupted (truncated) and must come back as
+    a null-stats sentinel. Oracle recomputes the exact integer sample
+    statistics from the generator formula — it never touches WAV bytes."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        audio_sample_stats,
+        encode_wav,
+    )
+
+    rows = []
+    for k in range(50):
+        frames, ch = k % 40 + 10, k % 2 + 1
+        rate = 8000 + 100 * k
+        i = np.arange(frames)[:, None]
+        c = np.arange(ch)[None, :]
+        s = (((k * 7 + i * 37 + c * 101) % 4001) - 2000).astype("<i2")
+        payload = encode_wav(s, rate=rate)
+        if k % 6 == 5:
+            payload = payload[: len(payload) // 2]
+        rows.append((k, bytearray(payload)))
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    return audio_sample_stats(media).orderBy("item_id")
+
+
+_q(
+    "x5_audio_sample_stats",
+    Query(
+        _audio_sample_stats_spark,
+        """
+        WITH wavs AS (
+          SELECT k AS item_id, k % 40 + 10 AS frames, k % 2 + 1 AS ch,
+                 8000 + 100 * k AS rate, k % 6 = 5 AS corrupt
+          FROM range(0, 50) t(k)
+        ),
+        smp AS (
+          SELECT item_id,
+                 ((item_id * 7 + i * 37 + c * 101) % 4001) - 2000 AS v
+          FROM wavs, range(0, 50) fi(i), range(0, 2) ci(c)
+          WHERE i < frames AND c < ch AND NOT corrupt
+        ),
+        stats AS (
+          SELECT item_id,
+                 CAST(SUM(v) AS BIGINT) AS s_sum,
+                 CAST(MIN(v) AS INT) AS s_min,
+                 CAST(MAX(v) AS INT) AS s_max,
+                 CAST(SUM(v * v) AS BIGINT) AS s_sumsq
+          FROM smp GROUP BY item_id
+        )
+        SELECT w.item_id,
+               CASE WHEN corrupt THEN NULL ELSE CAST(frames AS BIGINT) END
+                 AS n_frames,
+               CASE WHEN corrupt THEN NULL ELSE CAST(ch AS INT) END
+                 AS n_channels,
+               CASE WHEN corrupt THEN NULL ELSE CAST(rate AS INT) END
+                 AS sample_rate,
+               s.s_sum, s.s_min, s.s_max, s.s_sumsq
+        FROM wavs w LEFT JOIN stats s USING (item_id)
+        ORDER BY w.item_id
+        """,
+        "X5",
+        "REAL PCM WAV sample decode: RIFF walk + NumPy sample view, "
+        "exact integer statistics; truncated payloads yield null "
+        "sentinels; oracle recomputes every value from the generator "
+        "formula",
+    ),
+)
+
+
 def _decode_matrix_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2-T6 golden matrix: 256 deterministic byte payloads decoded by the
     expression-only decoders (functions/decode.py); the oracle recomputes

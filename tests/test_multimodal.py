@@ -341,3 +341,72 @@ def test_real_feature_uses_decoded_pixels(spark):
     f = _real_image_feature(payload, 8)
     assert f[:3] == [3.0, 2.0, 1.5]
     assert f[4:8] == [7.0, 0.0, 7.0, 7.0]  # mean, std, min, max
+
+
+def test_wav_encode_decode_roundtrip():
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+        probe_audio_meta,
+    )
+
+    rng = np.random.default_rng(4)
+    for ch in (1, 2):
+        for n in (1, 7, 300):
+            s = rng.integers(-32768, 32768, size=(n, ch)).astype("<i2")
+            payload = encode_wav(s, rate=22050)
+            dec = decode_wav_samples(payload)
+            assert dec is not None
+            back, rate = dec
+            assert rate == 22050 and back.shape == (n, ch)
+            assert np.array_equal(back, s.astype("int32"))
+            # encoder output is a spec-valid WAV per the header prober too
+            assert probe_audio_meta(payload)[:4] == ("wav", ch, 22050, 16)
+
+
+def test_wav_decode_malformed_sentinels():
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    good = encode_wav(np.zeros((8, 1), dtype="<i2"), rate=8000)
+    assert decode_wav_samples(good) is not None
+    assert decode_wav_samples(None) is None
+    assert decode_wav_samples(b"") is None
+    assert decode_wav_samples(b"RIFF" + bytes(200)) is None  # not WAVE
+    assert decode_wav_samples(good[: len(good) // 2]) is None  # truncated
+    # float/compressed format code -> stub boundary, not garbage samples
+    bad = bytearray(good)
+    bad[20] = 3  # IEEE float format code
+    assert decode_wav_samples(bytes(bad)) is None
+
+
+def test_audio_sample_stats_operator_and_real_feature(spark):
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        _real_audio_feature,
+        audio_sample_stats,
+        encode_wav,
+    )
+
+    s = np.array([[-3], [1], [2]], dtype="<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(s, rate=8000))), (2, bytearray(b"junk"))],
+        "item_id long, payload binary",
+    )
+    got = {r["item_id"]: r for r in audio_sample_stats(df).collect()}
+    r1 = got[1]
+    assert (r1["n_frames"], r1["n_channels"], r1["sample_rate"]) == (3, 1, 8000)
+    assert (r1["s_sum"], r1["s_min"], r1["s_max"], r1["s_sumsq"]) == (0, -3, 2, 14)
+    assert got[2]["n_frames"] is None and got[2]["s_sum"] is None
+
+    f = _real_audio_feature(encode_wav(s, rate=8000), 8)
+    assert f[:3] == [3.0, 1.0, 8000.0]
+    assert f[4] == 0.0 and abs(f[5] - (14 / 3) ** 0.5) < 1e-12
+    assert f[6:8] == [-3.0, 2.0]
