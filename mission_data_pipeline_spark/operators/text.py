@@ -511,21 +511,26 @@ def bigram_logprob(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(text_col, 2)).alias("gram"),
     ).filter(F.col("gram").contains(" "))
-    tf = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("tf"))
-    bigc = tf.groupBy("gram").agg(F.sum("tf").cast("double").alias("cb"))
-    headc = (
-        bigc.withColumn("head", F.substring_index("gram", " ", 1))
-        .groupBy("head")
-        .agg(F.sum("cb").alias("ch"))
+    # Every shuffle/join after the explode keys on xxhash64, not the
+    # gram/head STRINGS: 8-byte fixed keys vs ~20-byte variable strings
+    # cut shuffle bytes and comparator cost (the duplicate_span_fraction
+    # precedent; 64-bit collisions are negligible at vocabulary scale).
+    # The head hash rides along from the explode — head is functionally
+    # dependent on gram, so (gh, hh) grouping equals (gram) grouping.
+    keyed = grams.select(
+        "doc_id",
+        F.xxhash64("gram").alias("gh"),
+        F.xxhash64(F.substring_index("gram", " ", 1)).alias("hh"),
     )
+    tf = keyed.groupBy("doc_id", "gh", "hh").agg(F.count("*").alias("tf"))
+    bigc = tf.groupBy("gh").agg(F.sum("tf").cast("double").alias("cb"))
+    headc = tf.groupBy("hh").agg(F.sum("tf").cast("double").alias("ch"))
     contrib = -F.log(F.col("cb") / F.col("ch")) * F.col("tf").cast("double")
     return (
         _heavy_tail_join(
-            _heavy_tail_join(tf, bigc, "gram", heavy_k).withColumn(
-                "head", F.substring_index("gram", " ", 1)
-            ),
+            _heavy_tail_join(tf, bigc, "gh", heavy_k),
             headc,
-            "head",
+            "hh",
             heavy_k,
         )
         .withColumn("__c", F.round(contrib, 9).cast("decimal(20,9)"))
