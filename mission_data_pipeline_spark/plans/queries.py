@@ -7487,6 +7487,61 @@ _q(
 )
 
 
+def _compact_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file/layout compaction (sinks/compact.py compact_dataset —
+    the lakehouse OPTIMIZE primitive): the documents table is rewritten
+    to >= 8 splittable files (min_files floor — the scan-parallelism
+    guarantee for per-row-expensive text data), re-read distributed,
+    and aggregated per lang; the oracle runs the same aggregate on the
+    ORIGINAL table, so the rewrite must be content-lossless. Fails
+    loudly if the output file count is below the floor."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sinks.compact import compact_dataset
+
+    register_views(spark, sf_dir)
+    dst = _scratch_dir("compact_q") + "/docs"
+    n_files = compact_dataset(
+        spark, f"{sf_dir}/documents.parquet", dst, min_files=8
+    )
+    if n_files < 8:
+        raise RuntimeError(f"compaction wrote {n_files} files, floor is 8")
+    back = spark.read.parquet(dst)
+    sig = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), "text")), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(sig).alias("content_sig"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_q(
+    "l_compact_roundtrip",
+    Query(
+        _compact_roundtrip_spark,
+        """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(('0x' || substr(md5(doc_id || '|' || text), 1, 12))
+                             AS BIGINT)) AS BIGINT) AS content_sig,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "L+,§perf",
+        "dataset compaction (OPTIMIZE): rewrite to a target file "
+        "size/count so scans split across executors; content-lossless "
+        "by per-lang accounting vs the original table",
+    ),
+)
+
+
 def _ccsds_datasource_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spark.read.format('ccsds') end-to-end (sources/ccsds_datasource.py,
     SURVEY §4.2 option b): the same arithmetic packet stream as the ETL

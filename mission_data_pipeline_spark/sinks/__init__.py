@@ -9,6 +9,10 @@ exists); it streams partitions with ``toLocalIterator`` so the driver
 never holds the full dataset.
 """
 
+from mission_data_pipeline_spark.sinks.compact import (
+    compact_dataset,
+    dataset_bytes,
+)
 from mission_data_pipeline_spark.sinks.csv import (
     write_csv_per_parameter,
     write_csv_wide,
@@ -23,6 +27,8 @@ from mission_data_pipeline_spark.sinks.parquet import (
 )
 
 __all__ = [
+    "compact_dataset",
+    "dataset_bytes",
     "last_wins",
     "merge_upsert",
     "write_csv_per_parameter",

@@ -350,3 +350,52 @@ def test_merge_upsert_rejects_out_of_scope_updates(spark, tmp_path):
     # base untouched by the refused merge
     got = {tuple(r) for r in spark.read.parquet(base_dir).collect()}
     assert got == {(1, "x", 1, "a"), (3, "y", 1, "c")}
+
+
+def test_compact_dataset_splittable_output(spark, tmp_path):
+    """Compaction must produce >= min_files splittable files with
+    content identical to the source, and respect target sizing."""
+    import pyarrow.parquet as pq
+
+    from mission_data_pipeline_spark.sinks.compact import (
+        compact_dataset,
+        dataset_bytes,
+    )
+
+    src = str(tmp_path / "src")
+    # single-file, single-row-group source (the pathological layout)
+    spark.range(50_000).selectExpr(
+        "id", "repeat('token ', 20) AS text"
+    ).coalesce(1).write.parquet(src)
+    assert dataset_bytes(src) > 0
+    dst = str(tmp_path / "dst")
+    n = compact_dataset(spark, src, dst, min_files=8)
+    assert n >= 8
+    import os
+
+    files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(dst)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == n
+    assert all(pq.ParquetFile(f).num_row_groups >= 1 for f in files)
+    back = spark.read.parquet(dst)
+    assert back.count() == 50_000
+    a = spark.read.parquet(src).agg({"id": "sum"}).first()[0]
+    assert back.agg({"id": "sum"}).first()[0] == a
+
+    # partitioned layout variant
+    dst2 = str(tmp_path / "dst2")
+    spark.range(100).selectExpr("id", "id % 3 AS k").write.parquet(
+        str(tmp_path / "src2")
+    )
+    compact_dataset(spark, str(tmp_path / "src2"), dst2, partition_by=["k"])
+    assert spark.read.parquet(dst2).count() == 100
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_dataset(spark, src, dst, target_file_bytes=0)
+    with _pytest.raises(ValueError):
+        compact_dataset(spark, src, dst, min_files=0)
