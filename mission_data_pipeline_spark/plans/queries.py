@@ -7953,70 +7953,54 @@ _q(
 
 
 # ---------------------------------------------------------------------------
-# Driver-check ordering (round 4). The driver verifies the first ~50 QUERIES
-# entries per round; this list rotates so no query's last driver check goes
-# stale. Slots 1-7: queries changed this round (five de-vacuified 0-row
-# oracle rows + the new KMeans-IVF recall bound + the chunk-tokens tail-chunk
-# fix). Slots 8-47: every query whose last driver row is round 1 (two rounds
-# stale). Slots 48-50 and the tail: round-2-checked queries oldest-first,
-# then round-3-checked — the round-5 window picks up where this one ends.
+# Driver-check ordering (round 5). The driver verifies the first ~50 QUERIES
+# entries per round; this list is rebuilt each round so cumulative driver
+# coverage stays fresh. Slots 1-5: queries NEW this round (never
+# driver-checked: PNG pixel stats, WAV sample stats, ccsds DataSource,
+# stream-join restart, compaction). Slots 6-35: every query whose PLAN
+# changed this round (word_ngrams regex rewrite consumers, logprob hash/
+# checkpoint rewrites, as-of refactor, merge-sink validation, scratch-dir
+# conversions, real-feature decoder branch), ordered stalest-first.
+# Slots 36+: all remaining queries ordered by last driver-checked round
+# (r01 first), so the window keeps rotating through the stale tail.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # --- new or changed this round (must re-verify): round-4 items
-    # first (one-scan + NumPy-vectorized ANN paths; new sketch-bound
-    # aggregates), then the round-4-opening fixes ---
-    "w_streaming_stream_join",
-    "curation_temperature_sample",
-    "l_orc_roundtrip",
-    "agg_hll_distinct_bound",
-    "agg_approx_percentile_bound",
-    "agg_kll_quantile_bound",
-    "agg_theta_distinct_bound",
-    "x4_winnow_fingerprint",
-    "x4_lang_id_confusion",
-    "w_ewma_smooth",
-    "w_zscore_anomaly",
-    "curation_split_assign",
-    "curation_weighted_sample",
-    "w3_streaming_stateful_cumulative",
-    "w_funnel_depth_histogram",
-    "w_retention_cohorts",
+    "x5_image_pixel_stats",
+    "x5_audio_sample_stats",
+    "s1_ccsds_datasource_scan",
+    "w_streaming_stream_join_restart",
+    "l_compact_roundtrip",
+    "x2_minhash_bands",
+    "x2_lsh_near_dedup_survivors",
+    "x2_simhash_fingerprint",
+    "x2_duplicate_components",
+    "x4_repetition_signals",
+    "curation_decontaminate",
+    "asof_join_latest_purchase",
+    "x2_simhash_near_pairs",
+    "x2_canonical_per_cluster",
+    "x4_bigram_logprob",
+    "x4_unigram_logprob",
+    "l_parquet_roundtrip",
+    "l_csv_roundtrip",
+    "l_jsonl_roundtrip",
+    "s_warc_ingest",
+    "s2_csv_source_e2e",
+    "etl_binary_decom_calibrate_e2e",
+    "x5_multimodal_features",
+    "x2_ngram_jaccard_pairs",
     "x2_duplicate_span_fraction",
-    "agg_value_histogram",
-    "x3_ivf_disk_index_topk",
-    "l_merge_upsert_roundtrip",
-    "q3_bucketed_colocated",
-    "w_streaming_foreachbatch_upsert",
     "curation_quality_tiers",
-    "x4_zipf_slope",
-    "j_fuzzy_match_join",
-    "w_scd2_intervals",
-    "w_top_user_journeys",
-    "x6_table_profile",
+    "l_merge_upsert_roundtrip",
+    "w_streaming_foreachbatch_upsert",
+    "q3_bucketed_colocated",
+    "x3_ivf_disk_index_topk",
+    "s_jsonl_corrupt_quarantine",
+    "l_orc_roundtrip",
+    "w3_streaming_stateful_cumulative",
     "x6_constraint_report",
     "udaf_grouped_median",
-    "udtf_token_spans",
-    "w_streaming_static_enrich",
-    "j_hinted_shuffle_hash",
-    "set_bag_semantics_all",
-    "join_null_safe_eq",
-    "s_jsonl_corrupt_quarantine",
-    "x3_ivf_topk_ann",
-    "x3_lsh_topk_ann",
-    "x3_ann_recall",
-    "q10_returned_items",
-    "join_anti",
-    "set_except",
-    "x1_dedup_exact_hash",
-    "x2_ngram_jaccard_pairs",
-    "x3_kmeans_ivf_topk",
-    "curation_chunk_tokens",
-    # --- slots 8-47: last driver row is round 1 (stalest) ---
-    "rollup_flag_status",
-    "cube_priority_status",
-    "grouping_sets_mixed",
-    "s3_filter_pushdown_in",
     "t8_filter_exclude",
     "filter_between_range",
     "t7_coalesce_fallback",
@@ -8052,10 +8036,7 @@ _CHECK_FIRST = [
     "x4_quality_score",
     "x4_lang_signal",
     "x4_fingerprint",
-    "x2_minhash_bands",
-    # --- slots 48+: round-2-checked, oldest rotation tier ---
     "w4_sessionization",
-    "x2_simhash_fingerprint",
     "x3_cosine_topk_bruteforce",
     "x3_knn_label_vote",
     "x5_multimodal_payload_meta",
@@ -8068,19 +8049,14 @@ _CHECK_FIRST = [
     "curation_stratified_sample",
     "curation_mixture_sample",
     "curation_pii_scrub",
-    "x4_repetition_signals",
     "curation_c4_signals",
-    "curation_decontaminate",
     "x4_bm25_relevance",
     "x3_quantize_embeddings",
-    "x2_duplicate_components",
-    "x2_lsh_near_dedup_survivors",
     "x5_audio_meta_decode",
     "x5_video_meta_decode",
     "frames_to_packets_roundtrip",
     "x5_image_meta_decode",
     "w4_last_wins_dedup",
-    "asof_join_latest_purchase",
     "range_join_event_pairs",
     "w_ranking_functions",
     "w_analytic_functions",
@@ -8096,13 +8072,28 @@ _CHECK_FIRST = [
     "q19_discounted_revenue",
     "q20_volume_suppliers",
     "q21_waiting_suppliers",
-    # --- round-3-checked tail (freshest, checked last) ---
+    "q1_pricing_summary",
+    "agg_global_stats",
+    "agg_variance_manual",
+    "agg_distinct_by_group",
+    "agg_having",
+    "j_salted_skew_join",
+    "w1_streaming_tumbling",
+    "w4_streaming_dedup",
+    "s2_native_unpivot",
+    "w1_native_tumbling_window",
+    "w4_native_session_window",
+    "x2_embedding_near_dup",
+    "x5_frame_sample",
+    "x5_media_stats",
+    "x4_tfidf_sparse",
+    "x4_top_terms",
+    "x4_token_count_bpe",
     "decode_golden_matrix",
     "agg_conditional_bool",
+    "agg_two_phase_distinct",
+    "agg_salted_avg",
     "q12_shipmode_priority",
-    "x4_token_count_bpe",
-    "x4_tfidf_sparse",
-    "limit_check_alarm",
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q8_market_share",
@@ -8113,37 +8104,48 @@ _CHECK_FIRST = [
     "q16_supplier_part_count",
     "q17_small_quantity_revenue",
     "q22_global_sales_opportunity",
-    "x5_multimodal_features",
-    "x4_unigram_logprob",
-    "x4_top_terms",
-    "x2_embedding_near_dup",
-    "j_salted_skew_join",
-    "agg_two_phase_distinct",
-    "agg_salted_avg",
-    "x5_frame_sample",
-    "x5_media_stats",
-    "w1_streaming_tumbling",
-    "w4_streaming_dedup",
-    "s_warc_ingest",
-    "l_jsonl_roundtrip",
-    "l_parquet_roundtrip",
-    "curation_content_filter",
-    "l_csv_roundtrip",
-    "curation_normalize_text",
-    "etl_binary_decom_calibrate_e2e",
-    "s2_csv_source_e2e",
+    "limit_check_alarm",
     "x1_incremental_dedup",
-    "x2_canonical_per_cluster",
-    "x2_simhash_near_pairs",
-    "x4_bigram_logprob",
-    "w4_native_session_window",
-    "w1_native_tumbling_window",
-    "s2_native_unpivot",
-    "q1_pricing_summary",
-    "agg_global_stats",
-    "agg_variance_manual",
-    "agg_distinct_by_group",
-    "agg_having",
+    "curation_normalize_text",
+    "curation_content_filter",
+    "rollup_flag_status",
+    "cube_priority_status",
+    "grouping_sets_mixed",
+    "s3_filter_pushdown_in",
+    "join_anti",
+    "set_except",
+    "set_bag_semantics_all",
+    "join_null_safe_eq",
+    "w_streaming_static_enrich",
+    "udtf_token_spans",
+    "x6_table_profile",
+    "j_hinted_shuffle_hash",
+    "j_fuzzy_match_join",
+    "w_scd2_intervals",
+    "w_top_user_journeys",
+    "w_funnel_depth_histogram",
+    "w_retention_cohorts",
+    "w_streaming_stream_join",
+    "x4_winnow_fingerprint",
+    "x4_lang_id_confusion",
+    "x1_dedup_exact_hash",
+    "x3_kmeans_ivf_topk",
+    "curation_chunk_tokens",
+    "w_ewma_smooth",
+    "w_zscore_anomaly",
+    "curation_temperature_sample",
+    "curation_split_assign",
+    "curation_weighted_sample",
+    "x4_zipf_slope",
+    "x3_lsh_topk_ann",
+    "agg_hll_distinct_bound",
+    "agg_approx_percentile_bound",
+    "agg_kll_quantile_bound",
+    "agg_theta_distinct_bound",
+    "agg_value_histogram",
+    "q10_returned_items",
+    "x3_ivf_topk_ann",
+    "x3_ann_recall",
 ]
 
 QUERIES = {
