@@ -7487,6 +7487,102 @@ _q(
 )
 
 
+def _pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py) over a
+    deterministic 300-node multigraph built from range(): out-degree-2
+    nodes plus every-fifth-node dangling (no out-edges) so the uniform
+    dangling-mass redistribution is actually exercised. The oracle
+    unrolls the SAME 8 join-agg iterations as chained CTEs — identical
+    round-to-12-decimals + exact DECIMAL summation sequence, so ranks
+    must match bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.graph import pagerank
+
+    base = spark.range(300).select(F.col("id").cast("long").alias("i")).filter(
+        F.col("i") % 5 != 0
+    )
+    edges = base.select(
+        F.col("i").alias("src"), ((F.col("i") * 7 + 3) % 300).alias("dst")
+    ).unionByName(
+        base.select(
+            F.col("i").alias("src"),
+            ((F.col("i") * 13 + 11) % 300).alias("dst"),
+        )
+    )
+    out = pagerank(edges, n_iter=8, damping=0.85)
+    return out.select("node", F.round("rank", 9).alias("rank")).orderBy("node")
+
+
+def _pagerank_oracle(n_iter: int = 8) -> str:
+    head = """
+        WITH edges AS (
+          SELECT i AS src, (i*7+3) % 300 AS dst
+          FROM range(0, 300) t(i) WHERE i % 5 != 0
+          UNION ALL
+          SELECT i AS src, (i*13+11) % 300 AS dst
+          FROM range(0, 300) t(i) WHERE i % 5 != 0
+        ),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges) u
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        base AS (
+          SELECT node, deg FROM nodes LEFT JOIN deg ON node = deg.src
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM base),
+        r0 AS MATERIALIZED (
+          SELECT node, deg, ROUND(CAST(1 AS DOUBLE) / n, 12) AS rank
+          FROM base CROSS JOIN nn
+        )"""
+    its = []
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        its.append(f"""
+        , c{k} AS (
+          SELECT dst, SUM(CAST(ROUND(rank / deg, 12) AS DECIMAL(30,12)))
+                 AS mass
+          FROM r{p} JOIN edges ON node = edges.src GROUP BY dst
+        ),
+        d{k} AS (
+          SELECT COALESCE(SUM(CAST(rank AS DECIMAL(30,12))),
+                          CAST(0 AS DECIMAL(30,12))) AS dmass
+          FROM r{p} WHERE deg IS NULL
+        ),
+        r{k} AS MATERIALIZED (
+          SELECT node, deg,
+                 ROUND(CAST(0.15 AS DOUBLE) / n
+                       + CAST(0.85 AS DOUBLE)
+                         * (COALESCE(CAST(mass AS DOUBLE), 0)
+                            + CAST(dmass AS DOUBLE) / n), 12) AS rank
+          FROM r{p} LEFT JOIN c{k} ON node = c{k}.dst
+          CROSS JOIN d{k} CROSS JOIN nn
+        )""")
+    return (
+        head
+        + "".join(its)
+        + f"""
+        SELECT node, ROUND(rank, 9) AS rank FROM r{n_iter} ORDER BY node
+        """
+    )
+
+
+_q(
+    "g_pagerank",
+    Query(
+        _pagerank_spark,
+        _pagerank_oracle(8),
+        "X2+,§graph",
+        "fixed-iteration PageRank with uniform dangling-mass "
+        "redistribution: join-agg per iteration, DECIMAL-exact "
+        "contribution sums, localCheckpoint-flattened lineage; oracle "
+        "unrolls the identical iterations as chained CTEs",
+    ),
+)
+
+
 def _compact_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file/layout compaction (sinks/compact.py compact_dataset —
     the lakehouse OPTIMIZE primitive): the documents table is rewritten
