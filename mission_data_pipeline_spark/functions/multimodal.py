@@ -647,8 +647,14 @@ def decode_png_pixels(payload: bytes | None):
         if depth != 8 or c is None or comp or filt or interlace or not (w and h):
             return None
         stride = w * c
-        data = zlib.decompress(b"".join(idat))
-        if len(data) != h * (stride + 1):
+        expected = h * (stride + 1)
+        # Bounded inflate: a corrupt/hostile IDAT can claim tiny
+        # dimensions yet inflate to gigabytes — cap decompression at
+        # expected+1 so a decompression bomb costs one byte over budget,
+        # not a task OOM, and is rejected by the length check.
+        d = zlib.decompressobj()
+        data = d.decompress(b"".join(idat), expected + 1)
+        if len(data) != expected:  # short = truncated; expected+1 = bomb
             return None
         rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
         recon = np.zeros((h, stride), dtype=np.uint8)

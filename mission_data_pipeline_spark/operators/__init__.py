@@ -11,6 +11,7 @@ from mission_data_pipeline_spark.operators.analytics import (
     funnel_depths,
     retention_cohorts,
 )
+from mission_data_pipeline_spark.operators.graph import pagerank
 from mission_data_pipeline_spark.operators.quality import (
     Constraint,
     profile_columns,
@@ -19,6 +20,7 @@ from mission_data_pipeline_spark.operators.quality import (
 
 __all__ = [
     "Constraint",
+    "pagerank",
     "funnel_depths",
     "profile_columns",
     "retention_cohorts",

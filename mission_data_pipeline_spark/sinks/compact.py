@@ -31,7 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 def dataset_bytes(path: str) -> int:
     """Total on-disk bytes of the data files under ``path`` (local FS;
-    ignores dotfiles/_metadata sidecars, recurses partition dirs)."""
+    ignores dotfiles/_metadata sidecars, recurses partition dirs; a
+    single-file dataset is its file size)."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:

@@ -410,3 +410,32 @@ def test_audio_sample_stats_operator_and_real_feature(spark):
     assert f[:3] == [3.0, 1.0, 8000.0]
     assert f[4] == 0.0 and abs(f[5] - (14 / 3) ** 0.5) < 1e-12
     assert f[6:8] == [-3.0, 2.0]
+
+
+def test_png_decompression_bomb_rejected():
+    """An IDAT claiming tiny dimensions but inflating to gigabytes must
+    cost one byte over budget (bounded decompress), not a task OOM."""
+    import struct
+    import zlib
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        _PNG_SIG,
+        decode_png_pixels,
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # claims 2x2 gray
+    bomb = (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(bomb) is None
