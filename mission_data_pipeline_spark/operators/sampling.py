@@ -245,3 +245,59 @@ def weighted_sample(
         .limit(n)
         .drop("__es_key")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    splits: dict[str, float],
+    *,
+    key_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment with NO near-duplicate leakage across
+    splits: the unit of assignment is the duplicate CLUSTER, not the
+    document. A benchmark-grade eval split is worthless if a near-copy
+    of a test document sits in train — per-document hash splitting
+    (:func:`split_assign`) guarantees exactly that failure whenever the
+    corpus has near-dups, because two near-identical documents hash
+    independently.
+
+    ``pairs`` is the verified near-dup pair set (MinHash/SimHash +
+    Jaccard verification output). Documents are closed into connected
+    components (``operators/dedup.py:connected_components``), every
+    document inherits its component's minimum id (singletons: their own
+    id), and the seeded split hash is computed over THAT group key — so
+    an entire cluster lands in one split, and membership remains a pure
+    function of corpus content + seed (cluster-layout independent,
+    re-run reproducible).
+
+    Cost: the components fixpoint is pair-graph-sized (near-dup graphs
+    are a small fraction of the corpus); the assignment itself is the
+    same one-hash map-side CASE as :func:`split_assign` after one
+    left join against the component map.
+    """
+    from mission_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    comps = connected_components(pairs, id_a=id_a, id_b=id_b)
+    grouped = (
+        df.join(comps, df[key_col] == comps.node, "left")
+        .drop("node")
+        .withColumn(
+            "__split_group",
+            F.coalesce(F.col("component_id"), F.col(key_col)).cast("string"),
+        )
+        .drop("component_id")
+    )
+    return split_assign(
+        grouped,
+        splits,
+        key_cols=["__split_group"],
+        seed=seed,
+        out_col=out_col,
+    ).drop("__split_group")

@@ -4218,6 +4218,106 @@ _q(
 )
 
 
+def _leakage_safe_split_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level train/val/test split (operators/sampling.py
+    leakage_safe_split): near-dup clusters from the deterministic
+    MinHash pair graph (the x2_duplicate_components construction) are
+    assigned as UNITS, so no near-duplicate pair straddles splits —
+    the eval-integrity property per-document hashing cannot give.
+    The function raises loudly if any pair crosses splits; the output
+    carries the cross-split pair count (must be 0) alongside per-split
+    accounting, and the oracle recomputes assignment + violation count
+    from the same recursive-CTE components and hash formula."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 200)
+    pairs = spark.sql(f"SELECT doc_a, doc_b FROM ({_MINHASH_SPARK}) p")
+    out = leakage_safe_split(
+        docs, pairs, {"train": 8, "val": 1, "test": 1}, seed=13
+    ).select("doc_id", "split")
+    a = out.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = out.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    viol = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    if viol:
+        raise RuntimeError(f"{viol} near-dup pairs straddle splits")
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("doc_id_sum"),
+        )
+        .withColumn("n_cross_split_pairs", F.lit(viol).cast("long"))
+        .orderBy("split")
+    )
+
+
+_q(
+    "curation_leakage_safe_split",
+    Query(
+        _leakage_safe_split_spark,
+        f"""
+        WITH RECURSIVE mh AS (
+          SELECT doc_a, doc_b FROM ({_MINHASH_DUCK}) p
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM mh
+          UNION SELECT doc_b, doc_a FROM mh
+        ),
+        gnodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, node) AS (
+          SELECT node, node FROM gnodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+        ),
+        comps AS (
+          SELECT src AS doc_id, CAST(MIN(node) AS BIGINT) AS component_id
+          FROM reach GROUP BY src
+        ),
+        assigned AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(c.component_id, d.doc_id) AS VARCHAR) AS grp
+          FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
+          WHERE d.doc_id < 200
+        ),
+        split_of AS (
+          SELECT doc_id,
+                 CASE WHEN CAST(('0x' || substr(md5('13|' || grp), 1, 8))
+                           AS BIGINT) < 429496729 THEN 'test'
+                      WHEN CAST(('0x' || substr(md5('13|' || grp), 1, 8))
+                           AS BIGINT) < 3865470566 THEN 'train'
+                      ELSE 'val' END AS split
+          FROM assigned
+        ),
+        viol AS (
+          SELECT COUNT(*) AS n FROM mh
+          JOIN split_of sa ON mh.doc_a = sa.doc_id
+          JOIN split_of sb ON mh.doc_b = sb.doc_id
+          WHERE sa.split != sb.split
+        )
+        SELECT split, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum,
+               CAST((SELECT n FROM viol) AS BIGINT) AS n_cross_split_pairs
+        FROM split_of GROUP BY split ORDER BY split
+        """,
+        "X-curation,X2",
+        "leakage-safe train/val/test split: duplicate clusters assigned "
+        "as units (components of the MinHash pair graph), so no "
+        "near-dup pair straddles splits; violation count pinned at 0 "
+        "by both engines",
+    ),
+)
+
+
 def _weighted_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py
     weighted_sample, Efraimidis-Spirakis exponential keys): top-50 by

@@ -272,3 +272,47 @@ def test_weighted_sample_plans_distributed_topn(corpus):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup cluster lands in ONE split; per-document hashing
+    on the same corpus demonstrably leaks (that's the point)."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.sampling import (
+        leakage_safe_split,
+        split_assign,
+    )
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    # clusters: (i, i+100) pairs for i < 60, chains 0-100, 1-101, ...
+    pairs = spark.range(60).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 100).alias("doc_b")
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 8, "val": 1, "test": 1}, seed=3
+    )
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 200  # row count preserved
+    assert all(rows[i] == rows[i + 100] for i in range(60))  # no straddle
+    assert len(set(rows.values())) == 3  # all splits populated
+
+    # plain per-document hashing DOES straddle this corpus (property
+    # check that the cluster-level operator is not vacuous)
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            docs, {"train": 8, "val": 1, "test": 1},
+            key_cols=["doc_id"], seed=3,
+        ).collect()
+    }
+    assert any(plain[i] != plain[i + 100] for i in range(60))
+
+    # determinism: same inputs + seed -> same assignment
+    again = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            docs, pairs, {"train": 8, "val": 1, "test": 1}, seed=3
+        ).collect()
+    }
+    assert again == rows
