@@ -3572,6 +3572,89 @@ _q(
     ),
 )
 
+def _pq_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN (operators/similarity.py): train
+    deterministic per-subspace codebooks (8 subspaces x 16 codes —
+    64x vector compression), ADC-shortlist 50 candidates per query over
+    the codes, exact re-rank on the original vectors of the shortlist
+    only (pq_topk_rerank). Like x3_kmeans_ivf_topk, the learned
+    codebooks are not SQL-expressible, so the query is graded as a
+    recall bound: aggregate recall@10 vs exact rounded-cosine ground
+    truth must clear 0.6 (measured 0.74; bare ADC without re-rank
+    measures 0.42 on these near-random vectors — the bound separates
+    the working pipeline from a broken one). Vectors are L2-normalized
+    first so PQ's L2 ordering equals cosine ordering."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        pq_encode,
+        pq_topk_rerank,
+        pq_train_codebooks,
+    )
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        )
+    )
+    nemb = emb.select(
+        "vec_id", F.transform("v", lambda x: x / norm).alias("v")
+    )
+    books = pq_train_codebooks(
+        nemb, m=8, k=16, vec_col="v", sample_n=1024, n_iter=8
+    )
+    enc = pq_encode(nemb, books, vec_col="v")
+    q = nemb.filter(F.col("vec_id") < 5)
+    approx = pq_topk_rerank(
+        enc, nemb, q, books, k=10, shortlist=50, vec_col="v"
+    )
+    exact = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, vec_col="v", round_digits=6
+    )
+    return ann_recall(approx, exact, k=10).agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("n_exact").cast("long").alias("n_exact"),
+        (F.sum("n_hit").cast("double") / F.sum("n_exact") >= 0.6).alias(
+            "recall_ok"
+        ),
+    )
+
+
+_q(
+    "x3_pq_rerank_topk",
+    Query(
+        _pq_rerank_spark,
+        """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             exact AS (
+               SELECT query_id, neighbor_id FROM (
+                 SELECT q.query_id, e.vec_id AS neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY q.query_id
+                          ORDER BY ROUND(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                                   e.vec_id) AS rank
+                 FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+               ) t WHERE rank <= 10
+             )
+        SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               TRUE AS recall_ok
+        FROM exact
+        """,
+        "X3",
+        "product-quantization ANN (64x compressed codes, ADC shortlist "
+        "+ exact re-rank of candidates only), graded as a recall bound "
+        "vs exact rounded-cosine ground truth (>= 0.6; measured 0.74)",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Telemetry-shaped relational parity queries (D2, D6)
 # ---------------------------------------------------------------------------

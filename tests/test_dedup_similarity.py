@@ -496,3 +496,55 @@ def test_duplicate_span_fraction_total_duplication_property(spark):
     # docs shorter than n have no spans and produce no row; every
     # emitted row must be fully duplicated
     assert out and all(r["dup_fraction"] == 1.0 for r in out)
+
+
+def test_pq_encode_and_rerank_properties(spark):
+    """PQ pipeline: codes in range, deterministic, rerank >= bare ADC
+    recall, and m must divide dim."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        pq_topk_rerank,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(80, 16))
+    # plant 3 near-neighbors of vector 0
+    for i in (40, 41, 42):
+        base[i] = base[0] + rng.normal(scale=0.05, size=16)
+    base = base / np.linalg.norm(base, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(80)],
+        "vec_id long, v array<double>",
+    )
+    books = pq_train_codebooks(emb, m=4, k=8, vec_col="v", sample_n=64, n_iter=6)
+    assert books.shape == (4, 8, 4)
+    enc = pq_encode(emb, books, vec_col="v")
+    rows = enc.collect()
+    assert len(rows) == 80
+    assert all(0 <= c < 8 for r in rows for c in r["pq_codes"])
+    # deterministic re-run
+    again = pq_encode(emb, books, vec_col="v").collect()
+    assert sorted(map(tuple, ((r["vec_id"], tuple(r["pq_codes"])) for r in rows))) == \
+           sorted(map(tuple, ((r["vec_id"], tuple(r["pq_codes"])) for r in again)))
+
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = cosine_topk(emb, q, k=5, vec_col="v", round_digits=6)
+    bare = pq_topk(enc, q, books, k=5, query_vec_col="v")
+    rer = pq_topk_rerank(enc, emb, q, books, k=5, shortlist=20, vec_col="v")
+    rb = ann_recall(bare, exact, k=5).agg(F.sum("n_hit")).first()[0]
+    rr = ann_recall(rer, exact, k=5).agg(F.sum("n_hit")).first()[0]
+    assert rr >= rb  # re-rank never hurts
+    # planted neighbors must surface in the re-ranked top-5
+    top = {r["neighbor_id"] for r in rer.collect()}
+    assert {40, 41, 42} <= top
+
+    with _pytest.raises(ValueError):
+        pq_train_codebooks(emb, m=5, k=8, vec_col="v")  # 5 does not divide 16
