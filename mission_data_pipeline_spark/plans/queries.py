@@ -8245,6 +8245,9 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "g_pagerank",
+    "curation_leakage_safe_split",
+    "x3_pq_rerank_topk",
     "x5_image_pixel_stats",
     "x5_audio_sample_stats",
     "s1_ccsds_datasource_scan",
