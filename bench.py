@@ -76,6 +76,12 @@ EXTENDED = [
     "w_retention_cohorts",
     "x2_duplicate_span_fraction",
     "agg_kll_quantile_bound",
+    # round 5: bigram LM (hash-keyed shuffles), PageRank, PQ ANN with
+    # exact re-rank, leakage-safe cluster split
+    "x4_bigram_logprob",
+    "g_pagerank",
+    "x3_pq_rerank_topk",
+    "curation_leakage_safe_split",
 ]
 
 N_ETL_PACKETS = 200_000

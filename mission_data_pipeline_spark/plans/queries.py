@@ -4319,10 +4319,20 @@ def _leakage_safe_split_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     docs = spark.table("documents").filter(F.col("doc_id") < 200)
-    pairs = spark.sql(f"SELECT doc_a, doc_b FROM ({_MINHASH_SPARK}) p")
-    out = leakage_safe_split(
-        docs, pairs, {"train": 8, "val": 1, "test": 1}, seed=13
-    ).select("doc_id", "split")
+    # pairs feed both the components fixpoint and the violation check;
+    # the assignment feeds both the violation check and the report —
+    # localCheckpoint each (pair-graph-/doc-sized) so neither the
+    # MinHash construction nor the components fixpoint runs twice.
+    pairs = spark.sql(
+        f"SELECT doc_a, doc_b FROM ({_MINHASH_SPARK}) p"
+    ).localCheckpoint()
+    out = (
+        leakage_safe_split(
+            docs, pairs, {"train": 8, "val": 1, "test": 1}, seed=13
+        )
+        .select("doc_id", "split")
+        .localCheckpoint()
+    )
     a = out.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
     b = out.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
     viol = (
