@@ -3580,10 +3580,15 @@ def _pq_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (pq_topk_rerank). Like x3_kmeans_ivf_topk, the learned
     codebooks are not SQL-expressible, so the query is graded as a
     recall bound: aggregate recall@10 vs exact rounded-cosine ground
-    truth must clear 0.6 (measured 0.74; bare ADC without re-rank
-    measures 0.42 on these near-random vectors — the bound separates
-    the working pipeline from a broken one). Vectors are L2-normalized
-    first so PQ's L2 ordering equals cosine ordering."""
+    truth must clear 0.6 (bare ADC without re-rank measures 0.42 on
+    these near-random vectors — the bound separates the working
+    pipeline from a broken one). The shortlist scales with the corpus
+    (max(50, n/10)): near-random vectors concentrate distances, so a
+    FIXED shortlist's recall decays with corpus growth (measured
+    0.74 → 0.48 from 500 to 2000 vectors at 50); proportional sizing
+    measures 0.74 / 0.80 / 1.0 at 500 / 2k / 20k vectors. Real
+    clustered embeddings need far smaller shortlists. Vectors are
+    L2-normalized first so PQ's L2 ordering equals cosine ordering."""
     from pyspark.sql import functions as F
 
     from mission_data_pipeline_spark.operators.similarity import (
@@ -3612,7 +3617,8 @@ def _pq_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = pq_encode(nemb, books, vec_col="v")
     q = nemb.filter(F.col("vec_id") < 5)
     approx = pq_topk_rerank(
-        enc, nemb, q, books, k=10, shortlist=50, vec_col="v"
+        enc, nemb, q, books, k=10,
+        shortlist=max(50, emb.count() // 10), vec_col="v",
     )
     exact = cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, vec_col="v", round_digits=6
