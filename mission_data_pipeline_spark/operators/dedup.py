@@ -222,18 +222,32 @@ def connected_components(
     (one-iteration min-id chaining, as in :func:`near_dedup_minhash`,
     under-merges transitive chains; this iterates to the fixpoint).
 
-    Min-label propagation: each round joins labels to the symmetrized
-    edge list and takes the elementwise min — one shuffle per round,
-    converging in O(graph diameter) rounds, with ``localCheckpoint``
-    after every round so the plan/lineage stays flat no matter how many
-    iterations run (unbounded lineage growth, not data volume, is what
-    kills iterative DataFrame jobs at scale). Near-dup graphs are
+    Min-label propagation with a pointer-jump shortcut: each round
+    (a) joins labels to the symmetrized edge list and takes the
+    elementwise min, then (b) replaces every label by ITS label
+    (``comp := label(comp)`` — path halving), so label information
+    travels 2^round hops and chains converge in O(log diameter) rounds
+    instead of O(diameter). ``localCheckpoint`` after every round keeps
+    the plan/lineage flat no matter how many iterations run (unbounded
+    lineage growth, not data volume, is what kills iterative DataFrame
+    jobs at scale), and the per-round changed flag is computed INSIDE
+    the checkpointed frame so the convergence check re-reads checkpoint
+    blocks instead of re-joining old vs new labels. Near-dup graphs are
     overwhelmingly tiny cliques (diameter ≤ 3), so the loop exits on the
     converged-round check almost immediately; ``max_iter`` bounds
     adversarial chains.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # Checkpoint the symmetrized edge list: it joins against labels in
+    # EVERY round, and without a checkpoint each round re-executes the
+    # caller's whole pair-generation pipeline (MinHash/SimHash candidate
+    # construction — typically far more expensive than the propagation
+    # itself). Pair-graph-sized.
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -255,22 +269,39 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nb_comp").alias("min_nb"))
         )
+        stepped = labels.join(
+            neigh.withColumnRenamed("a", "node"), "node", "left"
+        ).select(
+            "node",
+            F.col("comp").alias("old_comp"),
+            F.least(F.col("comp"), F.coalesce("min_nb", "comp")).alias("comp"),
+        )
+        # pointer jump: comp := label(comp). Labels are node ids, so the
+        # parent lookup is a self-join on the label table; min-labels
+        # only ever decrease, so least() keeps monotonicity.
         new_labels = (
-            labels.join(neigh.withColumnRenamed("a", "node"), "node", "left")
+            stepped.join(
+                labels.select(
+                    F.col("node").alias("comp"),
+                    F.col("comp").alias("parent"),
+                ),
+                "comp",
+                "left",
+            )
             .select(
                 "node",
-                F.least(F.col("comp"), F.coalesce("min_nb", "comp")).alias("comp"),
+                F.least(
+                    F.col("comp"), F.coalesce("parent", "comp")
+                ).alias("comp"),
+                (
+                    F.least(F.col("comp"), F.coalesce("parent", "comp"))
+                    != F.col("old_comp")
+                ).alias("__ch"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__ch")).limit(1).count()
+        labels = new_labels.drop("__ch")
         if changed == 0:
             break
     if changed != 0:
