@@ -183,3 +183,76 @@ def test_normalize_model_is_idempotent(s):
     once = _normalize_model(s)
     assert _normalize_model(once) == once
     assert "\r" not in once and "\t" not in once and "  " not in once
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_png_pixel_roundtrip_property(h, w, c, seed, data):
+    """decode(encode(pixels, any per-row filter mix)) == pixels,
+    byte-exactly, for every shape/channel-count/filter combination."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    back = decode_png_pixels(encode_png(px, filters=filters))
+    assert back is not None and np.array_equal(back, px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(1, 200),
+    ch=st.sampled_from([1, 2]),
+    rate=st.integers(1, 192000),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_sample_roundtrip_property(n, ch, rate, seed):
+    """decode(encode(samples)) recovers every int16 sample and the rate
+    for any frame count / channel count / sample rate."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=(n, ch)).astype("<i2")
+    dec = decode_wav_samples(encode_wav(s, rate=rate))
+    assert dec is not None
+    back, got_rate = dec
+    assert got_rate == rate
+    assert np.array_equal(back, s.astype("int32"))
+
+
+@settings(max_examples=80, deadline=None)
+@given(payload=st.binary(max_size=300))
+def test_codec_decoders_never_raise_on_garbage(payload):
+    """Arbitrary bytes must yield a sentinel (None), never an
+    exception — one dirty row must not fail an Arrow batch."""
+    from mission_data_pipeline_spark.functions.multimodal import (
+        decode_png_pixels,
+        decode_wav_samples,
+        probe_audio_meta,
+        probe_image_meta,
+        probe_video_meta,
+    )
+
+    assert decode_png_pixels(payload) is None or payload[:8] == b"\x89PNG\r\n\x1a\n"
+    decode_wav_samples(payload)  # must not raise
+    probe_image_meta(payload)
+    probe_audio_meta(payload)
+    probe_video_meta(payload)
