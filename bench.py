@@ -82,6 +82,7 @@ EXTENDED = [
     "g_pagerank",
     "x3_pq_rerank_topk",
     "curation_leakage_safe_split",
+    "x2_duplicate_components",
 ]
 
 N_ETL_PACKETS = 200_000
