@@ -7,11 +7,17 @@ executes on the same parquet files. The driver hash-compares the two at
 sf0.01 — so every query follows strict cross-engine determinism rules:
 
 - **Money/double aggregation**: ``SUM(CAST(x AS DECIMAL(20,6)))`` then
-  ``CAST(... AS DOUBLE)``. Per-value decimal rounding is deterministic
-  and identical in both engines; decimal summation is exact and
-  order-independent, so parallel (Spark) and sequential (DuckDB)
-  execution produce bit-identical doubles. Plain ``SUM(double)`` is
-  order-dependent and would hash-mismatch.
+  ``CAST(CAST(... AS STRING) AS DOUBLE)``. Per-value decimal rounding
+  is deterministic and identical in both engines; decimal summation is
+  exact and order-independent, so parallel (Spark) and sequential
+  (DuckDB) execution produce identical decimals. Plain ``SUM(double)``
+  is order-dependent and would hash-mismatch. The final conversion
+  goes THROUGH A STRING because DuckDB's direct wide-DECIMAL→DOUBLE
+  cast is not correctly rounded (int128·10^-scale in float:
+  ``341419040384.500000`` → ``…384.49994``), which diverged from
+  Spark's exact BigDecimal conversion once sums crossed ~2^53/10^scale
+  (caught by the sf1 cross-scale sweep); decimal→string→double is
+  correctly rounded in both engines at any magnitude.
 - **Ordering**: every ORDER BY carries a unique tie-break key.
 - **Timestamps**: the ``events`` table is TIMESTAMP(NANOS) parquet;
   Spark reads it as ns-longs (``ts_ns``), DuckDB truncates to µs — both
@@ -112,7 +118,7 @@ def _dialect(spark_sql: str, duck_sql: str, survey_id: str, description: str = "
 
 # Exact-decimal money sum, cast back to double (see module docstring).
 def _dsum(col: str) -> str:
-    return f"CAST(SUM(CAST({col} AS DECIMAL(20,6))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST({col} AS DECIMAL(20,6))) AS STRING) AS DOUBLE)"
 
 
 QUERIES: dict[str, Query] = {}
@@ -576,7 +582,7 @@ _q(
         _salted_join_spark,
         """
         SELECT l_returnflag, COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity * w AS DECIMAL(20,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_quantity * w AS DECIMAL(20,6))) AS STRING) AS DOUBLE)
                  AS wsum
         FROM lineitem
         JOIN (VALUES ('A', 0.5), ('N', 1.0), ('R', 0.25)) AS s(l_returnflag, w)
@@ -1772,7 +1778,7 @@ def _hinted_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT /*+ SHUFFLE_HASH(o) */
                o.o_orderpriority,
                COUNT(*) AS n_items,
-               CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,6))) AS STRING) AS DOUBLE)
                  AS total_qty
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority
@@ -1795,7 +1801,7 @@ _q(
         """
         SELECT o.o_orderpriority,
                COUNT(*) AS n_items,
-               CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,6))) AS STRING) AS DOUBLE)
                  AS total_qty
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority
@@ -2496,8 +2502,7 @@ _q(
         + """
         SELECT CAST(ts_us // 3600000000 * 3600000000 AS BIGINT) AS start_us,
                event_type, COUNT(*) AS n,
-               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6)))
-                          AS DOUBLE), 6) AS sum_value
+               ROUND(CAST(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6))) AS STRING) AS DOUBLE), 6) AS sum_value
         FROM ev
         GROUP BY 1, 2
         ORDER BY start_us, event_type
@@ -4652,11 +4657,11 @@ _q(
         SELECT tf.doc_id,
                CAST(('0x' || substr(md5('0|' || tf.term), 1, 12)) AS BIGINT)
                  % 64 AS bucket,
-               ROUND(CAST(SUM(CAST(ROUND(
+               ROUND(CAST(CAST(SUM(CAST(ROUND(
                  CAST(tf.tf AS DOUBLE)
                  * (ln((n_docs + CAST(1.0 AS DOUBLE))
                        / (df + CAST(1.0 AS DOUBLE))) + CAST(1.0 AS DOUBLE)),
-                 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS weight
+                 9) AS DECIMAL(20,9))) AS STRING) AS DOUBLE), 6) AS weight
         FROM tf JOIN dfreq USING (term) CROSS JOIN nd
         GROUP BY tf.doc_id, bucket
         ORDER BY doc_id, bucket
@@ -4740,9 +4745,9 @@ _UNIGRAM_SCORE_DUCK = r"""
         scores AS (
           SELECT tf.doc_id,
                  CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-                 ROUND(CAST(SUM(CAST(ROUND(
+                 ROUND(CAST(CAST(SUM(CAST(ROUND(
                    -ln(freq.cf / tot.ctot) * CAST(tf.tf AS DOUBLE),
-                   9) AS DECIMAL(20,9))) AS DOUBLE)
+                   9) AS DECIMAL(20,9))) AS STRING) AS DOUBLE)
                    / SUM(tf.tf), 6) AS neg_logprob
           FROM tf JOIN freq USING (term) CROSS JOIN tot
           GROUP BY tf.doc_id
@@ -5193,7 +5198,7 @@ _q(
           JOIN dfreq d ON h.term = d.term
         )
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
-               ROUND(CAST(SUM(CAST(ROUND(contrib, 9) AS DECIMAL(20,9))) AS DOUBLE),
+               ROUND(CAST(CAST(SUM(CAST(ROUND(contrib, 9) AS DECIMAL(20,9))) AS STRING) AS DOUBLE),
                      6) AS bm25
         FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
@@ -6137,7 +6142,14 @@ _q(
 
 
 def _range_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same-type event pairs within 10 minutes (banded equi-join)."""
+    """Same-type event pairs within 10 minutes (banded equi-join).
+
+    The probe (left) side is a fixed event-id slice: an unbounded
+    pair-emitting self-join's OUTPUT grows with corpus density squared
+    (50M rows at sf1 — the declared result must stay collectable at
+    any scale), while a fixed probe set keeps output linear in window
+    density and the operator's join mechanics fully exercised against
+    the FULL right side."""
     from pyspark.sql import functions as F
 
     from mission_data_pipeline_spark.operators.joins import range_join
@@ -6147,7 +6159,7 @@ def _range_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT event_id, event_type, ts_ns DIV 1000 AS ts_us FROM events"
     )
     j = range_join(
-        ev,
+        ev.filter(F.col("event_id") < 2000),
         ev,
         on="ts_us",
         by=["event_type"],
@@ -6173,6 +6185,7 @@ _q(
         FROM ev a JOIN ev b
           ON a.event_type = b.event_type
          AND b.ts_us > a.ts_us AND b.ts_us <= a.ts_us + 600000000
+        WHERE a.event_id < 2000
         ORDER BY left_id, right_id
         """,
         "J*+,W3",
@@ -6582,7 +6595,7 @@ _q(
         _salted_agg_spark,
         """
         SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+               ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS STRING) AS DOUBLE)
                      / COUNT(*), 6) AS avg_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
@@ -7081,7 +7094,7 @@ _q(
     _same(
         """
         SELECT supp_nation, cust_nation, l_year,
-               CAST(SUM(volume_d) AS DOUBLE) AS revenue
+               CAST(CAST(SUM(volume_d) AS STRING) AS DOUBLE) AS revenue
         FROM (
           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
@@ -7109,9 +7122,9 @@ _q(
     _same(
         """
         SELECT o_year,
-               ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_d
-                                   ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
-                     / CAST(SUM(volume_d) AS DOUBLE), 6) AS mkt_share
+               ROUND(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_d
+                                   ELSE CAST(0 AS DECIMAL(20,6)) END) AS STRING) AS DOUBLE)
+                     / CAST(CAST(SUM(volume_d) AS STRING) AS DOUBLE), 6) AS mkt_share
         FROM (
           SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
                  CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)) AS volume_d,
@@ -7138,7 +7151,7 @@ _q(
     "q9_product_profit",
     _same(
         """
-        SELECT nation, o_year, CAST(SUM(volume_d) AS DOUBLE) AS profit
+        SELECT nation, o_year, CAST(CAST(SUM(volume_d) AS STRING) AS DOUBLE) AS profit
         FROM (
           SELECT n.n_name AS nation,
                  CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
@@ -7163,14 +7176,14 @@ _q(
     "q11_important_stock",
     _same(
         """
-        SELECT l_partkey, CAST(SUM(val_d) AS DOUBLE) AS part_value
+        SELECT l_partkey, CAST(CAST(SUM(val_d) AS STRING) AS DOUBLE) AS part_value
         FROM (SELECT l_partkey,
                      CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)) AS val_d
               FROM lineitem) t
         GROUP BY l_partkey
-        HAVING CAST(SUM(val_d) AS DOUBLE) >
-               (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                     AS DECIMAL(20,6))) AS DOUBLE) * 0.0008
+        HAVING CAST(CAST(SUM(val_d) AS STRING) AS DOUBLE) >
+               (SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(20,6))) AS STRING) AS DOUBLE) * 0.0008
                 FROM lineitem)
         ORDER BY part_value DESC, l_partkey
         """,
@@ -7207,8 +7220,8 @@ _q(
         """
         WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
-                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                               AS DECIMAL(20,6))) AS DOUBLE) AS total_revenue
+                 CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(20,6))) AS STRING) AS DOUBLE) AS total_revenue
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
             AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -7248,8 +7261,7 @@ _q(
     "q17_small_quantity_revenue",
     _same(
         """
-        SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,6)))
-                          AS DOUBLE) / 7.0, 6) AS avg_yearly
+        SELECT ROUND(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,6))) AS STRING) AS DOUBLE) / 7.0, 6) AS avg_yearly
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         WHERE p.p_brand = 'Brand#3'
           AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
@@ -7268,7 +7280,7 @@ _q(
         """
         SELECT c_nationkey,
                COUNT(*) AS numcust,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS totacctbal
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS STRING) AS DOUBLE) AS totacctbal
         FROM customer c
         WHERE c_acctbal > (SELECT SUM(CAST(c_acctbal AS DECIMAL(20,6))) / COUNT(*)
                            FROM customer WHERE c_acctbal > 0.0)
@@ -8073,8 +8085,7 @@ _q(
         SELECT event_type AS name, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(MIN(ts_us) AS BIGINT) AS ts_min,
                CAST(MAX(ts_us) AS BIGINT) AS ts_max,
-               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6)))
-                          AS DOUBLE), 6) AS sum_value
+               ROUND(CAST(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6))) AS STRING) AS DOUBLE), 6) AS sum_value
         FROM ev GROUP BY event_type ORDER BY name
         """,
         "L1,L3",
@@ -8235,8 +8246,7 @@ _q(
         + """
         SELECT event_type AS name, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(MIN(ts_us) AS BIGINT) AS ts_min,
-               ROUND(CAST(SUM(CAST(ROUND(value, 9) AS DECIMAL(20,9)))
-                          AS DOUBLE), 6) AS sum_value
+               ROUND(CAST(CAST(SUM(CAST(ROUND(value, 9) AS DECIMAL(20,9))) AS STRING) AS DOUBLE), 6) AS sum_value
         FROM ev GROUP BY event_type ORDER BY name
         """,
         "L6",
