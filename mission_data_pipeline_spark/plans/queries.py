@@ -8309,23 +8309,51 @@ _CHECK_FIRST = [
     "w3_streaming_stateful_cumulative",
     "x6_constraint_report",
     "udaf_grouped_median",
+    "agg_global_stats",
+    "agg_having",
+    "agg_salted_avg",
+    "case_bucketing",
+    "cube_priority_status",
+    "j1_broadcast_dim_join",
+    "j_hinted_shuffle_hash",
+    "j_salted_skew_join",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q22_global_sales_opportunity",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_join_event_pairs",
+    "rollup_flag_status",
+    "s3_filter_pushdown_in",
+    "w1_native_tumbling_window",
+    "w2_sliding_window",
+    "w_analytic_functions",
+    "w_rank_orders_by_priority",
+    "x4_bm25_relevance",
+    "x4_tfidf_sparse",
     "t8_filter_exclude",
     "filter_between_range",
     "t7_coalesce_fallback",
     "t9_polynomial_calibration",
     "t10_piecewise_clamp",
     "t5_string_functions",
-    "case_bucketing",
     "d8_top_n_preview",
     "date_extract_parts",
-    "j1_broadcast_dim_join",
     "j2_left_join_config",
     "join_right",
     "join_full_outer",
     "join_semi_exists",
     "join_cross_small",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
     "correlated_scalar_subquery",
     "d4_union_all",
     "set_union_distinct",
@@ -8337,7 +8365,6 @@ _CHECK_FIRST = [
     "w_lag_delta_gap",
     "w_running_sum",
     "w_moving_average",
-    "w_rank_orders_by_priority",
     "w1_tumbling_window",
     "x6_json_extract_agg",
     "x4_token_stats",
@@ -8358,68 +8385,43 @@ _CHECK_FIRST = [
     "curation_mixture_sample",
     "curation_pii_scrub",
     "curation_c4_signals",
-    "x4_bm25_relevance",
     "x3_quantize_embeddings",
     "x5_audio_meta_decode",
     "x5_video_meta_decode",
     "frames_to_packets_roundtrip",
     "x5_image_meta_decode",
     "w4_last_wins_dedup",
-    "range_join_event_pairs",
     "w_ranking_functions",
-    "w_analytic_functions",
-    "w2_sliding_window",
     "time_bucket_rollup",
     "agg_percentiles",
     "agg_stats_corr",
     "x3_vector_array_stats",
-    "q6_forecast_revenue",
     "q4_order_priority",
-    "q14_promo_effect",
-    "q18_large_volume",
-    "q19_discounted_revenue",
     "q20_volume_suppliers",
     "q21_waiting_suppliers",
-    "q1_pricing_summary",
-    "agg_global_stats",
     "agg_variance_manual",
     "agg_distinct_by_group",
-    "agg_having",
-    "j_salted_skew_join",
     "w1_streaming_tumbling",
     "w4_streaming_dedup",
     "s2_native_unpivot",
-    "w1_native_tumbling_window",
     "w4_native_session_window",
     "x2_embedding_near_dup",
     "x5_frame_sample",
     "x5_media_stats",
-    "x4_tfidf_sparse",
     "x4_top_terms",
     "x4_token_count_bpe",
     "decode_golden_matrix",
     "agg_conditional_bool",
     "agg_two_phase_distinct",
-    "agg_salted_avg",
     "q12_shipmode_priority",
     "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
     "q13_customer_distribution",
-    "q15_top_supplier",
     "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity",
     "limit_check_alarm",
     "x1_incremental_dedup",
     "curation_normalize_text",
     "curation_content_filter",
-    "rollup_flag_status",
-    "cube_priority_status",
     "grouping_sets_mixed",
-    "s3_filter_pushdown_in",
     "join_anti",
     "set_except",
     "set_bag_semantics_all",
@@ -8427,7 +8429,6 @@ _CHECK_FIRST = [
     "w_streaming_static_enrich",
     "udtf_token_spans",
     "x6_table_profile",
-    "j_hinted_shuffle_hash",
     "j_fuzzy_match_join",
     "w_scd2_intervals",
     "w_top_user_journeys",
@@ -8451,7 +8452,6 @@ _CHECK_FIRST = [
     "agg_kll_quantile_bound",
     "agg_theta_distinct_bound",
     "agg_value_histogram",
-    "q10_returned_items",
     "x3_ivf_topk_ann",
     "x3_ann_recall",
 ]
