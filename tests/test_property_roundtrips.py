@@ -256,3 +256,91 @@ def test_codec_decoders_never_raise_on_garbage(payload):
     probe_image_meta(payload)
     probe_audio_meta(payload)
     probe_video_meta(payload)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_packets=st.integers(5, 40),
+    payload_lens=st.data(),
+    corruptions=st.lists(
+        st.tuples(st.integers(0, 39), st.binary(min_size=1, max_size=30)),
+        max_size=3,
+    ),
+    split_size=st.sampled_from([64, 256, 1024, 10**9]),
+)
+def test_binary_scan_soundness_properties(
+    n_packets, payload_lens, corruptions, split_size
+):
+    """Split-range scan contract under injected garbage, any split size:
+
+    - CLEAN stream: exactly-once complete recovery, zero phantoms, at
+      every split size (the multi-range exactly-once invariant).
+    - CORRUPTED stream: no packet is ever emitted twice, and every
+      packet BEFORE the first corruption is recovered byte-exactly.
+      Phantoms after a corruption site are permitted: the contiguous
+      walk deliberately trusts a plausible header (version+length
+      check only — reference-parity semantics; only RANGE STARTS pay
+      the full chain-confirmation), so garbage whose first bytes fake
+      a plausible header can absorb following bytes. The damage is
+      bounded and local; frame_sync mode exists for streams where
+      that trade is wrong.
+    """
+    import os
+    import tempfile
+
+    from mission_data_pipeline_spark.models.ccsds import build_packet
+    from mission_data_pipeline_spark.sources.binary import (
+        _parse_range,
+        plan_ranges,
+    )
+
+    pkts = [
+        build_packet(
+            0x155,
+            i,
+            bytes([(i * 13 + j) % 256 for j in range(
+                payload_lens.draw(st.integers(1, 40), label=f"len{i}")
+            )]),
+        )
+        for i in range(n_packets)
+    ]
+    parts = []
+    corrupt_at = {pos % (n_packets + 1): blob for pos, blob in corruptions}
+    first_corrupt = min(corrupt_at, default=n_packets)
+    for i, p in enumerate(pkts):
+        if i in corrupt_at:
+            parts.append(corrupt_at[i])
+        parts.append(p)
+    stream = b"".join(parts)
+    valid = {bytes(p) for p in pkts}
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "s.bin")
+        with open(path, "wb") as f:
+            f.write(stream)
+        seen = []
+        for r in plan_ranges(path, split_size=split_size):
+            cols = _parse_range(r)
+            for i in range(len(cols["apid"])):
+                hdr_off = int(cols["file_offset"][i])
+                dl = int(cols["data_length"][i])
+                seen.append(stream[hdr_off : hdr_off + 6 + dl + 1])
+        single = []
+        for r in plan_ranges(path, split_size=10**9):
+            cols = _parse_range(r)
+            for i in range(len(cols["apid"])):
+                hdr_off = int(cols["file_offset"][i])
+                dl = int(cols["data_length"][i])
+                single.append(stream[hdr_off : hdr_off + 6 + dl + 1])
+    assert len(seen) == len(set(seen))  # never emitted twice
+    if not corrupt_at:
+        assert sorted(seen) == sorted(valid)  # exactly-once complete
+        assert len(seen) == n_packets
+    else:
+        # the single-range walk is contiguous from offset 0, so every
+        # packet BEFORE the first corruption is always recovered there
+        # (a multi-range scan may additionally skip a packet whose
+        # range-start confirmation window the corruption pollutes —
+        # the documented skip-not-phantom trade)
+        prefix = {bytes(p) for p in pkts[:first_corrupt]}
+        assert prefix <= set(single)
