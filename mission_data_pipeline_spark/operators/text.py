@@ -744,3 +744,114 @@ def lang_id_naive_bayes(
             F.col("__best.lang").alias("pred_lang"),
         )
     )
+
+
+def heldout_backoff_logprob(
+    docs_train: DataFrame,
+    docs_score: DataFrame,
+    *,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Held-out LM scoring with stupid backoff (Brants et al. 2007) —
+    the real shape of the CCNet/KenLM perplexity filter: the language
+    model is COUNTED ON ONE CORPUS (``docs_train``, e.g. a trusted
+    reference like Wikipedia) and SCORES ANOTHER (``docs_score``, the
+    crawl being curated). Self-scoring (:func:`bigram_logprob`) can
+    never exercise backoff — every bigram it scores is by construction
+    in its own counts; held-out scoring is where out-of-vocabulary
+    handling actually matters.
+
+    Per scored bigram (w1, w2):
+
+    - seen bigram:   -ln( C(w1 w2) / C(w1 ·) )
+    - unseen bigram, seen w2:   -ln( alpha · C(w2) / C(·) )
+    - unseen w2 (OOV):          -ln( alpha / (C(·) + 1) )
+
+    Returns ``(doc_id, n_bigrams, n_backoff, n_oov, neg_logprob)`` for
+    the scored documents — the backoff/OOV counts are the curation
+    signal alongside the score (a document full of OOV tokens is
+    garbage or another language).
+
+    Scale shape: identical to :func:`bigram_logprob` — all post-explode
+    shuffles/joins key on ``xxhash64`` of the gram/word, never strings;
+    the train-side count tables are vocabulary-sized; DECIMAL-exact
+    contribution sums for the oracle.
+    """
+    from mission_data_pipeline_spark.operators.dedup import word_ngrams
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(text_col, 2)).alias("gram"),
+        ).filter(F.col("gram").contains(" "))
+
+    def toks_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        ).filter(F.length("w") > 0)
+
+    tg = grams_of(docs_train).select(
+        F.xxhash64("gram").alias("gh"),
+        F.xxhash64(F.substring_index("gram", " ", 1)).alias("hh"),
+    )
+    cb = tg.groupBy("gh").agg(F.count("*").cast("double").alias("cb"))
+    ch = tg.groupBy("hh").agg(F.count("*").cast("double").alias("ch"))
+    tt = toks_of(docs_train)
+    cf = tt.groupBy(F.xxhash64("w").alias("wh")).agg(
+        F.count("*").cast("double").alias("cf")
+    )
+    ctot = tt.agg(F.count("*").cast("double").alias("ctot"))
+
+    sg = grams_of(docs_score).select(
+        "doc_id",
+        F.xxhash64("gram").alias("gh"),
+        F.xxhash64(F.substring_index("gram", " ", 1)).alias("hh"),
+        F.xxhash64(F.substring_index("gram", " ", -1)).alias("wh"),
+    )
+    tf = sg.groupBy("doc_id", "gh", "hh", "wh").agg(
+        F.count("*").alias("tf")
+    )
+    joined = (
+        tf.join(cb, "gh", "left")
+        .join(ch, "hh", "left")
+        .join(cf, "wh", "left")
+        .crossJoin(broadcast(ctot))
+    )
+    p = (
+        F.when(
+            F.col("cb").isNotNull(), F.col("cb") / F.col("ch")
+        )
+        .when(
+            F.col("cf").isNotNull(),
+            F.lit(alpha) * F.col("cf") / F.col("ctot"),
+        )
+        .otherwise(F.lit(alpha) / (F.col("ctot") + 1.0))
+    )
+    contrib = -F.log(p) * F.col("tf").cast("double")
+    is_backoff = F.col("cb").isNull() & F.col("cf").isNotNull()
+    is_oov = F.col("cf").isNull()
+    return (
+        joined.withColumn("__c", F.round(contrib, 9).cast("decimal(20,9)"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.when(is_backoff, F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias("n_backoff"),
+            F.sum(F.when(is_oov, F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum("__c").alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_backoff",
+            "n_oov",
+            F.round(
+                F.col("__s").cast("double") / F.col("n_bigrams"), 6
+            ).alias("neg_logprob"),
+        )
+    )

@@ -4927,6 +4927,115 @@ _q(
 )
 
 
+def _heldout_backoff_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out stupid-backoff LM scoring (operators/text.py
+    heldout_backoff_logprob): bigram counts from the doc_id<250 slice
+    score the doc_id>=250 slice — the true CCNet/KenLM perplexity-
+    filter shape, where backoff and OOV handling actually fire (self-
+    scoring never exercises them). Returns per-doc score + backoff/OOV
+    occurrence counts, the curation signals."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.text import (
+        heldout_backoff_logprob,
+    )
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    # Seed the scored slice with an out-of-vocabulary marker token so
+    # the OOV branch is exercised, not just declared (the de-vacuify
+    # rule: an untested CASE arm is a hole, and the shared synthetic
+    # vocabulary would otherwise never produce an unseen word).
+    scored = docs.filter(
+        (F.col("doc_id") >= 250) & (F.col("doc_id") < 500)
+    ).withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" zqxoov"), F.col("doc_id")),
+    )
+    out = heldout_backoff_logprob(
+        docs.filter(F.col("doc_id") < 250), scored, alpha=0.4
+    )
+    return out.orderBy("doc_id")
+
+
+_q(
+    "x4_heldout_backoff_logprob",
+    Query(
+        _heldout_backoff_spark,
+        r"""
+        WITH tok_tr AS (
+          SELECT t AS w FROM (
+            SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
+            FROM documents WHERE doc_id < 250
+          ) u WHERE length(t) > 0
+        ),
+        gr AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(t, CAST(i AS INT) + 1,
+                                            CAST(i AS INT) + 2), ' ') AS gram
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                FROM documents) d,
+               UNNEST(range(0, greatest(len(t) - 2, 0) + 1)) AS u(i)
+        ),
+        g_tr AS (SELECT gram FROM gr
+                 WHERE doc_id < 250 AND contains(gram, ' ')),
+        cb AS (SELECT gram, CAST(COUNT(*) AS DOUBLE) AS cb
+               FROM g_tr GROUP BY gram),
+        ch AS (SELECT split_part(gram, ' ', 1) AS head,
+                      CAST(COUNT(*) AS DOUBLE) AS ch
+               FROM g_tr GROUP BY 1),
+        cf AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS cf
+               FROM tok_tr GROUP BY w),
+        ctot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ctot FROM tok_tr),
+        g_sc AS (
+          SELECT doc_id, gram, COUNT(*) AS tf
+          FROM (
+            SELECT doc_id,
+                   array_to_string(list_slice(t, CAST(i AS INT) + 1,
+                                              CAST(i AS INT) + 2), ' ') AS gram
+            FROM (SELECT doc_id,
+                         string_split_regex(
+                           lower(text || ' zqxoov' || doc_id), '\s+') AS t
+                  FROM documents
+                  WHERE doc_id >= 250 AND doc_id < 500) d,
+                 UNNEST(range(0, greatest(len(t) - 2, 0) + 1)) AS u(i)
+          ) g WHERE contains(gram, ' ')
+          GROUP BY doc_id, gram
+        ),
+        scored AS (
+          SELECT s.doc_id, s.tf,
+                 cb.cb, ch.ch, cf.cf, ctot.ctot,
+                 CASE WHEN cb.cb IS NOT NULL THEN cb.cb / ch.ch
+                      WHEN cf.cf IS NOT NULL THEN 0.4 * cf.cf / ctot.ctot
+                      ELSE 0.4 / (ctot.ctot + 1.0) END AS p
+          FROM g_sc s
+          LEFT JOIN cb ON s.gram = cb.gram
+          LEFT JOIN ch ON split_part(s.gram, ' ', 1) = ch.head
+          LEFT JOIN cf ON split_part(s.gram, ' ', -1) = cf.w
+          CROSS JOIN ctot
+        )
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN cb IS NULL AND cf IS NOT NULL
+                             THEN tf ELSE 0 END) AS BIGINT) AS n_backoff,
+               CAST(SUM(CASE WHEN cf IS NULL THEN tf ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               ROUND(CAST(CAST(SUM(CAST(ROUND(-ln(p) * tf, 9)
+                                        AS DECIMAL(20,9)))
+                               AS STRING) AS DOUBLE)
+                     / SUM(tf), 6) AS neg_logprob
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        "X4+",
+        "held-out stupid-backoff LM scoring (Brants 2007): counts from "
+        "a train slice score a held-out slice, so backoff and OOV "
+        "paths actually fire; per-doc backoff/OOV occurrence counts "
+        "surface as curation signals; hash-keyed joins, DECIMAL-sum "
+        "determinism",
+    ),
+)
+
+
 _q(
     "x4_top_terms",
     _dialect(
@@ -8271,6 +8380,7 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "x4_heldout_backoff_logprob",
     "g_pagerank",
     "curation_leakage_safe_split",
     "x3_pq_rerank_topk",

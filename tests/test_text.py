@@ -573,3 +573,32 @@ def test_heavy_tail_join_equivalence(spark):
         for k in (1, 3, 10_000):
             hyb = sorted(map(tuple, op(docs, heavy_k=k).collect()))
             assert hyb == flat, (op.__name__, k)
+
+
+def test_heldout_backoff_branches(spark):
+    """All three probability branches must fire and be correct: seen
+    bigram (train ratio), backoff (unseen bigram, seen word), OOV."""
+    import math
+
+    from mission_data_pipeline_spark.operators.text import (
+        heldout_backoff_logprob,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id long, text string"
+    )
+    # "a b": seen (C=2, C(a ·)=3) -> -ln(2/3)
+    # "b z": z seen? z not in train -> OOV -> -ln(0.4/(6+1))
+    # "z a": head z unseen but bigram unseen, second word a seen ->
+    #        backoff -> -ln(0.4 * C(a)=3 / 6)
+    score = spark.createDataFrame(
+        [(10, "a b z a")], "doc_id long, text string"
+    )
+    r = heldout_backoff_logprob(train, score, alpha=0.4).collect()[0]
+    assert (r["n_bigrams"], r["n_backoff"], r["n_oov"]) == (3, 1, 1)
+    exp = (
+        -math.log(2 / 3)          # a b
+        + -math.log(0.4 / 7.0)    # b z (OOV z)
+        + -math.log(0.4 * 3 / 6)  # z a (backoff to unigram a)
+    ) / 3
+    assert abs(r["neg_logprob"] - exp) < 1e-5
