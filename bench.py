@@ -83,6 +83,7 @@ EXTENDED = [
     "x3_pq_rerank_topk",
     "curation_leakage_safe_split",
     "x2_duplicate_components",
+    "x4_heldout_backoff_logprob",
 ]
 
 N_ETL_PACKETS = 200_000
