@@ -6446,23 +6446,32 @@ _q(
     _dialect(
         """
         SELECT l_returnflag,
-               ROUND(PERCENTILE(l_extendedprice, 0.25), 6) AS p25,
-               ROUND(PERCENTILE(l_extendedprice, 0.5), 6) AS p50,
-               ROUND(PERCENTILE(l_extendedprice, 0.75), 6) AS p75,
-               ROUND(PERCENTILE(l_extendedprice, 0.99), 6) AS p99
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+               ROUND(ps[0], 6) AS p25, ROUND(ps[1], 6) AS p50,
+               ROUND(ps[2], 6) AS p75, ROUND(ps[3], 6) AS p99
+        FROM (
+          SELECT l_returnflag,
+                 PERCENTILE(l_extendedprice,
+                            ARRAY(0.25D, 0.5D, 0.75D, 0.99D)) AS ps
+          FROM lineitem GROUP BY l_returnflag
+        ) t ORDER BY l_returnflag
         """,
         """
         SELECT l_returnflag,
-               ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS p25,
-               ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS p50,
-               ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 6) AS p75,
-               ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 6) AS p99
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+               ROUND(ps[1], 6) AS p25, ROUND(ps[2], 6) AS p50,
+               ROUND(ps[3], 6) AS p75, ROUND(ps[4], 6) AS p99
+        FROM (
+          SELECT l_returnflag,
+                 QUANTILE_CONT(l_extendedprice,
+                               [0.25, 0.5, 0.75, 0.99]) AS ps
+          FROM lineitem GROUP BY l_returnflag
+        ) t ORDER BY l_returnflag
         """,
         "A*+",
         "exact interpolated percentiles (order statistics — deterministic "
-        "across engines, unlike float summation)",
+        "across engines, unlike float summation); ARRAY-form quantiles: "
+        "one value buffer and one sort serve all four cut points — four "
+        "scalar PERCENTILE calls each built and sorted their own buffer "
+        "(4.7 s -> ~1.2 s at sf0.1, exposed by the noop bench series)",
     ),
 )
 
