@@ -8039,6 +8039,98 @@ _q(
 )
 
 
+def _ccsds_streaming_tail_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE telemetry tail — spark.readStream.format('ccsds')
+    (sources/ccsds_datasource.py CcsdsStreamReader): a ground-station
+    file grows BETWEEN two availableNow runs sharing one checkpoint;
+    the byte offsets the source commits always sit on packet boundaries
+    (a half-written packet at end-of-file stays unconsumed until its
+    bytes arrive), so the final durable sink holds every packet exactly
+    once — including the one that was partial when run 1 observed it.
+    Oracle recomputes headers + payload digests from the index."""
+    import os
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.models.ccsds import build_packet
+    from mission_data_pipeline_spark.sources import register_ccsds_source
+
+    register_ccsds_source(spark)
+    src = _scratch_dir("ccsds_tail_src")
+    ckpt = _scratch_dir("ccsds_tail_ckpt")
+    out = _scratch_dir("ccsds_tail_out")
+
+    def pkt(i: int) -> bytes:
+        return build_packet(
+            0x123,
+            i % 16384,
+            struct.pack(">HI", (i * 257) % 65536, (i * 65537) % (1 << 32)),
+        )
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.format("ccsds")
+            .option("path", src)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    boundary = pkt(150)
+    with open(os.path.join(src, "f1.bin"), "wb") as f:
+        f.write(b"".join(pkt(i) for i in range(150)) + boundary[:5])
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    # growth: complete the partial packet, extend f1, add f2
+    with open(os.path.join(src, "f1.bin"), "ab") as f:
+        f.write(boundary[5:] + b"".join(pkt(i) for i in range(151, 200)))
+    with open(os.path.join(src, "f2.bin"), "wb") as f:
+        f.write(b"".join(pkt(i) for i in range(200, 250)))
+    run_once()
+    final = spark.read.parquet(out)
+    n2 = final.count()
+    if not (n1 == 150 and n2 == 250):
+        raise RuntimeError(
+            f"tail source exactly-once violated: run1={n1} (want 150, "
+            f"partial packet withheld), final={n2} (want 250)"
+        )
+    return final.select(
+        F.col("seq_count").cast("long").alias("seq_count"),
+        F.col("apid").cast("int").alias("apid"),
+        F.hex("user_data").alias("content_hex"),
+    ).orderBy("seq_count")
+
+
+_q(
+    "s1_ccsds_streaming_tail",
+    Query(
+        _ccsds_streaming_tail_spark,
+        """
+        WITH idx AS (SELECT UNNEST(range(0, 250)) AS i)
+        SELECT CAST(i AS BIGINT) AS seq_count,
+               CAST(291 AS INT) AS apid,
+               upper(lpad(to_hex((i * 257) % 65536), 4, '0')
+                     || lpad(to_hex((i * 65537) % 4294967296), 8, '0'))
+                 AS content_hex
+        FROM idx ORDER BY seq_count
+        """,
+        "S1,W+",
+        "LIVE telemetry tail: streaming ccsds source over growing files, "
+        "two availableNow runs from one checkpoint — packet-boundary "
+        "offsets make the growth replay exactly-once (partial trailing "
+        "packet withheld until complete); oracle from the index",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Ingest/export round-trips: the sink and source paths driver-checked
 # end-to-end (write → distributed re-read → aggregate vs an oracle over
@@ -8389,6 +8481,7 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "s1_ccsds_streaming_tail",
     "x4_heldout_backoff_logprob",
     "g_pagerank",
     "curation_leakage_safe_split",

@@ -214,7 +214,11 @@ def _walk_offsets(buf: bytes, row: dict, *, eof_in_buf: bool) -> list[int]:
     n = len(buf)
     offs: list[int] = []
     pos = 0
-    if range_start > 0 or frame_sync:
+    # trusted_start: the caller guarantees the buffer begins ON a packet
+    # boundary (the streaming reader's offsets only ever advance past
+    # complete packets), so no resync — a resync here could skip the
+    # first real packet when its APID never repeats in-buffer.
+    if (range_start > 0 and not row.get("trusted_start")) or frame_sync:
         if frame_sync:
             pos = _find_sync(buf, 0)
         else:

@@ -26,15 +26,29 @@ ranges comes from the same resync + tail-overlap convention.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
+from glob import glob
 
 import pyarrow as pa
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from mission_data_pipeline_spark.models.schemas import PACKET_SCHEMA
-from mission_data_pipeline_spark.sources.binary import _parse_range, plan_ranges
+from mission_data_pipeline_spark.sources.binary import (
+    _columns_from_offsets,
+    _parse_buffer,
+    _parse_range,
+    _py as _py_scalar,
+    _walk_offsets,
+    plan_ranges,
+)
 
 #: Arrow schema mirroring PACKET_SCHEMA (names/types must match what the
 #: reader yields; Spark maps arrow int32/int64/float64/binary/string back
@@ -73,6 +87,9 @@ class CcsdsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "CcsdsReader":
         return CcsdsReader(dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> "CcsdsStreamReader":
+        return CcsdsStreamReader(dict(self.options))
 
 
 class CcsdsReader(DataSourceReader):
@@ -122,6 +139,134 @@ class CcsdsReader(DataSourceReader):
             {f.name: list(cols[f.name]) for f in _ARROW_SCHEMA},
             schema=_ARROW_SCHEMA,
         )
+
+
+class CcsdsStreamReader(SimpleDataSourceStreamReader):
+    """Live telemetry tail: ``spark.readStream.format("ccsds")`` over a
+    directory (or glob) of growing/arriving ``.bin`` files — the mission
+    ops ingest shape (a ground-station writer appends packets; the
+    pipeline consumes them with exactly-once micro-batches).
+
+    The offset is ``{"files": {path: consumed_bytes}}`` and, by
+    construction, ``consumed_bytes`` always sits ON a packet boundary:
+    each batch parses only COMPLETE packets from the newly-visible
+    region (a partial packet at end-of-file stays unconsumed until its
+    remaining bytes arrive), so restarts replay nothing and lose
+    nothing, and no resync heuristic is ever needed mid-file
+    (``trusted_start``). SimpleDataSourceStreamReader reads on the
+    driver — right for telemetry-downlink rates (Mbps); a
+    partition-based streamReader is the upgrade path for higher rates.
+    """
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("ccsds stream source needs a path")
+        self._path = path
+        self._opts = {
+            "sec_hdr_length": int(options.get("sec_hdr_length", 0)),
+            "frame_sync": str(options.get("frame_sync", "false")).lower()
+            in _TRUE,
+            "source_id": options.get("source_id"),
+            "ground_receipt_time": (
+                float(options["ground_receipt_time"])
+                if options.get("ground_receipt_time") is not None
+                else None
+            ),
+            "max_packet_len": int(options.get("max_packet_len", 65542)),
+            "resync_chain": int(options.get("resync_chain", 2)),
+            "weak_resync": str(options.get("weak_resync", "false")).lower()
+            in _TRUE,
+            "apid_filter": (
+                [
+                    int(a)
+                    for a in str(options["apid_filter"]).split(",")
+                    if a.strip()
+                ]
+                if options.get("apid_filter")
+                else None
+            ),
+        }
+
+    def _files(self) -> list[str]:
+        p = self._path
+        if any(c in p for c in "*?["):
+            return sorted(glob(p))
+        if os.path.isdir(p):
+            return sorted(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if not f.startswith((".", "_"))
+            )
+        return [p] if os.path.exists(p) else []
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def read(self, start: dict):
+        consumed = dict(start.get("files", {}))
+        rows: list[tuple] = []
+        names = [f.name for f in PACKET_SCHEMA.fields]
+        for path in self._files():
+            done = int(consumed.get(path, 0))
+            size = os.path.getsize(path)
+            if size <= done:
+                continue
+            with open(path, "rb") as f:
+                f.seek(done)
+                buf = f.read(size - done)
+            row = {
+                "path": os.path.abspath(path),
+                "range_start": done,
+                "range_end": size,
+                "file_size": size,
+                "trusted_start": True,
+                **self._opts,
+            }
+            # eof_in_buf=False: a packet claiming bytes past the current
+            # size is NOT truncated-forever — it is still arriving; it
+            # stays unconsumed and the offset does not advance past it.
+            # The offset advances over the WALK (all complete packets,
+            # including APID-filtered ones — a filtered tail packet must
+            # not stall the offset), while rows carry the filtered set.
+            offs = _walk_offsets(buf, row, eof_in_buf=False)
+            if offs:
+                o = offs[-1]
+                plen = ((buf[o + 4] << 8) | buf[o + 5]) + 7
+                consumed[path] = done + o + plen
+            cols = _columns_from_offsets(buf, offs, row)
+            for i in range(len(cols["apid"])):
+                rows.append(
+                    tuple(_py_scalar(cols[n][i]) for n in names)
+                )
+        return iter(rows), {"files": consumed}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # Replay for recovery: re-read exactly [start, end) per file.
+        rows: list[tuple] = []
+        names = [f.name for f in PACKET_SCHEMA.fields]
+        for path, end_off in end.get("files", {}).items():
+            done = int(start.get("files", {}).get(path, 0))
+            end_off = int(end_off)
+            if end_off <= done or not os.path.exists(path):
+                continue
+            with open(path, "rb") as f:
+                f.seek(done)
+                buf = f.read(end_off - done)
+            row = {
+                "path": os.path.abspath(path),
+                "range_start": done,
+                "range_end": end_off,
+                "file_size": end_off,
+                "trusted_start": True,
+                **self._opts,
+            }
+            for r in _parse_buffer(buf, row, eof_in_buf=True):
+                rows.append(tuple(r[n] for n in names))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are file positions; nothing to clean up
 
 
 def register_ccsds_source(spark: SparkSession) -> None:

@@ -210,3 +210,61 @@ def test_ccsds_datasource_empty_file_and_missing_path(spark, tmp_path):
 
     with _pytest.raises((FileNotFoundError, Py4JJavaError, Exception)):
         spark.read.format("ccsds").load(str(tmp_path / "nope.bin")).collect()
+
+
+def test_ccsds_streaming_tail_exactly_once(spark, tmp_path):
+    """Streaming ccsds source: offsets advance only past COMPLETE
+    packets, so file growth + restart replays nothing and loses
+    nothing (the partial trailing packet is withheld, then emitted
+    once its bytes arrive); new files are picked up; APID-filtered
+    trailing packets advance the offset without being emitted."""
+    import os
+    import struct
+
+    from mission_data_pipeline_spark.models.ccsds import build_packet
+    from mission_data_pipeline_spark.sources import register_ccsds_source
+
+    register_ccsds_source(spark)
+    src = str(tmp_path / "stream"); os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt"); out = str(tmp_path / "out")
+
+    def pkt(i, apid=0x123):
+        return build_packet(apid, i, struct.pack(">I", i * 7))
+
+    def run_once():
+        q = (
+            spark.readStream.format("ccsds")
+            .option("path", src)
+            .option("apid_filter", "291")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    boundary = pkt(40)
+    # trailing packet of ANOTHER apid: must advance the offset silently
+    with open(f"{src}/f1.bin", "wb") as f:
+        f.write(b"".join(pkt(i) for i in range(40)))
+        f.write(pkt(9999 % 16384, apid=0x200))
+        f.write(boundary[:4])  # partial: withheld
+    run_once()
+    got1 = sorted(
+        r["seq_count"] for r in spark.read.parquet(out).collect()
+    )
+    assert got1 == list(range(40))  # filtered + partial both absent
+    with open(f"{src}/f1.bin", "ab") as f:
+        f.write(boundary[4:] + b"".join(pkt(i) for i in range(41, 60)))
+    with open(f"{src}/f2.bin", "wb") as f:
+        f.write(b"".join(pkt(i) for i in range(100, 120)))
+    run_once()
+    got2 = sorted(
+        r["seq_count"] for r in spark.read.parquet(out).collect()
+    )
+    assert got2 == list(range(60)) + list(range(100, 120))
