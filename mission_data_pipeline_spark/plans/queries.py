@@ -48,15 +48,32 @@ from pyspark.sql import DataFrame, SparkSession
 from mission_data_pipeline_spark.sources.tables import TABLES, load_table
 
 
+#: process-private scratch root, created lazily and reaped at exit.
+_SCRATCH_ROOT: Optional[str] = None
+
+
 def _scratch_dir(name: str) -> str:
-    """Fixed per-query scratch directory, wiped and recreated on every
-    invocation. Query functions return DataFrames the caller collects
-    LAZILY, so a scratch dir must outlive the function — per-call
-    ``mkdtemp`` therefore accumulates one directory per bench/oracle
-    run and never frees it. A fixed path bounds the residue to a single
-    leftover per query name, reclaimed by the next invocation (query
-    runs are sequential by the driver's contract)."""
-    d = os.path.join(tempfile.gettempdir(), "mdps_scratch", name)
+    """Per-query scratch directory under a PROCESS-PRIVATE root, wiped
+    and recreated on every invocation. Query functions return DataFrames
+    the caller collects LAZILY, so a scratch dir must outlive the
+    function — per-call ``mkdtemp`` therefore accumulates one directory
+    per bench/oracle run and never frees it. A fixed path *per query
+    name* bounds the residue to a single leftover, reclaimed by the next
+    invocation (query runs are sequential by the driver's contract).
+
+    The root is ``mkdtemp``-scoped to this process (not a fixed
+    world-shared ``/tmp/mdps_scratch``): two concurrent runs on one host
+    (bench + driver, parallel CI) would otherwise wipe each other's live
+    query inputs mid-read, and a foreign-owned dir under a sticky-bit
+    /tmp would make the recreate raise. ``atexit`` reaps the whole root.
+    """
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix=f"mdps_scratch_{os.getpid()}_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    d = os.path.join(_SCRATCH_ROOT, name)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     return d
@@ -719,10 +736,10 @@ _q(
     ),
 )
 
-_q(
-    "q5_nation_revenue",
-    _same(
-        f"""
+# ONE Q5 text: q5_nation_revenue runs/oracles it directly, and
+# q5_bucketed_broadcast_dims oracles against it — the at-scale plan must
+# be semantically transparent.
+_Q5_SQL = f"""
         SELECT n.n_name, {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -733,9 +750,162 @@ _q(
         WHERE r.r_name = 'ASIA'
         GROUP BY n.n_name
         ORDER BY n.n_name
-        """,
+        """
+
+_q(
+    "q5_nation_revenue",
+    _same(
+        _Q5_SQL,
         "J*",
         "TPC-H Q5-style six-way join",
+    ),
+)
+
+
+def _q5_broadcast_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 in the at-scale shape: every dim broadcast, facts co-located.
+
+    The plain ``q5_nation_revenue`` plans a six-way SMJ cascade that
+    shuffles the full fact table on three different keys — the worst
+    measured scale cliff in BASELINE.md (27x wall at 100x data, sf10
+    probe). The 100 TB plan instead:
+
+    - region('ASIA') ⋈ nation collapses to a 5-row broadcast;
+    - supplier and customer prune to ASIA nations and broadcast onto
+      the facts (map-side, no fact movement);
+    - lineitem and orders are staged bucketed-by-orderkey
+      (`operators/bucketing.py write_bucketed`), so the one remaining
+      fact-fact join needs NO Exchange on either side — the
+      ``c_nationkey = s_nationkey`` coupling becomes a post-join filter
+      so the join keys stay exactly the bucket key;
+    - the only shuffles left move ≤ (5 groups x n_partitions) rows:
+      the post-partial-agg exchange and the 5-row sort.
+
+    Asserted loudly on the planned query: every hash/range Exchange
+    partitions on ``n_name`` — none on orderkey/custkey/suppkey. On a
+    cluster where customer outgrows the broadcast threshold, the same
+    query degrades to ONE fact shuffle (orders on o_custkey) instead of
+    three. Oracle = plain Q5 (the plan rewrite is semantically
+    transparent).
+    """
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.bucketing import write_bucketed
+
+    register_views(spark, sf_dir)
+    tmp = _scratch_dir("bucketed_q5")
+    lt, ot = "q5b_lineitem", "q5b_orders"
+    for name in (lt, ot):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_bucketed(
+        spark.table("lineitem").select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        ),
+        lt,
+        keys=["l_orderkey"],
+        n_buckets=8,
+        sort_by=["l_orderkey"],
+        path=f"{tmp}/lineitem",
+    )
+    write_bucketed(
+        spark.table("orders").select("o_orderkey", "o_custkey"),
+        ot,
+        keys=["o_orderkey"],
+        n_buckets=8,
+        sort_by=["o_orderkey"],
+        path=f"{tmp}/orders",
+    )
+    asia_nations = (
+        spark.table("nation")
+        .join(
+            F.broadcast(
+                spark.table("region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        spark.table("supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = (
+        spark.table("customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(asia_nations.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    o = spark.table(ot).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    l = spark.table(lt).join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    out = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(20,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("n_name")
+    )
+    # Catalyst pushes the nationkey filter back into the join as a second
+    # equi-key, and requireAllClusterKeysForCoPartition (default true)
+    # then refuses to accept bucketing-on-orderkey as co-partitioning for
+    # the (nationkey, orderkey) key set — even though a subset key fully
+    # co-locates the join. Relax the knob for PLANNING ONLY (QueryExecution
+    # caches executedPlan, so the later action reuses this plan), restore
+    # it immediately.
+    knob = "spark.sql.requireAllClusterKeysForCoPartition"
+    prev = spark.conf.get(knob, "true")
+    spark.conf.set(knob, "false")
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(knob, prev)
+    final = plan.split("== Initial Plan ==")[0]
+    bad = [
+        line
+        for line in final.splitlines()
+        if ("Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line)
+        and "n_name" not in line
+    ]
+    if bad:
+        raise RuntimeError(
+            "broadcast-dim Q5 planned a fact shuffle — at-scale shape lost:\n"
+            + "\n".join(bad)
+            + "\n\n"
+            + final[:4000]
+        )
+    return out
+
+
+_q(
+    "q5_bucketed_broadcast_dims",
+    Query(
+        _q5_broadcast_spark,
+        _Q5_SQL,
+        "J*+,co-location",
+        "Q5 in the at-scale shape: region⋈nation collapsed to a 5-row "
+        "broadcast, supplier/customer pruned to ASIA and broadcast onto "
+        "the facts, lineitem⋈orders co-located via bucketing-by-orderkey "
+        "— zero fact shuffles (every Exchange partitions on n_name, "
+        "asserted in-plan with loud failure); oracle is plain Q5",
     ),
 )
 
