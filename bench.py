@@ -84,6 +84,9 @@ EXTENDED = [
     "curation_leakage_safe_split",
     "x2_duplicate_components",
     "x4_heldout_backoff_logprob",
+    # round 6: Q5 in the at-scale shape (dims broadcast + bucketed facts,
+    # zero fact shuffles — includes the bucketed staging write each run)
+    "q5_bucketed_broadcast_dims",
 ]
 
 N_ETL_PACKETS = 200_000
@@ -219,6 +222,18 @@ def main() -> None:
         ext[name] = round(min(dts), 3)
     out["extended_queries"] = ext
     out["extended_total"] = round(sum(ext.values()), 3)
+    # Self-describing methodology per series: round-over-round consumers
+    # must not compare across methods (extended_* switched from count()
+    # to the noop sink in round 5 — r04 and earlier extended numbers are
+    # count-based).
+    out["methodology"] = {
+        "queries": "count() materialization (column-pruned; longitudinal "
+        "series since r01)",
+        "queries_noop": "noop-sink materialization, every output column "
+        "evaluated (honest series, since r05)",
+        "extended_queries": "noop-sink since r05; count() in r04 and "
+        "earlier — do not compare across that boundary",
+    }
 
     print(json.dumps(out))
     spark.stop()

@@ -213,6 +213,7 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Duplicate clusters from candidate pairs: (node, component_id).
 
@@ -227,32 +228,37 @@ def connected_components(
     elementwise min, then (b) replaces every label by ITS label
     (``comp := label(comp)`` — path halving), so label information
     travels 2^round hops and chains converge in O(log diameter) rounds
-    instead of O(diameter). ``localCheckpoint`` after every round keeps
-    the plan/lineage flat no matter how many iterations run (unbounded
-    lineage growth, not data volume, is what kills iterative DataFrame
-    jobs at scale), and the per-round changed flag is computed INSIDE
-    the checkpointed frame so the convergence check re-reads checkpoint
-    blocks instead of re-joining old vs new labels. Near-dup graphs are
-    overwhelmingly tiny cliques (diameter ≤ 3), so the loop exits on the
-    converged-round check almost immediately; ``max_iter`` bounds
-    adversarial chains.
+    instead of O(diameter). Lineage is truncated after every round
+    (unbounded lineage growth, not data volume, is what kills iterative
+    DataFrame jobs at scale), and the per-round changed flag is computed
+    INSIDE the checkpointed frame so the convergence check re-reads
+    checkpoint blocks instead of re-joining old vs new labels. Near-dup
+    graphs are overwhelmingly tiny cliques (diameter ≤ 3), so the loop
+    exits on the converged-round check almost immediately; ``max_iter``
+    bounds adversarial chains.
+
+    ``checkpoint_dir=None`` truncates via ``localCheckpoint`` (executor-
+    local blocks — right for local mode, NOT fault-tolerant). On a real
+    cluster pass a reliable ``checkpoint_dir`` (HDFS/S3A): executor loss
+    mid-fixpoint then recovers from the checkpoint files instead of
+    killing the job (see ``operators/lineage.py``).
     """
+    from mission_data_pipeline_spark.operators.lineage import make_truncator
+
+    trunc = make_truncator(checkpoint_dir)
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     # Checkpoint the symmetrized edge list: it joins against labels in
     # EVERY round, and without a checkpoint each round re-executes the
     # caller's whole pair-generation pipeline (MinHash/SimHash candidate
     # construction — typically far more expensive than the propagation
     # itself). Pair-graph-sized.
-    edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = trunc(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
-    labels = (
+    labels = trunc(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     # max_iter bounds the *propagation* rounds; one extra round is allowed
     # so a graph that converges exactly at max_iter hops can verify that
@@ -298,8 +304,8 @@ def connected_components(
                     != F.col("old_comp")
                 ).alias("__ch"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = trunc(new_labels)
         changed = new_labels.filter(F.col("__ch")).limit(1).count()
         labels = new_labels.drop("__ch")
         if changed == 0:

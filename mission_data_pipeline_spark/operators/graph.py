@@ -10,9 +10,10 @@ Scale shape per iteration: ranks ⋈ edges on ``src`` (both sides hash on
 the join key), contributions groupBy ``dst`` (map-side partial), plus
 one broadcast one-row frame for the dangling-mass total — the classic
 join-agg PageRank, O(edges) shuffle per iteration, no driver-side graph.
-``localCheckpoint`` flattens lineage each round (same discipline as
-connected_components; an unflattened 10-iteration plan re-executes the
-whole chain at every action).
+Lineage is truncated each round (same discipline as connected_components;
+an unflattened 10-iteration plan re-executes the whole chain at every
+action) — ``localCheckpoint`` locally, reliable ``checkpoint_dir`` on a
+cluster (``operators/lineage.py``).
 
 Determinism: per-edge contributions are rounded to 12 decimals and
 summed as DECIMAL(30,12) — float addition order across partitions would
@@ -34,6 +35,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank. Returns ``(node, rank)`` for every node
     appearing as source or destination; ranks sum to ~1.
@@ -43,7 +45,15 @@ def pagerank(
     leaks every iteration. Duplicate edges count once per occurrence
     (a multigraph; pre-``distinct`` the edges for simple-graph
     semantics). ``checkpoint=False`` keeps full lineage (tests only).
+
+    ``checkpoint_dir=None`` truncates lineage via ``localCheckpoint``
+    (executor-local, NOT fault-tolerant); on a real cluster pass a
+    reliable dir (HDFS/S3A) so executor loss mid-iteration recovers
+    from checkpoint files (see ``operators/lineage.py``).
     """
+    from mission_data_pipeline_spark.operators.lineage import make_truncator
+
+    trunc = make_truncator(checkpoint_dir)
     if n_iter < 1:
         raise ValueError("pagerank needs n_iter >= 1")
     if not (0.0 < damping < 1.0):
@@ -57,7 +67,7 @@ def pagerank(
         .distinct()
     )
     if checkpoint:
-        nodes = nodes.localCheckpoint()
+        nodes = trunc(nodes)
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # out-degree rides on the node table so each iteration joins
     # ranks⋈edges only once; deg=null marks dangling nodes
@@ -65,7 +75,7 @@ def pagerank(
         "node", "deg"
     )
     if checkpoint:
-        base = base.localCheckpoint()
+        base = trunc(base)
     n_total = base.agg(F.count("*").alias("n"))
     ranks = base.crossJoin(F.broadcast(n_total)).select(
         "node",
@@ -112,5 +122,5 @@ def pagerank(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint()
+            ranks = trunc(ranks)
     return ranks.select("node", "rank")

@@ -1,0 +1,53 @@
+"""Lineage truncation for iterative operators: local vs reliable.
+
+Iterative DataFrame algorithms (connected components, PageRank) must
+flatten lineage every round — an unflattened k-iteration plan re-executes
+the whole chain at every action. Two mechanisms:
+
+- ``localCheckpoint`` (default): materializes blocks on the *executors'*
+  local storage. Cheap and right for local mode / short jobs, but on a
+  real cluster the blocks die with their executor — one lost executor
+  mid-fixpoint kills the job, because truncated lineage cannot recompute.
+- reliable ``checkpoint`` (``checkpoint_dir=...``): materializes to the
+  given directory via Spark's RDD checkpoint mechanism — any
+  Hadoop-compatible filesystem (HDFS, S3A, local path). Executor loss
+  recovers by re-reading the checkpoint files. This is the 100 TB
+  hardening: a 20-round fixpoint over a 1000-executor cluster WILL see
+  executor churn.
+
+The helper returns a ``df -> df`` truncation function so operator loops
+stay mechanism-agnostic. ``setCheckpointDir`` is SparkContext-global;
+we only ever set it (never unset), and setting it again with the same
+dir is a no-op, so concurrent operators sharing one session must share
+one dir — document, don't fight, Spark's model. Checkpoint files are
+cleaned by Spark when ``spark.cleaner.referenceTracking.cleanCheckpoints``
+is enabled; otherwise the caller owns the directory's lifecycle.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+__all__ = ["make_truncator"]
+
+
+def make_truncator(
+    checkpoint_dir: str | None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Returns an eager lineage-truncation function.
+
+    ``checkpoint_dir=None`` → ``localCheckpoint`` (executor-local, fast,
+    not fault-tolerant). Otherwise → reliable ``checkpoint`` into
+    ``checkpoint_dir`` (survives executor loss).
+    """
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+
+    def reliable(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+
+    return reliable

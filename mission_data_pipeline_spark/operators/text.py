@@ -362,6 +362,14 @@ def _heavy_tail_join(
     ``left.join(freq, key)``; ``heavy_k=0`` disables the split."""
     if heavy_k <= 0:
         return left.join(freq, key)
+    if len(freq.columns) != 2:
+        # cnt below picks "the" non-key column, and the tail branch drops
+        # only that one column before re-joining freq — a 3+-column freq
+        # would surface duplicate/ambiguous columns downstream.
+        raise ValueError(
+            "_heavy_tail_join needs freq = exactly [key, count] columns; "
+            f"got {freq.columns} — select it down before the split"
+        )
     cnt = [c for c in freq.columns if c != key][0]
     heavy = freq.orderBy(F.col(cnt).desc(), F.col(key)).limit(heavy_k)
     tagged = left.join(broadcast(heavy), key, "left")

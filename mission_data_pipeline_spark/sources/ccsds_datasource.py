@@ -26,6 +26,7 @@ ranges comes from the same resync + tail-overlap convention.
 
 from __future__ import annotations
 
+import logging
 import os
 from collections.abc import Iterator
 from glob import glob
@@ -73,6 +74,8 @@ _ARROW_SCHEMA = pa.schema(
 )
 
 _TRUE = {"true", "1", "yes"}
+
+log = logging.getLogger("mission_data_pipeline_spark.sources.ccsds")
 
 
 class CcsdsDataSource(DataSource):
@@ -156,6 +159,24 @@ class CcsdsStreamReader(SimpleDataSourceStreamReader):
     (``trusted_start``). SimpleDataSourceStreamReader reads on the
     driver — right for telemetry-downlink rates (Mbps); a
     partition-based streamReader is the upgrade path for higher rates.
+
+    Backpressure & poison tails:
+
+    - ``max_bytes_per_batch`` (default 64 MiB) bounds the bytes the
+      driver reads per micro-batch ACROSS files; a large backlog (first
+      start against months of recordings) drains over several batches
+      instead of one driver-memory spike. Splitting mid-file is safe by
+      construction: the walk consumes only complete packets inside the
+      window and the offset stays on a packet boundary.
+    - ``skip_stuck_tail_after`` (default 0 = off): a *garbage* tail
+      after the last complete packet can never parse, so the offset
+      would re-read and re-parse it every micro-batch forever. When set
+      to N, a file whose (offset, size) makes no progress for N
+      consecutive batches gets its tail skipped with a loud warning.
+      OFF by default because the same signature describes a stalled
+      writer mid-packet — skipping would drop the packet's prefix and
+      desync the remainder; enable it for sources known to terminate
+      recordings with trailer garbage.
     """
 
     def __init__(self, options: dict):
@@ -163,6 +184,14 @@ class CcsdsStreamReader(SimpleDataSourceStreamReader):
         if not path:
             raise ValueError("ccsds stream source needs a path")
         self._path = path
+        self._max_bytes = int(
+            options.get("max_bytes_per_batch", 64 * 1024 * 1024)
+        )
+        if self._max_bytes <= 0:
+            raise ValueError("max_bytes_per_batch must be positive")
+        self._skip_stuck_after = int(options.get("skip_stuck_tail_after", 0))
+        #: path -> [(offset, size), consecutive_no_progress_batches]
+        self._stall: dict[str, list] = {}
         self._opts = {
             "sec_hdr_length": int(options.get("sec_hdr_length", 0)),
             "frame_sync": str(options.get("frame_sync", "false")).lower()
@@ -207,18 +236,24 @@ class CcsdsStreamReader(SimpleDataSourceStreamReader):
         consumed = dict(start.get("files", {}))
         rows: list[tuple] = []
         names = [f.name for f in PACKET_SCHEMA.fields]
+        budget = self._max_bytes
         for path in self._files():
+            if budget <= 0:
+                break  # backlog drains over subsequent micro-batches
             done = int(consumed.get(path, 0))
             size = os.path.getsize(path)
             if size <= done:
+                self._stall.pop(path, None)
                 continue
+            to_read = min(size - done, budget)
             with open(path, "rb") as f:
                 f.seek(done)
-                buf = f.read(size - done)
+                buf = f.read(to_read)
+            budget -= len(buf)
             row = {
                 "path": os.path.abspath(path),
                 "range_start": done,
-                "range_end": size,
+                "range_end": done + len(buf),
                 "file_size": size,
                 "trusted_start": True,
                 **self._opts,
@@ -230,10 +265,37 @@ class CcsdsStreamReader(SimpleDataSourceStreamReader):
             # including APID-filtered ones — a filtered tail packet must
             # not stall the offset), while rows carry the filtered set.
             offs = _walk_offsets(buf, row, eof_in_buf=False)
+            new_done = done
             if offs:
                 o = offs[-1]
                 plen = ((buf[o + 4] << 8) | buf[o + 5]) + 7
-                consumed[path] = done + o + plen
+                new_done = done + o + plen
+                consumed[path] = new_done
+            # Stuck-tail escape hatch: only considered when this batch
+            # saw the file's WHOLE remaining region (a budget-limited
+            # window legitimately makes no terminal progress).
+            if self._skip_stuck_after > 0 and to_read == size - done:
+                if new_done < size:
+                    key = (new_done, size)
+                    st = self._stall.get(path)
+                    if st is not None and st[0] == key:
+                        st[1] += 1
+                        if st[1] >= self._skip_stuck_after:
+                            log.warning(
+                                "ccsds stream: %d unparseable tail bytes in "
+                                "%s made no progress for %d batches — "
+                                "skipping to EOF (skip_stuck_tail_after=%d)",
+                                size - new_done,
+                                path,
+                                st[1],
+                                self._skip_stuck_after,
+                            )
+                            consumed[path] = size
+                            self._stall.pop(path, None)
+                    else:
+                        self._stall[path] = [key, 1]
+                else:
+                    self._stall.pop(path, None)
             cols = _columns_from_offsets(buf, offs, row)
             for i in range(len(cols["apid"])):
                 rows.append(

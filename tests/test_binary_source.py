@@ -268,3 +268,58 @@ def test_ccsds_streaming_tail_exactly_once(spark, tmp_path):
         r["seq_count"] for r in spark.read.parquet(out).collect()
     )
     assert got2 == list(range(60)) + list(range(100, 120))
+
+
+def test_ccsds_stream_reader_byte_budget_and_stuck_tail(tmp_path):
+    """Driver-side micro-batch controls (no Spark needed — the reader is
+    plain Python): max_bytes_per_batch drains a backlog across batches
+    on packet boundaries; skip_stuck_tail_after advances past a garbage
+    tail only after N no-progress batches (and only when enabled)."""
+    import os
+    import struct
+
+    from mission_data_pipeline_spark.models.ccsds import build_packet
+    from mission_data_pipeline_spark.sources.ccsds_datasource import (
+        CcsdsStreamReader,
+    )
+
+    src = str(tmp_path / "s"); os.makedirs(src)
+    pkts = [build_packet(0x123, i, struct.pack(">I", i)) for i in range(50)]
+    plen = len(pkts[0])
+    with open(f"{src}/a.bin", "wb") as f:
+        f.write(b"".join(pkts))
+
+    # budget of ~10 packets per batch: 50 packets drain in 5 batches,
+    # each offset on a packet boundary, nothing duplicated or lost
+    r = CcsdsStreamReader({"path": src, "max_bytes_per_batch": str(10 * plen)})
+    off = r.initialOffset()
+    seen = []
+    for _ in range(6):
+        it, off = r.read(off)
+        batch = list(it)
+        assert len(batch) <= 10
+        seen += [row[5] for row in batch]  # seq_count field
+        assert off["files"][f"{src}/a.bin"] % plen == 0
+    assert seen == list(range(50))
+
+    # garbage tail: default (0) never skips; N=3 skips on the 3rd
+    # consecutive no-progress batch with the offset jumping to EOF
+    with open(f"{src}/a.bin", "ab") as f:
+        f.write(b"\xde\xad\xbe\xef" * 3)
+    size = os.path.getsize(f"{src}/a.bin")
+    stay = CcsdsStreamReader({"path": src})
+    o = stay.initialOffset()
+    for _ in range(5):
+        _, o = stay.read(o)
+        assert o["files"][f"{src}/a.bin"] == 50 * plen  # never advances
+
+    skip = CcsdsStreamReader({"path": src, "skip_stuck_tail_after": "3"})
+    o = skip.initialOffset()
+    _, o = skip.read(o)          # batch 1: parses the 50 packets, tail stuck
+    assert o["files"][f"{src}/a.bin"] == 50 * plen
+    _, o = skip.read(o)          # no-progress 2
+    assert o["files"][f"{src}/a.bin"] == 50 * plen
+    _, o = skip.read(o)          # no-progress 3 -> skip to EOF
+    assert o["files"][f"{src}/a.bin"] == size
+    it, o = skip.read(o)
+    assert list(it) == []        # clean: nothing re-read afterwards

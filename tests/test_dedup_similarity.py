@@ -548,3 +548,22 @@ def test_pq_encode_and_rerank_properties(spark):
 
     with _pytest.raises(ValueError):
         pq_train_codebooks(emb, m=5, k=8, vec_col="v")  # 5 does not divide 16
+
+
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    """Reliable checkpoint_dir path: identical labels, files on disk."""
+    import os
+
+    from mission_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)], "doc_a long, doc_b long"
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no reliable checkpoint files written"
