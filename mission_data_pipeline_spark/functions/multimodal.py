@@ -10,15 +10,19 @@ headers with stdlib ``struct``, and :func:`decode_png_pixels` decodes
 full PNG pixel data (chunk walk → zlib IDAT inflate → NumPy scanline
 unfilter, all five filters) with no codec library at all —
 :func:`image_pixel_stats` runs it over Arrow batches and
-:func:`encode_png` round-trips it for tests/fixtures. AUDIO decoding is
-REAL for uncompressed PCM WAV: :func:`decode_wav_samples` (RIFF walk →
-NumPy sample view) feeds :func:`audio_sample_stats` and the real audio
-features, with :func:`encode_wav` as the fixture mirror. JPEG entropy
-decode, compressed audio (MP3/AAC) and video SAMPLE decode remain
-STUBBED (``decoder="real"`` raises ``NotImplementedError`` for them)
-because those need codec libraries (PIL/ffmpeg/librosa) this
-environment lacks; ``decoder="fake"`` is their deterministic test
-double.
+:func:`encode_png` round-trips it for tests/fixtures. JPEG entropy
+decode is ALSO real — ``functions/jpeg.py`` implements the baseline
+sequential profile (Huffman decode, dequantize, matmul-IDCT, chroma
+upsample, YCbCr→RGB) in pure stdlib + NumPy, with :func:`~.jpeg
+.encode_jpeg` as the fixture mirror; progressive/arithmetic streams
+return the None sentinel. AUDIO decoding is REAL for uncompressed PCM
+WAV: :func:`decode_wav_samples` (RIFF walk → NumPy sample view) feeds
+:func:`audio_sample_stats` and the real audio features, with
+:func:`encode_wav` as the fixture mirror. Compressed audio (MP3/AAC)
+and video SAMPLE decode remain STUBBED (``decoder="real"`` raises
+``NotImplementedError`` for them) because those genuinely need codec
+libraries (ffmpeg/librosa) this environment lacks; ``decoder="fake"``
+is their deterministic test double.
 
 Scale shape: decode is embarrassingly parallel and CPU-bound → Arrow
 batches through ``mapInPandas`` (never per-row UDFs), with
@@ -693,13 +697,17 @@ def image_pixel_stats(
     id_col: str = "item_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Decoded-pixel statistics per PNG payload: (width, height,
-    channels, px_sum, px_min, px_max, px_mean) — the feature-extraction
-    step of a multimodal curation pipeline, run on REAL pixels
-    (:func:`decode_png_pixels`), not headers. Undecodable payloads
-    yield null stats rows (sentinel, never a task failure). Arrow
-    batches through ``mapInPandas``; per-image work is independent, so
-    the operator scales with partitions like any map."""
+    """Decoded-pixel statistics per PNG or baseline-JPEG payload:
+    (width, height, channels, px_sum, px_min, px_max, px_mean) — the
+    feature-extraction step of a multimodal curation pipeline, run on
+    REAL pixels (:func:`decode_png_pixels` /
+    :func:`~mission_data_pipeline_spark.functions.jpeg
+    .decode_jpeg_pixels`), not headers. Undecodable payloads yield null
+    stats rows (sentinel, never a task failure). Arrow batches through
+    ``mapInPandas``; per-image work is independent, so the operator
+    scales with partitions like any map."""
+    from mission_data_pipeline_spark.functions.jpeg import decode_jpeg_pixels
+
     cols = media.select(
         F.col(id_col).cast("long").alias("item_id"),
         F.col(payload_col).alias("payload"),
@@ -710,6 +718,8 @@ def image_pixel_stats(
             recs = []
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
                 px = decode_png_pixels(payload)
+                if px is None:
+                    px = decode_jpeg_pixels(payload)
                 if px is None:
                     recs.append((item_id, None, None, None, None, None, None, None))
                 else:
@@ -744,18 +754,23 @@ def image_pixel_stats(
 
 def _real_image_feature(payload: bytes | None, dim: int) -> list[float]:
     """Real image feature vector. For a fully-decodable PNG
-    (:func:`decode_png_pixels`): [width, height, aspect, size, pixel
-    mean, pixel std, pixel min, pixel max] prefix — REAL pixel
-    statistics, not header guesses. For header-only/other formats
-    (JPEG/GIF/BMP — entropy decode needs codec libs this environment
-    lacks): [width, height, aspect, size] from the header parse. Both
+    (:func:`decode_png_pixels`) or baseline JPEG
+    (:func:`~mission_data_pipeline_spark.functions.jpeg
+    .decode_jpeg_pixels`): [width, height, aspect, size, pixel mean,
+    pixel std, pixel min, pixel max] prefix — REAL pixel statistics,
+    not header guesses. For header-only formats (GIF/BMP, progressive
+    JPEG): [width, height, aspect, size] from the header parse. Both
     fall back to a byte-histogram fold for remaining dims.
 
     Null or unrecognized payloads (not PNG/JPEG/GIF/BMP) yield the all-zero
     sentinel vector rather than raising: at scale one dirty row must never
     fail the whole ``mapInPandas`` task.
     """
+    from mission_data_pipeline_spark.functions.jpeg import decode_jpeg_pixels
+
     px = decode_png_pixels(payload)
+    if px is None:
+        px = decode_jpeg_pixels(payload)
     if px is not None:
         h, w, c = px.shape
         pf = px.astype("float64")
@@ -818,8 +833,8 @@ def extract_features(
 
     ``decoder='fake'``: deterministic byte-histogram features (test
     double for every modality). ``decoder='real'``: REAL features —
-    decoded-pixel statistics for PNG images / header fields for other
-    image formats (:func:`_real_image_feature`), decoded-sample
+    decoded-pixel statistics for PNG and baseline-JPEG images / header
+    fields for other image formats (:func:`_real_image_feature`), decoded-sample
     statistics for PCM WAV audio (:func:`_real_audio_feature`),
     byte-histogram for ``'text'``; compressed audio and ``'video'``
     rows raise ``NotImplementedError`` at execution (the remaining stub

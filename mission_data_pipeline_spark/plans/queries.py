@@ -5914,6 +5914,128 @@ _q(
 )
 
 
+def _jpeg_pixel_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG entropy decode (functions/jpeg.py — Huffman
+    decode, dequantize, matmul-IDCT, chroma upsample, YCbCr→RGB, all
+    pure stdlib + NumPy): 60 fixture JPEGs — grayscale and RGB flat
+    colors across qualities {50, 75, 90}, 4:4:4 / 4:2:2 / 4:2:0 chroma
+    subsampling, restart intervals 0-3 and non-multiple-of-8 sizes, so
+    the decoder exercises every baseline structure. FLAT colors because
+    the uniform-block quantization round-trip is exact scalar
+    arithmetic: the oracle recomputes every decoded sample value from
+    the spec formulas (quality-scaled Annex K q[0,0], half-up rounding,
+    the 1e-3 determinism snap, BT.601 both directions) — it never
+    touches JPEG bytes. Every fifth payload is truncated and must come
+    back as a null-stats sentinel. Gradient/tolerance coverage lives in
+    tests/test_jpeg.py; this query pins the exact arithmetic contract."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.jpeg import encode_jpeg
+    from mission_data_pipeline_spark.functions.multimodal import (
+        image_pixel_stats,
+    )
+
+    rows = []
+    for i in range(60):
+        w, h = i % 13 + 3, i % 11 + 2
+        quality = (50, 75, 90)[i % 3]
+        if i % 2 == 0:
+            px = np.full((h, w), (i * 37 + 11) % 256, dtype=np.uint8)
+            payload = encode_jpeg(px, quality=quality)
+        else:
+            rgb = ((i * 53) % 256, (i * 101 + 3) % 256, (i * 29 + 180) % 256)
+            px = np.full((h, w, 3), rgb, dtype=np.uint8)
+            payload = encode_jpeg(
+                px,
+                quality=quality,
+                subsample=((1, 1), (2, 1), (2, 2))[i % 3],
+                restart_interval=i % 4,
+            )
+        if i % 5 == 4:
+            payload = payload[: len(payload) // 2]  # corrupt: truncated
+        rows.append((i, bytearray(payload)))
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    return image_pixel_stats(media).orderBy("item_id")
+
+
+_q(
+    "x5_jpeg_pixel_stats",
+    Query(
+        _jpeg_pixel_stats_spark,
+        """
+        WITH imgs AS (
+          SELECT i AS item_id, i % 13 + 3 AS w, i % 11 + 2 AS h,
+                 CASE i % 3 WHEN 0 THEN 50 WHEN 1 THEN 75 ELSE 90 END AS q,
+                 i % 2 = 0 AS gray,
+                 i % 5 = 4 AS corrupt,
+                 CAST((i*37 + 11) % 256 AS DOUBLE) AS v,
+                 CAST((i*53) % 256 AS DOUBLE) AS r,
+                 CAST((i*101 + 3) % 256 AS DOUBLE) AS g,
+                 CAST((i*29 + 180) % 256 AS DOUBLE) AS b
+          FROM range(0, 60) t(i)
+        ),
+        qq AS (
+          SELECT *,
+                 LEAST(255, GREATEST(1, (16*scale + 50) // 100)) AS q0l,
+                 LEAST(255, GREATEST(1, (17*scale + 50) // 100)) AS q0c
+          FROM (SELECT *, CASE WHEN q < 50 THEN 5000 // q
+                               ELSE 200 - 2*q END AS scale FROM imgs)
+        ),
+        ycc AS (
+          SELECT *,
+                 0.299*r + 0.587*g + 0.114*b AS yy,
+                 -0.168736*r - 0.331264*g + 0.5*b + 128.0 AS cb,
+                 0.5*r - 0.418688*g - 0.081312*b + 128.0 AS cr
+          FROM qq
+        ),
+        -- decode one FLAT component: encoder coef snap -> quantize ->
+        -- dequantize -> decoder snap -> +128 level shift, half-up, clamp
+        dec AS (
+          SELECT *,
+            LEAST(255.0, GREATEST(0.0, FLOOR(FLOOR((FLOOR(FLOOR(8.0*(v - 128.0)*1000 + 0.5)/1000.0/q0l + 0.5)*q0l/8.0)*1000 + 0.5)/1000.0 + 128.0 + 0.5))) AS sv,
+            LEAST(255.0, GREATEST(0.0, FLOOR(FLOOR((FLOOR(FLOOR(8.0*(yy - 128.0)*1000 + 0.5)/1000.0/q0l + 0.5)*q0l/8.0)*1000 + 0.5)/1000.0 + 128.0 + 0.5))) AS syv,
+            LEAST(255.0, GREATEST(0.0, FLOOR(FLOOR((FLOOR(FLOOR(8.0*(cb - 128.0)*1000 + 0.5)/1000.0/q0c + 0.5)*q0c/8.0)*1000 + 0.5)/1000.0 + 128.0 + 0.5))) AS scb,
+            LEAST(255.0, GREATEST(0.0, FLOOR(FLOOR((FLOOR(FLOOR(8.0*(cr - 128.0)*1000 + 0.5)/1000.0/q0c + 0.5)*q0c/8.0)*1000 + 0.5)/1000.0 + 128.0 + 0.5))) AS scr
+          FROM ycc
+        ),
+        rgb AS (
+          SELECT *,
+            LEAST(255.0, GREATEST(0.0, FLOOR(syv + 1.402*(scr - 128.0) + 0.5))) AS dr,
+            LEAST(255.0, GREATEST(0.0, FLOOR(syv - 0.344136*(scb - 128.0) - 0.714136*(scr - 128.0) + 0.5))) AS dg,
+            LEAST(255.0, GREATEST(0.0, FLOOR(syv + 1.772*(scb - 128.0) + 0.5))) AS db
+          FROM dec
+        )
+        SELECT item_id,
+          CASE WHEN corrupt THEN NULL ELSE CAST(w AS INT) END AS width,
+          CASE WHEN corrupt THEN NULL ELSE CAST(h AS INT) END AS height,
+          CASE WHEN corrupt THEN NULL
+               ELSE CAST(CASE WHEN gray THEN 1 ELSE 3 END AS INT) END AS channels,
+          CASE WHEN corrupt THEN NULL
+               ELSE CAST(w*h*CASE WHEN gray THEN sv ELSE dr + dg + db END AS BIGINT)
+               END AS px_sum,
+          CASE WHEN corrupt THEN NULL
+               ELSE CAST(CASE WHEN gray THEN sv
+                              ELSE LEAST(dr, dg, db) END AS INT) END AS px_min,
+          CASE WHEN corrupt THEN NULL
+               ELSE CAST(CASE WHEN gray THEN sv
+                              ELSE GREATEST(dr, dg, db) END AS INT) END AS px_max,
+          CASE WHEN corrupt THEN NULL
+               ELSE ROUND(CASE WHEN gray THEN sv
+                               ELSE (dr + dg + db)/3.0 END, 6) END AS px_mean
+        FROM rgb
+        ORDER BY item_id
+        """,
+        "X5",
+        "REAL baseline-JPEG entropy decode (pure stdlib+NumPy Huffman/"
+        "IDCT, functions/jpeg.py): flat-color fixtures across qualities, "
+        "chroma subsampling modes, restart markers and odd sizes; the "
+        "oracle recomputes every decoded sample from the spec arithmetic "
+        "(quality-scaled Annex K tables, half-up rounding, BT.601) and "
+        "truncated payloads must yield null sentinels",
+    ),
+)
+
+
 def _audio_sample_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM WAV sample decode (functions/multimodal.py
     decode_wav_samples — RIFF chunk walk + NumPy sample view, stdlib
@@ -8649,62 +8771,189 @@ _q(
 
 
 # ---------------------------------------------------------------------------
-# Driver-check ordering (round 5). The driver verifies the first ~50 QUERIES
+# Driver-check ordering (round 6). The driver verifies the first ~50 QUERIES
 # entries per round; this list is rebuilt each round so cumulative driver
-# coverage stays fresh. Slots 1-5: queries NEW this round (never
-# driver-checked: PNG pixel stats, WAV sample stats, ccsds DataSource,
-# stream-join restart, compaction). Slots 6-35: every query whose PLAN
-# changed this round (word_ngrams regex rewrite consumers, logprob hash/
-# checkpoint rewrites, as-of refactor, merge-sink validation, scratch-dir
-# conversions, real-feature decoder branch), ordered stalest-first.
-# Slots 36+: all remaining queries ordered by last driver-checked round
-# (r01 first), so the window keeps rotating through the stale tail.
+# coverage stays fresh. Slots 1-2: queries NEW this round (JPEG pixel
+# stats, at-scale Q5). Slots 3-41: every query whose PLAN or ORACLE
+# changed this round (sessionization output bound, oracle trim() mirror,
+# lineage-truncator refactor, multimodal JPEG-fallback integration,
+# scratch-dir process-private rework). Slots 42+: all remaining queries
+# ordered by last driver-checked round (r01 tail first, then r02, r03,
+# r04, r05) so the window keeps rotating through the stale tail.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    "s1_ccsds_streaming_tail",
-    "x4_heldout_backoff_logprob",
-    "g_pagerank",
-    "curation_leakage_safe_split",
-    "x3_pq_rerank_topk",
-    "x5_image_pixel_stats",
-    "x5_audio_sample_stats",
-    "s1_ccsds_datasource_scan",
-    "w_streaming_stream_join_restart",
-    "l_compact_roundtrip",
-    "x2_minhash_bands",
-    "x2_lsh_near_dedup_survivors",
-    "x2_simhash_fingerprint",
-    "x2_duplicate_components",
-    "x4_repetition_signals",
-    "curation_decontaminate",
-    "asof_join_latest_purchase",
-    "x2_simhash_near_pairs",
-    "x2_canonical_per_cluster",
-    "x4_bigram_logprob",
+    "x5_jpeg_pixel_stats",
+    "q5_bucketed_broadcast_dims",
+    "w4_sessionization",
     "x4_unigram_logprob",
-    "l_parquet_roundtrip",
-    "l_csv_roundtrip",
-    "l_jsonl_roundtrip",
-    "s_warc_ingest",
+    "x4_bigram_logprob",
+    "x4_heldout_backoff_logprob",
+    "x4_tfidf_sparse",
+    "x4_bm25_relevance",
+    "x4_top_terms",
+    "x4_zipf_slope",
+    "x4_lang_id_confusion",
+    "x2_lsh_near_dedup_survivors",
+    "x2_duplicate_span_fraction",
+    "curation_decontaminate",
+    "x4_repetition_signals",
+    "curation_quality_tiers",
+    "curation_token_packing",
+    "curation_c4_signals",
+    "g_pagerank",
+    "x2_duplicate_components",
+    "x2_canonical_per_cluster",
+    "curation_leakage_safe_split",
+    "x5_image_pixel_stats",
+    "x5_multimodal_features",
+    "q3_bucketed_colocated",
+    "q5_nation_revenue",
+    "x3_ivf_disk_index_topk",
+    "l_compact_roundtrip",
+    "s1_ccsds_datasource_scan",
+    "s1_ccsds_streaming_tail",
+    "w_streaming_stream_join_restart",
+    "w_streaming_foreachbatch_upsert",
+    "s_jsonl_corrupt_quarantine",
     "s2_csv_source_e2e",
     "etl_binary_decom_calibrate_e2e",
-    "x5_multimodal_features",
-    "x2_ngram_jaccard_pairs",
-    "x2_duplicate_span_fraction",
-    "curation_quality_tiers",
-    "l_merge_upsert_roundtrip",
-    "w_streaming_foreachbatch_upsert",
-    "q3_bucketed_colocated",
-    "x3_ivf_disk_index_topk",
-    "s_jsonl_corrupt_quarantine",
+    "s_warc_ingest",
+    "l_jsonl_roundtrip",
+    "l_parquet_roundtrip",
     "l_orc_roundtrip",
-    "w3_streaming_stateful_cumulative",
-    "x6_constraint_report",
-    "udaf_grouped_median",
+    "l_merge_upsert_roundtrip",
+    "l_csv_roundtrip",
+    "correlated_scalar_subquery",
+    "d3_pivot_wide",
+    "d4_union_all",
+    "d8_top_n_preview",
+    "date_extract_parts",
+    "filter_between_range",
+    "j2_left_join_config",
+    "join_cross_small",
+    "join_full_outer",
+    "join_right",
+    "join_semi_exists",
+    "q3_shipping_priority",
+    "s2_unpivot_melt",
+    "set_intersect",
+    "set_union_distinct",
+    "t10_piecewise_clamp",
+    "t5_string_functions",
+    "t7_coalesce_fallback",
+    "t8_filter_exclude",
+    "t9_polynomial_calibration",
+    "w1_tumbling_window",
+    "w_lag_delta_gap",
+    "w_moving_average",
+    "w_rank_orders_by_priority",
+    "w_row_number_first_events",
+    "w_running_sum",
+    "x1_distinct_dedup",
+    "x4_fingerprint",
+    "x4_lang_signal",
+    "x4_quality_score",
+    "x4_token_stats",
+    "x6_json_extract_agg",
+    "agg_percentiles",
+    "agg_stats_corr",
+    "curation_hash_sample",
+    "curation_mixture_sample",
+    "curation_pii_scrub",
+    "curation_stratified_sample",
+    "d2_tidy_projection_sorted",
+    "d6_per_name_time_range",
+    "frames_to_packets_roundtrip",
+    "q14_promo_effect",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "range_join_event_pairs",
+    "time_bucket_rollup",
+    "w2_sliding_window",
+    "w4_last_wins_dedup",
+    "w_analytic_functions",
+    "w_forward_fill_hold",
+    "w_interpolate_linear",
+    "w_ranking_functions",
+    "x3_cosine_topk_bruteforce",
+    "x3_knn_label_vote",
+    "x3_quantize_embeddings",
+    "x3_vector_array_stats",
+    "x5_audio_meta_decode",
+    "x5_image_meta_decode",
+    "x5_multimodal_payload_meta",
+    "x5_video_meta_decode",
+    "agg_conditional_bool",
+    "agg_distinct_by_group",
+    "agg_two_phase_distinct",
+    "agg_variance_manual",
+    "curation_content_filter",
+    "curation_normalize_text",
+    "decode_golden_matrix",
+    "limit_check_alarm",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "s2_native_unpivot",
+    "w1_native_tumbling_window",
+    "w1_streaming_tumbling",
+    "w4_native_session_window",
+    "w4_streaming_dedup",
+    "x1_incremental_dedup",
+    "x2_embedding_near_dup",
+    "x4_token_count_bpe",
+    "x5_frame_sample",
+    "x5_media_stats",
+    "agg_approx_percentile_bound",
+    "agg_hll_distinct_bound",
+    "agg_kll_quantile_bound",
+    "agg_theta_distinct_bound",
+    "agg_value_histogram",
+    "curation_chunk_tokens",
+    "curation_split_assign",
+    "curation_temperature_sample",
+    "curation_weighted_sample",
+    "grouping_sets_mixed",
+    "j_fuzzy_match_join",
+    "join_anti",
+    "join_null_safe_eq",
+    "rollup_flag_status",
+    "s3_filter_pushdown_in",
+    "set_bag_semantics_all",
+    "set_except",
+    "udtf_token_spans",
+    "w_ewma_smooth",
+    "w_funnel_depth_histogram",
+    "w_retention_cohorts",
+    "w_scd2_intervals",
+    "w_streaming_static_enrich",
+    "w_streaming_stream_join",
+    "w_top_user_journeys",
+    "w_zscore_anomaly",
+    "x1_dedup_exact_hash",
+    "x3_ann_recall",
+    "x3_ivf_topk_ann",
+    "x3_kmeans_ivf_topk",
+    "x3_lsh_topk_ann",
+    "x4_winnow_fingerprint",
+    "x6_table_profile",
     "agg_global_stats",
     "agg_having",
     "agg_salted_avg",
+    "asof_join_latest_purchase",
     "case_bucketing",
     "cube_priority_status",
     "j1_broadcast_dim_join",
@@ -8712,141 +8961,15 @@ _CHECK_FIRST = [
     "j_salted_skew_join",
     "q10_returned_items",
     "q11_important_stock",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q1_pricing_summary",
-    "q22_global_sales_opportunity",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "range_join_event_pairs",
-    "rollup_flag_status",
-    "s3_filter_pushdown_in",
-    "w1_native_tumbling_window",
-    "w2_sliding_window",
-    "w_analytic_functions",
-    "w_rank_orders_by_priority",
-    "x4_bm25_relevance",
-    "x4_tfidf_sparse",
-    "t8_filter_exclude",
-    "filter_between_range",
-    "t7_coalesce_fallback",
-    "t9_polynomial_calibration",
-    "t10_piecewise_clamp",
-    "t5_string_functions",
-    "d8_top_n_preview",
-    "date_extract_parts",
-    "j2_left_join_config",
-    "join_right",
-    "join_full_outer",
-    "join_semi_exists",
-    "join_cross_small",
-    "correlated_scalar_subquery",
-    "d4_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "x1_distinct_dedup",
-    "d3_pivot_wide",
-    "s2_unpivot_melt",
-    "w_row_number_first_events",
-    "w_lag_delta_gap",
-    "w_running_sum",
-    "w_moving_average",
-    "w1_tumbling_window",
-    "x6_json_extract_agg",
-    "x4_token_stats",
-    "x4_quality_score",
-    "x4_lang_signal",
-    "x4_fingerprint",
-    "w4_sessionization",
-    "x3_cosine_topk_bruteforce",
-    "x3_knn_label_vote",
-    "x5_multimodal_payload_meta",
-    "d6_per_name_time_range",
-    "d2_tidy_projection_sorted",
-    "curation_token_packing",
-    "w_interpolate_linear",
-    "w_forward_fill_hold",
-    "curation_hash_sample",
-    "curation_stratified_sample",
-    "curation_mixture_sample",
-    "curation_pii_scrub",
-    "curation_c4_signals",
-    "x3_quantize_embeddings",
-    "x5_audio_meta_decode",
-    "x5_video_meta_decode",
-    "frames_to_packets_roundtrip",
-    "x5_image_meta_decode",
-    "w4_last_wins_dedup",
-    "w_ranking_functions",
-    "time_bucket_rollup",
-    "agg_percentiles",
-    "agg_stats_corr",
-    "x3_vector_array_stats",
-    "q4_order_priority",
-    "q20_volume_suppliers",
-    "q21_waiting_suppliers",
-    "agg_variance_manual",
-    "agg_distinct_by_group",
-    "w1_streaming_tumbling",
-    "w4_streaming_dedup",
-    "s2_native_unpivot",
-    "w4_native_session_window",
-    "x2_embedding_near_dup",
-    "x5_frame_sample",
-    "x5_media_stats",
-    "x4_top_terms",
-    "x4_token_count_bpe",
-    "decode_golden_matrix",
-    "agg_conditional_bool",
-    "agg_two_phase_distinct",
-    "q12_shipmode_priority",
-    "q2_min_cost_supplier",
-    "q13_customer_distribution",
-    "q16_supplier_part_count",
-    "limit_check_alarm",
-    "x1_incremental_dedup",
-    "curation_normalize_text",
-    "curation_content_filter",
-    "grouping_sets_mixed",
-    "join_anti",
-    "set_except",
-    "set_bag_semantics_all",
-    "join_null_safe_eq",
-    "w_streaming_static_enrich",
-    "udtf_token_spans",
-    "x6_table_profile",
-    "j_fuzzy_match_join",
-    "w_scd2_intervals",
-    "w_top_user_journeys",
-    "w_funnel_depth_histogram",
-    "w_retention_cohorts",
-    "w_streaming_stream_join",
-    "x4_winnow_fingerprint",
-    "x4_lang_id_confusion",
-    "x1_dedup_exact_hash",
-    "x3_kmeans_ivf_topk",
-    "curation_chunk_tokens",
-    "w_ewma_smooth",
-    "w_zscore_anomaly",
-    "curation_temperature_sample",
-    "curation_split_assign",
-    "curation_weighted_sample",
-    "x4_zipf_slope",
-    "x3_lsh_topk_ann",
-    "agg_hll_distinct_bound",
-    "agg_approx_percentile_bound",
-    "agg_kll_quantile_bound",
-    "agg_theta_distinct_bound",
-    "agg_value_histogram",
-    "x3_ivf_topk_ann",
-    "x3_ann_recall",
+    "udaf_grouped_median",
+    "w3_streaming_stateful_cumulative",
+    "x2_minhash_bands",
+    "x2_ngram_jaccard_pairs",
+    "x2_simhash_fingerprint",
+    "x2_simhash_near_pairs",
+    "x3_pq_rerank_topk",
+    "x5_audio_sample_stats",
+    "x6_constraint_report",
 ]
 
 QUERIES = {
