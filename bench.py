@@ -87,6 +87,9 @@ EXTENDED = [
     # round 6: Q5 in the at-scale shape (dims broadcast + bucketed facts,
     # zero fact shuffles — includes the bucketed staging write each run)
     "q5_bucketed_broadcast_dims",
+    # round 6: SemDeDup cluster-scoped semantic dedup (argmax assign +
+    # within-cluster pairs + component closure)
+    "x2_semantic_dedup",
 ]
 
 N_ETL_PACKETS = 200_000

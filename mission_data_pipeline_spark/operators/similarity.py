@@ -607,6 +607,93 @@ def quantize_embeddings(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic deduplication (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): drop embedding-near-duplicates, keeping
+    one canonical representative (min id) per semantic group. Returns
+    the surviving ``corpus`` rows unchanged.
+
+    The scale idea is the paper's: NEVER compare the corpus to itself.
+    1. Each vector is assigned to its nearest coarse centroid — an
+       Arrow-batched NumPy argmax against a broadcast literal codebook
+       (:func:`_np_argmax_udf`): map-side, zero shuffle.
+    2. Candidate pairs are generated WITHIN clusters only (equi-join on
+       ``centroid_id``), so pair volume is Σ n_c² over clusters instead
+       of n² — with k ∝ corpus size, clusters stay bounded and the
+       candidate step stays linear-ish. Pairs keep
+       ``round(cosine, round_digits) > threshold`` (rounded so
+       membership is engine- and run-reproducible).
+    3. Pairs close into semantic groups via
+       :func:`~mission_data_pipeline_spark.operators.dedup
+       .connected_components` (path-halving min-label fixpoint,
+       lineage-truncated per round; pass ``checkpoint_dir`` for
+       reliable checkpoints on a real cluster).
+    4. Non-canonical members (``node != component_id``) are dropped by
+       a left-anti join.
+
+    Caveat mirrored from the paper: a skewed cluster (one giant
+    semantic blob) makes its within-cluster join quadratic — size the
+    codebook so expected cluster size stays in the thousands, or
+    pre-split hot clusters with a second-level codebook.
+    """
+    from mission_data_pipeline_spark.functions.vectors import cosine_similarity
+    from mission_data_pipeline_spark.operators.dedup import connected_components
+
+    cents = _centroid_literals(centroids)
+    if not cents:
+        raise ValueError("semantic_dedup needs at least one centroid")
+    np_assign = _np_argmax_udf(cents, round_digits=round_digits)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = corpus.select(
+        F.col(id_col).alias("__sd_id"),
+        v.alias("__sd_v"),
+        np_assign(F.col(vec_col)).alias("__sd_cid"),
+    ).filter(F.col("__sd_cid").isNotNull())
+    a = assigned.select(
+        F.col("__sd_cid").alias("cid"),
+        F.col("__sd_id").alias("id_a"),
+        F.col("__sd_v").alias("va"),
+    )
+    b = assigned.select(
+        F.col("__sd_cid").alias("cid"),
+        F.col("__sd_id").alias("id_b"),
+        F.col("__sd_v").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                cosine_similarity(F.col("va"), F.col("vb")), round_digits
+            )
+            > threshold
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        pairs,
+        id_a="id_a",
+        id_b="id_b",
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
+    dropped = comp.filter(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return corpus.join(dropped, id_col, "left_anti")
+
+
 def ann_recall(
     approx: DataFrame, exact: DataFrame, *, k: int = 10
 ) -> DataFrame:

@@ -3507,6 +3507,85 @@ _q(
     ),
 )
 
+
+def _semantic_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup (operators/
+    similarity.py semantic_dedup): deterministic coarse centroids →
+    map-side argmax assignment → WITHIN-cluster cosine pairs only
+    (never corpus x corpus) → connected-component semantic groups →
+    min-id canonical survivor per group. Deterministic centroids keep
+    the whole pipeline SQL-replayable, so unlike the kmeans/PQ recall
+    bounds this is an EXACT survivor-set match."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        default_centroids,
+        semantic_dedup,
+    )
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 300)
+    cents = default_centroids(emb, n_centroids=16)
+    out = semantic_dedup(emb, cents, threshold=0.35)
+    return out.select("vec_id").orderBy("vec_id")
+
+
+_q(
+    "x2_semantic_dedup",
+    Query(
+        _semantic_dedup_spark,
+        """
+        WITH RECURSIVE e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 300
+        ),
+        cents AS (
+          SELECT vec_id AS centroid_id, v AS cv FROM e
+          ORDER BY vec_id LIMIT 16
+        ),
+        assigned AS (
+          SELECT vec_id, v, centroid_id FROM (
+            SELECT e.vec_id, e.v, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
+                              DESC, c.centroid_id) AS rn
+            FROM e CROSS JOIN cents c) t
+          WHERE rn = 1
+        ),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assigned a JOIN assigned b
+            ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+          WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) > 0.35
+        ),
+        edges AS (
+          SELECT id_a AS ea, id_b AS eb FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT ea AS n FROM edges),
+        reach(src, n) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT r.src, g.eb FROM reach r JOIN edges g ON r.n = g.ea
+        ),
+        comp AS (SELECT src AS member, MIN(n) AS component_id
+                 FROM reach GROUP BY src)
+        SELECT vec_id FROM e
+        WHERE vec_id NOT IN
+              (SELECT member FROM comp WHERE member != component_id)
+        ORDER BY vec_id
+        """,
+        "X2,X3",
+        "SemDeDup-style semantic dedup (cluster-scoped: centroid argmax "
+        "assignment, within-cluster cosine pairs only, component "
+        "closure, min-id canonical survivor); deterministic centroids "
+        "make the survivor set an exact cross-engine match, and the "
+        "pair step never self-joins the whole corpus",
+    ),
+)
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (X5): opaque binary payload + typed metadata
 # ---------------------------------------------------------------------------
@@ -8783,6 +8862,7 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "x2_semantic_dedup",
     "x5_jpeg_pixel_stats",
     "q5_bucketed_broadcast_dims",
     "w4_sessionization",

@@ -567,3 +567,43 @@ def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
     found = [f for _, _, fs in os.walk(ckpt) for f in fs]
     assert found, "no reliable checkpoint files written"
+
+
+def test_semantic_dedup_cluster_scoped(spark, tmp_path):
+    """SemDeDup semantics: within-cluster near-dups collapse to the
+    min-id representative; distinct directions survive; candidate pairs
+    are generated only inside clusters (the paper's known limitation:
+    a near-dup pair split across clusters is NOT caught - asserted here
+    so the contract is pinned, not accidental)."""
+    from mission_data_pipeline_spark.operators.similarity import (
+        default_centroids,
+        semantic_dedup,
+    )
+
+    # two orthogonal directions; ids 0/1 seed the two centroids
+    ex = [1.0, 0.0, 0.0, 0.0]
+    ey = [0.0, 1.0, 0.0, 0.0]
+    ez = [0.0, 0.0, 1.0, 0.0]
+    mix = [0.8, 0.0, 0.6, 0.0]  # cos vs ex = 0.8 -> near-dup of 0 at 0.7
+    rows = [
+        (0, ex), (1, ey),
+        (10, [x * 2 for x in ex]),   # same direction as 0 -> dup
+        (11, mix),                   # cos 0.8 vs ex -> dup at thr 0.7
+        (12, [x * 3 for x in ey]),   # dup of 1
+        (13, ez),                    # assigned somewhere, no near-dup
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = default_centroids(emb, n_centroids=2)
+    out = semantic_dedup(emb, cents, threshold=0.7)
+    got = sorted(r["vec_id"] for r in out.collect())
+    assert got == [0, 1, 13]  # min-id canonical per semantic group
+
+    # higher threshold: 11 (cos 0.8) survives once threshold > 0.8
+    out2 = semantic_dedup(emb, cents, threshold=0.9)
+    assert sorted(r["vec_id"] for r in out2.collect()) == [0, 1, 11, 13]
+
+    # reliable checkpoint path is plumbed through to the component step
+    out3 = semantic_dedup(
+        emb, cents, threshold=0.7, checkpoint_dir=str(tmp_path / "sd")
+    )
+    assert sorted(r["vec_id"] for r in out3.collect()) == [0, 1, 13]
