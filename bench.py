@@ -166,7 +166,12 @@ def compact_inputs(spark, sf_dir: str) -> tuple[str, dict]:
     carries a ``layout`` stamp so compacted numbers can never be passed
     off as raw-layout numbers. The driver's own files are never touched.
     """
-    from mission_data_pipeline_spark.sinks.compact import compact_dataset
+    import math
+
+    from mission_data_pipeline_spark.sinks.compact import (
+        compact_dataset,
+        dataset_bytes,
+    )
     from mission_data_pipeline_spark.sources.tables import TABLES
 
     dst = os.path.join(
@@ -180,11 +185,23 @@ def compact_inputs(spark, sf_dir: str) -> tuple[str, dict]:
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
     for t in TABLES:
-        # broadcast dims stay single-file; fact/corpus tables split
-        min_files = 1 if t in ("region", "nation") else 32
+        src = f"{sf_dir}/{t}.parquet"
+        # Size-proportional splitting (the first 32-files-for-everything
+        # attempt measured a net LOSS at sf0.1: per-file overhead swamps
+        # tiny tables — see BASELINE.md round 6). Broadcast dims stay
+        # single-file; CPU-per-row corpora (text/vectors) get a floor of
+        # 8 splits regardless of bytes; relational tables split by size.
+        if t in ("region", "nation"):
+            min_files = 1
+        elif t in ("documents", "embeddings"):
+            min_files = 8
+        else:
+            min_files = max(
+                1, min(32, math.ceil(dataset_bytes(src) / (2 * 1024 * 1024)))
+            )
         files[t] = compact_dataset(
             spark,
-            f"{sf_dir}/{t}.parquet",
+            src,
             f"{dst}/{t}.parquet",
             target_file_bytes=64 * 1024 * 1024,
             min_files=min_files,

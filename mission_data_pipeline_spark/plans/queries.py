@@ -2788,6 +2788,68 @@ _q(
     _dialect(_sql_json, _duck_json, "X6", "JSON field extraction + typed aggregation over events.props"),
 )
 
+# Spark 4 native VARIANT: PARSE_JSON parses each document ONCE into the
+# binary variant encoding; every VARIANT_GET then navigates the decoded
+# tree directly — the engine-native replacement for string-JSON
+# get_json_object, which re-tokenizes the whole string per extraction
+# (k extractions = k parses). At 100 TB of semi-structured rows the
+# parse-once/extract-many shape (plus columnar variant shredding in
+# parquet writers that support it) is the difference between one scan
+# and k scans' worth of CPU. The nested fixture JSON is built with the
+# same CONCAT in both engines; DuckDB extracts with its JSON functions.
+_q(
+    "x6_variant_json_shred",
+    _dialect(
+        """
+        WITH j AS (
+          SELECT doc_id,
+                 CONCAT('{"id": ', CAST(doc_id AS STRING),
+                        ', "meta": {"lang": "', lang,
+                        '", "n": ', CAST(LENGTH(text) AS STRING),
+                        '}, "tags": [', CAST(doc_id % 5 AS STRING),
+                        ', ', CAST(doc_id % 7 AS STRING), ']}') AS js
+          FROM documents WHERE doc_id < 400
+        ),
+        v AS (SELECT doc_id, PARSE_JSON(js) AS pv FROM j)
+        SELECT CAST(VARIANT_GET(pv, '$.meta.lang', 'string') AS STRING) AS lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(VARIANT_GET(pv, '$.meta.n', 'long')) AS BIGINT) AS sum_n,
+               CAST(SUM(VARIANT_GET(pv, '$.tags[1]', 'long')) AS BIGINT) AS sum_tag1,
+               CAST(MAX(VARIANT_GET(pv, '$.id', 'long')) AS BIGINT) AS max_id,
+               CAST(COUNT(CASE WHEN TRY_VARIANT_GET(pv, '$.missing', 'long')
+                                    IS NULL THEN 1 END) AS BIGINT) AS n_no_field
+        FROM v GROUP BY 1 ORDER BY lang
+        """,
+        """
+        WITH j AS (
+          SELECT doc_id,
+                 CONCAT('{"id": ', CAST(doc_id AS VARCHAR),
+                        ', "meta": {"lang": "', lang,
+                        '", "n": ', CAST(LENGTH(text) AS VARCHAR),
+                        '}, "tags": [', CAST(doc_id % 5 AS VARCHAR),
+                        ', ', CAST(doc_id % 7 AS VARCHAR), ']}') AS js
+          FROM documents WHERE doc_id < 400
+        )
+        SELECT json_extract_string(js, '$.meta.lang') AS lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CAST(json_extract(js, '$.meta.n') AS BIGINT)) AS BIGINT) AS sum_n,
+               CAST(SUM(CAST(json_extract(js, '$.tags[1]') AS BIGINT)) AS BIGINT) AS sum_tag1,
+               CAST(MAX(CAST(json_extract(js, '$.id') AS BIGINT)) AS BIGINT) AS max_id,
+               CAST(COUNT(CASE WHEN json_extract(js, '$.missing')
+                                    IS NULL THEN 1 END) AS BIGINT) AS n_no_field
+        FROM j GROUP BY 1 ORDER BY lang
+        """,
+        "X6",
+        "Spark 4 native VARIANT semi-structured path: PARSE_JSON once "
+        "per row into the binary variant encoding, then typed "
+        "VARIANT_GET navigation for every field (string/long, nested "
+        "object, array index) plus TRY_VARIANT_GET missing-path NULL "
+        "semantics — the parse-once/extract-many replacement for "
+        "per-extraction string re-parsing; oracle uses DuckDB's JSON "
+        "functions over the identically-built documents",
+    ),
+)
+
 # ---------------------------------------------------------------------------
 # Text analysis (X4) — replace-chain token math keeps one SQL dialect
 # ---------------------------------------------------------------------------
@@ -8862,6 +8924,7 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "x6_variant_json_shred",
     "x2_semantic_dedup",
     "x5_jpeg_pixel_stats",
     "q5_bucketed_broadcast_dims",
