@@ -88,8 +88,10 @@ EXTENDED = [
     # zero fact shuffles — includes the bucketed staging write each run)
     "q5_bucketed_broadcast_dims",
     # round 6: SemDeDup cluster-scoped semantic dedup (argmax assign +
-    # within-cluster pairs + component closure)
+    # within-cluster pairs + component closure); C4-style segment dedup
+    # transform (hash-ranked first occurrence + reassembly)
     "x2_semantic_dedup",
+    "curation_segment_dedup",
 ]
 
 N_ETL_PACKETS = 200_000

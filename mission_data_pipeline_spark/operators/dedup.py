@@ -421,3 +421,73 @@ def duplicate_span_fraction(
             ).alias("dup_fraction"),
         )
     )
+
+
+# -- exact segment (line-level) corpus dedup ----------------------------
+
+
+def dedup_exact_segments(
+    docs: DataFrame,
+    *,
+    seg_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4/RefinedWeb-style corpus-level exact segment dedup: the corpus
+    is cut into fixed-width token segments (the "line" unit for corpora
+    without newlines), every segment occurring more than once ACROSS
+    the whole corpus is removed except its first occurrence (lowest
+    ``(doc_id, seg_idx)``), and each document is reassembled from its
+    surviving segments. This is the removal TRANSFORM that
+    :func:`duplicate_span_fraction` only measures — the step that
+    strips boilerplate headers/footers repeated across millions of
+    pages. Returns ``(doc_id, n_segs, n_kept, clean_text)`` for
+    documents with at least one surviving segment.
+
+    Scale shape: one explode to the segment table, occurrence ranking
+    keyed on ``xxhash64(segment)`` (8-byte shuffle keys, never segment
+    strings), and a doc-keyed reassembly groupBy — three key-bounded
+    shuffles, linear in the token table, no pairwise comparison. The
+    token array is staged as its own projection so the lambda reads a
+    materialized column (a captured split() would re-evaluate per
+    element — see the gram-operator history).
+    """
+    if seg_tokens < 1:
+        raise ValueError("seg_tokens must be >= 1")
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    n_segs = F.ceil(F.size("__toks") / F.lit(seg_tokens)).cast("int")
+    segged = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_segs, F.lit(1)) - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("__toks"), i * seg_tokens + 1, seg_tokens),
+                    " ",
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy(F.xxhash64("seg")).orderBy("doc_id", "seg_idx")
+    kept = (
+        segged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    totals = segged.groupBy("doc_id").agg(F.count("*").alias("n_segs"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return totals.join(rebuilt, "doc_id").select(
+        "doc_id", "n_segs", "n_kept", "clean_text"
+    )

@@ -5739,6 +5739,97 @@ _q(
 )
 
 
+def _segment_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus-level exact segment ("line") dedup as
+    a TRANSFORM (operators/dedup.py dedup_exact_segments): every 10-token
+    segment occurring more than once across the corpus is removed except
+    its first occurrence, documents reassembled from survivors. A fixed
+    10-token boilerplate header is prepended to every 7th document so
+    the removal is non-vacuous (the classic repeated-header shape): ~43
+    boilerplate segments collapse to one surviving copy. The oracle
+    replays segmentation, first-occurrence ranking and reassembly in
+    SQL and digests the rebuilt text."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        dedup_exact_segments,
+    )
+
+    register_views(spark, sf_dir)
+    boiler = "spark common boiler plate header line repeated across many documents"
+    docs = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(boiler + " "), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    out = dedup_exact_segments(docs, seg_tokens=10)
+    return out.select(
+        "doc_id",
+        F.col("n_segs").cast("long").alias("n_segs"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_digest"),
+    ).orderBy("doc_id")
+
+
+_q(
+    "curation_segment_dedup",
+    Query(
+        _segment_dedup_spark,
+        """
+        WITH d0 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN 'spark common boiler plate header line repeated across many documents ' || text
+                      ELSE text END AS text
+          FROM documents WHERE doc_id < 300
+        ),
+        d AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM d0
+        ),
+        segs AS (
+          SELECT doc_id, CAST(i AS INT) AS seg_idx,
+                 array_to_string(
+                   list_slice(toks, CAST(i*10+1 AS INT), CAST(i*10+10 AS INT)),
+                   ' ') AS seg
+          FROM d, UNNEST(range(0, GREATEST(
+                 CAST(ceil(len(toks)/10.0) AS BIGINT), 1))) t(i)
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY seg
+                                       ORDER BY doc_id, seg_idx) AS rn
+          FROM segs
+        ),
+        totals AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id),
+        kept AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS clean_digest
+          FROM ranked WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT t.doc_id, CAST(t.n_segs AS BIGINT) AS n_segs,
+               CAST(k.n_kept AS BIGINT) AS n_kept, k.clean_digest
+        FROM totals t JOIN kept k USING (doc_id)
+        ORDER BY doc_id
+        """,
+        "X2,X4+",
+        "C4/RefinedWeb-style corpus-level exact segment dedup as a "
+        "transform: 10-token segments, first occurrence (lowest doc/idx) "
+        "kept, documents reassembled from survivors and digested; "
+        "injected boilerplate headers make the removal non-vacuous; "
+        "occurrence ranking shuffles on xxhash64(segment), never "
+        "segment strings",
+    ),
+)
+
+
 def _near_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -8924,6 +9015,7 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "curation_segment_dedup",
     "x6_variant_json_shred",
     "x2_semantic_dedup",
     "x5_jpeg_pixel_stats",

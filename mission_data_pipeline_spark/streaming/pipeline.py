@@ -46,31 +46,54 @@ class StreamingPipeline:
         self.stream_is_params = stream_is_params
 
     def _process_batch(self, df: DataFrame, epoch_id: int) -> None:
-        batch = (
+        # Input-count accounting via df.observe (core/observe.py), the
+        # same one-action-per-batch discipline as the batch Pipeline:
+        # an eager df.count() here would re-execute the micro-batch's
+        # source read once per epoch just for the metric. The count
+        # resolves as a side effect of the loader's action; with no
+        # loader, a count() IS the only action, so it is used directly.
+        from mission_data_pipeline_spark.core.observe import (
+            ObservationGroup,
+            harvest_groups,
+        )
+
+        group = ObservationGroup(f"stream-epoch{epoch_id}")
+        batch = group.attach(
             TelemetryBatch(params=df, metadata={"epoch": epoch_id})
             if self.stream_is_params
             else TelemetryBatch(packets=df, metadata={"epoch": epoch_id})
         )
-        n = df.count()
-        self.metrics.record_batch(n)
-        self.hooks.fire("batch.extracted", batch=epoch_id, records=n)
+        self.hooks.fire("batch.extracted", batch=epoch_id, records=-1)
+        stage_elapsed: list[tuple[str, float]] = []
         for tr in self.transformers:
             t0 = time.perf_counter()
             batch = tr.transform(batch)
-            self.metrics.record_stage(
-                type(tr).__name__, elapsed_s=time.perf_counter() - t0, records_in=n
-            )
-        self.hooks.fire("batch.transformed", batch=epoch_id, records=n)
+            stage_elapsed.append((type(tr).__name__, time.perf_counter() - t0))
+        self.hooks.fire("batch.transformed", batch=epoch_id, records=-1)
+        written = None
+        load_elapsed = 0.0
         if self.loader is not None:
             t0 = time.perf_counter()
             written = self.loader.load(batch)
+            load_elapsed = time.perf_counter() - t0
+            harvest_groups([group], timeout_s=1.0)
+            n = group.rows
+        else:
+            n = batch.row_count()  # no loader: this IS the only action
+        self.metrics.record_batch(max(n, 0))
+        for name, elapsed in stage_elapsed:
+            self.metrics.record_stage(
+                name, elapsed_s=elapsed, records_in=max(n, 0)
+            )
+        if self.loader is not None:
+            n_loaded = written if isinstance(written, int) else max(n, 0)
             self.metrics.record_stage(
                 type(self.loader).__name__,
-                elapsed_s=time.perf_counter() - t0,
-                records_in=n,
-                records_out=written,
+                elapsed_s=load_elapsed,
+                records_in=max(n, 0),
+                records_out=n_loaded,
             )
-            self.hooks.fire("batch.loaded", batch=epoch_id, records=written)
+            self.hooks.fire("batch.loaded", batch=epoch_id, records=n_loaded)
 
     def start(
         self,

@@ -607,3 +607,33 @@ def test_semantic_dedup_cluster_scoped(spark, tmp_path):
         emb, cents, threshold=0.7, checkpoint_dir=str(tmp_path / "sd")
     )
     assert sorted(r["vec_id"] for r in out3.collect()) == [0, 1, 13]
+
+
+def test_dedup_exact_segments_first_occurrence_wins(spark):
+    """Corpus-level segment dedup: repeated segments keep only their
+    lowest-(doc_id, seg_idx) occurrence; docs reassemble in order."""
+    from mission_data_pipeline_spark.operators.dedup import (
+        dedup_exact_segments,
+    )
+
+    rows = [
+        (1, "a b c d"),          # segs: "a b", "c d"
+        (2, "a b x y"),          # "a b" dups doc 1 -> dropped
+        (3, "x y c d a b"),      # all three segs already seen -> doc dropped
+        (4, "p q"),              # unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup_exact_segments(docs, seg_tokens=2).collect()
+    }
+    assert out[1]["clean_text"] == "a b c d"
+    assert (out[1]["n_segs"], out[1]["n_kept"]) == (2, 2)
+    assert out[2]["clean_text"] == "x y"
+    assert (out[2]["n_segs"], out[2]["n_kept"]) == (2, 1)
+    assert 3 not in out  # every segment was a duplicate
+    assert out[4]["clean_text"] == "p q"
+    # short tail segment: 5 tokens at width 2 -> 3 segs, last is 1 token
+    five = spark.createDataFrame([(9, "q r s t u")], "doc_id long, text string")
+    (r,) = dedup_exact_segments(five, seg_tokens=2).collect()
+    assert r["clean_text"] == "q r s t u" and r["n_segs"] == 3
