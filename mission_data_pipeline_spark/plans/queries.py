@@ -5168,6 +5168,102 @@ _q(
     ),
 )
 
+# In-engine closed-form model training: a 2-feature + intercept linear
+# probe (vocabulary richness ~ token count + char count) fit by NORMAL
+# EQUATIONS — ONE aggregation pass collects the 9 sufficient statistics
+# (all integer sums: exact, order-independent), the 3x3 system is solved
+# in-plan by Cramer's rule, coefficients broadcast back for the residual
+# pass. This is the scale shape for fitting low-dimensional quality
+# probes over a 100 TB corpus: sufficient statistics are a partial-agg
+# reduction, never a driver-side solver over row data, and the feature
+# dimension (not the corpus) bounds the closed-form expression. R^2 and
+# the worst-residual doc come from the second (scoring) pass.
+_PROBE_BODY = """
+        sums AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+                 CAST(SUM(x1*x1) AS DOUBLE) AS s11,
+                 CAST(SUM(x1*x2) AS DOUBLE) AS s12,
+                 CAST(SUM(x2*x2) AS DOUBLE) AS s22,
+                 CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(x1*y) AS DOUBLE) AS s1y,
+                 CAST(SUM(x2*y) AS DOUBLE) AS s2y
+          FROM feats
+        ),
+        beta AS (
+          SELECT n, sy,
+                 (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+                    + s2*(s1y*s12 - s11*s2y))
+                 / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                    + s2*(s1*s12 - s11*s2)) AS b0,
+                 (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+                    + s2*(s1*s2y - s1y*s2))
+                 / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                    + s2*(s1*s12 - s11*s2)) AS b1,
+                 (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+                    + sy*(s1*s12 - s11*s2))
+                 / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                    + s2*(s1*s12 - s11*s2)) AS b2
+          FROM sums
+        ),
+        scored AS (
+          SELECT f.doc_id,
+                 CAST(f.y AS DOUBLE) - (b.b0 + b.b1*f.x1 + b.b2*f.x2) AS r,
+                 CAST(f.y AS DOUBLE) - b.sy / b.n AS dev
+          FROM feats f CROSS JOIN beta b
+        ),
+        fit AS (
+          SELECT CAST(CAST(SUM(CAST(ROUND(r*r, 6) AS DECIMAL(30,6)))
+                      AS STRING) AS DOUBLE) AS sse,
+                 CAST(CAST(SUM(CAST(ROUND(dev*dev, 6) AS DECIMAL(30,6)))
+                      AS STRING) AS DOUBLE) AS sst
+          FROM scored
+        ),
+        worst AS (
+          SELECT doc_id AS worst_doc_id, ROUND(r, 6) AS worst_resid
+          FROM scored ORDER BY ABS(ROUND(r, 6)) DESC, doc_id LIMIT 1
+        )
+        SELECT CAST(b.n AS BIGINT) AS n_docs,
+               ROUND(b.b0, 6) AS b0, ROUND(b.b1, 6) AS b1,
+               ROUND(b.b2, 6) AS b2,
+               ROUND(1.0 - fit.sse / fit.sst, 6) AS r2,
+               w.worst_doc_id, w.worst_resid
+        FROM beta b CROSS JOIN fit CROSS JOIN worst w
+"""
+
+_q(
+    "x4_linear_probe_fit",
+    _dialect(
+        r"""
+        WITH feats AS (
+          SELECT doc_id,
+                 CAST(SIZE(SPLIT(TRIM(text), '\\s+')) AS BIGINT) AS x1,
+                 CAST(LENGTH(text) AS BIGINT) AS x2,
+                 CAST(SIZE(ARRAY_DISTINCT(SPLIT(TRIM(text), '\\s+'))) AS BIGINT) AS y
+          FROM documents WHERE doc_id < 400
+        ),
+"""
+        + _PROBE_BODY,
+        r"""
+        WITH feats AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS x1,
+                 CAST(LENGTH(text) AS BIGINT) AS x2,
+                 CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS y
+          FROM documents WHERE doc_id < 400
+        ),
+"""
+        + _PROBE_BODY,
+        "X4+,A*+",
+        "in-engine closed-form linear-probe training: 2-feature +"
+        " intercept least squares via normal equations — one partial-agg"
+        " pass for the 9 integer sufficient statistics, Cramer 3x3 solve"
+        " in-plan, coefficients broadcast for the residual/R^2 pass and"
+        " the worst-residual doc; exact integer sums + shared expression"
+        " text make the fit bit-reproducible cross-engine",
+    ),
+)
+
 
 _q(
     "x4_unigram_logprob",
@@ -9015,6 +9111,7 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "x4_linear_probe_fit",
     "curation_segment_dedup",
     "x6_variant_json_shred",
     "x2_semantic_dedup",
