@@ -181,8 +181,11 @@ def compact_inputs(spark, sf_dir: str) -> tuple[str, dict]:
         "mdps_bench_compact_" + os.path.basename(sf_dir.rstrip("/")),
     )
     marker = os.path.join(dst, "_COMPACTED_FROM")
+    # policy version invalidates stale cached layouts when the splitting
+    # strategy changes between rounds
+    stamp = f"{sf_dir}|policy=size-proportional-v2"
     files: dict = {}
-    if os.path.exists(marker) and open(marker).read() == sf_dir:
+    if os.path.exists(marker) and open(marker).read() == stamp:
         return dst, {"mode": "compacted", "dir": dst, "cached": True}
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
@@ -209,7 +212,7 @@ def compact_inputs(spark, sf_dir: str) -> tuple[str, dict]:
             min_files=min_files,
         )
     with open(marker, "w") as f:
-        f.write(sf_dir)
+        f.write(stamp)
     return dst, {"mode": "compacted", "dir": dst, "files_per_table": files}
 
 
