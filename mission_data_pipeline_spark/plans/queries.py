@@ -616,6 +616,262 @@ _q(
 )
 
 
+# ---------------------------------------------------------------------------
+# Catalyst/AQE optimizer features, plan-asserted (J*+/S3+): the engine's
+# at-scale join strategies are not just configured, they are PROVEN to
+# engage — each query inspects its own plan and fails loudly if the
+# optimization did not fire, and each oracle is the plain semantic query
+# (every optimization must be transparent).
+# ---------------------------------------------------------------------------
+
+
+def _dpp_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, asserted in-plan: orders staged
+    PARTITIONED BY o_orderpriority (the layout a 100 TB fact table would
+    have), then joined to a dimension filtered to 2 of 5 priorities.
+    Catalyst injects a `dynamicpruning` subquery into the fact scan's
+    PartitionFilters — at scale the scan reads 2/5 of the partitions
+    instead of all of them, driven by the dim filter AT RUNTIME (no
+    literal priority list ever touches the fact query). Loud failure if
+    the pruning expression is missing."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    tmp = _scratch_dir("dpp_orders")
+    (
+        spark.table("orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.partitionBy("o_orderpriority")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    po = spark.read.parquet(tmp)
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", 1),
+            ("2-HIGH", 0),
+            ("3-MEDIUM", 1),
+            ("4-NOT SPECIFIED", 0),
+            ("5-LOW", 0),
+        ],
+        "prio string, keep int",
+    )
+    out = (
+        po.join(
+            dim.filter(F.col("keep") == 1),
+            po["o_orderpriority"] == F.col("prio"),
+        )
+        .groupBy("prio")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("prio")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "dynamicpruning" not in plan.lower():
+        raise RuntimeError(
+            "dynamic partition pruning did not engage on the partitioned "
+            "fact scan:\n" + plan[:3000]
+        )
+    return out
+
+
+_q(
+    "j_dynamic_partition_pruning",
+    Query(
+        _dpp_spark,
+        """
+        SELECT o_orderpriority AS prio, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS STRING) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        GROUP BY o_orderpriority
+        ORDER BY prio
+        """,
+        "J*+,S3+",
+        "dynamic partition pruning, asserted in-plan: fact staged "
+        "partitioned-by-priority, dim filter drives a runtime "
+        "dynamicpruning subquery into the fact scan's PartitionFilters "
+        "(2/5 partitions read); oracle is the plain filtered aggregate",
+    ),
+)
+
+
+def _aqe_skew_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-join splitting, asserted on the EXECUTED plan:
+    a synthetic 90%-one-key fact (the hot-APID / hot-document shape)
+    sort-merge-joins a 100-row dim; with mapper-granular shuffle stats
+    AQE splits the skewed partition across reducers —
+    ``SortMergeJoin(skew=true)`` + an ``AQEShuffleRead ... skewed``
+    reader in the final adaptive plan. The probe run executes a bounded
+    copy under tightened skew thresholds (restored immediately) and
+    fails loudly if the split did not engage; the returned result is
+    the plain join (runtime splitting must be semantically
+    transparent). Complements j_salted_skew_join: salting is the
+    deterministic pre-planned answer, AQE the runtime one.
+
+    NOTE the repartition(16): a single-row-group parquet input gives
+    the join shuffle ONE mapper, and AQE splits skewed partitions by
+    MAPPER RANGES — with one mapper there is nothing to split (the
+    round-5 file-layout lesson resurfacing at the shuffle layer).
+    """
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+
+    def build() -> DataFrame:
+        li = (
+            spark.table("lineitem")
+            .repartition(16)
+            .select(
+                F.when(F.col("l_orderkey") % 10 != 0, F.lit(0))
+                .otherwise(F.col("l_orderkey") % 97)
+                .alias("k"),
+                "l_quantity",
+            )
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        return (
+            li.hint("merge")
+            .join(dim.hint("merge"), "k")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(
+                    (F.col("l_quantity") * F.col("w")).cast("decimal(20,6)")
+                )
+                .cast("double")
+                .alias("wsum"),
+            )
+        )
+
+    knobs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k, None) for k in knobs}
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        probe = build()
+        probe.collect()  # bounded single-row result; forces the final plan
+        fplan = probe._jdf.queryExecution().executedPlan().toString()
+        if "skew=true" not in fplan:
+            raise RuntimeError(
+                "AQE skew-join splitting did not engage on the skewed "
+                "merge join:\n" + fplan[:3000]
+            )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return build()
+
+
+_q(
+    "j_aqe_skew_split",
+    Query(
+        _aqe_skew_spark,
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(l_quantity * w AS DECIMAL(20,6))) AS STRING) AS DOUBLE) AS wsum
+        FROM (
+          SELECT CASE WHEN l_orderkey % 10 != 0 THEN 0
+                      ELSE l_orderkey % 97 END AS k,
+                 l_quantity
+          FROM lineitem
+        ) f
+        JOIN (SELECT i AS k, i * 2 AS w FROM range(0, 100) t(i)) d
+          USING (k)
+        """,
+        "J*+",
+        "AQE runtime skew-join splitting, asserted on the executed "
+        "adaptive plan (SortMergeJoin(skew=true) + skewed shuffle "
+        "reader) under a 90%-one-key fact; oracle is the plain join — "
+        "runtime splitting is semantically transparent. The runtime "
+        "complement to the deterministic salted join",
+    ),
+)
+
+
+def _bloom_filter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning, asserted in-plan: a selective
+    dim filter (1/5 of orders) sort-merge-joins the fact; Catalyst's
+    InjectRuntimeFilter builds a bloom filter from the dim side and
+    pushes a ``might_contain`` probe BELOW the fact's shuffle — ~80% of
+    fact rows drop before they are ever shuffled, the semi-join
+    reduction that matters when the fact is 100 TB. Broadcast is
+    disabled for the probe (a broadcast join would subsume the filter;
+    at real scale the dim side exceeds broadcast thresholds and bloom
+    pruning is exactly what remains). Thresholds are tightened for
+    PLANNING ONLY and restored (QueryExecution caches the plan). Loud
+    failure if no bloom probe was injected."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+
+    li = spark.table("lineitem").select("l_orderkey", "l_quantity")
+    sel = (
+        spark.table("orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    out = li.join(sel, li["l_orderkey"] == sel["o_orderkey"]).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("qty"),
+    )
+    knobs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "1KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in knobs}
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        if "might_contain" not in plan.lower():
+            raise RuntimeError(
+                "runtime bloom filter was not injected below the fact "
+                "shuffle:\n" + plan[:3000]
+            )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
+_q(
+    "j_runtime_bloom_filter",
+    Query(
+        _bloom_filter_spark,
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS STRING) AS DOUBLE) AS qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        """,
+        "J*+,S3+",
+        "runtime bloom-filter join pruning, asserted in-plan: Catalyst "
+        "injects a might_contain probe from the selective dim side "
+        "below the fact's shuffle (semi-join reduction before any fact "
+        "movement); oracle is the plain join",
+    ),
+)
+
+
 # ONE Q3 text: q3_shipping_priority runs/oracles it directly, and
 # q3_bucketed_colocated oracles against it — "bucketing is semantically
 # transparent" only means something if both compare to the same query.
@@ -9111,6 +9367,9 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "j_dynamic_partition_pruning",
+    "j_aqe_skew_split",
+    "j_runtime_bloom_filter",
     "x4_linear_probe_fit",
     "curation_segment_dedup",
     "x6_variant_json_shred",
