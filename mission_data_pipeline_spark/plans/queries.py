@@ -8854,6 +8854,148 @@ _q(
 )
 
 
+def _schema_evolution_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse schema evolution: a dataset written in TWO generations
+    — the old files lack a column the new files carry — read back as
+    one logical table with ``mergeSchema`` (the schema-drift tolerance
+    every long-lived 100 TB table needs; columns appear as NULL for
+    pre-evolution files, nothing is rewritten). The split point is
+    derived from the data itself so the oracle reproduces it exactly."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    d = _scratch_dir("schema_evo")
+    docs = spark.table("documents").select("doc_id", "lang", "n_chars")
+    # generation 1: no quality_tier column
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{d}/gen=1"
+    )
+    # generation 2: schema evolved — adds quality_tier
+    docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality_tier", (F.col("doc_id") % 4).cast("int")
+    ).write.mode("overwrite").parquet(f"{d}/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(d)
+    if "quality_tier" not in back.columns:
+        raise RuntimeError("mergeSchema did not surface the evolved column")
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("quality_tier").cast("long").alias("n_evolved"),
+            F.coalesce(F.sum("quality_tier"), F.lit(0))
+            .cast("long")
+            .alias("tier_sum"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_q(
+    "l_schema_evolution_merge",
+    Query(
+        _schema_evolution_spark,
+        """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_evolved,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN doc_id % 4 ELSE 0 END)
+                 AS BIGINT) AS tier_sum,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "L+,S+",
+        "schema evolution across file generations: mergeSchema unifies "
+        "old files (missing column → NULL) with evolved files in one "
+        "logical table, nothing rewritten; per-lang accounting of "
+        "evolved rows and values must match the oracle's derivation",
+    ),
+)
+
+
+def _corrupt_file_skip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational resilience: a table directory containing a CORRUPT
+    member file (truncated mid-stream — the half-written upload every
+    large ingest eventually sees) is scanned with
+    ``spark.sql.files.ignoreCorruptFiles``: the good files' rows all
+    arrive, the bad file contributes nothing, the job does NOT die.
+    The conf is scoped to this query and restored. The query also
+    proves the default is a LOUD failure (fail-fast unless opted in)."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    d = _scratch_dir("corrupt_skip")
+    docs = spark.table("documents").select("doc_id", "lang", "n_chars")
+    docs.filter(F.col("doc_id") % 3 == 0).write.parquet(f"{d}/a")
+    # the to-be-corrupted generation is ONE file, so exactly the
+    # doc_id % 3 != 0 slice disappears — making the surviving set a
+    # derivable expression instead of a partitioning accident
+    docs.filter(F.col("doc_id") % 3 != 0).repartition(1).write.parquet(
+        f"{d}/b"
+    )
+    import glob as _glob
+    import os as _os
+
+    # truncate the data file to half: corrupt footer + stream
+    victim = sorted(_glob.glob(f"{d}/b/part-*.parquet"))[0]
+    size = _os.path.getsize(victim)
+    with open(victim, "r+b") as f:
+        f.truncate(size // 2)
+    paths = [f"{d}/a", f"{d}/b"]
+    knob = "spark.sql.files.ignoreCorruptFiles"
+    prev = spark.conf.get(knob, "false")
+    try:
+        spark.conf.set(knob, "false")
+        failed_loudly = False
+        try:
+            # explicit schema: the failure under test is the SCAN, not
+            # schema inference happening to pick the corrupt footer
+            spark.read.schema(docs.schema).parquet(*paths).count()
+        except Exception:
+            failed_loudly = True
+        if not failed_loudly:
+            raise RuntimeError(
+                "corrupt parquet member did NOT fail the default-mode scan"
+            )
+        spark.conf.set(knob, "true")
+        back = spark.read.schema(docs.schema).parquet(*paths)
+        out = (
+            back.groupBy("lang")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+            .orderBy("lang")
+        )
+        # force materialization NOW while the conf is set (the plan is
+        # cached on this QueryExecution, but execution must also run
+        # under ignoreCorruptFiles) — stage to a driver-local result
+        rows = out.collect()
+    finally:
+        spark.conf.set(knob, prev)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_q(
+    "s_corrupt_file_skip",
+    Query(
+        _corrupt_file_skip_spark,
+        """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE doc_id % 3 = 0
+        GROUP BY lang ORDER BY lang
+        """,
+        "S+,P+",
+        "corrupt-member resilience: a truncated parquet file fails the "
+        "scan loudly by default (asserted) and is skipped cleanly under "
+        "ignoreCorruptFiles — the surviving intact subset (the oracle's "
+        "derivable slice) arrives in full",
+    ),
+)
+
+
 def _ccsds_datasource_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spark.read.format('ccsds') end-to-end (sources/ccsds_datasource.py,
     SURVEY §4.2 option b): the same arithmetic packet stream as the ETL
@@ -9367,6 +9509,8 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "l_schema_evolution_merge",
+    "s_corrupt_file_skip",
     "j_dynamic_partition_pruning",
     "j_aqe_skew_split",
     "j_runtime_bloom_filter",

@@ -344,3 +344,84 @@ def test_binary_scan_soundness_properties(
         # the documented skip-not-phantom trade)
         prefix = {bytes(p) for p in pkts[:first_corrupt]}
         assert prefix <= set(single)
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    quality=st.integers(30, 100),
+    channels=st.sampled_from([1, 3]),
+    subsample=st.sampled_from([(1, 1), (2, 1), (2, 2)]),
+    restart=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_roundtrip_never_catastrophic(
+    h, w, quality, channels, subsample, restart, seed
+):
+    """Property: for ANY image, decode(encode(x)) has the right shape
+    and bounded error (lossy, never wrong-shaped, never an exception)."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, 3)
+    # smooth-ish content: JPEG error bounds are meaningful on smooth
+    # images; pure noise legitimately distorts more at low quality
+    base = rng.integers(0, 256, size=(1, 1) if channels == 1 else (1, 1, 3))
+    grad = np.indices((h, w)).sum(axis=0) % 64
+    img = (base + (grad[..., None] if channels == 3 else grad)) % 256
+    img = img.astype(np.uint8).reshape(shape)
+    enc = encode_jpeg(
+        img,
+        quality=quality,
+        subsample=subsample if channels == 3 else (1, 1),
+        restart_interval=restart,
+    )
+    dec = decode_jpeg_pixels(enc)
+    assert dec is not None
+    assert dec.shape == (h, w, channels)
+    err = np.abs(
+        dec.astype(int).reshape(h, w, channels)
+        - img.astype(int).reshape(h, w, channels)
+    )
+    assert err.mean() < 40  # lossy bound; catastrophic decode would blow this
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_jpeg_decoder_never_raises_on_garbage(data):
+    """Property: arbitrary bytes (with and without a JPEG signature)
+    produce None or a valid array — never an exception."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.jpeg import decode_jpeg_pixels
+
+    for payload in (data, b"\xff\xd8" + data):
+        out = decode_jpeg_pixels(payload)
+        assert out is None or isinstance(out, np.ndarray)
+
+
+@given(
+    cut=st.integers(1, 200),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_truncation_never_raises(cut, seed):
+    """Property: any prefix of a valid JPEG is a sentinel, not a crash."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(12, 14, 3)).astype(np.uint8)
+    enc = encode_jpeg(img, quality=70)
+    out = decode_jpeg_pixels(enc[: max(0, len(enc) - cut)])
+    assert out is None or out.shape == (12, 14, 3)
