@@ -6620,6 +6620,85 @@ _q(
 )
 
 
+def _image_resize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (functions/multimodal.py resize_images):
+    40 fixture PNGs with pixel(id,x,y,c) = (id + 3x + 5y + 7c) mod 256
+    across mixed sizes (both up- and down-scales) and all four color
+    types, nearest-neighbor resampled to 8x6 and re-encoded as PNG.
+    The floor mapping src = (dst * src_size) // dst_size is pure
+    integer arithmetic, so the oracle recomputes every RESIZED pixel
+    value from the generator formula — exact stats, no tolerance.
+    Every sixth payload is corrupted and must come back null."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        encode_png,
+        resize_images,
+    )
+
+    rows = []
+    for i in range(40):
+        sw, sh = i % 11 + 4, i % 9 + 3
+        c = (1, 3, 2, 4)[i % 4]
+        xs = np.arange(sw)[None, :, None]
+        ys = np.arange(sh)[:, None, None]
+        cs = np.arange(c)[None, None, :]
+        px = ((i + 3 * xs + 5 * ys + 7 * cs) % 256).astype(np.uint8)
+        payload = encode_png(px)
+        if i % 6 == 5:
+            payload = payload[: len(payload) // 2]
+        rows.append((i, bytearray(payload)))
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    out = resize_images(media, width=8, height=6)
+    return out.select(
+        "item_id", "width", "height", "channels",
+        "px_sum", "px_min", "px_max",
+    ).orderBy("item_id")
+
+
+_q(
+    "x5_image_resize",
+    Query(
+        _image_resize_spark,
+        """
+        WITH imgs AS (
+          SELECT i AS item_id, i % 11 + 4 AS sw, i % 9 + 3 AS sh,
+                 CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+                            WHEN 2 THEN 2 ELSE 4 END AS ch,
+                 i % 6 = 5 AS corrupt
+          FROM range(0, 40) t(i)
+        ),
+        px AS (
+          SELECT item_id, ch,
+                 (item_id + 3*((x*sw)//8) + 5*((y*sh)//6) + 7*c) % 256 AS v
+          FROM imgs, range(0, 8) xs(x), range(0, 6) ys(y), range(0, 4) cs(c)
+          WHERE c < ch AND NOT corrupt
+        ),
+        stats AS (
+          SELECT item_id,
+                 CAST(SUM(v) AS BIGINT) AS px_sum,
+                 CAST(MIN(v) AS INT) AS px_min,
+                 CAST(MAX(v) AS INT) AS px_max
+          FROM px GROUP BY item_id
+        )
+        SELECT i.item_id,
+               CASE WHEN corrupt THEN NULL ELSE CAST(8 AS INT) END AS width,
+               CASE WHEN corrupt THEN NULL ELSE CAST(6 AS INT) END AS height,
+               CASE WHEN corrupt THEN NULL ELSE CAST(ch AS INT) END AS channels,
+               s.px_sum, s.px_min, s.px_max
+        FROM imgs i LEFT JOIN stats s USING (item_id)
+        ORDER BY i.item_id
+        """,
+        "X5",
+        "REAL nearest-neighbor image resize (decode → integer-floor "
+        "resample → lossless PNG re-encode, Arrow-batched): the floor "
+        "mapping is pure integer arithmetic, so the oracle recomputes "
+        "every resized pixel from the generator formula; corrupt "
+        "payloads yield null sentinels",
+    ),
+)
+
+
 def _audio_sample_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM WAV sample decode (functions/multimodal.py
     decode_wav_samples — RIFF chunk walk + NumPy sample view, stdlib
@@ -9509,6 +9588,7 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "x5_image_resize",
     "l_schema_evolution_merge",
     "s_corrupt_file_skip",
     "j_dynamic_partition_pruning",

@@ -439,3 +439,56 @@ def test_png_decompression_bomb_rejected():
         + chunk(b"IEND", b"")
     )
     assert decode_png_pixels(bomb) is None
+
+
+def test_resize_images_png_jpeg_and_compose(spark):
+    """Nearest-neighbor resize: integer-exact on PNG, works on decoded
+    JPEG, composes losslessly (resize twice == resize once for exact
+    divisors), corrupt payloads yield null rows."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.jpeg import encode_jpeg
+    from mission_data_pipeline_spark.functions.multimodal import (
+        decode_png_pixels,
+        encode_png,
+        resize_images,
+    )
+
+    ys, xs = np.mgrid[0:12, 0:16]
+    png_px = ((3 * xs + 5 * ys) % 256).astype(np.uint8)
+    flat = np.full((10, 10, 3), (200, 40, 90), dtype=np.uint8)
+    rows = [
+        (0, bytearray(encode_png(png_px))),
+        (1, bytearray(encode_jpeg(flat, quality=90))),
+        (2, bytearray(b"not an image")),
+    ]
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    out = {r["item_id"]: r for r in resize_images(media, width=4, height=3).collect()}
+
+    # PNG: exact integer-floor expectation
+    exp = png_px[((np.arange(3) * 12) // 3)[:, None], ((np.arange(4) * 16) // 4)[None, :]]
+    assert out[0]["px_sum"] == int(exp.sum())
+    assert (out[0]["width"], out[0]["height"], out[0]["channels"]) == (4, 3, 1)
+    got_px = decode_png_pixels(bytes(out[0]["payload"]))
+    assert np.array_equal(got_px[..., 0], exp)
+
+    # JPEG flat: resize of a uniform image stays uniform
+    jp = decode_png_pixels(bytes(out[1]["payload"]))
+    assert jp.shape == (3, 4, 3)
+    assert all(len(np.unique(jp[..., c])) == 1 for c in range(3))
+
+    # corrupt: null sentinel row
+    assert out[2]["width"] is None and out[2]["payload"] is None
+
+    # upscale + composition: 4x4 -> 8x8 -> 4x4 returns the original
+    small = ((7 * xs[:4, :4] + 11 * ys[:4, :4]) % 256).astype(np.uint8)
+    m2 = spark.createDataFrame([(9, bytearray(encode_png(small)))],
+                               "item_id long, payload binary")
+    up = resize_images(m2, width=8, height=8)
+    up_payload = up.collect()[0]["payload"]
+    m3 = spark.createDataFrame([(9, bytearray(bytes(up_payload)))],
+                               "item_id long, payload binary")
+    back = resize_images(m3, width=4, height=4).collect()[0]
+    assert np.array_equal(
+        decode_png_pixels(bytes(back["payload"]))[..., 0], small
+    )
