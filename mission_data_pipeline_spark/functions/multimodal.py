@@ -414,16 +414,28 @@ def encode_wav(samples, *, rate: int = 16000) -> bytes:
 
 
 def decode_wav_samples(payload: bytes | None):
-    """REAL PCM WAV sample decode with stdlib only: RIFF chunk walk →
-    fmt validation (format code 1 = uncompressed PCM, 8- or 16-bit) →
-    NumPy view over the data chunk. Returns ``(samples, rate)`` with
-    ``samples`` shaped (n_frames, channels) as int32 (16-bit signed LE
-    or 8-bit unsigned per the WAV spec), or None for anything it cannot
-    decode (non-WAV, compressed/float formats, truncated data) — the
-    same sentinel-not-exception boundary as :func:`decode_png_pixels`.
-    Compressed audio (MP3/AAC/…) stays behind the codec-library stub.
-    """
+    """REAL WAV sample decode with stdlib + NumPy only: RIFF chunk walk
+    → fmt dispatch → decoded sample matrix. Supported format codes:
+
+    - 1: uncompressed PCM, 8- or 16-bit
+    - 6 / 7: G.711 A-law / mu-law (exact table decode,
+      :mod:`~mission_data_pipeline_spark.functions.audio_codecs`)
+    - 0x11: IMA/DVI ADPCM (block-adaptive, 4 bits/sample)
+
+    Returns ``(samples, rate)`` with ``samples`` shaped (n_frames,
+    channels) as int32, or None for anything it cannot decode
+    (non-WAV, truncated data, perceptual codecs) — the same
+    sentinel-not-exception boundary as :func:`decode_png_pixels`.
+    Perceptual codecs (MP3/AAC/float) stay behind the codec stub.
+    A ``fact`` chunk, when present, trims compressed streams to the
+    true frame count (last ADPCM block may be partially filled)."""
     import numpy as np
+
+    from mission_data_pipeline_spark.functions.audio_codecs import (
+        decode_alaw,
+        decode_ima_adpcm,
+        decode_ulaw,
+    )
 
     try:
         if (
@@ -434,7 +446,7 @@ def decode_wav_samples(payload: bytes | None):
         ):
             return None
         pos, n = 12, len(payload)
-        fmt_body = data = None
+        fmt_body = data = fact_frames = None
         while pos + 8 <= n:
             cid = payload[pos : pos + 4]
             (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -445,20 +457,49 @@ def decode_wav_samples(payload: bytes | None):
                 fmt_body = body
             elif cid == b"data":
                 data = body
+            elif cid == b"fact" and size >= 4:
+                (fact_frames,) = struct.unpack("<I", body[:4])
             pos += 8 + size + (size & 1)
         if fmt_body is None or data is None or len(fmt_body) < 16:
             return None
-        code, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt_body[:16])
-        if code != 1 or not ch or bits not in (8, 16):
+        code, ch, rate, _br, balign, bits = struct.unpack(
+            "<HHIIHH", fmt_body[:16]
+        )
+        if not ch:
             return None
-        width = bits // 8
-        frames = len(data) // (ch * width)
-        if frames == 0:
+        if code == 1 and bits in (8, 16):
+            width = bits // 8
+            frames = len(data) // (ch * width)
+            if frames == 0:
+                return None
+            data = data[: frames * ch * width]
+            dt = "<i2" if bits == 16 else "u1"
+            arr = np.frombuffer(data, dtype=dt).astype(np.int32)
+            arr = arr.reshape(frames, ch)
+        elif code in (6, 7) and bits == 8:
+            frames = len(data) // ch
+            if frames == 0:
+                return None
+            dec = decode_alaw if code == 6 else decode_ulaw
+            arr = dec(data[: frames * ch]).reshape(frames, ch)
+        elif code == 0x11 and bits == 4:
+            spb = None
+            if len(fmt_body) >= 20:
+                (cb_size,) = struct.unpack("<H", fmt_body[16:18])
+                if cb_size >= 2:
+                    (spb,) = struct.unpack("<H", fmt_body[18:20])
+            arr = decode_ima_adpcm(
+                data, channels=ch, block_align=balign, samples_per_block=spb
+            )
+            if arr is None:
+                return None
+        else:
             return None
-        data = data[: frames * ch * width]
-        dt = "<i2" if bits == 16 else "u1"
-        arr = np.frombuffer(data, dtype=dt).astype(np.int32)
-        return arr.reshape(frames, ch), int(rate)
+        if fact_frames is not None:
+            arr = arr[:fact_frames]
+        if arr.shape[0] == 0:
+            return None
+        return arr, int(rate)
     except Exception:
         return None
 

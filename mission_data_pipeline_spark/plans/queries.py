@@ -6773,6 +6773,244 @@ _q(
 )
 
 
+def _g711_sample_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode #1: G.711 mu-law and A-law WAVs
+    (format tags 7/6, functions/audio_codecs.py). 48 fixtures whose
+    coded byte j is (k*31 + j*17) mod 256, mixed mono/stereo, every
+    seventh truncated mid-data-chunk (null sentinel). G.711 decode is
+    a stateless integer formula per byte (CCITT reference arithmetic),
+    so the ORACLE DECODES THE CODEC ITSELF in SQL — it recomputes
+    every linear sample from the coded byte value, not from a staged
+    table."""
+    from mission_data_pipeline_spark.functions.audio_codecs import (
+        encode_wav_g711,
+    )
+    from mission_data_pipeline_spark.functions.multimodal import (
+        audio_sample_stats,
+    )
+
+    rows = []
+    for k in range(48):
+        frames = k % 30 + 8
+        ch = 2 if k % 3 == 0 else 1
+        coded = bytes((k * 31 + j * 17) % 256 for j in range(frames * ch))
+        payload = encode_wav_g711(
+            coded, rate=8000, channels=ch, alaw=(k % 2 == 1)
+        )
+        if k % 7 == 6:
+            payload = payload[: len(payload) // 2]
+        rows.append((k, bytearray(payload)))
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    return audio_sample_stats(media).orderBy("item_id")
+
+
+_q(
+    "x5_g711_sample_stats",
+    Query(
+        _g711_sample_stats_spark,
+        """
+        WITH wavs AS (
+          SELECT k AS item_id, k % 30 + 8 AS frames,
+                 CASE WHEN k % 3 = 0 THEN 2 ELSE 1 END AS ch,
+                 k % 2 = 1 AS alaw, k % 7 = 6 AS corrupt
+          FROM range(0, 48) t(k)
+        ),
+        coded AS (
+          SELECT item_id, alaw, (item_id*31 + j*17) % 256 AS b
+          FROM wavs, range(0, 80) bj(j)
+          WHERE j < frames * ch AND NOT corrupt
+        ),
+        -- G.711 decode in SQL: mu-law via the CCITT biased-shift
+        -- formula on the complemented byte; A-law via the 0x55-inverted
+        -- segment formula with the seg 0/1 special cases
+        dec AS (
+          SELECT item_id,
+            CASE WHEN NOT alaw THEN
+              CASE WHEN (255 - b) >= 128
+                   THEN 132 - ((((255-b) % 16) * 8 + 132)
+                               * (1 << (((255-b)//16) % 8)))
+                   ELSE (((255-b) % 16) * 8 + 132)
+                        * (1 << (((255-b)//16) % 8)) - 132 END
+            ELSE
+              CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+              CASE (xor(b, 85)//16) % 8
+                WHEN 0 THEN (xor(b, 85) % 16) * 16 + 8
+                WHEN 1 THEN (xor(b, 85) % 16) * 16 + 264
+                ELSE ((xor(b, 85) % 16) * 16 + 264)
+                     * (1 << ((xor(b, 85)//16) % 8 - 1))
+              END
+            END AS v
+          FROM coded
+        ),
+        stats AS (
+          SELECT item_id,
+                 CAST(SUM(v) AS BIGINT) AS s_sum,
+                 CAST(MIN(v) AS INT) AS s_min,
+                 CAST(MAX(v) AS INT) AS s_max,
+                 CAST(SUM(v * v) AS BIGINT) AS s_sumsq
+          FROM dec GROUP BY item_id
+        )
+        SELECT w.item_id,
+               CASE WHEN corrupt THEN NULL ELSE CAST(frames AS BIGINT) END
+                 AS n_frames,
+               CASE WHEN corrupt THEN NULL ELSE CAST(ch AS INT) END
+                 AS n_channels,
+               CASE WHEN corrupt THEN NULL ELSE CAST(8000 AS INT) END
+                 AS sample_rate,
+               s.s_sum, s.s_min, s.s_max, s.s_sumsq
+        FROM wavs w LEFT JOIN stats s USING (item_id)
+        ORDER BY w.item_id
+        """,
+        "X5",
+        "REAL G.711 mu-law/A-law decode (ITU-T tables as pure integer "
+        "arithmetic): the oracle re-derives every decoded sample from "
+        "the coded byte in SQL — the codec itself is cross-checked, "
+        "not just the statistics",
+    ),
+)
+
+
+def _adpcm_sample_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode #2: IMA/DVI ADPCM (WAV tag 0x11,
+    4 bits/sample, functions/audio_codecs.py). 24 mono fixtures with
+    formula-generated block headers (predictor, step index) and nibble
+    bytes, varied block sizes; every fifth trims via the fact chunk and
+    every seventh is truncated (null sentinel). ADPCM decode is a
+    per-block integer recursion over the 89-entry step table — the
+    oracle replays the SAME state machine as a recursive CTE, so every
+    decoded sample is re-derived in SQL from the coded nibbles."""
+    import struct as _s
+
+    from mission_data_pipeline_spark.functions.audio_codecs import (
+        encode_wav_ima_adpcm,
+        ima_samples_per_block,
+    )
+    from mission_data_pipeline_spark.functions.multimodal import (
+        audio_sample_stats,
+    )
+
+    rows = []
+    for k in range(24):
+        groups = k % 3 + 1
+        block_align = 4 + 4 * groups
+        spb = ima_samples_per_block(block_align, 1)
+        n_blocks = k % 4 + 2
+        blocks = b""
+        for blk in range(n_blocks):
+            pred0 = ((k * 911 + blk * 257) % 65536) - 32768
+            idx0 = (k * 7 + blk * 11) % 89
+            body = bytes(
+                (k * 13 + blk * 29 + j * 23) % 256
+                for j in range(block_align - 4)
+            )
+            blocks += _s.pack("<hBB", pred0, idx0, 0) + body
+        n_frames = n_blocks * spb - (3 if k % 5 == 4 else 0)
+        payload = encode_wav_ima_adpcm(
+            blocks, rate=11025, channels=1,
+            block_align=block_align, n_frames=n_frames,
+        )
+        if k % 7 == 6:
+            payload = payload[: len(payload) // 2]
+        rows.append((k, bytearray(payload)))
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    return audio_sample_stats(media).orderBy("item_id")
+
+
+_q(
+    "x5_adpcm_sample_stats",
+    Query(
+        _adpcm_sample_stats_spark,
+        """
+        WITH RECURSIVE steptab AS (
+          SELECT list_value(
+            7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+            34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+            143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+            449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+            1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+            3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+            9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+            22385, 24623, 27086, 29794, 32767) AS steps
+        ),
+        wavs AS (
+          SELECT k AS item_id, k % 3 + 1 AS groups,
+                 (k % 3 + 1) * 8 + 1 AS spb, k % 4 + 2 AS n_blocks,
+                 k % 7 = 6 AS corrupt, k % 5 = 4 AS trimmed
+          FROM range(0, 24) t(k)
+        ),
+        blocks AS (
+          SELECT item_id, spb, blk,
+                 ((item_id*911 + blk*257) % 65536) - 32768 AS pred0,
+                 (item_id*7 + blk*11) % 89 AS idx0
+          FROM wavs, range(0, 5) bb(blk)
+          WHERE blk < n_blocks AND NOT corrupt
+        ),
+        -- replay the IMA state machine: nibble s (0-based) comes from
+        -- body byte s//2 (low nibble first); body byte j of block blk is
+        -- (item*13 + blk*29 + j*23) mod 256
+        dec AS (
+          SELECT item_id, spb, blk, 0 AS s,
+                 CAST(pred0 AS INT) AS pred, CAST(idx0 AS INT) AS idx
+          FROM blocks
+          UNION ALL
+          SELECT item_id, spb, blk, s + 1,
+                 GREATEST(-32768, LEAST(32767,
+                   pred + CASE WHEN nib >= 8 THEN -d ELSE d END)),
+                 GREATEST(0, LEAST(88, idx +
+                   CASE WHEN nib % 8 < 4 THEN -1
+                        ELSE (nib % 8 - 3) * 2 END))
+          FROM (
+            SELECT q.*,
+                   (step//8) + CASE WHEN nib % 2 = 1 THEN step//4 ELSE 0 END
+                             + CASE WHEN (nib//2) % 2 = 1 THEN step//2 ELSE 0 END
+                             + CASE WHEN (nib//4) % 2 = 1 THEN step ELSE 0 END AS d
+            FROM (
+              SELECT dec.*,
+                     CASE WHEN s % 2 = 0
+                          THEN ((item_id*13 + blk*29 + (s//2)*23) % 256) % 16
+                          ELSE ((item_id*13 + blk*29 + (s//2)*23) % 256) // 16
+                     END AS nib,
+                     steptab.steps[idx + 1] AS step
+              FROM dec, steptab
+            ) q
+          ) WHERE s < spb - 1
+        ),
+        kept AS (
+          SELECT d.item_id, d.pred AS v
+          FROM dec d JOIN wavs w ON d.item_id = w.item_id
+          WHERE d.blk * d.spb + d.s
+                < w.n_blocks * w.spb - CASE WHEN w.trimmed THEN 3 ELSE 0 END
+        ),
+        stats AS (
+          SELECT item_id,
+                 CAST(SUM(v) AS BIGINT) AS s_sum,
+                 CAST(MIN(v) AS INT) AS s_min,
+                 CAST(MAX(v) AS INT) AS s_max,
+                 CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS s_sumsq
+          FROM kept GROUP BY item_id
+        )
+        SELECT w.item_id,
+               CASE WHEN corrupt THEN NULL
+                    ELSE CAST(n_blocks * spb
+                              - CASE WHEN trimmed THEN 3 ELSE 0 END
+                              AS BIGINT) END AS n_frames,
+               CASE WHEN corrupt THEN NULL ELSE CAST(1 AS INT) END
+                 AS n_channels,
+               CASE WHEN corrupt THEN NULL ELSE CAST(11025 AS INT) END
+                 AS sample_rate,
+               s.s_sum, s.s_min, s.s_max, s.s_sumsq
+        FROM wavs w LEFT JOIN stats s USING (item_id)
+        ORDER BY w.item_id
+        """,
+        "X5",
+        "REAL IMA/DVI ADPCM decode (89-entry step table, per-nibble "
+        "predictor recursion): the oracle replays the codec's state "
+        "machine as a recursive CTE over the formula-generated nibble "
+        "stream — fact-chunk trimming and truncation sentinels included",
+    ),
+)
+
+
 def _decode_matrix_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2-T6 golden matrix: 256 deterministic byte payloads decoded by the
     expression-only decoders (functions/decode.py); the oracle recomputes
