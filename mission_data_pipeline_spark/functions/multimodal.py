@@ -105,14 +105,20 @@ _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 def probe_video_meta(
     payload: bytes | None,
 ) -> tuple[str | None, int | None, int | None, float | None]:
-    """REAL video header parse for MP4/ISO-BMFF (box-tree walk).
+    """REAL video header parse for MP4/ISO-BMFF (box-tree walk) and
+    AVI/RIFF (chunk walk, :mod:`~mission_data_pipeline_spark.functions.avi`).
 
-    Returns ``(format, width, height, duration_s)``: duration from
-    ``moov/mvhd`` (timescale + duration), dimensions from the first
-    ``trak/tkhd`` (16.16 fixed point). Pure stdlib — container metadata
-    needs no codec; only frame decode does. Non-ISO-BMFF payloads →
-    all None; truncated boxes degrade to nulls for missing fields.
+    Returns ``(format, width, height, duration_s)``: for MP4, duration
+    from ``moov/mvhd`` (timescale + duration) and dimensions from the
+    first ``trak/tkhd`` (16.16 fixed point); for AVI, the ``avih``
+    header fields. Pure stdlib — container metadata needs no codec;
+    only frame decode does. Unknown payloads → all None; truncated
+    boxes degrade to nulls for missing fields.
     """
+    if payload and len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from mission_data_pipeline_spark.functions.avi import probe_avi_meta
+
+        return probe_avi_meta(payload)
     if not payload or len(payload) < 12 or payload[4:8] != b"ftyp":
         return (None, None, None, None)
     width = height = None
@@ -850,6 +856,33 @@ def _real_audio_feature(payload: bytes | None, dim: int) -> list[float]:
     return (head + _fake_feature(payload, dim))[:dim] if dim > 8 else head[:dim]
 
 
+def _real_video_feature(payload: bytes | None, dim: int) -> list[float]:
+    """Real video feature vector from an MJPEG-in-AVI payload: [frame
+    count, width, height, us_per_frame, size, first-frame pixel mean,
+    min, max] prefix + byte-histogram fold. Anything that is not an
+    AVI container still raises the codec stub — inter-frame codecs
+    (H.264/VP9/…) genuinely need libraries this environment lacks."""
+    from mission_data_pipeline_spark.functions.avi import decode_avi_frames
+    from mission_data_pipeline_spark.functions.jpeg import decode_jpeg_pixels
+
+    dec = decode_avi_frames(payload)
+    if dec is None:
+        _require_real_decoder("video")()
+    meta, frames = dec
+    first = decode_jpeg_pixels(frames[0]) if frames else None
+    head = [
+        float(len(frames)),
+        float(meta["width"] or 0),
+        float(meta["height"] or 0),
+        float(meta["us_per_frame"] or 0),
+        float(len(payload)),
+        0.0 if first is None else float(first.mean()),
+        0.0 if first is None else float(first.min()),
+        0.0 if first is None else float(first.max()),
+    ]
+    return (head + _fake_feature(payload, dim))[:dim] if dim > 8 else head[:dim]
+
+
 def _require_real_decoder(modality: str) -> Callable:
     def _raise(*_a, **_kw):
         raise NotImplementedError(
@@ -876,10 +909,13 @@ def extract_features(
     double for every modality). ``decoder='real'``: REAL features —
     decoded-pixel statistics for PNG and baseline-JPEG images / header
     fields for other image formats (:func:`_real_image_feature`), decoded-sample
-    statistics for PCM WAV audio (:func:`_real_audio_feature`),
-    byte-histogram for ``'text'``; compressed audio and ``'video'``
-    rows raise ``NotImplementedError`` at execution (the remaining stub
-    boundary — those codecs aren't available in this environment).
+    statistics for PCM / G.711 / IMA-ADPCM WAV audio
+    (:func:`_real_audio_feature`), frame + first-frame pixel statistics
+    for MJPEG-in-AVI video (:func:`_real_video_feature`),
+    byte-histogram for ``'text'``; perceptual audio codecs (MP3/AAC)
+    and inter-frame video codecs (H.264/…) raise
+    ``NotImplementedError`` at execution (the remaining stub boundary —
+    those codecs genuinely need libraries this environment lacks).
     Null or unknown modalities yield the all-zero sentinel vector
     (never silently fake).
     """
@@ -900,7 +936,7 @@ def extract_features(
         if media_type == "audio":
             return _real_audio_feature(payload, dim)
         if media_type == "video":
-            _require_real_decoder(media_type)()
+            return _real_video_feature(payload, dim)
         if media_type == "text":
             return _fake_feature(payload, dim)  # byte histogram IS real for text
         return [0.0] * dim  # null/unknown modality: zero sentinel, never fake
@@ -936,12 +972,18 @@ def sample_frames(
 ) -> DataFrame:
     """Sample every-Nth frame of video payloads (1 row per frame).
 
-    Fake decoder synthesizes ``max_frames`` frames whose pixel buffer is
-    a deterministic slice of the payload — exercising the real fan-out
-    shape (1 input row → many output rows through mapInPandas).
-    """
-    if decoder == "real":
-        _require_real_decoder("video")()
+    ``decoder='fake'`` synthesizes ``max_frames`` frames whose pixel
+    buffer is a deterministic slice of the payload — exercising the
+    real fan-out shape (1 input row → many output rows through
+    mapInPandas). ``decoder='real'`` parses MJPEG-in-AVI containers
+    (:mod:`~mission_data_pipeline_spark.functions.avi`), takes every
+    ``every_n``-th frame and decodes it with the repo's baseline JPEG
+    codec: ``pixels`` is the RAW decoded uint8 buffer (h·w·c bytes),
+    ``frame_idx`` the source frame number, width/height the DECODED
+    dimensions. Non-AVI payloads or undecodable frames yield null
+    pixel sentinels; inter-frame codecs stay behind the codec stub."""
+    if decoder not in ("fake", "real"):
+        raise ValueError("decoder must be 'fake' or 'real'")
 
     cols = media.select(
         F.col(id_col).cast("long").alias("item_id"),
@@ -950,7 +992,7 @@ def sample_frames(
         F.col(f"{meta_col}.height").alias("height"),
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
@@ -973,7 +1015,133 @@ def sample_frames(
                 {f.name: [] for f in FRAMES_SCHEMA.fields}
             )
 
-    return cols.mapInPandas(run, schema=FRAMES_SCHEMA)
+    def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mission_data_pipeline_spark.functions.avi import decode_avi_frames
+        from mission_data_pipeline_spark.functions.jpeg import decode_jpeg_pixels
+
+        step = max(every_n, 1)
+        for pdf in batches:
+            rows = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                dec = decode_avi_frames(payload)
+                if dec is None:
+                    rows.append(
+                        {
+                            "item_id": item_id,
+                            "frame_idx": -1,
+                            "width": None,
+                            "height": None,
+                            "pixels": None,
+                        }
+                    )
+                    continue
+                _meta, frames = dec
+                for fi in range(0, len(frames), step)[:max_frames]:
+                    px = decode_jpeg_pixels(frames[fi])
+                    rows.append(
+                        {
+                            "item_id": item_id,
+                            "frame_idx": fi,
+                            "width": None if px is None else px.shape[1],
+                            "height": None if px is None else px.shape[0],
+                            "pixels": None if px is None else px.tobytes(),
+                        }
+                    )
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in FRAMES_SCHEMA.fields]
+            ) if rows else pd.DataFrame(
+                {f.name: [] for f in FRAMES_SCHEMA.fields}
+            )
+            for col in ("width", "height"):
+                out[col] = pd.array(out[col], dtype="Int32")
+            yield out
+
+    return cols.mapInPandas(
+        run_real if decoder == "real" else run_fake, schema=FRAMES_SCHEMA
+    )
+
+
+#: Per-sampled-frame decoded pixel statistics (:func:`video_frame_stats`).
+VIDEO_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_min", T.IntegerType(), True),
+        T.StructField("px_max", T.IntegerType(), True),
+    ]
+)
+
+
+def video_frame_stats(
+    media: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+    max_frames: int = 32,
+) -> DataFrame:
+    """REAL video sample decode: MJPEG-in-AVI container parse
+    (:mod:`~mission_data_pipeline_spark.functions.avi`) → every-Nth
+    frame through the pure-NumPy baseline JPEG codec → exact integer
+    pixel statistics per sampled frame (1 input row → many output
+    rows). Non-AVI payloads yield a single null-stats sentinel row
+    (frame_idx NULL); an undecodable individual frame yields a
+    null-stats row with its frame_idx. Arrow batches via
+    ``mapInPandas``; frame fan-out happens executor-side."""
+    from mission_data_pipeline_spark.functions.avi import decode_avi_frames
+    from mission_data_pipeline_spark.functions.jpeg import decode_jpeg_pixels
+
+    cols = media.select(
+        F.col(id_col).cast("long").alias("item_id"),
+        F.col(payload_col).alias("payload"),
+    )
+    step = max(every_n, 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                dec = decode_avi_frames(payload)
+                if dec is None:
+                    recs.append(
+                        (item_id, None, None, None, None, None, None, None)
+                    )
+                    continue
+                _meta, frames = dec
+                for fi in range(0, len(frames), step)[:max_frames]:
+                    px = decode_jpeg_pixels(frames[fi])
+                    if px is None:
+                        recs.append(
+                            (item_id, fi, None, None, None, None, None, None)
+                        )
+                    else:
+                        h, w, c = px.shape
+                        recs.append(
+                            (
+                                item_id, fi, w, h, c,
+                                int(px.sum(dtype="int64")),
+                                int(px.min()),
+                                int(px.max()),
+                            )
+                        )
+            out = pd.DataFrame(
+                recs,
+                columns=[
+                    "item_id", "frame_idx", "width", "height", "channels",
+                    "px_sum", "px_min", "px_max",
+                ],
+            )
+            for col in ("frame_idx", "width", "height", "channels",
+                        "px_min", "px_max"):
+                out[col] = pd.array(out[col], dtype="Int32")
+            out["px_sum"] = pd.array(out["px_sum"], dtype="Int64")
+            yield out
+
+    return cols.mapInPandas(run, schema=VIDEO_FRAME_STATS_SCHEMA)
 
 
 def media_stats(

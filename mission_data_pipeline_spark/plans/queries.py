@@ -7011,6 +7011,139 @@ _q(
 )
 
 
+def _video_frame_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video sample decode: MJPEG-in-AVI containers
+    (functions/avi.py) whose frames are flat-color baseline JPEGs from
+    the repo's own codec (functions/jpeg.py). 36 fixture videos across
+    sizes, frame counts, gray/color and qualities {50,75,90}; every
+    sixth payload is corrupted (null sentinel row). The operator
+    parses the container, decodes EVERY sampled frame's pixels and
+    emits exact integer stats per frame (1 row in → n_frames rows
+    out). Flat-color frames make the JPEG quantization round-trip
+    exact scalar arithmetic (same trick as x5_jpeg_pixel_stats), so
+    the oracle recomputes every decoded frame from the spec formulas."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.avi import encode_avi_mjpeg
+    from mission_data_pipeline_spark.functions.jpeg import encode_jpeg
+    from mission_data_pipeline_spark.functions.multimodal import (
+        video_frame_stats,
+    )
+
+    rows = []
+    for k in range(36):
+        w, h = k % 10 + 3, k % 7 + 2
+        nf = k % 5 + 2
+        q = (50, 75, 90)[k % 3]
+        frames = []
+        for f in range(nf):
+            if k % 2 == 0:
+                px = np.full(
+                    (h, w), (k * 37 + f * 41 + 11) % 256, dtype=np.uint8
+                )
+            else:
+                px = np.full(
+                    (h, w, 3),
+                    [
+                        (k * 53 + f * 19) % 256,
+                        (k * 101 + f * 43 + 3) % 256,
+                        (k * 29 + f * 7 + 180) % 256,
+                    ],
+                    dtype=np.uint8,
+                )
+            frames.append(encode_jpeg(px, quality=q))
+        payload = encode_avi_mjpeg(frames, width=w, height=h)
+        if k % 6 == 5:
+            payload = payload[:10]
+        rows.append((k, bytearray(payload)))
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    return video_frame_stats(media, every_n=1, max_frames=32).orderBy(
+        "item_id", "frame_idx"
+    )
+
+
+_q(
+    "x5_video_frame_stats",
+    Query(
+        _video_frame_stats_spark,
+        """
+        WITH vids AS (
+          SELECT k AS item_id, k % 10 + 3 AS w, k % 7 + 2 AS h,
+                 k % 5 + 2 AS nf,
+                 CASE k % 3 WHEN 0 THEN 50 WHEN 1 THEN 75 ELSE 90 END AS q,
+                 k % 2 = 0 AS gray, k % 6 = 5 AS corrupt
+          FROM range(0, 36) t(k)
+        ),
+        frames AS (
+          SELECT item_id, w, h, q, gray, f,
+                 CAST((item_id*37 + f*41 + 11) % 256 AS DOUBLE) AS v,
+                 CAST((item_id*53 + f*19) % 256 AS DOUBLE) AS r,
+                 CAST((item_id*101 + f*43 + 3) % 256 AS DOUBLE) AS g,
+                 CAST((item_id*29 + f*7 + 180) % 256 AS DOUBLE) AS b
+          FROM vids, range(0, 6) ff(f)
+          WHERE f < nf AND NOT corrupt
+        ),
+        qq AS (
+          SELECT *,
+                 LEAST(255, GREATEST(1, (16*scale + 50) // 100)) AS q0l,
+                 LEAST(255, GREATEST(1, (17*scale + 50) // 100)) AS q0c
+          FROM (SELECT *, CASE WHEN q < 50 THEN 5000 // q
+                               ELSE 200 - 2*q END AS scale FROM frames)
+        ),
+        ycc AS (
+          SELECT *,
+                 0.299*r + 0.587*g + 0.114*b AS yy,
+                 -0.168736*r - 0.331264*g + 0.5*b + 128.0 AS cb,
+                 0.5*r - 0.418688*g - 0.081312*b + 128.0 AS cr
+          FROM qq
+        ),
+        dec AS (
+          SELECT *,
+            LEAST(255.0, GREATEST(0.0, FLOOR(FLOOR((FLOOR(FLOOR(8.0*(v - 128.0)*1000 + 0.5)/1000.0/q0l + 0.5)*q0l/8.0)*1000 + 0.5)/1000.0 + 128.0 + 0.5))) AS sv,
+            LEAST(255.0, GREATEST(0.0, FLOOR(FLOOR((FLOOR(FLOOR(8.0*(yy - 128.0)*1000 + 0.5)/1000.0/q0l + 0.5)*q0l/8.0)*1000 + 0.5)/1000.0 + 128.0 + 0.5))) AS syv,
+            LEAST(255.0, GREATEST(0.0, FLOOR(FLOOR((FLOOR(FLOOR(8.0*(cb - 128.0)*1000 + 0.5)/1000.0/q0c + 0.5)*q0c/8.0)*1000 + 0.5)/1000.0 + 128.0 + 0.5))) AS scb,
+            LEAST(255.0, GREATEST(0.0, FLOOR(FLOOR((FLOOR(FLOOR(8.0*(cr - 128.0)*1000 + 0.5)/1000.0/q0c + 0.5)*q0c/8.0)*1000 + 0.5)/1000.0 + 128.0 + 0.5))) AS scr
+          FROM ycc
+        ),
+        rgb AS (
+          SELECT *,
+            LEAST(255.0, GREATEST(0.0, FLOOR(syv + 1.402*(scr - 128.0) + 0.5))) AS dr,
+            LEAST(255.0, GREATEST(0.0, FLOOR(syv - 0.344136*(scb - 128.0) - 0.714136*(scr - 128.0) + 0.5))) AS dg,
+            LEAST(255.0, GREATEST(0.0, FLOOR(syv + 1.772*(scb - 128.0) + 0.5))) AS db
+          FROM dec
+        ),
+        ok AS (
+          SELECT item_id, CAST(f AS INT) AS frame_idx,
+                 CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                 CAST(CASE WHEN gray THEN 1 ELSE 3 END AS INT) AS channels,
+                 CAST(w*h*CASE WHEN gray THEN sv ELSE dr + dg + db END
+                      AS BIGINT) AS px_sum,
+                 CAST(CASE WHEN gray THEN sv ELSE LEAST(dr, dg, db) END
+                      AS INT) AS px_min,
+                 CAST(CASE WHEN gray THEN sv ELSE GREATEST(dr, dg, db) END
+                      AS INT) AS px_max
+          FROM rgb
+        ),
+        bad AS (
+          SELECT item_id, CAST(NULL AS INT) AS frame_idx,
+                 CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+                 CAST(NULL AS INT) AS channels,
+                 CAST(NULL AS BIGINT) AS px_sum,
+                 CAST(NULL AS INT) AS px_min, CAST(NULL AS INT) AS px_max
+          FROM vids WHERE corrupt
+        )
+        SELECT * FROM ok UNION ALL SELECT * FROM bad
+        ORDER BY item_id, frame_idx
+        """,
+        "X5",
+        "REAL MJPEG-in-AVI video sample decode: container chunk walk + "
+        "per-frame baseline-JPEG pixel decode, 1-to-many frame fan-out; "
+        "the oracle recomputes every decoded frame from the JPEG spec "
+        "arithmetic and corrupt containers must yield null sentinels",
+    ),
+)
+
+
 def _decode_matrix_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2-T6 golden matrix: 256 deterministic byte payloads decoded by the
     expression-only decoders (functions/decode.py); the oracle recomputes
@@ -9826,6 +9959,9 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "x5_g711_sample_stats",
+    "x5_adpcm_sample_stats",
+    "x5_video_frame_stats",
     "x5_image_resize",
     "l_schema_evolution_merge",
     "s_corrupt_file_skip",

@@ -177,13 +177,19 @@ def test_extract_audio_meta_dataframe(spark):
     assert rows[3]["n_bytes"] == 0
 
 
-def test_real_decoder_audio_video_still_stub(media):
+def test_real_decoder_perceptual_codecs_still_stub(media):
+    # item 2 is "audio" but not a decodable WAV (PCM/G.711/ADPCM all
+    # decode for real now) -> perceptual-codec stub still raises
     with pytest.raises(Exception, match="codec"):
         extract_features(media.filter("item_id = 2"), decoder="real").collect()
+    # item 3 is "video" but not an AVI container (MJPEG decodes for
+    # real now) -> inter-frame codec stub still raises
     with pytest.raises(Exception, match="codec"):
-        sample_frames(media, decoder="real")
+        extract_features(media.filter("item_id = 3"), decoder="real").collect()
     with pytest.raises(ValueError):
         extract_features(media, decoder="nope")
+    with pytest.raises(ValueError):
+        sample_frames(media, decoder="nope")
 
 
 def test_sample_frames_fanout(media):
@@ -492,3 +498,135 @@ def test_resize_images_png_jpeg_and_compose(spark):
     assert np.array_equal(
         decode_png_pixels(bytes(back["payload"]))[..., 0], small
     )
+
+
+def test_avi_container_roundtrip_and_probe():
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.avi import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        probe_avi_meta,
+    )
+    from mission_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+    from mission_data_pipeline_spark.functions.multimodal import probe_video_meta
+
+    frames = [
+        encode_jpeg(np.full((6, 8, 3), [10 + f * 5, 100, 200], dtype=np.uint8))
+        for f in range(5)
+    ]
+    avi = encode_avi_mjpeg(frames, width=8, height=6, us_per_frame=40000)
+    meta, got = decode_avi_frames(avi)
+    assert meta == {
+        "width": 8, "height": 6, "us_per_frame": 40000,
+        "total_frames": 5, "handler": "MJPG",
+    }
+    assert got == frames
+    assert decode_jpeg_pixels(got[3]).shape == (6, 8, 3)
+    assert probe_avi_meta(avi) == ("avi", 8, 6, 0.2)
+    # probe_video_meta dispatches on container magic
+    assert probe_video_meta(avi) == ("avi", 8, 6, 0.2)
+    # sentinels: garbage, None, truncation degrades to fewer frames
+    assert decode_avi_frames(b"RIFFxxxxWAVE") is None
+    assert decode_avi_frames(None) is None
+    _m, fewer = decode_avi_frames(avi[: len(avi) // 2])
+    assert len(fewer) < 5
+
+
+def test_video_frame_stats_real_decode(spark):
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.avi import encode_avi_mjpeg
+    from mission_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+    from mission_data_pipeline_spark.functions.multimodal import (
+        video_frame_stats,
+    )
+
+    rows = []
+    all_frames = {}
+    for k in range(3):
+        frames = [
+            encode_jpeg(
+                np.full((5, 7, 3), [(k * 40 + f * 9) % 256, 80, 160],
+                        dtype=np.uint8),
+                quality=75,
+            )
+            for f in range(4 + k)
+        ]
+        all_frames[k] = frames
+        rows.append((k, bytearray(encode_avi_mjpeg(
+            frames, width=7, height=5, us_per_frame=33333))))
+    rows.append((9, bytearray(b"not a video")))
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+
+    out = video_frame_stats(media, every_n=2).collect()
+    by_key = {(r["item_id"], r["frame_idx"]): r for r in out}
+    # every-2nd frame sampled; stats equal direct JPEG decode of that frame
+    for k in range(3):
+        n = 4 + k
+        sampled = list(range(0, n, 2))
+        assert sorted(
+            fi for (i, fi) in by_key if i == k
+        ) == sampled
+        for fi in sampled:
+            px = decode_jpeg_pixels(all_frames[k][fi])
+            r = by_key[(k, fi)]
+            assert (r["width"], r["height"], r["channels"]) == (7, 5, 3)
+            assert r["px_sum"] == int(px.sum(dtype="int64"))
+            assert r["px_min"] == int(px.min())
+            assert r["px_max"] == int(px.max())
+    # non-AVI payload -> single null sentinel row
+    sentinel = by_key[(9, None)]
+    assert sentinel["px_sum"] is None and sentinel["width"] is None
+
+
+def test_sample_frames_real_and_video_features(spark):
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.avi import encode_avi_mjpeg
+    from mission_data_pipeline_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    frames = [
+        encode_jpeg(np.full((4, 6, 3), [f * 30, 50, 90], dtype=np.uint8))
+        for f in range(6)
+    ]
+    avi = encode_avi_mjpeg(frames, width=6, height=4, us_per_frame=20000)
+    media = spark.createDataFrame(
+        [(0, bytearray(avi), ("video", "avi", 6, 4, 3, None, 0.12)),
+         (1, bytearray(b"\x00" * 40), ("video", "avi", 1, 1, 3, None, None))],
+        "item_id long, payload binary, "
+        "meta struct<media_type:string,format:string,width:int,height:int,"
+        "n_channels:int,sample_rate:int,duration_s:double>",
+    )
+    out = sample_frames(media, every_n=3, max_frames=8, decoder="real").collect()
+    rows0 = sorted(
+        (r for r in out if r["item_id"] == 0), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in rows0] == [0, 3]
+    for r in rows0:
+        px = decode_jpeg_pixels(frames[r["frame_idx"]])
+        assert (r["width"], r["height"]) == (6, 4)
+        assert bytes(r["pixels"]) == px.tobytes()
+    bad = [r for r in out if r["item_id"] == 1]
+    assert len(bad) == 1 and bad[0]["pixels"] is None
+
+    feats = {
+        r["item_id"]: r
+        for r in extract_features(
+            media.filter("item_id = 0"), decoder="real", dim=8
+        ).collect()
+    }
+    head = feats[0]["feature"]
+    assert head[0] == 6.0 and head[1] == 6.0 and head[2] == 4.0
+    assert head[3] == 20000.0
+    first = decode_jpeg_pixels(frames[0])
+    assert abs(head[5] - float(first.mean())) < 1e-4  # float32 feature
