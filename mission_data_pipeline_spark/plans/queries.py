@@ -5806,6 +5806,141 @@ _q(
 )
 
 
+def _bpe_merges_sql_literal() -> str:
+    """DEFAULT_MERGES as a DuckDB list literal — built from the same
+    constant the operator uses, so the two dialects cannot drift."""
+    from mission_data_pipeline_spark.operators.bpe import DEFAULT_MERGES
+
+    return "[" + ", ".join(f"'{l}|{r}'" for l, r in DEFAULT_MERGES) + "]"
+
+
+#: Recursive-CTE prelude shared by both BPE oracles: distinct words of
+#: the doc slice, greedily re-merged under the literal rank table with
+#: the SAME semantics as operators/bpe.py bpe_apply (lowest rank first,
+#: all non-overlapping occurrences left-to-right per iteration).
+_BPE_ORACLE_PRELUDE = """
+        WITH RECURSIVE docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 500
+        ),
+        words AS (
+          SELECT doc_id, w
+          FROM docs, UNNEST(list_filter(
+            string_split_regex(lower(text), '[^a-z]+'),
+            x -> len(x) > 0)) t(w)
+        ),
+        pdw AS (
+          SELECT doc_id, w, COUNT(*) AS occurrences
+          FROM words GROUP BY doc_id, w
+        ),
+        dw AS (SELECT DISTINCT w FROM pdw),
+        enc AS (
+          SELECT w, string_split(w, '') AS toks, 0 AS it,
+                 {merges} AS merges
+          FROM dw
+          UNION ALL
+          SELECT w,
+                 list_reduce(
+                   list_transform(toks, t -> [t]),
+                   (acc, x) -> CASE
+                     WHEN len(acc) > 0
+                          AND acc[-1] = string_split(merges[best], '|')[1]
+                          AND x[1] = string_split(merges[best], '|')[2]
+                     THEN acc[:len(acc)-1]
+                          || [string_split(merges[best], '|')[1]
+                              || string_split(merges[best], '|')[2]]
+                     ELSE acc || x END),
+                 it + 1, merges
+          FROM (
+            SELECT enc.*,
+                   list_min(list_filter(
+                     list_transform(range(1, len(toks)),
+                       i -> list_position(merges,
+                              toks[i] || '|' || toks[i+1])),
+                     p -> p IS NOT NULL AND p > 0)) AS best
+            FROM enc
+          ) WHERE best IS NOT NULL
+        ),
+        fin AS (
+          SELECT w, toks FROM (
+            SELECT w, toks, it, MAX(it) OVER (PARTITION BY w) AS mx
+            FROM enc
+          ) WHERE it = mx
+        )
+"""
+
+
+def _bpe_token_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE token accounting (operators/bpe.py): per-document word
+    and token counts under the fixed DEFAULT_MERGES rank table. The
+    distinct vocabulary is encoded ONCE (Arrow-batched, memoized) and
+    joined back — the Python step never touches the corpus-sized token
+    stream. Oracle replays the greedy rank-order merge loop as a
+    recursive CTE over the same literal merges."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.bpe import bpe_token_stats
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 500)
+    return bpe_token_stats(docs).orderBy("doc_id")
+
+
+_q(
+    "x4_bpe_token_stats",
+    Query(
+        _bpe_token_stats_spark,
+        _BPE_ORACLE_PRELUDE.format(merges=_bpe_merges_sql_literal())
+        + """
+        SELECT p.doc_id,
+               CAST(SUM(p.occurrences) AS BIGINT) AS n_words,
+               CAST(SUM(p.occurrences * len(f.toks)) AS BIGINT) AS n_tokens
+        FROM pdw p JOIN fin f ON p.w = f.w
+        GROUP BY p.doc_id
+        ORDER BY p.doc_id
+        """,
+        "X4",
+        "Real BPE segmentation (Sennrich-style greedy rank-order "
+        "merges): per-doc token budget; the oracle replays the merge "
+        "state machine as a recursive CTE over the identical literal "
+        "rank table",
+    ),
+)
+
+
+def _bpe_vocab_freq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency histogram under the same BPE table —
+    the tokenizer-coverage audit view. Distinct words encode once;
+    token explosion happens on the vocabulary-sized table only."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.bpe import bpe_vocab_frequency
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 500)
+    return bpe_vocab_frequency(docs, top_n=25)
+
+
+_q(
+    "x4_bpe_vocab_freq",
+    Query(
+        _bpe_vocab_freq_spark,
+        _BPE_ORACLE_PRELUDE.format(merges=_bpe_merges_sql_literal())
+        + """
+        , wc AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w)
+        SELECT token, CAST(SUM(cnt) AS BIGINT) AS freq
+        FROM (SELECT w, UNNEST(toks) AS token FROM fin) x
+             JOIN wc USING (w)
+        GROUP BY token
+        ORDER BY freq DESC, token
+        LIMIT 25
+        """,
+        "X4",
+        "BPE vocabulary histogram: top-25 token frequencies; same "
+        "recursive-CTE replay, corpus weights joined back by word",
+    ),
+)
+
+
 def _c4_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning-rule verdicts (operators/text.py c4_signals) — the
     documents table is single-line, so line semantics come from the
@@ -9959,6 +10094,8 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "x4_bpe_token_stats",
+    "x4_bpe_vocab_freq",
     "x5_g711_sample_stats",
     "x5_adpcm_sample_stats",
     "x5_video_frame_stats",
