@@ -92,6 +92,11 @@ EXTENDED = [
     # transform (hash-ranked first occurrence + reassembly)
     "x2_semantic_dedup",
     "curation_segment_dedup",
+    # round 6, second batch: full-corpus BPE token budget (corpus-
+    # proportional scan, vocabulary-bounded Python encode) and real
+    # MJPEG-in-AVI frame decode throughput (fixture-sized codec cost)
+    "x4_bpe_corpus_budget",
+    "x5_video_frame_stats",
 ]
 
 N_ETL_PACKETS = 200_000

@@ -5941,6 +5941,110 @@ _q(
 )
 
 
+def _bpe_corpus_budget_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-corpus BPE token budget by language — the headline number a
+    mixture-weighting/packing pipeline needs, over the ENTIRE documents
+    table (no fixture slice: this query's cost scales with the corpus
+    while its output stays language-bounded). The corpus-sized work is
+    all JVM (explode → word groupBy → hash join → agg); the Python
+    encode touches only the distinct vocabulary."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.bpe import bpe_token_stats
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    per_doc = bpe_token_stats(docs)
+    langs = docs.select(F.col("doc_id"), "lang")
+    return (
+        per_doc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.sum("n_words"), 6
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+_q(
+    "x4_bpe_corpus_budget",
+    Query(
+        _bpe_corpus_budget_spark,
+        """
+        WITH RECURSIVE words AS (
+          SELECT doc_id, w
+          FROM documents, UNNEST(list_filter(
+            string_split_regex(lower(text), '[^a-z]+'),
+            x -> len(x) > 0)) t(w)
+        ),
+        pdw AS (
+          SELECT doc_id, w, COUNT(*) AS occurrences
+          FROM words GROUP BY doc_id, w
+        ),
+        dw AS (SELECT DISTINCT w FROM pdw),
+        enc AS (
+          SELECT w, string_split(w, '') AS toks, 0 AS it,
+                 {merges} AS merges
+          FROM dw
+          UNION ALL
+          SELECT w,
+                 list_reduce(
+                   list_transform(toks, t -> [t]),
+                   (acc, x) -> CASE
+                     WHEN len(acc) > 0
+                          AND acc[-1] = string_split(merges[best], '|')[1]
+                          AND x[1] = string_split(merges[best], '|')[2]
+                     THEN acc[:len(acc)-1]
+                          || [string_split(merges[best], '|')[1]
+                              || string_split(merges[best], '|')[2]]
+                     ELSE acc || x END),
+                 it + 1, merges
+          FROM (
+            SELECT enc.*,
+                   list_min(list_filter(
+                     list_transform(range(1, len(toks)),
+                       i -> list_position(merges,
+                              toks[i] || '|' || toks[i+1])),
+                     p -> p IS NOT NULL AND p > 0)) AS best
+            FROM enc
+          ) WHERE best IS NOT NULL
+        ),
+        fin AS (
+          SELECT w, len(toks) AS n FROM (
+            SELECT w, toks, it, MAX(it) OVER (PARTITION BY w) AS mx
+            FROM enc
+          ) WHERE it = mx
+        ),
+        per_doc AS (
+          SELECT p.doc_id,
+                 SUM(p.occurrences) AS n_words,
+                 SUM(p.occurrences * f.n) AS n_tokens
+          FROM pdw p JOIN fin f ON p.w = f.w
+          GROUP BY p.doc_id
+        )
+        SELECT d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(pd.n_words) AS BIGINT) AS n_words,
+               CAST(SUM(pd.n_tokens) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(pd.n_tokens) AS DOUBLE) / SUM(pd.n_words), 6)
+                 AS tokens_per_word
+        FROM per_doc pd JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+        ORDER BY d.lang
+        """.replace("{merges}", _bpe_merges_sql_literal()),
+        "X4",
+        "Corpus-wide BPE token budget by language: full-table scan "
+        "scales with data, output stays language-bounded; oracle is "
+        "the same recursive merge replay over the corpus vocabulary",
+    ),
+)
+
+
 def _c4_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning-rule verdicts (operators/text.py c4_signals) — the
     documents table is single-line, so line semantics come from the
@@ -7508,6 +7612,75 @@ _q(
         "(probe_video_meta: mvhd timescale/duration, tkhd 16.16 "
         "dimensions) over Arrow batches; boxes synthesized in-plan, "
         "oracle recomputes the fields independently",
+    ),
+)
+
+
+def _avi_meta_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI metadata decode round-trip: Spark expressions
+    synthesize canonical RIFF/AVI headers (LIST hdrl → avih) per
+    document, functions/avi.py probe_avi_meta (via the
+    probe_video_meta container dispatch) walks the chunks back, and
+    the oracle recomputes every field in SQL. Complements
+    x5_video_frame_stats, which exercises the movi frame path."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.functions.multimodal import extract_video_meta
+
+    register_views(spark, sf_dir)
+    doc = spark.table("documents").filter(F.col("doc_id") < 150)
+    uspf = (F.lit(10000) + (F.col("doc_id") % 20) * 1000).cast("bigint")
+    frames = (F.col("doc_id") % 150 + 1).cast("bigint")
+    w = (F.lit(160) + (F.col("doc_id") % 8) * 40).cast("bigint")
+    h = (F.lit(120) + (F.col("doc_id") % 6) * 30).cast("bigint")
+
+    def le(c, width):  # little-endian bytes of an integer column
+        hx = F.lpad(F.hex(c), width * 2, "0")
+        pairs = [F.substring(hx, 2 * i + 1, 2) for i in reversed(range(width))]
+        return F.unhex(F.concat(*pairs))
+
+    b = F.lit
+    avih = F.concat(
+        le(uspf, 4), b(bytes(8)), le(F.lit(16).cast("bigint"), 4),
+        le(frames, 4), b(bytes(4)), le(F.lit(1).cast("bigint"), 4),
+        b(bytes(4)), le(w, 4), le(h, 4), b(bytes(16)),
+    )
+    payload = F.concat(
+        b(b"RIFF"), le(F.lit(80).cast("bigint"), 4), b(b"AVI "),
+        b(b"LIST"), le(F.lit(68).cast("bigint"), 4), b(b"hdrl"),
+        b(b"avih"), le(F.lit(56).cast("bigint"), 4), avih,
+    )
+    media = doc.select(F.col("doc_id").alias("item_id"), payload.alias("payload"))
+    return extract_video_meta(media).withColumn(
+        "duration_s", F.round("duration_s", 6)
+    ).orderBy("item_id")
+
+
+_q(
+    "x5_avi_meta_decode",
+    Query(
+        _avi_meta_spark,
+        """
+        WITH p AS (
+          SELECT doc_id,
+                 10000 + (doc_id % 20) * 1000 AS uspf,
+                 doc_id % 150 + 1 AS frames,
+                 160 + (doc_id % 8) * 40 AS w,
+                 120 + (doc_id % 6) * 30 AS h
+          FROM documents WHERE doc_id < 150
+        )
+        SELECT doc_id AS item_id, 'avi' AS format,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               ROUND(CAST(uspf * frames AS DOUBLE) / 1000000.0, 6)
+                 AS duration_s,
+               CAST(88 AS BIGINT) AS n_bytes
+        FROM p ORDER BY item_id
+        """,
+        "X5",
+        "REAL AVI metadata decoding: RIFF chunk walk (avih "
+        "us-per-frame/frames/dimensions) over Arrow batches; headers "
+        "synthesized in-plan, oracle recomputes the fields "
+        "independently",
     ),
 )
 
@@ -10094,6 +10267,8 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "x4_bpe_corpus_budget",
+    "x5_avi_meta_decode",
     "x4_bpe_token_stats",
     "x4_bpe_vocab_freq",
     "x5_g711_sample_stats",
