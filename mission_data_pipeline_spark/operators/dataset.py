@@ -157,3 +157,95 @@ def interpolate_linear(
             pv.isNotNull() & nv.isNotNull(), lerp
         )
     return df.withColumns(out)
+
+
+def resample_grid(
+    df: DataFrame,
+    *,
+    time_col: str,
+    value_col: str,
+    period_us: int,
+    series_cols: list[str] | None = None,
+) -> DataFrame:
+    """Regular-grid resampling with gap fill — the hypertable
+    ``time_bucket_gapfill + locf/interpolate`` shape for telemetry.
+
+    For each series (``series_cols`` key), emits one row per grid
+    timestamp ``t = floor(min_t/period)*period + k*period`` up to the
+    series' last sample, with BOTH fill policies as columns:
+
+    - ``locf``: last observation carried forward (null before the
+      first sample);
+    - ``interp``: time-weighted linear blend of the surrounding
+      samples (null outside the observed range; exactly-at-sample grid
+      points return that sample under both policies).
+
+    ``time_col`` must be integral microseconds. Duplicate timestamps
+    within a series resolve to their MAX value first so the result is
+    total-order deterministic under any partitioning.
+
+    Scale shape: one groupBy for per-series bounds, a generated grid
+    (``sequence`` + ``explode`` — no driver loop), one union, and ONE
+    ordered window per series partition; everything stays in
+    whole-stage codegen. Series are independent, so parallelism is the
+    series count — at 100 TB partition on (series, day bucket) and
+    stitch boundaries, same contract as :func:`interpolate_linear`.
+    """
+    series = series_cols or []
+    t = F.col(time_col).cast("long")
+    samples = (
+        df.select(*series, t.alias("__t"), F.col(value_col).alias("__v"))
+        .groupBy(*series, "__t")
+        .agg(F.max("__v").alias("__v"))
+    )
+    bounds = samples.groupBy(*series).agg(
+        (F.floor(F.min("__t") / period_us) * period_us)
+        .cast("long")
+        .alias("__g0"),
+        F.max("__t").alias("__t1"),
+    )
+    grid = bounds.select(
+        *series,
+        F.explode(
+            F.sequence("__g0", "__t1", F.lit(period_us).cast("long"))
+        ).alias("__t"),
+    )
+    unioned = samples.withColumn("__isg", F.lit(0)).unionByName(
+        grid.withColumn("__v", F.lit(None).cast(samples.schema["__v"].dataType))
+        .withColumn("__isg", F.lit(1))
+    )
+    wb = (
+        Window.partitionBy(*series)
+        .orderBy("__t", "__isg")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*series)
+        .orderBy("__t", "__isg")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col("__v")
+    known_t = F.when(v.isNotNull(), F.col("__t"))
+    pv = F.last(v, ignorenulls=True).over(wb)
+    pt = F.last(known_t, ignorenulls=True).over(wb)
+    nv = F.first(v, ignorenulls=True).over(wf)
+    nt = F.first(known_t, ignorenulls=True).over(wf)
+    lerp = F.when(pt == nt, pv).otherwise(
+        pv + (nv - pv) * (F.col("__t") - pt).cast("double") / (nt - pt).cast("double")
+    )
+    return (
+        unioned.withColumn("__locf", pv)
+        .withColumn(
+            "__interp",
+            F.when(pt == F.col("__t"), pv.cast("double")).when(
+                pv.isNotNull() & nv.isNotNull(), lerp
+            ),
+        )
+        .filter(F.col("__isg") == 1)
+        .select(
+            *series,
+            F.col("__t").alias(time_col),
+            F.col("__locf").alias("locf"),
+            F.col("__interp").alias("interp"),
+        )
+    )

@@ -4460,6 +4460,105 @@ _q(
 )
 
 
+def _resample_grid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid gap-fill resampling (operators/dataset.py
+    resample_grid — the hypertable time_bucket_gapfill + locf/
+    interpolate shape): each probe user's event values re-gridded to a
+    6-hour cadence with both fill policies. Output is bounded by the
+    user slice x the fixed 30-day/6-h grid regardless of corpus scale;
+    the oracle rebuilds the grid with generate-series arithmetic and
+    the identical ordered-window fills."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dataset import resample_grid
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT user_id, ts_ns DIV 1000 AS t_us, value "
+        "FROM events WHERE user_id < 20"
+    )
+    out = resample_grid(
+        ev,
+        time_col="t_us",
+        value_col="value",
+        period_us=21_600_000_000,
+        series_cols=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        "t_us",
+        F.round("locf", 6).alias("locf"),
+        F.round("interp", 6).alias("interp"),
+    ).orderBy("user_id", "t_us")
+
+
+_q(
+    "w_resample_grid_gapfill",
+    Query(
+        _resample_grid_spark,
+        """
+        WITH s AS (
+          SELECT user_id, epoch_us(ts) AS t, MAX(value) AS v
+          FROM events WHERE user_id < 20
+          GROUP BY user_id, epoch_us(ts)
+        ),
+        b AS (
+          SELECT user_id,
+                 (MIN(t) // 21600000000) * 21600000000 AS g0,
+                 MAX(t) AS t1
+          FROM s GROUP BY user_id
+        ),
+        grid AS (
+          SELECT user_id, UNNEST(range(g0, t1 + 1, 21600000000)) AS t
+          FROM b
+        ),
+        u AS (
+          SELECT user_id, t, v, 0 AS isg FROM s
+          UNION ALL
+          SELECT user_id, t, NULL, 1 FROM grid
+        ),
+        w AS (
+          SELECT user_id, t, v, isg,
+                 LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, isg
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS pv,
+                 LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                   OVER (
+                   PARTITION BY user_id ORDER BY t, isg
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS pt,
+                 FIRST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, isg
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                 ) AS nv,
+                 FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                   OVER (
+                   PARTITION BY user_id ORDER BY t, isg
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                 ) AS nt
+          FROM u
+        )
+        SELECT user_id, t AS t_us,
+               ROUND(pv, 6) AS locf,
+               ROUND(CASE
+                 WHEN pt = t THEN pv
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL
+                 THEN pv + (nv - pv) * CAST(t - pt AS DOUBLE)
+                                     / CAST(nt - pt AS DOUBLE)
+               END, 6) AS interp
+        FROM w WHERE isg = 1
+        ORDER BY user_id, t_us
+        """,
+        "W+,T7+",
+        "regular-grid resampling with gap fill (time_bucket_gapfill + "
+        "locf/interpolate): generated sequence grid, one ordered window "
+        "per series, exact-hit grid points return the sample under both "
+        "policies",
+    ),
+)
+
+
 def _ffill_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-and-hold: each event row carries the user's latest purchase
     value at-or-before it (operators/dataset.py forward_fill); oracle is
@@ -10267,6 +10366,7 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "w_resample_grid_gapfill",
     "x4_bpe_corpus_budget",
     "x5_avi_meta_decode",
     "x4_bpe_token_stats",

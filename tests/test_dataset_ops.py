@@ -304,3 +304,46 @@ def test_udx_grouped_median_and_token_spans(spark):
         (1, "bb", 1, 2),
         (1, "c", 2, 1),
     ]  # null/empty text yields no rows
+
+
+def test_resample_grid_gapfill_semantics(spark):
+    import pytest
+
+    from mission_data_pipeline_spark.operators.dataset import resample_grid
+
+    # series A: samples at t=100, 250, 400 (period 100 -> grid 100..400)
+    # series B: duplicate timestamps resolve to MAX before filling
+    rows = [
+        ("A", 100, 10.0),
+        ("A", 250, 40.0),
+        ("A", 400, 10.0),
+        ("B", 150, 5.0),
+        ("B", 150, 7.0),  # dup -> 7.0 wins
+        ("B", 350, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "name string, t_us long, value double")
+    out = {
+        (r["name"], r["t_us"]): r
+        for r in resample_grid(
+            df,
+            time_col="t_us",
+            value_col="value",
+            period_us=100,
+            series_cols=["name"],
+        ).collect()
+    }
+    # A grid: 100, 200, 300, 400
+    assert out[("A", 100)]["locf"] == 10.0 and out[("A", 100)]["interp"] == 10.0
+    assert out[("A", 200)]["locf"] == 10.0
+    assert out[("A", 200)]["interp"] == pytest.approx(10 + 30 * 100 / 150)
+    assert out[("A", 300)]["locf"] == 40.0
+    assert out[("A", 300)]["interp"] == pytest.approx(40 - 30 * 50 / 150)
+    # exact-hit at the last sample returns it under BOTH policies
+    assert out[("A", 400)]["locf"] == 10.0 and out[("A", 400)]["interp"] == 10.0
+    # B grid starts at floor(150/100)*100 = 100: before first sample ->
+    # both policies null
+    assert out[("B", 100)]["locf"] is None and out[("B", 100)]["interp"] is None
+    # dup timestamp resolved to max (7.0) before filling
+    assert out[("B", 200)]["locf"] == 7.0
+    assert out[("B", 200)]["interp"] == pytest.approx(7.0 + (1.0 - 7.0) * 50 / 200)
+    assert len(out) == 4 + 3  # A: 4 grid points, B: 100..300 = 3
