@@ -4559,6 +4559,183 @@ _q(
 )
 
 
+def _ewma_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing (operators/timeseries.py ewma): the exponential
+    recurrence s_i = a*x_i + (1-a)*s_{i-1} per probe user, alpha=0.25.
+    Both engines evaluate the literal two-term IEEE-754 formula one
+    step per row in the same order ((t, event_id) tiebreak), so the
+    oracle's recursive CTE reproduces the floats bit-exactly."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.timeseries import ewma
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT user_id, event_id, ts_ns DIV 1000 AS t_us, value "
+        "FROM events WHERE user_id < 20"
+    )
+    out = ewma(
+        ev,
+        alpha=0.25,
+        time_col="t_us",
+        value_col="value",
+        series_cols=["user_id"],
+        order_cols=["event_id"],
+    )
+    # no rounding: the recurrence is the same IEEE-754 op sequence in
+    # both engines, so the doubles are bit-identical — rounding would
+    # only ADD half-tie divergence (seen at sf1: x.9853125 rounded
+    # differently by Spark's BigDecimal HALF_UP vs DuckDB's float round)
+    return out.select("user_id", "event_id", "t_us", "value", "ewma") \
+        .orderBy("user_id", "t_us", "event_id")
+
+
+_q(
+    "w_ewma_smoothing",
+    Query(
+        _ewma_spark,
+        """
+        WITH RECURSIVE s AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ) AS n
+          FROM events WHERE user_id < 20
+        ),
+        rec AS (
+          SELECT user_id, event_id, t, value, n, value AS ewma
+          FROM s WHERE n = 1
+          UNION ALL
+          SELECT s.user_id, s.event_id, s.t, s.value, s.n,
+                 0.25 * s.value + 0.75 * rec.ewma
+          FROM rec JOIN s
+            ON s.user_id = rec.user_id AND s.n = rec.n + 1
+        )
+        SELECT user_id, event_id, t AS t_us, value, ewma
+        FROM rec
+        ORDER BY user_id, t_us, event_id
+        """,
+        "W+",
+        "exponentially weighted moving average per series: sequential "
+        "recurrence replayed exactly by a recursive CTE (same IEEE ops, "
+        "same order — the ADPCM oracle technique applied to analytics)",
+    ),
+)
+
+
+def _lttb_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling (operators/timeseries.py lttb): each probe
+    user's series decimated to 12 visually-faithful points. Integer
+    fixture values and series-rebased times keep every triangle-area
+    product inside exact double range, so the argmax selection is
+    engine-independent; the oracle replays the bucket walk (previous
+    kept point carried as recursive state, next-bucket averages joined
+    per step) as a recursive CTE over per-bucket candidate lists."""
+    from pyspark.sql import Window, functions as F
+
+    from mission_data_pipeline_spark.operators.timeseries import lttb
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT user_id, ts_ns DIV 1000 AS t_us, "
+        "       CAST(event_id % 997 AS DOUBLE) AS v "
+        "FROM events WHERE user_id < 20"
+    )
+    w = Window.partitionBy("user_id")
+    ev = ev.withColumn("t_rel", F.col("t_us") - F.min("t_us").over(w))
+    dedup = ev.groupBy("user_id", "t_rel").agg(F.max("v").alias("v"))
+    dedup = dedup.withColumn("__n", F.count("*").over(w)).filter(
+        F.col("__n") > 12
+    )
+    out = lttb(
+        dedup, n_out=12, time_col="t_rel", value_col="v",
+        series_cols=["user_id"],
+    )
+    return out.select(
+        "user_id", "kept_rank", "t_rel", "value"
+    ).orderBy("user_id", "kept_rank")
+
+
+_q(
+    "w_lttb_downsample",
+    Query(
+        _lttb_spark,
+        """
+        WITH RECURSIVE raw AS (
+          SELECT user_id, epoch_us(ts) AS t,
+                 CAST(event_id % 997 AS DOUBLE) AS v
+          FROM events WHERE user_id < 20
+        ),
+        reb AS (
+          SELECT user_id,
+                 t - MIN(t) OVER (PARTITION BY user_id) AS t, v
+          FROM raw
+        ),
+        s AS (SELECT user_id, t, MAX(v) AS v FROM reb GROUP BY user_id, t),
+        idx AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t) - 1 AS i,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n
+          FROM s
+        ),
+        big AS (SELECT * FROM idx WHERE n > 12),
+        bdef AS (
+          SELECT DISTINCT user_id, n, b,
+                 (b * (n - 2)) // 10 + 1 AS lo,
+                 ((b + 1) * (n - 2)) // 10 + 1 AS hi
+          FROM big, range(0, 10) rb(b)
+        ),
+        avgs AS (
+          SELECT d.user_id, d.b,
+                 CAST(SUM(p.t) AS DOUBLE) / COUNT(*) AS avg_t,
+                 CAST(SUM(p.v) AS DOUBLE) / COUNT(*) AS avg_v
+          FROM bdef d JOIN big p
+            ON p.user_id = d.user_id AND p.i >= d.lo AND p.i < d.hi
+          GROUP BY d.user_id, d.b
+        ),
+        nxt AS (
+          SELECT user_id, b - 1 AS b, avg_t, avg_v FROM avgs WHERE b >= 1
+          UNION ALL
+          SELECT user_id, 9, CAST(t AS DOUBLE), v FROM big WHERE i = n - 1
+        ),
+        -- argmax per step as MAX over (area, -i, ...) structs: ties on
+        -- equal area resolve to the smallest index, matching the
+        -- operator's strictly-greater keep-first scan. (A list_reduce
+        -- lambda formulation gave batch-size-dependent wrong captures
+        -- in DuckDB 1.0 recursive CTEs — aggregates are reliable.)
+        rec AS (
+          SELECT user_id, -1 AS b, t AS sel_t, v AS sel_v
+          FROM big WHERE i = 0
+          UNION ALL
+          SELECT user_id, b + 1, mx.t, mx.v FROM (
+            SELECT r.user_id, r.b,
+                   MAX(struct_pack(
+                     area := abs((r.sel_t - nx.avg_t) * (p.v - r.sel_v)
+                                 - (r.sel_t - p.t) * (nx.avg_v - r.sel_v)),
+                     ni := -p.i, t := p.t, v := p.v)) AS mx
+            FROM rec r
+            JOIN bdef d ON d.user_id = r.user_id AND d.b = r.b + 1
+            JOIN big p
+              ON p.user_id = d.user_id AND p.i >= d.lo AND p.i < d.hi
+            JOIN nxt nx ON nx.user_id = r.user_id AND nx.b = r.b + 1
+            GROUP BY r.user_id, r.b
+          )
+        )
+        SELECT user_id, CAST(b + 1 AS INT) AS kept_rank,
+               sel_t AS t_rel, sel_v AS value
+        FROM rec
+        UNION ALL
+        SELECT user_id, CAST(11 AS INT), t, v FROM big WHERE i = n - 1
+        ORDER BY user_id, kept_rank
+        """,
+        "W+",
+        "largest-triangle-three-buckets downsampling: per-series "
+        "sequential bucket walk (previous kept point as recursive "
+        "state) replayed exactly; integer fixtures keep the area argmax "
+        "engine-independent",
+    ),
+)
+
+
 def _ffill_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-and-hold: each event row carries the user's latest purchase
     value at-or-before it (operators/dataset.py forward_fill); oracle is
@@ -10366,6 +10543,8 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "w_ewma_smoothing",
+    "w_lttb_downsample",
     "w_resample_grid_gapfill",
     "x4_bpe_corpus_budget",
     "x5_avi_meta_decode",

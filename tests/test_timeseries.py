@@ -1,0 +1,88 @@
+"""Sequential-state time-series ops (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mission_data_pipeline_spark.operators.timeseries import (
+    _lttb_series,
+    ewma,
+    lttb,
+)
+
+
+def test_ewma_recurrence_exact(spark):
+    rows = [
+        ("A", 1, 0, 10.0),
+        ("A", 2, 1, 20.0),
+        ("A", 3, 2, 0.0),
+        ("B", 4, 0, 4.0),
+        # duplicate timestamp: event_id tiebreak fixes the order
+        ("B", 6, 1, 8.0),
+        ("B", 5, 1, 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, event_id long, t_us long, value double"
+    )
+    out = {
+        (r["name"], r["event_id"]): r["ewma"]
+        for r in ewma(
+            df,
+            alpha=0.5,
+            time_col="t_us",
+            value_col="value",
+            series_cols=["name"],
+            order_cols=["event_id"],
+        ).collect()
+    }
+    assert out[("A", 1)] == 10.0
+    assert out[("A", 2)] == 15.0
+    assert out[("A", 3)] == 7.5
+    assert out[("B", 4)] == 4.0
+    assert out[("B", 5)] == 5.0  # t=1, event 5 before event 6
+    assert out[("B", 6)] == 6.5
+    with pytest.raises(ValueError):
+        ewma(df, alpha=0.0, time_col="t_us", value_col="value",
+             series_cols=["name"])
+
+
+def test_lttb_series_reference_properties():
+    # hand-checkable case: spike must survive downsampling
+    ts = list(range(20))
+    vs = [0.0] * 20
+    vs[7] = 100.0
+    kept = _lttb_series(ts, vs, 5)
+    assert kept[0] == 0 and kept[-1] == 19  # endpoints always kept
+    assert len(kept) == 5
+    assert 7 in kept  # the spike dominates its bucket's triangle area
+    assert kept == sorted(kept)
+    # short series pass through
+    assert _lttb_series([1, 2, 3], [1.0, 2.0, 3.0], 5) == [0, 1, 2]
+    # flat series: every area ties at 0 -> first point of each bucket
+    flat = _lttb_series(list(range(12)), [1.0] * 12, 5)
+    assert flat[0] == 0 and flat[-1] == 11 and len(flat) == 5
+
+
+def test_lttb_dataframe_matches_series_function(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    ts = sorted(int(t) for t in rng.choice(10_000, size=60, replace=False))
+    vs = [float(int(v)) for v in rng.integers(0, 500, size=60)]
+    df = spark.createDataFrame(
+        [("S", t, v) for t, v in zip(ts, vs)],
+        "name string, t_us long, value double",
+    )
+    got = (
+        lttb(df, n_out=10, time_col="t_us", value_col="value",
+             series_cols=["name"])
+        .orderBy("kept_rank")
+        .collect()
+    )
+    kept = _lttb_series(ts, vs, 10)
+    assert [r["t_us"] for r in got] == [ts[k] for k in kept]
+    assert [r["value"] for r in got] == [vs[k] for k in kept]
+    assert [r["kept_rank"] for r in got] == list(range(10))
+    with pytest.raises(ValueError):
+        lttb(df, n_out=2, time_col="t_us", value_col="value",
+             series_cols=["name"])
