@@ -296,6 +296,12 @@ def main() -> None:
             ).save()
             dts.append(time.time() - t0)
         ext[name] = round(min(dts), 3)
+        if name == "q5_bucketed_broadcast_dims":
+            # Staging the bucketed fact copies is a one-time deployment
+            # cost, memoized per session since r07 — the first sample
+            # includes it, later samples time the query alone. Record
+            # the staging-inclusive number separately so neither is lost.
+            out["q5_bucketed_first_run_incl_staging_s"] = round(dts[0], 3)
     out["extended_queries"] = ext
     out["extended_total"] = round(sum(ext.values()), 3)
     # Self-describing methodology per series: round-over-round consumers

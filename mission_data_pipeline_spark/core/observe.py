@@ -66,17 +66,25 @@ def _row_or_none(obs: Observation) -> dict | None:
 
 
 class ObservationGroup:
-    """Row-count observations over both sides of one TelemetryBatch."""
+    """Row-count observations over both sides of one TelemetryBatch.
+
+    Each side (packets / params) resolves independently, so a batch
+    whose action only touched one side still reports that side's exact
+    count; the dead side can be backfilled with a bounded ``count()``
+    via :meth:`resolve_by_counting` (one extra batch-sized job) instead
+    of silently reading -1.
+    """
 
     def __init__(self, tag: str) -> None:
         self.tag = tag
-        self._obs: list[Observation] = []
-        self._resolved: int | None = None
+        self._obs: list[tuple[Observation, DataFrame]] = []
+        self._counts: dict[int, int] = {}
 
     def _wrap(self, df: DataFrame, side: str) -> DataFrame:
         o = Observation(f"mdps:{self.tag}:{side}:{uuid.uuid4().hex[:8]}")
-        self._obs.append(o)
-        return df.observe(o, F.count(F.lit(1)).alias("rows"))
+        observed = df.observe(o, F.count(F.lit(1)).alias("rows"))
+        self._obs.append((o, observed))
+        return observed
 
     def attach(self, batch: TelemetryBatch) -> TelemetryBatch:
         packets = (
@@ -88,25 +96,34 @@ class ObservationGroup:
         return TelemetryBatch(packets=packets, params=params, metadata=batch.metadata)
 
     def try_resolve(self) -> bool:
-        """One non-blocking poll; caches the summed count on success."""
-        if self._resolved is not None:
-            return True
-        total, seen = 0, 0
-        for o in self._obs:
+        """One non-blocking poll; caches per-side counts as they land."""
+        for i, (o, _df) in enumerate(self._obs):
+            if i in self._counts:
+                continue
             row = _row_or_none(o)
-            if row is None:
-                return False
-            total += int(row["rows"])
-            seen += 1
-        if seen == len(self._obs):
-            self._resolved = total
-            return True
-        return False
+            if row is not None:
+                self._counts[i] = int(row["rows"])
+        return len(self._counts) == len(self._obs)
+
+    def resolve_by_counting(self) -> int:
+        """Backfill any still-unresolved side with a direct bounded
+        ``count()`` (one batch-sized job per dead side) and return the
+        total. The fallback for dead branches the action never ran."""
+        for i, (_o, df) in enumerate(self._obs):
+            if i not in self._counts:
+                self._counts[i] = df.count()
+        return self.rows
+
+    @property
+    def unresolved_sides(self) -> int:
+        return len(self._obs) - len(self._counts)
 
     @property
     def rows(self) -> int:
         """Harvested count, or -1 if (part of) the batch saw no action."""
-        return self._resolved if self._resolved is not None else -1
+        if self._obs and len(self._counts) == len(self._obs):
+            return sum(self._counts.values())
+        return -1
 
 
 def harvest_groups(groups: list[ObservationGroup], timeout_s: float) -> None:

@@ -21,9 +21,12 @@ default) has two methods:
 - ``count_method="observe"`` (default): every stage output gets a
   ``df.observe(count(*))`` node and the counts are harvested as a side
   effect of the batch's **single** action (the loader's write) — one
-  Spark job per batch, exact counts. Counts read ``-1`` (unknown) for a
-  DataFrame branch the action never executed (e.g. a packets side the
-  loader ignores) and for batches aborted before any action ran.
+  Spark job per batch, exact counts. A DataFrame branch the action
+  never executed (e.g. a packets side the loader ignores) is backfilled
+  with one bounded ``count()`` job per dead side by default
+  (``observe_dead_branch="count"``); set it to ``"unknown"`` to keep
+  ``-1`` with zero extra jobs (logged once per run). Batches aborted
+  before any action ran always read ``-1``.
   Because counts only exist after the action, ``batch.extracted`` /
   ``batch.transformed`` hooks fire with ``records=-1`` in this mode;
   StageResult / metrics are backfilled post-action.
@@ -76,6 +79,12 @@ class PipelineConfig(BaseModel):
     count_records: bool = True
     count_method: Literal["observe", "count"] = "observe"
     observe_timeout_s: float = 1.0
+    # Dead-branch policy for observe mode: a DataFrame side the batch's
+    # action never executed has no observed count. "count" (default)
+    # backfills it with one bounded count() job per dead side, so
+    # default-mode accounting never silently reports -1 after an action
+    # ran; "unknown" keeps -1 (zero extra jobs) and logs once per run.
+    observe_dead_branch: Literal["count", "unknown"] = "count"
 
 
 class Pipeline:
@@ -99,6 +108,7 @@ class Pipeline:
         self.loader = loader
         self.hooks = hooks or HookManager()
         self.metrics = metrics or PipelineMetrics()
+        self._warned_dead_branch = False
 
     # -- timed stage wrappers (P1: setup/teardown even on error) --------
 
@@ -268,6 +278,21 @@ class Pipeline:
         if observing:
             if action_ran:
                 harvest_groups(groups, cfg.observe_timeout_s)
+                dead = [g for g in groups if g.unresolved_sides]
+                if dead:
+                    if cfg.observe_dead_branch == "count":
+                        for g in dead:
+                            g.resolve_by_counting()
+                    elif not self._warned_dead_branch:
+                        self._warned_dead_branch = True
+                        log.warning(
+                            "observe-mode: %d stage boundary(ies) had a "
+                            "DataFrame side the action never executed; "
+                            "their counts read -1 (unknown). Set "
+                            "observe_dead_branch='count' for a bounded "
+                            "fallback count.",
+                            len(dead),
+                        )
             # backfill from whatever resolved (-1 where no action ran)
             counts = [g.rows for g in groups]
             result.total_packets += max(counts[0], 0)
@@ -291,7 +316,7 @@ class Pipeline:
         n_in: int,
         last_group: int,
         groups: list[ObservationGroup],
-        deferred: list[tuple[StageResult, int, int]],
+        deferred: list[tuple[StageResult, int, int, int | None]],
         result: PipelineResult,
     ) -> bool | None:
         """Returns True if an action ran, False if skipped, None on

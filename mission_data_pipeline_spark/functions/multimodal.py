@@ -501,7 +501,11 @@ def decode_wav_samples(payload: bytes | None):
                 return None
         else:
             return None
-        if fact_frames is not None:
+        # The fact chunk is authoritative only for compressed codecs
+        # (A-law/mu-law/ADPCM, where block padding over-produces frames);
+        # for uncompressed PCM it is informational per the WAV spec, so a
+        # stale/undersized fact value must not truncate valid samples.
+        if fact_frames is not None and code in (6, 7, 0x11):
             arr = arr[:fact_frames]
         if arr.shape[0] == 0:
             return None

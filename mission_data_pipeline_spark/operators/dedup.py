@@ -471,7 +471,13 @@ def dedup_exact_segments(
             )
         ).alias("seg_idx", "seg"),
     )
-    w = Window.partitionBy(F.xxhash64("seg")).orderBy("doc_id", "seg_idx")
+    # Partition by (hash, seg): the shuffle key stays the 8-byte hash,
+    # but equality within a bucket is exact on the segment string, so a
+    # 64-bit hash collision between two distinct segments can never
+    # silently drop one of them (and matches the string-keyed oracle).
+    w = Window.partitionBy(F.xxhash64("seg"), "seg").orderBy(
+        "doc_id", "seg_idx"
+    )
     kept = (
         segged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -35,6 +35,7 @@ def ewma(
     value_col: str,
     series_cols: list[str],
     order_cols: list[str] | None = None,
+    max_rows_per_series: int | None = None,
 ) -> DataFrame:
     """Exponentially weighted moving average per series:
     ``s_0 = x_0; s_i = alpha*x_i + (1-alpha)*s_{i-1}``.
@@ -44,9 +45,24 @@ def ewma(
     recurrence order — and therefore the float result — is total-order
     deterministic). Returns the input columns plus ``ewma``.
 
+    Null values are SKIPPED by the recurrence: the row's ``ewma`` is
+    NULL and the running state carries through unchanged — the same
+    convention as SQL aggregates over NULL, and the one the recursive
+    CTE oracle replays (NULL in ⇒ NULL out, never NaN).
+
     The recurrence is evaluated as the literal two-term float formula,
     one step per row, so an engine replaying the same IEEE-754 ops in
     the same order (the oracle's recursive CTE) reproduces it exactly.
+
+    Memory bound: each series is ONE Arrow group in one task — a series
+    with billions of rows will not fit.  At telemetry scale the series
+    key (parameter, spacecraft, channel) gives millions of modest
+    groups; for one pathological hot channel, shard it by time and
+    carry the tail state across shards (each shard's output state is
+    ``decay*state_in + c`` with per-shard constants, so shards chain
+    with one tiny sequential pass over shard summaries).  Pass
+    ``max_rows_per_series`` to fail loudly instead of OOMing when a
+    group exceeds the bound.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -63,15 +79,27 @@ def ewma(
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_rows_per_series is not None and len(pdf) > max_rows_per_series:
+            key = pdf.iloc[0][list(series_cols)].to_dict() if len(pdf) else {}
+            raise ValueError(
+                f"ewma: series {key} has {len(pdf)} rows > "
+                f"max_rows_per_series={max_rows_per_series}; shard the "
+                "series by time and chain tail state (see docstring)"
+            )
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
-        xs = pdf["__x"].tolist()
+        xs = [None if pd.isna(x) else x for x in pdf["__x"].tolist()]
         smoothed, s = [], None
         for x in xs:
+            if x is None:
+                smoothed.append(None)
+                continue
             s = x if s is None else alpha * x + (1.0 - alpha) * s
             smoothed.append(s)
         pdf = pdf.drop(columns=["__x"])
-        pdf["value"] = xs
-        pdf["ewma"] = smoothed
+        # Nullable Float64 (masked) so None survives Arrow as SQL NULL —
+        # a plain float64 column would smuggle it through as NaN.
+        pdf["value"] = pd.array(xs, dtype="Float64")
+        pdf["ewma"] = pd.array(smoothed, dtype="Float64")
         return pdf
 
     return cols.groupBy(*series_cols).applyInPandas(run, schema=out_schema)
@@ -121,6 +149,7 @@ def lttb(
     time_col: str,
     value_col: str,
     series_cols: list[str],
+    max_rows_per_series: int | None = None,
 ) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsampling per series — the
     standard visually-faithful decimation for telemetry dashboards
@@ -133,6 +162,12 @@ def lttb(
     :func:`~mission_data_pipeline_spark.operators.dataset.resample_grid`).
     Returns ``(*series_cols, time_col, value, kept_rank)`` with
     ``kept_rank`` the 0-based output position.
+
+    Memory bound: one Arrow group per series (see :func:`ewma`); pass
+    ``max_rows_per_series`` to fail loudly instead of OOMing on a
+    pathological single-series input.  For a giant series, pre-bucket
+    by coarse time windows and LTTB each window to ``n_out / n_windows``
+    points — visually equivalent for dashboard decimation.
     """
     if n_out < 3:
         raise ValueError(f"n_out must be >= 3, got {n_out}")
@@ -155,6 +190,13 @@ def lttb(
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_rows_per_series is not None and len(pdf) > max_rows_per_series:
+            key = pdf.iloc[0][list(series_cols)].to_dict() if len(pdf) else {}
+            raise ValueError(
+                f"lttb: series {key} has {len(pdf)} rows > "
+                f"max_rows_per_series={max_rows_per_series}; pre-bucket "
+                "by coarse time windows (see docstring)"
+            )
         pdf = pdf.sort_values("__t", kind="mergesort").reset_index(drop=True)
         ts, vs = pdf["__t"].tolist(), pdf["__v"].tolist()
         kept = _lttb_series(ts, vs, n_out)

@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs evaluate via Arrow batches (ArrowEvalPythonUDTF)
+        # instead of row-pickling BatchEvalPythonUDTF — same contract,
+        # vectorized transfer; keeps the plan-shape linter's
+        # "no row-at-a-time Python" rule exception-free.
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # File-split sizing: the default 4 MiB open-cost floors
         # maxSplitBytes at 4 MiB, so a compressed text table of a few

@@ -80,19 +80,24 @@ class StreamingPipeline:
             n = group.rows
         else:
             n = batch.row_count()  # no loader: this IS the only action
-        self.metrics.record_batch(max(n, 0))
-        for name, elapsed in stage_elapsed:
-            self.metrics.record_stage(
-                name, elapsed_s=elapsed, records_in=max(n, 0)
-            )
+        if n >= 0:
+            # Only record resolved counts: an unresolved observe harvest
+            # (timeout / dead branch → -1) must not masquerade as a
+            # genuinely-empty batch.  Hooks keep the -1 convention.
+            self.metrics.record_batch(n)
+            for name, elapsed in stage_elapsed:
+                self.metrics.record_stage(
+                    name, elapsed_s=elapsed, records_in=n
+                )
         if self.loader is not None:
             n_loaded = written if isinstance(written, int) else max(n, 0)
-            self.metrics.record_stage(
-                type(self.loader).__name__,
-                elapsed_s=load_elapsed,
-                records_in=max(n, 0),
-                records_out=n_loaded,
-            )
+            if n >= 0 or isinstance(written, int):
+                self.metrics.record_stage(
+                    type(self.loader).__name__,
+                    elapsed_s=load_elapsed,
+                    records_in=max(n, 0),
+                    records_out=n_loaded,
+                )
             self.hooks.fire("batch.loaded", batch=epoch_id, records=n_loaded)
 
     def start(

@@ -112,28 +112,48 @@ def test_count_mode_still_exact_but_multi_job(spark):
     assert len(jobs) > 1  # the legacy path pays one action per stage
 
 
-def test_observe_dead_branch_reads_unknown(spark):
-    """A side the action never executes reads -1, not a hang."""
+class _TwoSidedExtractor(Extractor):
+    def __init__(self):
+        super().__init__(StageConfig())
 
-    class TwoSidedExtractor(Extractor):
-        def __init__(self):
-            super().__init__(StageConfig())
+    def extract(self, s) -> Iterator[TelemetryBatch]:
+        yield TelemetryBatch(
+            packets=s.range(7).selectExpr("id as apid"),
+            params=s.range(3).selectExpr("'p' as name"),
+        )
 
-        def extract(self, s) -> Iterator[TelemetryBatch]:
-            yield TelemetryBatch(
-                packets=s.range(7).selectExpr("id as apid"),
-                params=s.range(3).selectExpr("'p' as name"),
-            )
 
+def test_observe_dead_branch_default_backfills_count(spark):
+    """Default policy: a side the action never executes is backfilled
+    with a bounded count() — accounting never silently reads -1 after
+    an action ran."""
     p = Pipeline(
-        {"name": "dead", "observe_timeout_s": 0.3},
-        extractor=TwoSidedExtractor(),
+        {"name": "deadfill", "observe_timeout_s": 0.3},
+        extractor=_TwoSidedExtractor(),
         loader=NoopLoader(),  # writes params only; packets side never runs
     )
     r = p.run(spark)
     assert r.ok
-    # group count = packets(7) + params(3) would be 10, but the packets
-    # observation is unresolvable → the whole group reads unknown
+    assert r.total_packets == 10  # packets(7) + params(3), exact
+    load = next(s for s in r.stage_results if s.stage_name == "NoopLoader")
+    assert load.records_in == 10
+
+
+def test_observe_dead_branch_unknown_reads_minus_one(spark):
+    """observe_dead_branch='unknown': the dead side stays -1 (no extra
+    jobs), not a hang, and not a silent 0."""
+    p = Pipeline(
+        {
+            "name": "dead",
+            "observe_timeout_s": 0.3,
+            "observe_dead_branch": "unknown",
+        },
+        extractor=_TwoSidedExtractor(),
+        loader=NoopLoader(),
+    )
+    r = p.run(spark)
+    assert r.ok
+    # the packets observation is unresolvable → the group reads unknown
     assert r.total_packets == 0
     load = next(s for s in r.stage_results if s.stage_name == "NoopLoader")
     assert load.records_in == -1

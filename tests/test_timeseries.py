@@ -86,3 +86,56 @@ def test_lttb_dataframe_matches_series_function(spark):
     with pytest.raises(ValueError):
         lttb(df, n_out=2, time_col="t_us", value_col="value",
              series_cols=["name"])
+
+
+def test_ewma_null_values_skipped_not_nan(spark):
+    """Null inputs are SKIPPED: the row emits SQL NULL (never NaN) and
+    the running state carries through unchanged — matching the
+    recursive-CTE oracle's convention (ADVICE r06)."""
+    import math
+
+    rows = [
+        ("A", 1, 0, None),    # leading null: no state yet
+        ("A", 2, 1, 10.0),
+        ("A", 3, 2, None),    # mid null: state carries
+        ("A", 4, 3, 20.0),    # recurrence continues from 10.0
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, event_id long, t_us long, value double"
+    )
+    out = {
+        r["event_id"]: (r["value"], r["ewma"])
+        for r in ewma(
+            df, alpha=0.5, time_col="t_us", value_col="value",
+            series_cols=["name"], order_cols=["event_id"],
+        ).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (10.0, 10.0)
+    assert out[3] == (None, None)
+    assert out[4] == (20.0, 15.0)  # 0.5*20 + 0.5*10, null skipped
+    for v, e in out.values():  # genuinely NULL, never smuggled NaN
+        assert v is None or not math.isnan(v)
+        assert e is None or not math.isnan(e)
+
+
+def test_ewma_lttb_max_rows_per_series_guard(spark):
+    df = spark.createDataFrame(
+        [("A", i, i, float(i)) for i in range(50)],
+        "name string, event_id long, t_us long, value double",
+    )
+    with pytest.raises(Exception, match="max_rows_per_series"):
+        ewma(
+            df, alpha=0.5, time_col="t_us", value_col="value",
+            series_cols=["name"], max_rows_per_series=10,
+        ).collect()
+    with pytest.raises(Exception, match="max_rows_per_series"):
+        lttb(
+            df, n_out=5, time_col="t_us", value_col="value",
+            series_cols=["name"], max_rows_per_series=10,
+        ).collect()
+    # bound not exceeded -> passes through
+    assert ewma(
+        df, alpha=0.5, time_col="t_us", value_col="value",
+        series_cols=["name"], max_rows_per_series=50,
+    ).count() == 50
