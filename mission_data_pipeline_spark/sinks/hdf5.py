@@ -12,12 +12,13 @@ boundary** (SURVEY §4.2): samples stream to the driver via
 most one partition, never the dataset. For 100 TB stay in Parquet; this
 exists for tool compatibility at export scale.
 
-``h5py`` is an optional dependency; the sink raises a clear error when
-it is absent. The export logic (per-parameter grouping, numeric/string
-split, resizable append, unit attrs, chunked flush) is backend-agnostic
-and unit-tested against a fake in-memory h5 backend, so only the literal
-h5py byte encoding is env-gated — the same documented-boundary pattern
-as the codec-less media decode.
+``h5py`` is preferred when importable; without it the sink falls back
+to :mod:`~mission_data_pipeline_spark.sinks.hdf5_pure` — a pure-Python
+writer/reader for the classic-format subset this layout needs (v0
+superblock, symbol-table groups, gzip-chunked 1-D datasets, attrs),
+built from the public HDF5 File Format Specification the same way the
+PNG/JPEG/ADPCM codecs were. Files written either way follow the same
+public spec; the pure path is read-back-verified in tests.
 """
 
 from __future__ import annotations
@@ -29,7 +30,9 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-try:  # optional dependency
+from mission_data_pipeline_spark.sinks import hdf5_pure
+
+try:  # optional dependency, preferred when present
     import h5py  # type: ignore
 except ImportError:  # pragma: no cover - exercised only without h5py
     h5py = None  # type: ignore[assignment]
@@ -77,17 +80,11 @@ def write_hdf5(
     carried the value in ``eng_value_str``) land in a parallel
     ``eng_value_str`` string dataset (``hdf5.py:94-99,128-134``).
 
-    ``_h5`` injects an alternate h5py-compatible backend (used by tests
-    to verify the export logic where h5py is unavailable; production
-    callers never pass it).
+    ``_h5`` injects an alternate h5py-compatible backend (tests);
+    production resolution is h5py when importable, else the pure-Python
+    spec-subset writer (``sinks/hdf5_pure.py``).
     """
-    h5 = _h5 if _h5 is not None else h5py
-    if h5 is None:
-        raise ImportError(
-            "write_hdf5 requires the optional dependency h5py "
-            "(pip install h5py); Parquet sinks are the supported "
-            "distributed path"
-        )
+    h5 = _h5 if _h5 is not None else (h5py if h5py is not None else hdf5_pure)
     cols = ["name", "unit", "eng_value_str", *_NUMERIC_COLS]
     have = [c for c in cols if c in params.columns]
     it = params.select(

@@ -85,22 +85,94 @@ def test_csv_wide(spark, params_df, tmp_path):
     assert back.count() == 3
 
 
-def test_hdf5_requires_h5py_or_works(spark, params_df, tmp_path):
+def test_hdf5_write_and_readback_real_bytes(spark, params_df, tmp_path):
+    """L5 un-gated: write_hdf5 emits REAL HDF5 bytes on every host —
+    via h5py when importable, else the pure-Python spec-subset writer
+    (sinks/hdf5_pure.py) — and the file reads back with the matching
+    reader. Layout parity: reference src/mdp/plugins/loaders/hdf5.py
+    (/telemetry/<param>, gzip-4, unit attrs, cross-call append)."""
     from mission_data_pipeline_spark.sinks import write_hdf5
     from mission_data_pipeline_spark.sinks.hdf5 import h5py
+    from mission_data_pipeline_spark.sinks import hdf5_pure
 
     out = str(tmp_path / "t.h5")
-    if h5py is None:
-        with pytest.raises(ImportError, match="h5py"):
-            write_hdf5(params_df, out)
-        return
     write_hdf5(params_df, out, mode="w")
     write_hdf5(params_df.filter("name = 'volt'"), out)  # append
-    with h5py.File(out) as f:
-        g = f["telemetry/temp"]
+    assert open(out, "rb").read(8) == b"\x89HDF\r\n\x1a\n"
+    backend = h5py if h5py is not None else hdf5_pure
+    with backend.File(out, "r") as f:
+        g = f["telemetry"]["temp"]
         assert list(g["eng_value"][:]) == [5.0, 10.0, 15.0]
         assert g.attrs["unit"] == "degC"
-        assert f["telemetry/volt"]["eng_value"].shape == (4,)  # 2 + 2
+        assert f["telemetry"]["volt"]["eng_value"].shape == (4,)  # 2 + 2
+
+
+def test_hdf5_pure_roundtrip_all_dtypes(tmp_path):
+    """The pure writer's bytes parse back exactly: f8/i4/i1 numerics,
+    fixed-width strings, multi-chunk gzip datasets, group attrs, and
+    append-after-reopen (classic v0 superblock, public spec)."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.sinks import hdf5_pure as hp
+
+    out = str(tmp_path / "pure.h5")
+    big = np.arange(2_000_000, dtype="f8") * 0.5
+    with hp.File(out, "w") as f:
+        g = f.require_group("telemetry").require_group("obc_temp")
+        g.create_dataset("time_tai", data=big, maxshape=(None,),
+                         compression="gzip", compression_opts=4)
+        g.create_dataset("apid", data=np.full(7, 0x100, dtype="i4"),
+                         maxshape=(None,), compression="gzip",
+                         compression_opts=4)
+        g.create_dataset("validity", data=np.ones(7, dtype="i1"),
+                         maxshape=(None,), compression="gzip",
+                         compression_opts=4)
+        s = np.asarray(["ON", "OFF", "STANDBY"], dtype=hp.string_dtype())
+        g.create_dataset("eng_value_str", data=s, maxshape=(None,),
+                         compression="gzip", compression_opts=4)
+        g.attrs["unit"] = "degC"
+    with hp.File(out, "a") as f:  # reopen-append
+        d = f["telemetry"]["obc_temp"]["time_tai"]
+        n = d.shape[0]
+        d.resize(n + 3, axis=0)
+        d[n:] = np.array([-1.0, -2.0, -3.0])
+    root = hp.read_h5(out)
+    g = root.groups["telemetry"].groups["obc_temp"]
+    t = g.datasets["time_tai"].data
+    assert len(t) == 2_000_003
+    assert t[:2_000_000].tolist() == big.tolist()
+    assert t[-3:].tolist() == [-1.0, -2.0, -3.0]
+    assert g.datasets["apid"].data.dtype == np.dtype("int32")
+    assert g.datasets["validity"].data.dtype == np.dtype("int8")
+    assert g.datasets["eng_value_str"].data.tolist() == [
+        b"ON", b"OFF", b"STANDBY"]
+    assert g.attrs["unit"] == "degC"
+    # gzip actually applied: 16 MB of f8 compresses well below raw size
+    assert os.path.getsize(out) < big.nbytes
+
+
+def test_hdf5_pure_structure_is_spec_shaped(tmp_path):
+    """Spot-check the emitted structures against the public format spec:
+    superblock v0 field layout, B-tree/SNOD/HEAP signatures present."""
+    import numpy as np
+    import struct as st
+
+    from mission_data_pipeline_spark.sinks import hdf5_pure as hp
+
+    out = str(tmp_path / "s.h5")
+    with hp.File(out, "w") as f:
+        g = f.require_group("telemetry").require_group("p")
+        g.create_dataset("x", data=np.arange(10, dtype="f8"),
+                         maxshape=(None,), compression="gzip",
+                         compression_opts=4)
+    raw = open(out, "rb").read()
+    assert raw[:8] == b"\x89HDF\r\n\x1a\n"
+    assert raw[8] == 0  # superblock version 0
+    assert raw[13] == 8 and raw[14] == 8  # offset/length sizes
+    eof = st.unpack_from("<Q", raw, 40)[0]
+    assert eof == len(raw)  # end-of-file address is exact
+    for sig in (b"TREE", b"SNOD", b"HEAP"):
+        assert sig in raw
 
 
 class _FakeDataset:
