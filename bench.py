@@ -317,8 +317,51 @@ def main() -> None:
         "earlier — do not compare across that boundary",
     }
 
+    out["regressions"] = _regressions(out)
     print(json.dumps(out))
     spark.stop()
+
+
+def _regressions(out: dict) -> list[dict]:
+    """Tripwire: flag any per-query noop time >2x its value in the most
+    recent recorded BENCH_r{N}.json at the same sf and layout mode, so a
+    regression surfaces in the driver's own run without a judge diff.
+    Informational — this host's co-tenant noise (16x swings recorded in
+    BASELINE.md round 3) means a flag is a prompt to re-measure, not
+    proof; but persistent flags across rounds are real. Sub-100ms
+    queries are skipped (pure jitter at that scale)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    for path in reversed(prior):
+        try:
+            ref = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        if str(ref.get("sf")) != str(out["sf"]):
+            continue
+        if ref.get("layout", {}).get("mode") != out["layout"]["mode"]:
+            continue
+        flags = []
+        for series in ("queries_noop", "extended_queries"):
+            for name, sec in out.get(series, {}).items():
+                base = ref.get(series, {}).get(name)
+                if base is not None and base >= 0.1 and sec > 2 * base:
+                    flags.append(
+                        {
+                            "query": name,
+                            "now_s": sec,
+                            "baseline_s": base,
+                            "baseline_file": os.path.basename(path),
+                        }
+                    )
+        return flags
+    return []
 
 
 if __name__ == "__main__":

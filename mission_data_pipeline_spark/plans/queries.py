@@ -10554,79 +10554,26 @@ _q(
 
 
 # ---------------------------------------------------------------------------
-# Driver-check ordering (round 6). The driver verifies the first ~50 QUERIES
-# entries per round; this list is rebuilt each round so cumulative driver
-# coverage stays fresh. Slots 1-2: queries NEW this round (JPEG pixel
-# stats, at-scale Q5). Slots 3-41: every query whose PLAN or ORACLE
-# changed this round (sessionization output bound, oracle trim() mirror,
-# lineage-truncator refactor, multimodal JPEG-fallback integration,
-# scratch-dir process-private rework). Slots 42+: all remaining queries
-# ordered by last driver-checked round (r01 tail first, then r02, r03,
-# r04, r05) so the window keeps rotating through the stale tail.
+# Driver-check ordering (round 7, STALEST-FIRST — VERDICT r06 item 2).
+# The driver verifies the first ~50 QUERIES entries per round. Slots 1-8:
+# every query whose plan or oracle changed this round (ewma null-skip
+# oracle, segment-dedup exact window keys, the WAV-decode family after
+# the fact-trim fix, Arrow UDTF, q5 staging memoization). Slots 9+: ALL
+# remaining queries ordered by the round they were last driver-checked
+# (oldest first, name tiebreak) — generated from the CORRECTNESS_r0*.json
+# history, so the r07 window lands on the 42 stalest (r01/r02-checked)
+# queries and cumulative freshness is maximal. Regenerate per round.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
     "w_ewma_smoothing",
-    "w_lttb_downsample",
-    "w_resample_grid_gapfill",
-    "x4_bpe_corpus_budget",
-    "x5_avi_meta_decode",
-    "x4_bpe_token_stats",
-    "x4_bpe_vocab_freq",
+    "curation_segment_dedup",
+    "x5_audio_sample_stats",
     "x5_g711_sample_stats",
     "x5_adpcm_sample_stats",
-    "x5_video_frame_stats",
-    "x5_image_resize",
-    "l_schema_evolution_merge",
-    "s_corrupt_file_skip",
-    "j_dynamic_partition_pruning",
-    "j_aqe_skew_split",
-    "j_runtime_bloom_filter",
-    "x4_linear_probe_fit",
-    "curation_segment_dedup",
-    "x6_variant_json_shred",
-    "x2_semantic_dedup",
-    "x5_jpeg_pixel_stats",
+    "x5_media_stats",
+    "udtf_token_spans",
     "q5_bucketed_broadcast_dims",
-    "w4_sessionization",
-    "x4_unigram_logprob",
-    "x4_bigram_logprob",
-    "x4_heldout_backoff_logprob",
-    "x4_tfidf_sparse",
-    "x4_bm25_relevance",
-    "x4_top_terms",
-    "x4_zipf_slope",
-    "x4_lang_id_confusion",
-    "x2_lsh_near_dedup_survivors",
-    "x2_duplicate_span_fraction",
-    "curation_decontaminate",
-    "x4_repetition_signals",
-    "curation_quality_tiers",
-    "curation_token_packing",
-    "curation_c4_signals",
-    "g_pagerank",
-    "x2_duplicate_components",
-    "x2_canonical_per_cluster",
-    "curation_leakage_safe_split",
-    "x5_image_pixel_stats",
-    "x5_multimodal_features",
-    "q3_bucketed_colocated",
-    "q5_nation_revenue",
-    "x3_ivf_disk_index_topk",
-    "l_compact_roundtrip",
-    "s1_ccsds_datasource_scan",
-    "s1_ccsds_streaming_tail",
-    "w_streaming_stream_join_restart",
-    "w_streaming_foreachbatch_upsert",
-    "s_jsonl_corrupt_quarantine",
-    "s2_csv_source_e2e",
-    "etl_binary_decom_calibrate_e2e",
-    "s_warc_ingest",
-    "l_jsonl_roundtrip",
-    "l_parquet_roundtrip",
-    "l_orc_roundtrip",
-    "l_merge_upsert_roundtrip",
-    "l_csv_roundtrip",
     "correlated_scalar_subquery",
     "d3_pivot_wide",
     "d4_union_all",
@@ -10719,7 +10666,6 @@ _CHECK_FIRST = [
     "x2_embedding_near_dup",
     "x4_token_count_bpe",
     "x5_frame_sample",
-    "x5_media_stats",
     "agg_approx_percentile_bound",
     "agg_hll_distinct_bound",
     "agg_kll_quantile_bound",
@@ -10737,7 +10683,6 @@ _CHECK_FIRST = [
     "s3_filter_pushdown_in",
     "set_bag_semantics_all",
     "set_except",
-    "udtf_token_spans",
     "w_ewma_smooth",
     "w_funnel_depth_histogram",
     "w_retention_cohorts",
@@ -10759,20 +10704,75 @@ _CHECK_FIRST = [
     "asof_join_latest_purchase",
     "case_bucketing",
     "cube_priority_status",
+    "etl_binary_decom_calibrate_e2e",
     "j1_broadcast_dim_join",
     "j_hinted_shuffle_hash",
     "j_salted_skew_join",
+    "l_csv_roundtrip",
+    "l_jsonl_roundtrip",
+    "l_merge_upsert_roundtrip",
+    "l_orc_roundtrip",
+    "l_parquet_roundtrip",
     "q10_returned_items",
     "q11_important_stock",
+    "s2_csv_source_e2e",
+    "s_jsonl_corrupt_quarantine",
+    "s_warc_ingest",
     "udaf_grouped_median",
     "w3_streaming_stateful_cumulative",
+    "w_streaming_foreachbatch_upsert",
+    "w_streaming_stream_join_restart",
     "x2_minhash_bands",
     "x2_ngram_jaccard_pairs",
     "x2_simhash_fingerprint",
     "x2_simhash_near_pairs",
     "x3_pq_rerank_topk",
-    "x5_audio_sample_stats",
     "x6_constraint_report",
+    "curation_c4_signals",
+    "curation_decontaminate",
+    "curation_leakage_safe_split",
+    "curation_quality_tiers",
+    "curation_token_packing",
+    "g_pagerank",
+    "j_aqe_skew_split",
+    "j_dynamic_partition_pruning",
+    "j_runtime_bloom_filter",
+    "l_compact_roundtrip",
+    "l_schema_evolution_merge",
+    "q3_bucketed_colocated",
+    "q5_nation_revenue",
+    "s1_ccsds_datasource_scan",
+    "s1_ccsds_streaming_tail",
+    "s_corrupt_file_skip",
+    "w4_sessionization",
+    "w_lttb_downsample",
+    "w_resample_grid_gapfill",
+    "x2_canonical_per_cluster",
+    "x2_duplicate_components",
+    "x2_duplicate_span_fraction",
+    "x2_lsh_near_dedup_survivors",
+    "x2_semantic_dedup",
+    "x3_ivf_disk_index_topk",
+    "x4_bigram_logprob",
+    "x4_bm25_relevance",
+    "x4_bpe_corpus_budget",
+    "x4_bpe_token_stats",
+    "x4_bpe_vocab_freq",
+    "x4_heldout_backoff_logprob",
+    "x4_lang_id_confusion",
+    "x4_linear_probe_fit",
+    "x4_repetition_signals",
+    "x4_tfidf_sparse",
+    "x4_top_terms",
+    "x4_unigram_logprob",
+    "x4_zipf_slope",
+    "x5_avi_meta_decode",
+    "x5_image_pixel_stats",
+    "x5_image_resize",
+    "x5_jpeg_pixel_stats",
+    "x5_multimodal_features",
+    "x5_video_frame_stats",
+    "x6_variant_json_shred",
 ]
 
 QUERIES = {
