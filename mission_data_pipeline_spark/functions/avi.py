@@ -29,7 +29,12 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["encode_avi_mjpeg", "decode_avi_frames", "probe_avi_meta"]
+__all__ = [
+    "encode_avi_mjpeg",
+    "decode_avi_frames",
+    "decode_avi_audio",
+    "probe_avi_meta",
+]
 
 
 def _chunk(cid: bytes, body: bytes) -> bytes:
@@ -46,17 +51,27 @@ def encode_avi_mjpeg(
     width: int,
     height: int,
     us_per_frame: int = 33333,
+    audio: bytes | None = None,
+    audio_format: int = 7,
+    audio_rate: int = 8000,
+    audio_channels: int = 1,
 ) -> bytes:
     """Minimal REAL AVI/MJPEG encoder (fixture mirror of
     :func:`decode_avi_frames`). Each element of ``frames`` must be a
     complete JPEG payload (e.g. from
-    :func:`~mission_data_pipeline_spark.functions.jpeg.encode_jpeg`)."""
+    :func:`~mission_data_pipeline_spark.functions.jpeg.encode_jpeg`).
+
+    ``audio`` adds a second (``auds``) stream: the raw coded bytes
+    (mu-law tag 7, A-law tag 6, or PCM8 tag 1) split into ``01wb``
+    chunks interleaved with the video frames — the standard AVI
+    audio-track layout."""
     n = len(frames)
     max_bytes = max((len(f) for f in frames), default=0)
+    n_streams = 2 if audio is not None else 1
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
-        us_per_frame, 0, 0, 0x10, n, 0, 1, max_bytes, width, height,
-        0, 0, 0, 0,
+        us_per_frame, 0, 0, 0x10, n, 0, n_streams, max_bytes, width,
+        height, 0, 0, 0, 0,
     )
     strh = (
         b"vids" + b"MJPG"
@@ -68,19 +83,47 @@ def encode_avi_mjpeg(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0x47504A4D,  # 'MJPG'
         width * height * 3, 0, 0, 0, 0,
     )
-    hdrl = _list(
-        b"hdrl",
-        _chunk(b"avih", avih)
-        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
-    )
-    movi_body = b"".join(_chunk(b"00dc", f) for f in frames)
-    movi = _list(b"movi", movi_body)
-    # idx1: one entry per frame (offset relative to movi list body start)
+    strls = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    audio_chunks: list[bytes] = []
+    if audio is not None:
+        a_strh = (
+            b"auds" + b"\x00\x00\x00\x00"
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, audio_rate, 0,
+                          len(audio) // audio_channels, len(audio), 0, 0)
+            + struct.pack("<hhhh", 0, 0, 0, 0)
+        )
+        # WAVEFORMATEX: tag, channels, rate, avg bytes/s, block align,
+        # bits/sample, cb size
+        a_strf = struct.pack(
+            "<HHIIHHH", audio_format, audio_channels, audio_rate,
+            audio_rate * audio_channels, audio_channels, 8, 0,
+        )
+        strls += _list(
+            b"strl", _chunk(b"strh", a_strh) + _chunk(b"strf", a_strf)
+        )
+        # interleave: one audio chunk per video frame (or one big chunk)
+        parts = max(n, 1)
+        per = -(-len(audio) // parts)
+        audio_chunks = [
+            audio[i * per : (i + 1) * per] for i in range(parts)
+        ]
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strls)
+    movi_parts = []
+    for i in range(max(n, len(audio_chunks))):
+        if i < n:
+            movi_parts.append(_chunk(b"00dc", frames[i]))
+        if i < len(audio_chunks) and audio_chunks[i]:
+            movi_parts.append(_chunk(b"01wb", audio_chunks[i]))
+    movi = _list(b"movi", b"".join(movi_parts))
+    # idx1: one entry per movi chunk (offset relative to movi body start)
     idx_entries = []
     off = 4  # after the 'movi' fourcc
-    for f in frames:
-        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
-        off += 8 + len(f) + (len(f) & 1)
+    for part in movi_parts:
+        body_len = struct.unpack("<I", part[4:8])[0]
+        idx_entries.append(
+            struct.pack("<4sIII", part[:4], 0x10, off, body_len)
+        )
+        off += len(part)
     idx1 = _chunk(b"idx1", b"".join(idx_entries))
     body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -160,6 +203,96 @@ def decode_avi_frames(payload: bytes | None):
 
         visit(12, len(payload))
         return meta, frames
+    except Exception:  # noqa: BLE001 - dirty payloads must not fail batches
+        return None
+
+
+def decode_avi_audio(payload: bytes | None):
+    """Decode the first audio (``auds``) stream of an AVI payload into
+    REAL linear samples: ``(samples, rate)`` where ``samples`` is an
+    int32 ``(frames, channels)`` array, or None when the payload has no
+    decodable audio track.
+
+    Stream resolution follows the AVI contract: the i-th ``strl`` list
+    declares stream i, whose movi chunks are tagged ``%02dwb`` — so the
+    walk records each stream's type and WAVEFORMATEX, then collects the
+    matching chunk ids. Coded bytes decode via the repo's own G.711
+    mu-law/A-law tables (format tags 7/6,
+    :mod:`~mission_data_pipeline_spark.functions.audio_codecs`) or as
+    unsigned PCM8 (tag 1, 8-bit); other tags return None (the honest
+    codec boundary). Truncation degrades to the chunks parsed so far."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.audio_codecs import (
+        decode_alaw,
+        decode_ulaw,
+    )
+
+    try:
+        if (
+            not payload
+            or len(payload) < 12
+            or payload[:4] != b"RIFF"
+            or payload[8:12] != b"AVI "
+        ):
+            return None
+        streams: list[tuple[bytes, bytes | None]] = []  # (type, strf)
+        chunks: list[bytes] = []
+        audio_sid: list[int] = []
+
+        def visit_hdr(lo: int, hi: int) -> None:
+            for cid, ltype, blo, bhi in _walk_chunks(payload, lo, hi):
+                if cid == b"LIST" and ltype in (b"hdrl", b"strl"):
+                    if ltype == b"strl":
+                        stype, strf = b"", None
+                        for c2, _lt, clo, chi in _walk_chunks(
+                            payload, blo, bhi
+                        ):
+                            if c2 == b"strh" and chi - clo >= 4:
+                                stype = payload[clo : clo + 4]
+                            elif c2 == b"strf":
+                                strf = payload[clo:chi]
+                        streams.append((stype, strf))
+                    else:
+                        visit_hdr(blo, bhi)
+
+        def visit_movi(lo: int, hi: int) -> None:
+            for cid, ltype, blo, bhi in _walk_chunks(payload, lo, hi):
+                if cid == b"LIST" and ltype == b"movi":
+                    want = b"%02dwb" % audio_sid[0]
+                    for fid, _lt, flo, fhi in _walk_chunks(
+                        payload, blo, bhi
+                    ):
+                        if fid == want:
+                            chunks.append(payload[flo:fhi])
+
+        visit_hdr(12, len(payload))
+        sid = next(
+            (i for i, (t, f) in enumerate(streams)
+             if t == b"auds" and f is not None),
+            None,
+        )
+        if sid is None or len(streams[sid][1]) < 16:
+            return None
+        audio_sid.append(sid)
+        visit_movi(12, len(payload))
+        tag, ch, rate = struct.unpack("<HHI", streams[sid][1][:8])
+        if not ch:
+            return None
+        data = b"".join(chunks)
+        frames = len(data) // ch
+        if frames == 0:
+            return None
+        data = data[: frames * ch]
+        if tag == 7:
+            arr = decode_ulaw(data)
+        elif tag == 6:
+            arr = decode_alaw(data)
+        elif tag == 1:
+            arr = np.frombuffer(data, dtype="u1").astype(np.int32)
+        else:
+            return None
+        return arr.reshape(frames, ch), int(rate)
     except Exception:  # noqa: BLE001 - dirty payloads must not fail batches
         return None
 

@@ -525,6 +525,30 @@ def audio_sample_stats(
     samples (:func:`decode_wav_samples`) — exact integers, so the
     oracle can recompute them arithmetically. Undecodable payloads
     yield null-stats sentinel rows. Arrow batches via ``mapInPandas``."""
+    return _audio_stats_over(
+        media, id_col, payload_col, decode_wav_samples
+    )
+
+
+def avi_audio_sample_stats(
+    media: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Same statistics over the AUDIO TRACK of AVI containers: the
+    ``auds`` stream's interleaved ``NNwb`` chunks are reassembled and
+    G.711/PCM8-decoded to real linear samples
+    (:func:`~mission_data_pipeline_spark.functions.avi.decode_avi_audio`).
+    Payloads without a decodable audio track yield null sentinels."""
+    from mission_data_pipeline_spark.functions.avi import decode_avi_audio
+
+    return _audio_stats_over(media, id_col, payload_col, decode_avi_audio)
+
+
+def _audio_stats_over(
+    media: DataFrame, id_col: str, payload_col: str, decoder
+) -> DataFrame:
     cols = media.select(
         F.col(id_col).cast("long").alias("item_id"),
         F.col(payload_col).alias("payload"),
@@ -534,7 +558,7 @@ def audio_sample_stats(
         for pdf in batches:
             recs = []
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
-                dec = decode_wav_samples(payload)
+                dec = decoder(payload)
                 if dec is None:
                     recs.append(
                         (item_id, None, None, None, None, None, None, None)

@@ -7984,6 +7984,107 @@ _q(
 )
 
 
+def _avi_audio_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI audio-track decode (functions/avi.py decode_avi_audio):
+    42 MJPEG+audio AVIs whose interleaved 01wb chunks carry G.711
+    mu-law (even k) or A-law (odd k) coded bytes, reassembled across
+    chunks and decoded to linear samples through the repo's own ITU-T
+    tables; every seventh container is video-only (null sentinel).
+    Like x5_g711_sample_stats, the ORACLE DECODES THE CODEC ITSELF in
+    SQL from the fixture formula — the container walk + chunk
+    reassembly + codec all cross-check."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.avi import encode_avi_mjpeg
+    from mission_data_pipeline_spark.functions.jpeg import encode_jpeg
+    from mission_data_pipeline_spark.functions.multimodal import (
+        avi_audio_sample_stats,
+    )
+
+    frame = encode_jpeg(np.full((8, 8, 3), 128, dtype=np.uint8))
+    rows = []
+    for k in range(42):
+        nbytes = k % 50 + 10
+        ch = 2 if k % 3 == 0 else 1
+        coded = bytes((k * 31 + j * 17) % 256 for j in range(nbytes))
+        payload = encode_avi_mjpeg(
+            [frame, frame],
+            width=8,
+            height=8,
+            audio=None if k % 7 == 6 else coded,
+            audio_format=6 if k % 2 == 1 else 7,
+            audio_rate=8000,
+            audio_channels=ch,
+        )
+        rows.append((k, bytearray(payload)))
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    return avi_audio_sample_stats(media).orderBy("item_id")
+
+
+_q(
+    "x5_avi_audio_stats",
+    Query(
+        _avi_audio_stats_spark,
+        """
+        WITH avis AS (
+          SELECT k AS item_id, k % 50 + 10 AS nbytes,
+                 CASE WHEN k % 3 = 0 THEN 2 ELSE 1 END AS ch,
+                 k % 2 = 1 AS alaw, k % 7 = 6 AS no_audio
+          FROM range(0, 42) t(k)
+        ),
+        coded AS (
+          -- stereo with odd byte counts drops the trailing partial frame
+          SELECT item_id, alaw, (item_id*31 + j*17) % 256 AS b
+          FROM avis, range(0, 60) bj(j)
+          WHERE j < (nbytes // ch) * ch AND NOT no_audio
+        ),
+        dec AS (
+          SELECT item_id,
+            CASE WHEN NOT alaw THEN
+              CASE WHEN (255 - b) >= 128
+                   THEN 132 - ((((255-b) % 16) * 8 + 132)
+                               * (1 << (((255-b)//16) % 8)))
+                   ELSE (((255-b) % 16) * 8 + 132)
+                        * (1 << (((255-b)//16) % 8)) - 132 END
+            ELSE
+              CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+              CASE (xor(b, 85)//16) % 8
+                WHEN 0 THEN (xor(b, 85) % 16) * 16 + 8
+                WHEN 1 THEN (xor(b, 85) % 16) * 16 + 264
+                ELSE ((xor(b, 85) % 16) * 16 + 264)
+                     * (1 << ((xor(b, 85)//16) % 8 - 1))
+              END
+            END AS v
+          FROM coded
+        ),
+        stats AS (
+          SELECT item_id,
+                 CAST(SUM(v) AS BIGINT) AS s_sum,
+                 CAST(MIN(v) AS INT) AS s_min,
+                 CAST(MAX(v) AS INT) AS s_max,
+                 CAST(SUM(v * v) AS BIGINT) AS s_sumsq
+          FROM dec GROUP BY item_id
+        )
+        SELECT a.item_id,
+               CASE WHEN no_audio THEN NULL
+                    ELSE CAST(nbytes // ch AS BIGINT) END AS n_frames,
+               CASE WHEN no_audio THEN NULL ELSE CAST(ch AS INT) END
+                 AS n_channels,
+               CASE WHEN no_audio THEN NULL ELSE CAST(8000 AS INT) END
+                 AS sample_rate,
+               s.s_sum, s.s_min, s.s_max, s.s_sumsq
+        FROM avis a LEFT JOIN stats s USING (item_id)
+        ORDER BY a.item_id
+        """,
+        "X5",
+        "REAL audio-in-video-container decode: AVI auds stream "
+        "resolution, interleaved 01wb chunk reassembly, G.711 "
+        "mu-law/A-law decode to linear samples — the oracle re-derives "
+        "every sample from the coded byte in SQL",
+    ),
+)
+
+
 def _frames_to_packets_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TM frame → packet reassembly round-trip: 200 deterministic packets
     (varying sizes, ASCII payloads) segmented into 64-byte TM frames with
@@ -10566,6 +10667,7 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "x5_avi_audio_stats",
     "w_ewma_smoothing",
     "curation_segment_dedup",
     "x5_audio_sample_stats",

@@ -630,3 +630,70 @@ def test_sample_frames_real_and_video_features(spark):
     assert head[3] == 20000.0
     first = decode_jpeg_pixels(frames[0])
     assert abs(head[5] - float(first.mean())) < 1e-4  # float32 feature
+
+
+def test_avi_audio_track_roundtrip_and_sentinels(spark):
+    """AVI auds-stream decode: interleaved 01wb chunk reassembly, mu-law/
+    A-law/PCM8 linear decode, stereo frame split, video-only and garbage
+    sentinels, truncation degradation."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.audio_codecs import (
+        decode_alaw,
+        decode_ulaw,
+    )
+    from mission_data_pipeline_spark.functions.avi import (
+        decode_avi_audio,
+        encode_avi_mjpeg,
+    )
+    from mission_data_pipeline_spark.functions.jpeg import encode_jpeg
+    from mission_data_pipeline_spark.functions.multimodal import (
+        avi_audio_sample_stats,
+    )
+
+    frame = encode_jpeg(np.full((8, 8, 3), 64, dtype=np.uint8))
+    coded = bytes((j * 13 + 7) % 256 for j in range(90))
+
+    # mu-law stereo, chunks interleaved with 3 video frames
+    avi = encode_avi_mjpeg([frame] * 3, width=8, height=8, audio=coded,
+                           audio_format=7, audio_rate=16000,
+                           audio_channels=2)
+    arr, rate = decode_avi_audio(avi)
+    assert rate == 16000 and arr.shape == (45, 2)
+    assert (arr == decode_ulaw(coded).reshape(45, 2)).all()
+
+    # A-law mono, audio-only container (no video frames)
+    avi2 = encode_avi_mjpeg([], width=0, height=0, audio=coded,
+                            audio_format=6)
+    arr2, _ = decode_avi_audio(avi2)
+    assert (arr2.ravel() == decode_alaw(coded)).all()
+
+    # PCM8 (tag 1) decodes as unsigned bytes
+    avi3 = encode_avi_mjpeg([], width=0, height=0, audio=bytes([0, 128, 255]),
+                            audio_format=1)
+    assert decode_avi_audio(avi3)[0].ravel().tolist() == [0, 128, 255]
+
+    # sentinels: video-only, garbage, unsupported tag
+    assert decode_avi_audio(
+        encode_avi_mjpeg([frame], width=8, height=8)) is None
+    assert decode_avi_audio(b"not an avi") is None
+    assert decode_avi_audio(
+        encode_avi_mjpeg([], width=0, height=0, audio=coded,
+                         audio_format=0x55)) is None
+    # truncation mid-movi degrades to the chunks parsed so far
+    tr = decode_avi_audio(avi[: len(avi) * 2 // 3])
+    assert tr is not None and 0 < tr[0].shape[0] < 45
+
+    # operator: stats rows with null sentinel for the video-only item
+    media = spark.createDataFrame(
+        [(0, bytearray(avi)),
+         (1, bytearray(encode_avi_mjpeg([frame], width=8, height=8)))],
+        "item_id long, payload binary",
+    )
+    rows = {r["item_id"]: r for r in
+            avi_audio_sample_stats(media).collect()}
+    exp = decode_ulaw(coded).astype("int64")
+    assert rows[0]["n_frames"] == 45 and rows[0]["n_channels"] == 2
+    assert rows[0]["s_sum"] == int(exp.sum())
+    assert rows[0]["s_sumsq"] == int((exp ** 2).sum())
+    assert rows[1]["n_frames"] is None and rows[1]["s_sum"] is None
