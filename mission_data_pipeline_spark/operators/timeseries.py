@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, types as T
 from pyspark.sql import functions as F
 
-__all__ = ["ewma", "lttb"]
+__all__ = ["ewma", "ewma_sharded", "lttb"]
 
 
 def ewma(
@@ -103,6 +103,135 @@ def ewma(
         return pdf
 
     return cols.groupBy(*series_cols).applyInPandas(run, schema=out_schema)
+
+
+def ewma_sharded(
+    df: DataFrame,
+    *,
+    alpha: float,
+    time_col: str,
+    value_col: str,
+    series_cols: list[str],
+    shard_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """EWMA for the one series too big for one task: the input is cut
+    into time shards (``shard_col`` — e.g. a day bucket, monotone in
+    ``time_col`` within each series) and the recurrence parallelizes
+    across (series, shard) via the classic linear-scan decomposition:
+
+    - within a shard, ``s_i = c_i + d_i * s_in`` where
+      ``c_i = alpha*x_i + (1-alpha)*c_{i-1}`` (c_{-1}=0) and
+      ``d_i = (1-alpha)*d_{i-1}`` (d_{-1}=1) — one ordered pass per
+      shard, independent of the incoming state;
+    - the incoming states chain through a TINY per-series pass over
+      shard summaries: ``s_in(k+1) = C_k + D_k*s_in(k)`` (the last
+      row's c/d), with the first non-null row of the series seeding
+      ``s = x`` (the ``cseed`` companion recurrence);
+    - a broadcastable join puts ``s_in`` back on the rows and the
+      output is map-side arithmetic.
+
+    Three bounded stages instead of one unbounded task: stage 1 groups
+    are shard-sized, stage 2 is O(shards) per series, stage 3 is a
+    map-side join. Null values are skipped exactly like :func:`ewma`
+    (NULL out, state carries).
+
+    The result is the textbook parallel-prefix EWMA: algebraically
+    identical to :func:`ewma`, floating-point-wise within an ULP-level
+    reassociation difference (that is inherent to ANY parallel scan).
+    It is bit-exactly reproducible by an engine replaying the same
+    decomposition — the paired oracle does exactly that.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    beta = 1.0 - alpha
+    order = [time_col, *(order_cols or [])]
+    cols = df.select(
+        *series_cols,
+        F.col(shard_col).alias("__shard"),
+        *order,
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    stage1_schema = T.StructType(
+        cols.schema.fields[:-1]
+        + [
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("__c", T.DoubleType(), True),
+            T.StructField("__d", T.DoubleType(), False),
+            T.StructField("__cseed", T.DoubleType(), True),
+            T.StructField("__rank", T.LongType(), False),
+        ]
+    )
+
+    def shard_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        xs = [None if pd.isna(x) else x for x in pdf["__x"].tolist()]
+        c, d, cseed = 0.0, 1.0, None
+        cs_list, d_list, seed_list = [], [], []
+        for x in xs:
+            if x is not None:
+                c = alpha * x + beta * c
+                d = beta * d
+                cseed = x if cseed is None else alpha * x + beta * cseed
+            cs_list.append(c)
+            d_list.append(d)
+            seed_list.append(cseed)
+        pdf = pdf.drop(columns=["__x"])
+        pdf["value"] = pd.array(xs, dtype="Float64")
+        # null rows emit null c/cseed downstream via the value mask; the
+        # running columns themselves carry the state for the join stage
+        pdf["__c"] = pd.array(cs_list, dtype="Float64")
+        pdf["__d"] = pd.array(d_list, dtype="Float64")
+        pdf["__cseed"] = pd.array(seed_list, dtype="Float64")
+        pdf["__rank"] = range(len(xs))
+        return pdf
+
+    staged = cols.groupBy(*series_cols, "__shard").applyInPandas(
+        shard_pass, schema=stage1_schema
+    )
+    # shard summaries: the LAST row's (c, d, cseed) per (series, shard)
+    summary = staged.groupBy(*series_cols, "__shard").agg(
+        F.max_by("__c", "__rank").alias("__C"),
+        F.max_by("__d", "__rank").alias("__D"),
+        F.max_by("__cseed", "__rank").alias("__CSEED"),
+    )
+    sin_schema = T.StructType(
+        [summary.schema[c] for c in [*series_cols, "__shard"]]
+        + [T.StructField("__sin", T.DoubleType(), True)]
+    )
+
+    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__shard", kind="mergesort").reset_index(
+            drop=True
+        )
+        s = None
+        sins = []
+        for C, D, CSEED in zip(pdf["__C"], pdf["__D"], pdf["__CSEED"]):
+            sins.append(s)
+            if s is None:
+                s = None if pd.isna(CSEED) else float(CSEED)
+            else:
+                s = float(C) + float(D) * s
+        out = pdf[[*series_cols, "__shard"]].copy()
+        out["__sin"] = pd.array(sins, dtype="Float64")
+        return out
+
+    sin = summary.groupBy(*series_cols).applyInPandas(
+        chain, schema=sin_schema
+    )
+    out = staged.join(sin, [*series_cols, "__shard"])
+    ewma_col = (
+        F.when(F.col("value").isNull(), F.lit(None).cast("double"))
+        .when(F.col("__sin").isNull(), F.col("__cseed"))
+        .otherwise(F.col("__c") + F.col("__d") * F.col("__sin"))
+    )
+    return out.select(
+        *series_cols,
+        F.col("__shard").alias(shard_col),
+        *order,
+        "value",
+        ewma_col.alias("ewma"),
+    )
 
 
 def _lttb_series(ts: list, vs: list, n_out: int):

@@ -4646,6 +4646,111 @@ _q(
 )
 
 
+def _ewma_sharded_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-sharded EWMA (operators/timeseries.py ewma_sharded): the
+    parallel-prefix decomposition for a hot series too big for one task
+    — per-(series, day) passes compute (c, d, cseed), a tiny per-series
+    chain carries tail state across days, and the row output is
+    c + d*s_in. The oracle replays the SAME decomposition (per-shard
+    recursive CTE + shard-chain recursive CTE + the identical final
+    arithmetic), so the floats are bit-exact — same IEEE ops, same
+    order, in both engines."""
+    from mission_data_pipeline_spark.operators.timeseries import ewma_sharded
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT user_id, event_id, ts_ns DIV 1000 AS t_us, "
+        "       ts_ns DIV 1000 DIV 86400000000 AS day, value "
+        "FROM events WHERE user_id < 12"
+    )
+    out = ewma_sharded(
+        ev,
+        alpha=0.25,
+        time_col="t_us",
+        value_col="value",
+        series_cols=["user_id"],
+        shard_col="day",
+        order_cols=["event_id"],
+    )
+    return out.select(
+        "user_id", "day", "t_us", "event_id", "value", "ewma"
+    ).orderBy("user_id", "t_us", "event_id")
+
+
+_q(
+    "w_ewma_sharded",
+    Query(
+        _ewma_sharded_spark,
+        """
+        WITH RECURSIVE s AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t,
+                 epoch_us(ts) // 86400000000 AS day, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id, epoch_us(ts) // 86400000000
+                   ORDER BY epoch_us(ts), event_id
+                 ) AS n
+          FROM events WHERE user_id < 12
+        ),
+        -- per-(series, day) linear-scan coefficients, zero-state c,
+        -- decay d, seeded companion cseed (the same recurrence the
+        -- operator's stage-1 shard pass runs)
+        rec AS (
+          SELECT user_id, day, event_id, t, value, n,
+                 0.25 * value AS c,
+                 CAST(0.75 AS DOUBLE) AS d,  -- bare 0.75 types DECIMAL(3,2)
+                 value AS cseed
+          FROM s WHERE n = 1
+          UNION ALL
+          SELECT s.user_id, s.day, s.event_id, s.t, s.value, s.n,
+                 0.25 * s.value + 0.75 * rec.c,
+                 0.75 * rec.d,
+                 0.25 * s.value + 0.75 * rec.cseed
+          FROM rec JOIN s
+            ON s.user_id = rec.user_id AND s.day = rec.day
+           AND s.n = rec.n + 1
+        ),
+        -- shard summaries: rank AFTER the last-row filter (QUALIFY
+        -- windows all compute pre-filter, so k must be in an outer
+        -- select to number shards, not rows)
+        summary AS (
+          SELECT user_id, day, cc, dd, cs,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                   AS k
+          FROM (
+            SELECT user_id, day, c AS cc, d AS dd, cseed AS cs
+            FROM rec
+            QUALIFY n = MAX(n) OVER (PARTITION BY user_id, day)
+          )
+        ),
+        -- incoming state per shard: s_in(k+1) = C_k + D_k * s_in(k)
+        chain AS (
+          SELECT user_id, day, k,
+                 CAST(NULL AS DOUBLE) AS sin, cs AS sout
+          FROM summary WHERE k = 1
+          UNION ALL
+          SELECT m.user_id, m.day, m.k, c.sout,
+                 CASE WHEN c.sout IS NULL THEN m.cs
+                      ELSE m.cc + m.dd * c.sout END
+          FROM chain c JOIN summary m
+            ON m.user_id = c.user_id AND m.k = c.k + 1
+        )
+        SELECT r.user_id, r.day, r.t AS t_us, r.event_id, r.value,
+               CASE WHEN r.value IS NULL THEN NULL
+                    WHEN ch.sin IS NULL THEN r.cseed
+                    ELSE r.c + r.d * ch.sin END AS ewma
+        FROM rec r JOIN chain ch
+          ON ch.user_id = r.user_id AND ch.day = r.day
+        ORDER BY r.user_id, t_us, r.event_id
+        """,
+        "W+",
+        "time-sharded EWMA: parallel-prefix decomposition (per-shard "
+        "zero-state scan + decay, tiny tail-state chain, map-side "
+        "recombination) — the shape one hot channel needs at 100 TB; "
+        "oracle replays the identical decomposition bit-exactly",
+    ),
+)
+
+
 def _lttb_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB downsampling (operators/timeseries.py lttb): each probe
     user's series decimated to 12 visually-faithful points. Integer
@@ -10668,6 +10773,7 @@ _q(
 
 _CHECK_FIRST = [
     "x5_avi_audio_stats",
+    "w_ewma_sharded",
     "w_ewma_smoothing",
     "curation_segment_dedup",
     "x5_audio_sample_stats",

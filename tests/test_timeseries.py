@@ -139,3 +139,47 @@ def test_ewma_lttb_max_rows_per_series_guard(spark):
         df, alpha=0.5, time_col="t_us", value_col="value",
         series_cols=["name"], max_rows_per_series=50,
     ).count() == 50
+
+
+def test_ewma_sharded_matches_plain_and_handles_nulls(spark):
+    """Parallel-prefix EWMA: agrees with the single-pass operator to
+    reassociation-ULP level on null-bearing multi-shard series, seeds on
+    the first non-null row even when earlier shards are all-null."""
+    from mission_data_pipeline_spark.operators.timeseries import ewma_sharded
+
+    rows = []
+    for u in range(3):
+        for t in range(120):
+            # series u=2 starts with a fully-null first shard
+            v = (
+                None
+                if (u == 1 and t % 17 == 5) or (u == 2 and t < 40)
+                else float((u * 31 + t * 7) % 101)
+            )
+            rows.append((f"s{u}", t // 40, t, v))  # 3 shards of 40
+    df = spark.createDataFrame(
+        rows, "name string, day int, t_us long, value double"
+    )
+    sharded = {
+        (r["name"], r["t_us"]): r["ewma"]
+        for r in ewma_sharded(
+            df, alpha=0.25, time_col="t_us", value_col="value",
+            series_cols=["name"], shard_col="day",
+        ).collect()
+    }
+    plain = {
+        (r["name"], r["t_us"]): r["ewma"]
+        for r in ewma(
+            df, alpha=0.25, time_col="t_us", value_col="value",
+            series_cols=["name"],
+        ).collect()
+    }
+    assert set(sharded) == set(plain) and len(plain) == 360
+    for k, a in plain.items():
+        b = sharded[k]
+        assert (a is None) == (b is None), k
+        if a is not None:
+            assert abs(a - b) < 1e-9, (k, a, b)
+    # the all-null first shard emitted nulls, then seeding kicked in
+    assert sharded[("s2", 0)] is None
+    assert sharded[("s2", 40)] == plain[("s2", 40)] == float((62 + 280) % 101)
