@@ -27,6 +27,9 @@ def _pin_session_conf(spark: SparkSession) -> None:
     # 4 MiB open-cost default allows (per-row tokenize work would run
     # near-serial); inert for >=128 MiB files. Mirrors session.py.
     spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
+    # Python UDTFs evaluate via Arrow batches (vectorized transfer);
+    # results are identical either way — mirrors session.py.
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
 
 
 def entry(spark: SparkSession) -> DataFrame:

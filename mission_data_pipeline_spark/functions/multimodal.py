@@ -546,6 +546,25 @@ def avi_audio_sample_stats(
     return _audio_stats_over(media, id_col, payload_col, decode_avi_audio)
 
 
+def flac_sample_stats(
+    media: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Same statistics over REAL FLAC payloads: Rice-coded
+    fixed-predictor subframes decoded losslessly to the original
+    integers (:func:`~mission_data_pipeline_spark.functions.flac.decode_flac_samples`).
+    Undecodable payloads yield null sentinels."""
+    from mission_data_pipeline_spark.functions.flac import (
+        decode_flac_samples,
+    )
+
+    return _audio_stats_over(
+        media, id_col, payload_col, decode_flac_samples
+    )
+
+
 def _audio_stats_over(
     media: DataFrame, id_col: str, payload_col: str, decoder
 ) -> DataFrame:

@@ -8190,6 +8190,81 @@ _q(
 )
 
 
+def _flac_sample_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode (functions/flac.py): 44 streams of
+    formula-generated 16-bit samples, mixed mono/stereo, Rice-coded
+    FIXED-order-1 subframes across multiple 64-sample frames; every
+    seventh payload has its magic chopped (null sentinel). FLAC is
+    LOSSLESS, so the oracle recomputes the exact statistics from the
+    generator formula — any bit error anywhere in the bit reader, Rice
+    decode, or predictor reconstruction breaks the match."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.flac import encode_flac
+    from mission_data_pipeline_spark.functions.multimodal import (
+        flac_sample_stats,
+    )
+
+    rows = []
+    for k in range(44):
+        frames = k % 150 + 30
+        ch = 2 if k % 3 == 0 else 1
+        i = np.arange(frames)[:, None]
+        c = np.arange(ch)[None, :]
+        s = (((k * 7 + i * 37 + c * 101) % 4001) - 2000).astype(np.int64)
+        payload = encode_flac(s, rate=8000, bits=16, block_size=64, order=1)
+        if k % 7 == 6:
+            payload = payload[2:]  # chop the magic: undecodable
+        rows.append((k, bytearray(payload)))
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    return flac_sample_stats(media).orderBy("item_id")
+
+
+_q(
+    "x5_flac_sample_stats",
+    Query(
+        _flac_sample_stats_spark,
+        """
+        WITH flacs AS (
+          SELECT k AS item_id, k % 150 + 30 AS frames,
+                 CASE WHEN k % 3 = 0 THEN 2 ELSE 1 END AS ch,
+                 k % 7 = 6 AS corrupt
+          FROM range(0, 44) t(k)
+        ),
+        smp AS (
+          SELECT item_id,
+                 ((item_id * 7 + i * 37 + c * 101) % 4001) - 2000 AS v
+          FROM flacs, range(0, 180) fi(i), range(0, 2) ci(c)
+          WHERE i < frames AND c < ch AND NOT corrupt
+        ),
+        stats AS (
+          SELECT item_id,
+                 CAST(SUM(v) AS BIGINT) AS s_sum,
+                 CAST(MIN(v) AS INT) AS s_min,
+                 CAST(MAX(v) AS INT) AS s_max,
+                 CAST(SUM(v * v) AS BIGINT) AS s_sumsq
+          FROM smp GROUP BY item_id
+        )
+        SELECT f.item_id,
+               CASE WHEN corrupt THEN NULL ELSE CAST(frames AS BIGINT) END
+                 AS n_frames,
+               CASE WHEN corrupt THEN NULL ELSE CAST(ch AS INT) END
+                 AS n_channels,
+               CASE WHEN corrupt THEN NULL ELSE CAST(8000 AS INT) END
+                 AS sample_rate,
+               s.s_sum, s.s_min, s.s_max, s.s_sumsq
+        FROM flacs f LEFT JOIN stats s USING (item_id)
+        ORDER BY f.item_id
+        """,
+        "X5",
+        "REAL FLAC decode (Rice-coded fixed-predictor subframes, pure "
+        "stdlib+NumPy): lossless, so the oracle recomputes exact "
+        "statistics from the generator formula — the whole bit reader/"
+        "Rice/predictor chain is value-checked",
+    ),
+)
+
+
 def _frames_to_packets_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TM frame → packet reassembly round-trip: 200 deterministic packets
     (varying sizes, ASCII payloads) segmented into 64-byte TM frames with
@@ -10773,6 +10848,7 @@ _q(
 
 _CHECK_FIRST = [
     "x5_avi_audio_stats",
+    "x5_flac_sample_stats",
     "w_ewma_sharded",
     "w_ewma_smoothing",
     "curation_segment_dedup",

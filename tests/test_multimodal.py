@@ -697,3 +697,70 @@ def test_avi_audio_track_roundtrip_and_sentinels(spark):
     assert rows[0]["s_sum"] == int(exp.sum())
     assert rows[0]["s_sumsq"] == int((exp ** 2).sum())
     assert rows[1]["n_frames"] is None and rows[1]["s_sum"] is None
+
+
+def test_flac_codec_lossless_roundtrip_and_sentinels(spark):
+    """Real FLAC subset: lossless across fixed-predictor orders 0-4,
+    CONSTANT blocks, 8/16-bit, mono/stereo; truncation degrades to whole
+    frames; garbage/magic-chopped payloads yield None; probe reads
+    STREAMINFO."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.flac import (
+        decode_flac_samples,
+        encode_flac,
+        probe_flac_meta,
+    )
+    from mission_data_pipeline_spark.functions.multimodal import (
+        flac_sample_stats,
+    )
+
+    rng = np.random.default_rng(7)
+    t = np.arange(1500)
+    sig = np.stack(
+        [
+            (900 * np.sin(t / 50) + rng.integers(-20, 20, 1500)).astype("i8"),
+            (700 * np.cos(t / 80) + rng.integers(-5, 5, 1500)).astype("i8"),
+        ],
+        axis=1,
+    )
+    for order in (0, 1, 2, 3, 4):
+        fl = encode_flac(sig, rate=16000, bits=16, block_size=256,
+                         order=order)
+        arr, rate = decode_flac_samples(fl)
+        assert rate == 16000 and (arr == sig).all(), f"order {order}"
+        if order == 1:
+            assert len(fl) < sig.size * 2 * 0.7  # actually compresses
+    # constant block + 8-bit mono
+    flat = np.full((300, 1), -321, dtype="i8")
+    assert (decode_flac_samples(encode_flac(flat))[0].ravel() == -321).all()
+    mono8 = rng.integers(-100, 100, 200).astype("i8")[:, None]
+    assert (
+        decode_flac_samples(encode_flac(mono8, bits=8, block_size=64))[0]
+        .ravel()
+        .tolist()
+        == mono8.ravel().tolist()
+    )
+    assert probe_flac_meta(encode_flac(sig, rate=44100)) == (
+        "flac", 2, 44100, 16, 1500)
+    assert decode_flac_samples(b"garbage") is None
+    assert decode_flac_samples(None) is None
+    fl = encode_flac(sig, block_size=256)
+    tr = decode_flac_samples(fl[: len(fl) * 2 // 3])
+    n = tr[0].shape[0]
+    assert 0 < n < 1500 and n % 256 == 0 and (tr[0] == sig[:n]).all()
+    # out-of-range / bad args fail loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        encode_flac(np.array([[40000]], dtype="i8"), bits=16)
+    with _pt.raises(ValueError):
+        encode_flac(flat, order=5)
+    # operator path with a null sentinel
+    media = spark.createDataFrame(
+        [(0, bytearray(encode_flac(mono8, bits=8))), (1, bytearray(b"xx"))],
+        "item_id long, payload binary",
+    )
+    rows = {r["item_id"]: r for r in flac_sample_stats(media).collect()}
+    assert rows[0]["s_sum"] == int(mono8.sum())
+    assert rows[1]["n_frames"] is None
