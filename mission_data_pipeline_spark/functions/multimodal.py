@@ -1297,3 +1297,86 @@ def resize_images(
             yield out_pdf
 
     return cols.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+#: Per-image difference-hash — output of :func:`image_dhash`.
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def image_dhash(
+    media: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """64-bit difference hash (dHash) per image — the standard cheap
+    perceptual fingerprint for IMAGE near-duplicate detection in a
+    multimodal training corpus (crop-resistant enough for exact and
+    re-encoded duplicates; pair selection via
+    :func:`~mission_data_pipeline_spark.operators.dedup.dhash_near_pairs`).
+
+    Every step is integer-exact so a SQL oracle can recompute the hash
+    bit-for-bit from pixel values: REAL decode (PNG or baseline JPEG),
+    integer luma ``(299R + 587G + 114B) // 1000`` (single channel used
+    directly for grayscale), nearest-neighbor floor-resample to a 9x8
+    luma grid (``src = (dst * size) // 9``, same convention as
+    :func:`resize_images`), then bit ``ty*8+tx`` is set iff
+    ``luma[ty][tx+1] > luma[ty][tx]``. The 64-bit value is exposed as a
+    SIGNED long (bit 63 → sign bit) so both engines carry the same
+    8-byte representation. Undecodable payloads yield a null hash.
+
+    Scale shape: per-image map over Arrow batches; the hash table this
+    emits is what shuffles downstream (8 bytes/image, never pixels).
+    """
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.jpeg import decode_jpeg_pixels
+
+    cols = media.select(
+        F.col(id_col).cast("long").alias("item_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def one(payload) -> int | None:
+        px = decode_png_pixels(payload)
+        if px is None:
+            px = decode_jpeg_pixels(payload)
+        if px is None:
+            return None
+        px = px.astype(np.int64)
+        c = px.shape[2]
+        if c >= 3:
+            gray = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                    + 114 * px[:, :, 2]) // 1000
+        else:  # grayscale / gray+alpha: the luma IS channel 0
+            gray = px[:, :, 0]
+        h, w = gray.shape
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(9) * w) // 9
+        g = gray[ys[:, None], xs[None, :]]
+        bits = g[:, 1:] > g[:, :-1]
+        val = 0
+        for ty in range(8):
+            for tx in range(8):
+                if bits[ty, tx]:
+                    val |= 1 << (ty * 8 + tx)
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "dhash": pd.array(
+                        [one(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+            yield out
+
+    return cols.mapInPandas(run, schema=DHASH_SCHEMA)

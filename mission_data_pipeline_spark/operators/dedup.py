@@ -423,6 +423,69 @@ def duplicate_span_fraction(
     )
 
 
+def dhash_near_pairs(
+    hashes: DataFrame,
+    *,
+    max_hamming: int = 4,
+    id_col: str = "item_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs from 64-bit dHash fingerprints
+    (:func:`~mission_data_pipeline_spark.functions.multimodal.image_dhash`):
+    all ``(item_a < item_b)`` pairs within Hamming distance
+    ``max_hamming``, found WITHOUT an all-pairs join.
+
+    Banding: the hash splits into eight 8-bit bands; two hashes within
+    Hamming distance 7 must agree exactly on at least one band
+    (pigeonhole), so candidate generation is eight per-band bucket
+    joins — the corpus shuffles as (band, byte) keys, 8 rows per image,
+    never images x images. ``max_hamming`` must stay <= 7 to keep the
+    guarantee exact (raise the band count for looser thresholds).
+    Returns ``(item_a, item_b, hamming)`` distinct pairs.
+    """
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(
+            f"max_hamming must be 0..7 for 8-band exact recall, "
+            f"got {max_hamming}"
+        )
+    h = hashes.select(
+        F.col(id_col).alias("item_id"),
+        F.col(hash_col).cast("long").alias("__h"),
+    ).filter(F.col("__h").isNotNull())
+    bands = h.select(
+        "item_id",
+        "__h",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(f"(shiftright(__h, {8 * b}) & 255)").alias("val"),
+                )
+                for b in range(8)
+            ])
+        ).alias("bv"),
+    ).select("item_id", "__h", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .select(
+            F.col("a.item_id").alias("item_a"),
+            F.col("b.item_id").alias("item_b"),
+            F.bit_count(
+                F.col("a.__h").bitwiseXOR(F.col("b.__h"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
 # -- exact segment (line-level) corpus dedup ----------------------------
 
 

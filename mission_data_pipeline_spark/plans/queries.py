@@ -8265,6 +8265,113 @@ _q(
 )
 
 
+def _image_dhash_near_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup via 64-bit dHash + 8-band bucket join
+    (functions/multimodal.py image_dhash, operators/dedup.py
+    dhash_near_pairs): 24 formula-pixel 18x12 PNGs plus a perturbed
+    twin for every third (one pixel region changed → Hamming <= 2),
+    REAL PNG decode, integer luma, floor-resample to the 9x8 grid,
+    difference bits, banded pairing. Every step is integer arithmetic,
+    so the oracle recomputes the hashes AND the band-join pair set
+    bit-for-bit from the pixel formula."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        encode_png,
+        image_dhash,
+    )
+    from mission_data_pipeline_spark.operators.dedup import dhash_near_pairs
+
+    def pixels(k: int, twin: bool) -> np.ndarray:
+        # multiplicative formula: base hashes are mutually FAR (0 pairs
+        # within Hamming 4) while each twin stays within Hamming 2 —
+        # the pair set is exactly the planted twins
+        x = np.arange(18)[None, :, None]
+        y = np.arange(12)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        v = ((k + 7) * (x + 3) * (y + 5) + c * 5) % 256
+        if twin:
+            v = v.copy()
+            v[0, 4, :] = (v[0, 4, :] + 40) % 256
+        return v.astype(np.uint8)
+
+    rows = [(k, bytearray(encode_png(pixels(k, False)))) for k in range(24)]
+    rows += [
+        (100 + k, bytearray(encode_png(pixels(k, True))))
+        for k in range(0, 24, 3)
+    ]
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    pairs = dhash_near_pairs(image_dhash(media), max_hamming=4)
+    return pairs.orderBy("item_a", "item_b")
+
+
+_q(
+    "x5_image_dhash_near_dup",
+    Query(
+        _image_dhash_near_dup_spark,
+        """
+        WITH items AS (
+          SELECT k AS item_id, k AS k, FALSE AS twin FROM range(0, 24) t(k)
+          UNION ALL
+          SELECT 100 + k, k, TRUE FROM range(0, 24) t(k) WHERE k % 3 = 0
+        ),
+        gray AS (
+          SELECT i.item_id, xx.x, yy.y,
+            (299 * (CASE WHEN twin AND xx.x = 4 AND yy.y = 0
+                    THEN (((k+7)*(xx.x+3)*(yy.y+5)) % 256 + 40) % 256
+                    ELSE ((k+7)*(xx.x+3)*(yy.y+5)) % 256 END)
+           + 587 * (CASE WHEN twin AND xx.x = 4 AND yy.y = 0
+                    THEN (((k+7)*(xx.x+3)*(yy.y+5) + 5) % 256 + 40) % 256
+                    ELSE ((k+7)*(xx.x+3)*(yy.y+5) + 5) % 256 END)
+           + 114 * (CASE WHEN twin AND xx.x = 4 AND yy.y = 0
+                    THEN (((k+7)*(xx.x+3)*(yy.y+5) + 10) % 256 + 40) % 256
+                    ELSE ((k+7)*(xx.x+3)*(yy.y+5) + 10) % 256 END)
+            ) // 1000 AS g
+          FROM items i, range(0, 18) xx(x), range(0, 12) yy(y)
+        ),
+        grid AS (
+          SELECT g.item_id, tx.tx, ty.ty, g.g
+          FROM range(0, 9) tx(tx)
+          CROSS JOIN range(0, 8) ty(ty)
+          JOIN gray g ON g.x = (tx.tx * 18) // 9
+                     AND g.y = (ty.ty * 12) // 8
+        ),
+        bits AS (
+          SELECT a.item_id, a.ty, a.tx,
+                 CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+          FROM grid a JOIN grid b
+            ON b.item_id = a.item_id AND b.ty = a.ty AND b.tx = a.tx + 1
+          WHERE a.tx < 8
+        ),
+        hashes AS (
+          SELECT item_id,
+                 CAST(SUM(CASE WHEN bit = 1 AND ty*8 + tx < 63
+                               THEN (1::BIGINT << (ty*8 + tx))
+                               ELSE 0 END) AS BIGINT)
+                 + CASE WHEN MAX(CASE WHEN ty = 7 AND tx = 7 THEN bit
+                                 ELSE 0 END) = 1
+                        THEN (-9223372036854775807 - 1) ELSE 0 END AS dhash
+          FROM bits GROUP BY item_id
+        )
+        SELECT DISTINCT a.item_id AS item_a, b.item_id AS item_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+        FROM hashes a
+        JOIN hashes b ON a.item_id < b.item_id
+        JOIN range(0, 8) bb(band)
+          ON ((a.dhash >> (8*band)) & 255) = ((b.dhash >> (8*band)) & 255)
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+        ORDER BY item_a, item_b
+        """,
+        "X2,X5",
+        "image near-duplicate detection: REAL PNG decode → integer-luma "
+        "dHash (9x8 difference grid, signed 64-bit) → 8-band bucket "
+        "join (exact recall to Hamming 7, never images x images); the "
+        "oracle recomputes hashes and the pair set from the pixel "
+        "formula",
+    ),
+)
+
+
 def _frames_to_packets_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TM frame → packet reassembly round-trip: 200 deterministic packets
     (varying sizes, ASCII payloads) segmented into 64-byte TM frames with
@@ -10849,6 +10956,7 @@ _q(
 _CHECK_FIRST = [
     "x5_avi_audio_stats",
     "x5_flac_sample_stats",
+    "x5_image_dhash_near_dup",
     "w_ewma_sharded",
     "w_ewma_smoothing",
     "curation_segment_dedup",

@@ -637,3 +637,52 @@ def test_dedup_exact_segments_first_occurrence_wins(spark):
     five = spark.createDataFrame([(9, "q r s t u")], "doc_id long, text string")
     (r,) = dedup_exact_segments(five, seg_tokens=2).collect()
     assert r["clean_text"] == "q r s t u" and r["n_segs"] == 3
+
+
+def test_image_dhash_and_banded_near_pairs(spark):
+    """dHash image near-dup: identical images hash equal, a re-encoded
+    copy hashes equal (PNG decode is lossless), a small perturbation
+    stays within a few bits, a different image is far; the 8-band
+    bucket join finds exactly the planted pairs without an all-pairs
+    join; undecodable payloads drop out."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        encode_png,
+        image_dhash,
+    )
+    from mission_data_pipeline_spark.operators.dedup import dhash_near_pairs
+
+    def img(k):
+        x = np.arange(18)[None, :, None]
+        y = np.arange(12)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        return (((k + 7) * (x + 3) * (y + 5) + c * 5) % 256).astype(np.uint8)
+
+    near = img(0).copy()
+    near[0, 4, :] = (near[0, 4, :].astype(int) + 40) % 256
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(encode_png(img(0)))),
+            (1, bytearray(encode_png(img(0)))),   # exact duplicate
+            (2, bytearray(encode_png(near))),      # near duplicate
+            (3, bytearray(encode_png(img(9)))),    # far
+            (4, bytearray(b"not an image")),       # undecodable
+        ],
+        "item_id long, payload binary",
+    )
+    hashes = image_dhash(media)
+    h = {r["item_id"]: r["dhash"] for r in hashes.collect()}
+    assert h[0] == h[1] and h[4] is None
+    assert 0 < bin((h[0] ^ h[2]) & ((1 << 64) - 1)).count("1") <= 4
+    assert bin((h[0] ^ h[3]) & ((1 << 64) - 1)).count("1") > 7
+    pairs = {
+        (r["item_a"], r["item_b"]): r["hamming"]
+        for r in dhash_near_pairs(hashes, max_hamming=4).collect()
+    }
+    assert pairs == {(0, 1): 0, (0, 2): pairs[(0, 2)], (1, 2): pairs[(1, 2)]}
+    assert 0 < pairs[(0, 2)] <= 4
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dhash_near_pairs(hashes, max_hamming=8)  # beyond 8-band recall
