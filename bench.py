@@ -97,6 +97,12 @@ EXTENDED = [
     # MJPEG-in-AVI frame decode throughput (fixture-sized codec cost)
     "x4_bpe_corpus_budget",
     "x5_video_frame_stats",
+    # round 7: parallel-prefix EWMA (3-stage decomposition), real FLAC
+    # decode, AVI audio-track decode, dHash image near-dup banding
+    "w_ewma_sharded",
+    "x5_flac_sample_stats",
+    "x5_avi_audio_stats",
+    "x5_image_dhash_near_dup",
 ]
 
 N_ETL_PACKETS = 200_000

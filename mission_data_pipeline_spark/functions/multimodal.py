@@ -290,7 +290,18 @@ def probe_audio_meta(
     rates. Non-RIFF payloads → all None; a recognized WAV with missing
     chunks degrades to nulls for the absent fields. Pure stdlib — WAV
     metadata needs no codec library (only full sample decode does).
+    FLAC payloads dispatch to the STREAMINFO probe
+    (:func:`~mission_data_pipeline_spark.functions.flac.probe_flac_meta`),
+    so mixed audio corpora get typed metadata for both containers.
     """
+    if payload and payload[:4] == b"fLaC":
+        from mission_data_pipeline_spark.functions.flac import (
+            probe_flac_meta,
+        )
+
+        fmt, ch, rate, bits, n = probe_flac_meta(payload)
+        dur = (n / rate) if (fmt and rate and n is not None) else None
+        return (fmt, ch, rate, bits, dur)
     if not payload or len(payload) < 12 or payload[:4] != b"RIFF":
         return (None, None, None, None, None)
     if payload[8:12] != b"WAVE":
