@@ -159,7 +159,7 @@ def ewma_sharded(
             T.StructField("__c", T.DoubleType(), True),
             T.StructField("__d", T.DoubleType(), False),
             T.StructField("__cseed", T.DoubleType(), True),
-            T.StructField("__rank", T.LongType(), False),
+            T.StructField("__last", T.BooleanType(), False),
         ]
     )
 
@@ -183,17 +183,21 @@ def ewma_sharded(
         pdf["__c"] = pd.array(cs_list, dtype="Float64")
         pdf["__d"] = pd.array(d_list, dtype="Float64")
         pdf["__cseed"] = pd.array(seed_list, dtype="Float64")
-        pdf["__rank"] = range(len(xs))
+        # the shard summary IS the last row — flagged here so extracting
+        # it downstream is a filter, not a second corpus-sized shuffle
+        pdf["__last"] = [i == len(xs) - 1 for i in range(len(xs))]
         return pdf
 
     staged = cols.groupBy(*series_cols, "__shard").applyInPandas(
         shard_pass, schema=stage1_schema
     )
-    # shard summaries: the LAST row's (c, d, cseed) per (series, shard)
-    summary = staged.groupBy(*series_cols, "__shard").agg(
-        F.max_by("__c", "__rank").alias("__C"),
-        F.max_by("__d", "__rank").alias("__D"),
-        F.max_by("__cseed", "__rank").alias("__CSEED"),
+    # shard summaries: the flagged LAST row per (series, shard)
+    summary = staged.filter("__last").select(
+        *series_cols,
+        "__shard",
+        F.col("__c").alias("__C"),
+        F.col("__d").alias("__D"),
+        F.col("__cseed").alias("__CSEED"),
     )
     sin_schema = T.StructType(
         [summary.schema[c] for c in [*series_cols, "__shard"]]
@@ -219,7 +223,9 @@ def ewma_sharded(
     sin = summary.groupBy(*series_cols).applyInPandas(
         chain, schema=sin_schema
     )
-    out = staged.join(sin, [*series_cols, "__shard"])
+    # sin is O(series x shards) — tiny next to the rows; broadcast it so
+    # the recombination join never reshuffles the corpus
+    out = staged.join(F.broadcast(sin), [*series_cols, "__shard"])
     ewma_col = (
         F.when(F.col("value").isNull(), F.lit(None).cast("double"))
         .when(F.col("__sin").isNull(), F.col("__cseed"))
