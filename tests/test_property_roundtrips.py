@@ -425,3 +425,120 @@ def test_jpeg_truncation_never_raises(cut, seed):
     enc = encode_jpeg(img, quality=70)
     out = decode_jpeg_pixels(enc[: max(0, len(enc) - cut)])
     assert out is None or out.shape == (12, 14, 3)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 600),
+    ch=st.integers(1, 3),
+    bits=st.sampled_from([8, 16]),
+    order=st.integers(0, 4),
+    block=st.sampled_from([64, 256, 4096]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_lossless_roundtrip_property(n, ch, bits, order, block, seed):
+    """Any sample matrix within range round-trips FLAC bit-exactly for
+    every fixed-predictor order, block size, and channel count."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.flac import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(seed)
+    lim = 1 << (bits - 1)
+    s = rng.integers(-lim, lim, size=(n, ch)).astype("i8")
+    arr, rate = decode_flac_samples(
+        encode_flac(s, rate=8000, bits=bits, block_size=block, order=order)
+    )
+    assert rate == 8000 and arr.shape == (n, ch) and (arr == s).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=st.binary(max_size=300))
+def test_flac_and_avi_audio_decoders_never_raise_on_garbage(payload):
+    from mission_data_pipeline_spark.functions.avi import decode_avi_audio
+    from mission_data_pipeline_spark.functions.flac import (
+        decode_flac_samples,
+        probe_flac_meta,
+    )
+
+    decode_flac_samples(payload)
+    decode_avi_audio(payload)
+    probe_flac_meta(payload)
+    # prefixing the magic must not crash either (truncated/garbage body)
+    decode_flac_samples(b"fLaC" + payload)
+    decode_avi_audio(b"RIFF\x00\x01\x00\x00AVI " + payload)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    cut=st.integers(4, 10_000),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_truncation_degrades_to_whole_frames(cut, seed):
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.flac import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-2000, 2000, size=(1000, 1)).astype("i8")
+    fl = encode_flac(s, block_size=128)
+    dec = decode_flac_samples(fl[: min(cut, len(fl))])
+    if dec is not None:
+        arr, _ = dec
+        k = arr.shape[0]
+        assert k % 128 == 0 or k == 1000
+        assert (arr == s[:k]).all()  # never wrong samples, only fewer
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(8, 24),
+    w=st.integers(9, 30),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_image_dhash_invariants(h, w, seed):
+    """dHash is deterministic, identical for identical pixels, in signed
+    64-bit range, and independent of PNG filter choices (the hash sees
+    pixels, not encoding)."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.multimodal import encode_png
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+    # replicate the operator's pure computation on raw pixels
+    def dhash_of(pixels):
+        g = (
+            299 * pixels[:, :, 0].astype(np.int64)
+            + 587 * pixels[:, :, 1]
+            + 114 * pixels[:, :, 2]
+        ) // 1000
+        ys = (np.arange(8) * pixels.shape[0]) // 8
+        xs = (np.arange(9) * pixels.shape[1]) // 9
+        gg = g[ys[:, None], xs[None, :]]
+        bits = gg[:, 1:] > gg[:, :-1]
+        val = 0
+        for ty in range(8):
+            for tx in range(8):
+                if bits[ty, tx]:
+                    val |= 1 << (ty * 8 + tx)
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    expect = dhash_of(px)
+    assert -(1 << 63) <= expect < (1 << 63)
+    # PNG encode/decode is lossless, so the operator-side decode path
+    # must land on the same pixels and therefore the same hash
+    from mission_data_pipeline_spark.functions.multimodal import (
+        decode_png_pixels,
+    )
+
+    back = decode_png_pixels(encode_png(px))
+    assert (back == px).all()
+    assert dhash_of(back) == expect
