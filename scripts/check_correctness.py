@@ -5,7 +5,12 @@ SQL at sf0.01, normalize (sort columns by name, sort rows by all
 columns), and require exact value equality. Stricter than a hash match —
 if this passes, any reasonable hash normalization matches too.
 
-Usage: python scripts/check_correctness.py [name ...] [--sf DIR]
+Usage: python scripts/check_correctness.py [name ...] [--sf DIR] [--lint]
+
+``--lint`` additionally runs the plan-shape linter (plans/lint.py) on
+each query's executed plan and reports non-allowlisted anti-pattern
+nodes as failures — the same sweep ``tests/test_plan_shape.py`` pins,
+available here for one-off use on a subset or a different sf.
 """
 
 from __future__ import annotations
@@ -100,7 +105,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--lint", action="store_true")
     args = ap.parse_args()
+    lint_allow: dict[str, set[str]] = {}
+    if args.lint:
+        from mission_data_pipeline_spark.plans.lint import lint_plan  # noqa: F401
+
+        sys.path.insert(0, "tests")
+        from test_plan_shape import ALLOW as lint_allow  # noqa: E402
 
     qs = queries()
     oracles = oracle_sql()
@@ -117,7 +129,22 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         try:
-            sdf = qs[name](spark, args.sf).toPandas()
+            df = qs[name](spark, args.sf)
+            if args.lint:
+                from mission_data_pipeline_spark.plans.lint import lint_plan
+
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                hits = [
+                    h
+                    for h in lint_plan(plan)
+                    if h.split(":", 1)[0] not in lint_allow.get(name, set())
+                ]
+                if hits:
+                    n_fail += 1
+                    failures[name] = [f"PLAN LINT: {h}" for h in hits]
+                    print(f"FAIL  {name}: plan-shape lint")
+                    continue
+            sdf = df.toPandas()
         except Exception as e:
             n_fail += 1
             failures[name] = [f"SPARK ERROR: {type(e).__name__}: {str(e)[:300]}"]
