@@ -136,6 +136,12 @@ def ewma_sharded(
     map-side join. Null values are skipped exactly like :func:`ewma`
     (NULL out, state carries).
 
+    Cost note: the chain subtree re-derives stage 1 (the classic
+    linear-scan trade — read twice or cache); the recomputation is one
+    extra shard pass of cheap arithmetic, chosen here over pinning the
+    full row set in memory. Callers iterating over the result many
+    times can ``.persist()`` it like any DataFrame.
+
     The result is the textbook parallel-prefix EWMA: algebraically
     identical to :func:`ewma`, floating-point-wise within an ULP-level
     reassociation difference (that is inherent to ANY parallel scan).
