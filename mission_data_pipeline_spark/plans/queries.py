@@ -1663,6 +1663,121 @@ _q(
 )
 
 
+def _streaming_ewma_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming EWMA run (streaming/stateful.py ewma_stream): the
+    events slice is re-laid as four TIME-CONTIGUOUS files (global
+    (t_us, event_id) order ntile'd into slices, explicit ascending
+    mtimes) and streamed with maxFilesPerTrigger=1, so every series'
+    smoothing state genuinely crosses micro-batch boundaries in time
+    order. Each row is emitted exactly once with its smoothed value;
+    the full emission set must equal the batch recurrence — the same
+    recursive-CTE oracle shape as w_ewma_smoothing, computed by a LIVE
+    stateful stream instead. Aborts loudly if the source collapsed into
+    fewer than three data-bearing micro-batches."""
+    import glob as _glob
+
+    from pyspark.sql import Window, functions as F
+
+    from mission_data_pipeline_spark.streaming.stateful import ewma_stream
+
+    register_views(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="mdps_ewma_stream_")
+    try:
+        stream_dir = os.path.join(tmp, "in")
+        os.makedirs(stream_dir)
+        ev = spark.sql(
+            "SELECT user_id AS key, event_id, ts_ns DIV 1000 AS t_us, "
+            "value FROM events WHERE user_id < 10"
+        ).withColumn(
+            "__slice", F.ntile(4).over(Window.orderBy("t_us", "event_id"))
+        )
+        for i in range(1, 5):
+            d = os.path.join(tmp, f"slice{i}")
+            (
+                ev.filter(F.col("__slice") == i)
+                .drop("__slice")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(d)
+            )
+            src = _glob.glob(os.path.join(d, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"{i:02d}.parquet")
+            shutil.copy(src, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema(
+                "key long, event_id long, t_us long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        sink = f"w_ewma_stream_sink_{next(_STREAM_SINK_SEQ)}"
+        q = (
+            ewma_stream(stream, alpha=0.25)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+            n_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+        finally:
+            q.stop()
+        if n_batches < 3:
+            raise RuntimeError(
+                f"streaming ewma ran as {n_batches} data micro-batches — "
+                "cross-batch smoothing state was not exercised"
+            )
+        return spark.table(sink).select(
+            "key", "t_us", "event_id", "value", "ewma"
+        ).orderBy("key", "t_us", "event_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_q(
+    "w3_streaming_ewma",
+    Query(
+        _streaming_ewma_spark,
+        """
+        WITH RECURSIVE s AS (
+          SELECT user_id AS key, event_id, epoch_us(ts) AS t, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ) AS n
+          FROM events WHERE user_id < 10
+        ),
+        rec AS (
+          SELECT key, event_id, t, value, n,
+                 value AS st, value AS ewma
+          FROM s WHERE n = 1
+          UNION ALL
+          SELECT s.key, s.event_id, s.t, s.value, s.n,
+                 CASE WHEN s.value IS NULL THEN rec.st
+                      WHEN rec.st IS NULL THEN s.value
+                      ELSE 0.25 * s.value + 0.75 * rec.st END,
+                 CASE WHEN s.value IS NULL THEN NULL
+                      WHEN rec.st IS NULL THEN s.value
+                      ELSE 0.25 * s.value + 0.75 * rec.st END
+          FROM rec JOIN s ON s.key = rec.key AND s.n = rec.n + 1
+        )
+        SELECT key, t AS t_us, event_id, value, ewma
+        FROM rec
+        ORDER BY key, t_us, event_id
+        """,
+        "W3,W1+",
+        "REAL streaming EWMA (applyInPandasWithState): per-channel "
+        "smoothing state carried across four time-ordered micro-batches "
+        "of a live file stream; the emission set equals the batch "
+        "recurrence bit-exactly (recursive-CTE oracle)",
+    ),
+)
+
+
 def _streaming_stateful_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM stateful streaming operator, driver-checked
     (streaming/stateful.py cumulative_group_stats): events re-laid-out
@@ -10957,6 +11072,7 @@ _CHECK_FIRST = [
     "x5_avi_audio_stats",
     "x5_flac_sample_stats",
     "x5_image_dhash_near_dup",
+    "w3_streaming_ewma",
     "w_ewma_sharded",
     "w_ewma_smoothing",
     "curation_segment_dedup",

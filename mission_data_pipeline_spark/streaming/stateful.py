@@ -188,6 +188,80 @@ def cumulative_group_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+# -- streaming EWMA: per-series smoothing state across micro-batches ----
+
+EWMA_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("t_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = T.StructType([T.StructField("s", T.DoubleType())])
+
+
+def ewma_stream(stream: DataFrame, *, alpha: float) -> DataFrame:
+    """Per-series EWMA over a LIVE stream: the smoothing state (one
+    double per series) rides the state store across micro-batches, so a
+    telemetry channel smooths continuously over a live-tail source —
+    the streaming twin of
+    :func:`~mission_data_pipeline_spark.operators.timeseries.ewma`,
+    applying the identical recurrence (``s = alpha*x + (1-alpha)*s``,
+    first non-null seeds, nulls skipped with NULL out).
+
+    Input needs ``(key, t_us, event_id, value)``; every row is emitted
+    exactly once (append mode) with its smoothed value. Rows sort by
+    ``(t_us, event_id)`` WITHIN a micro-batch; correctness across
+    batches relies on the source delivering data in time order (true
+    for live tails; for an out-of-order replay use the batch operator).
+    State is one double per series: O(#channels), throughput-free.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    beta = 1.0 - alpha
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        s = state.get[0] if state.exists else None
+        out: list[dict] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["t_us", "event_id"])
+            for t, eid, x in zip(
+                pdf["t_us"].tolist(),
+                pdf["event_id"].tolist(),
+                pdf["value"].tolist(),
+            ):
+                if x is None or pd.isna(x):
+                    out.append(
+                        {"key": k, "t_us": t, "event_id": eid,
+                         "value": None, "ewma": None}
+                    )
+                    continue
+                s = x if s is None else alpha * x + beta * s
+                out.append(
+                    {"key": k, "t_us": t, "event_id": eid,
+                     "value": x, "ewma": s}
+                )
+        if s is not None:
+            state.update((float(s),))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in EWMA_STREAM_SCHEMA.fields]
+        )
+
+    return stream.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_STREAM_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 # -- transformWithStateInPandas (Spark 4 arbitrary-state API) -----------
 
 TWS_TOPK_SCHEMA = T.StructType(
