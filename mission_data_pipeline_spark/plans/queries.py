@@ -11056,6 +11056,102 @@ _q(
 )
 
 
+def _hdf5_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 HDF5 sink round-trip, driver-checked: the events slice exports
+    through write_hdf5 pinned to the PURE-PYTHON spec-subset writer
+    (sinks/hdf5_pure.py — v0 superblock, symbol-table groups, gzip
+    chunks), the file is re-read by the matching spec reader, and
+    per-parameter accounting plus the unit attrs must match the source.
+    f8 datasets store the doubles exactly, so the DECIMAL-sum comparison
+    is exact. This is the sink-family oracle query the other loaders
+    (parquet/CSV/JSONL/ORC) already have; it makes the HDF5 byte format
+    itself driver-verified every round."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sinks import hdf5_pure, write_hdf5
+
+    register_views(spark, sf_dir)
+    params = spark.sql(
+        "SELECT event_type AS name, CONCAT('u_', event_type) AS unit, "
+        "       CAST(ts_ns DIV 1000 AS DOUBLE) AS time_tai, "
+        "       CAST(user_id AS INT) AS apid, "
+        "       CAST(event_id % 16384 AS INT) AS seq_count, "
+        "       TRUE AS validity, value AS eng_value "
+        "FROM events WHERE user_id < 100"
+    )
+    d = _scratch_dir("hdf5_q")
+    path = os.path.join(d, "t.h5")
+    write_hdf5(params, path, mode="w", _h5=hdf5_pure)
+    root = hdf5_pure.read_h5(path)
+    tele = root.groups["telemetry"]
+    rows = []
+    for name in sorted(tele.groups):
+        g = tele.groups[name]
+        t = g.datasets["time_tai"].data
+        v = g.datasets["eng_value"].data
+        sq = g.datasets["seq_count"].data
+        vd = g.datasets["validity"].data
+        rows.append(
+            (
+                name,
+                g.attrs.get("unit"),
+                len(t),
+                int(t.min()),
+                [float(x) for x in v],
+                int(sq.max()),
+                int(vd.sum()),
+            )
+        )
+    back = spark.createDataFrame(
+        rows,
+        "name string, unit string, n long, ts_min long, "
+        "vals array<double>, seq_max int, n_valid long",
+    )
+    return back.select(
+        "name",
+        "unit",
+        "n",
+        "ts_min",
+        "seq_max",
+        "n_valid",
+        F.round(
+            F.aggregate(
+                F.transform(
+                    "vals",
+                    lambda x: F.round(x, 9).cast("decimal(20,9)"),
+                ),
+                F.lit(0).cast("decimal(28,9)"),
+                lambda acc, x: (acc + x).cast("decimal(28,9)"),
+            ).cast("double"),
+            6,
+        ).alias("sum_value"),
+    ).orderBy("name")
+
+
+_q(
+    "l_hdf5_roundtrip",
+    Query(
+        _hdf5_roundtrip_spark,
+        _EV_DUCK
+        + """
+        SELECT event_type AS name, 'u_' || event_type AS unit,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(ts_us) AS BIGINT) AS ts_min,
+               CAST(MAX(event_id % 16384) AS INT) AS seq_max,
+               CAST(COUNT(*) AS BIGINT) AS n_valid,
+               ROUND(CAST(CAST(SUM(CAST(ROUND(value, 9) AS DECIMAL(20,9))) AS STRING) AS DOUBLE), 6) AS sum_value
+        FROM ev WHERE user_id < 100
+        GROUP BY event_type ORDER BY name
+        """,
+        "L5",
+        "HDF5 sink round-trip through the pure-Python spec-subset "
+        "writer/reader: /telemetry/<param> layout, gzip-chunked f8/i4/i1 "
+        "datasets, unit attrs — per-parameter accounting must match the "
+        "source exactly (f8 storage is lossless)",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering (round 7, STALEST-FIRST — VERDICT r06 item 2).
 # The driver verifies the first ~50 QUERIES entries per round. Slots 1-8:
@@ -11073,6 +11169,7 @@ _CHECK_FIRST = [
     "x5_flac_sample_stats",
     "x5_image_dhash_near_dup",
     "w3_streaming_ewma",
+    "l_hdf5_roundtrip",
     "w_ewma_sharded",
     "w_ewma_smoothing",
     "curation_segment_dedup",
