@@ -686,3 +686,44 @@ def test_image_dhash_and_banded_near_pairs(spark):
 
     with _pt.raises(ValueError):
         dhash_near_pairs(hashes, max_hamming=8)  # beyond 8-band recall
+
+
+def test_dhash_banding_exact_recall_to_hamming_7(spark):
+    """Pigeonhole guarantee pinned: for random 64-bit hashes with
+    planted perturbations of 1..7 bits, the 8-band bucket join finds
+    EXACTLY the brute-force pair set at max_hamming=7 — no missed pair
+    (recall) and no extra pair (the bit_count filter)."""
+    import itertools
+    import random
+
+    from mission_data_pipeline_spark.operators.dedup import dhash_near_pairs
+
+    rng = random.Random(11)
+    hashes: list[int] = []
+    while len(hashes) < 12:  # far-apart bases
+        h = rng.getrandbits(64)
+        if all(bin(h ^ o).count("1") > 14 for o in hashes):
+            hashes.append(h)
+    rows = []
+    for i, h in enumerate(hashes):
+        rows.append((i, h - (1 << 64) if h >= (1 << 63) else h))
+        flip = h
+        for b in rng.sample(range(64), k=(i % 7) + 1):  # 1..7 bit flips
+            flip ^= 1 << b
+        rows.append(
+            (100 + i, flip - (1 << 64) if flip >= (1 << 63) else flip)
+        )
+    df = spark.createDataFrame(rows, "item_id long, dhash long")
+    got = {
+        (r["item_a"], r["item_b"])
+        for r in dhash_near_pairs(df, max_hamming=7).collect()
+    }
+    expect = {
+        (a, b)
+        for (a, ha), (b, hb) in itertools.combinations(rows, 2)
+        if a < b and bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= 7
+    }
+    # normalize ordering (combinations preserve list order, ids ascend
+    # within but 100+i > i pairs may appear reversed)
+    expect = {(min(a, b), max(a, b)) for a, b in expect}
+    assert got == expect and len(got) >= 12  # every planted twin found

@@ -442,3 +442,54 @@ def test_transform_with_state_running_topk(spark, tmp_path):
     assert ones[-1]["top3_sum"] == 24.0
     (two,) = by_key[2]
     assert (two["n_events"], two["n_types"], two["top3_sum"]) == (1, 1, 2.0)
+
+
+def test_ewma_stream_state_and_null_skip_across_batches(spark, tmp_path):
+    """Streaming EWMA carries the smoothing state across micro-batches
+    and skips nulls exactly like the batch operator: a null value emits
+    NULL and leaves the state untouched, even across a batch boundary."""
+    import json
+
+    from mission_data_pipeline_spark.streaming.stateful import ewma_stream
+
+    root = tmp_path / "ewma_ev"
+    root.mkdir()
+    # series 7: 10.0 | (null, 20.0) across two files — the recurrence
+    # must bridge the null AND the file boundary: 0.5*20 + 0.5*10 = 15
+    batch1 = [(7, 0, 1, 10.0)]
+    batch2 = [(7, 1, 2, None), (7, 2, 3, 20.0)]
+    for name, rows in (("a.json", batch1), ("b.json", batch2)):
+        (root / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {"key": k, "t_us": t, "event_id": e, "value": v}
+                )
+                for k, t, e, v in rows
+            )
+            + "\n"
+        )
+    stream = (
+        spark.readStream.schema(
+            "key long, t_us long, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(root))
+    )
+    q = (
+        ewma_stream(stream, alpha=0.5)
+        .writeStream.format("memory")
+        .queryName("ewma_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["t_us"]: (r["value"], r["ewma"])
+        for r in spark.sql("SELECT * FROM ewma_stream_sink").collect()
+    }
+    assert rows[0] == (10.0, 10.0)
+    assert rows[1] == (None, None)       # null skipped, never NaN
+    assert rows[2] == (20.0, 15.0)       # state bridged null + batches
+    with pytest.raises(ValueError):
+        ewma_stream(stream, alpha=0.0)
