@@ -11056,6 +11056,88 @@ _q(
 )
 
 
+def _zorder_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER sink round-trip (sinks/parquet.py
+    write_zordered): events rewritten as 12 files Morton-clustered on
+    (user_id, t_us), re-read, per-type accounting must equal the source
+    (the layout is semantically transparent — that is the oracle). The
+    LAYOUT property is asserted in-query with loud failure: per-file
+    min/max spans must stay below 0.75 of the domain in BOTH z
+    dimensions (a linear sort leaves the second dimension's spans at
+    ~1.0 — zero data skipping), so a regression that quietly degrades
+    multi-dimension clustering fails the driver check, not just a
+    pytest."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sinks.parquet import write_zordered
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT user_id, ts_ns DIV 1000 AS t_us, event_id, event_type, "
+        "value FROM events"
+    )
+    d = _scratch_dir("zorder_q")
+    write_zordered(ev, d, zorder_cols=["user_id", "t_us"], n_files=12)
+
+    def coverage(col: str) -> float:
+        spans = []
+        for f in _glob.glob(d + "/part-*.parquet"):
+            md = _pq.read_metadata(f)
+            ci = md.schema.names.index(col)
+            st = [md.row_group(i).column(ci).statistics
+                  for i in range(md.num_row_groups)]
+            if st:
+                spans.append((min(s.min for s in st), max(s.max for s in st)))
+        lo = min(s[0] for s in spans)
+        hi = max(s[1] for s in spans)
+        return sum((b - a) / ((hi - lo) or 1) for a, b in spans) / len(spans)
+
+    cov_u, cov_t = coverage("user_id"), coverage("t_us")
+    if cov_u > 0.75 or cov_t > 0.75:
+        raise RuntimeError(
+            f"z-order clustering lost: per-file span coverage user_id="
+            f"{cov_u:.2f} t_us={cov_t:.2f} (both must be < 0.75; a "
+            "linear sort reads ~1.0 on its non-leading dimension)"
+        )
+    back = spark.read.parquet(d)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("t_us").cast("long").alias("ts_min"),
+            F.sum(F.round("value", 9).cast("decimal(20,9)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .withColumn("sum_value", F.round("sum_value", 6))
+        .orderBy("event_type")
+    )
+
+
+_q(
+    "l_zorder_roundtrip",
+    Query(
+        _zorder_roundtrip_spark,
+        _EV_DUCK
+        + """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(ts_us) AS BIGINT) AS ts_min,
+               ROUND(CAST(CAST(SUM(CAST(ROUND(value, 9) AS DECIMAL(20,9))) AS STRING) AS DOUBLE), 6) AS sum_value
+        FROM ev GROUP BY event_type ORDER BY event_type
+        """,
+        "L+,co-location",
+        "OPTIMIZE ZORDER sink: Morton-interleaved multi-dimension file "
+        "clustering (JVM bit expressions, range-partitioned by z-value) "
+        "— per-file zone-map spans asserted < 0.75 of the domain in "
+        "BOTH dimensions with loud failure; content transparency "
+        "oracle-checked",
+    ),
+)
+
+
 def _hdf5_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 HDF5 sink round-trip, driver-checked: the events slice exports
     through write_hdf5 pinned to the PURE-PYTHON spec-subset writer
@@ -11170,6 +11252,7 @@ _CHECK_FIRST = [
     "x5_image_dhash_near_dup",
     "w3_streaming_ewma",
     "l_hdf5_roundtrip",
+    "l_zorder_roundtrip",
     "w_ewma_sharded",
     "w_ewma_smoothing",
     "curation_segment_dedup",

@@ -471,3 +471,63 @@ def test_compact_dataset_splittable_output(spark, tmp_path):
         compact_dataset(spark, src, dst, target_file_bytes=0)
     with _pytest.raises(ValueError):
         compact_dataset(spark, src, dst, min_files=0)
+
+
+def _file_span_coverage(path: str, col: str) -> float:
+    """Average fraction of the column's global domain each file's
+    [min, max] range covers — 1.0 means zone maps prune nothing."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(path + "/part-*.parquet"):
+        md = pq.read_metadata(f)
+        ci = md.schema.names.index(col)
+        los = [md.row_group(i).column(ci).statistics.min
+               for i in range(md.num_row_groups)]
+        his = [md.row_group(i).column(ci).statistics.max
+               for i in range(md.num_row_groups)]
+        if los:
+            spans.append((min(los), max(his)))
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    width = (hi - lo) or 1
+    return sum((b - a) / width for a, b in spans) / len(spans)
+
+
+def test_write_zordered_clusters_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER layout guard: a linear sort clusters only its
+    leading column (the second dimension's per-file range covers the
+    whole domain — zero pruning); the z-ordered write keeps BOTH
+    dimensions' per-file ranges well below full coverage, the property
+    that makes multi-dimension data skipping work. Content intact."""
+    import pytest as _pt
+
+    from mission_data_pipeline_spark.sinks.parquet import (
+        write_sorted_parquet,
+        write_zordered,
+    )
+
+    df = spark.range(0, 40000).selectExpr(
+        "cast(id * 2654435761 % 200 as long) as a",   # 200 devices
+        "cast(id as long) as t",                       # time
+        "cast(id % 7 as long) as payload",
+    )
+    lin, zo = str(tmp_path / "lin"), str(tmp_path / "zo")
+    write_sorted_parquet(df, lin, sort_cols=["a"], n_files=16)
+    write_zordered(df, zo, zorder_cols=["a", "t"], n_files=16)
+
+    assert _file_span_coverage(lin, "a") < 0.2      # leading dim clusters
+    assert _file_span_coverage(lin, "t") > 0.9      # second dim: no pruning
+    assert _file_span_coverage(zo, "a") < 0.6       # BOTH dims prune
+    assert _file_span_coverage(zo, "t") < 0.6
+    # semantic transparency: same multiset of rows
+    assert (
+        spark.read.parquet(zo).exceptAll(df).count() == 0
+        and df.exceptAll(spark.read.parquet(zo)).count() == 0
+    )
+    with _pt.raises(ValueError):
+        write_zordered(df, zo, zorder_cols=["a"], n_files=4)
+    with _pt.raises(ValueError):
+        write_zordered(df, zo, zorder_cols=["a", "t"], n_files=0)
