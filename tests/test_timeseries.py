@@ -183,3 +183,24 @@ def test_ewma_sharded_matches_plain_and_handles_nulls(spark):
     # the all-null first shard emitted nulls, then seeding kicked in
     assert sharded[("s2", 0)] is None
     assert sharded[("s2", 40)] == plain[("s2", 40)] == float((62 + 280) % 101)
+
+
+def test_ewma_sharded_plan_broadcasts_tail_state(spark):
+    """Plan pin: the recombination join puts the tiny per-shard state
+    table on the broadcast side — the corpus never reshuffles for it."""
+    from mission_data_pipeline_spark.operators.timeseries import ewma_sharded
+
+    df = spark.createDataFrame(
+        [("s", 0, i, float(i)) for i in range(10)],
+        "name string, day int, t_us long, value double",
+    )
+    out = ewma_sharded(
+        df, alpha=0.25, time_col="t_us", value_col="value",
+        series_cols=["name"], shard_col="day",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    # and no shuffle of the row side for the join (the only Exchanges
+    # are the applyInPandas groupings and the broadcast itself)
+    assert "SortMergeJoin" not in final
