@@ -207,3 +207,62 @@ def frames_to_packets(
         )
 
     return cols.groupBy(*keys).applyInPandas(assemble, schema=FRAME_PACKET_SCHEMA)
+
+
+RS_CORRECT_SCHEMA = T.StructType(
+    [
+        T.StructField("frame_id", T.LongType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("n_corrected", T.IntegerType(), False),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+
+def correct_rs_frames(
+    frames: DataFrame,
+    *,
+    id_col: str = "frame_id",
+    payload_col: str = "codeword",
+) -> DataFrame:
+    """Frame-level forward error correction: each row's RS(255,223)
+    codeword (full or shortened) is decoded with the repo's own
+    Reed-Solomon machinery
+    (:mod:`~mission_data_pipeline_spark.functions.reed_solomon` —
+    syndromes, Berlekamp-Massey, Chien, Forney), the step a ground
+    pipeline runs between frame sync and packet reassembly (CCSDS
+    131.0-B). Up to 16 corrupted symbols per codeword are corrected;
+    uncorrectable words come back ``ok=false`` with null data
+    (quarantine them, never silently pass corruption downstream).
+
+    Returns ``(frame_id, ok, n_corrected, data)``. Codewords decode
+    independently over Arrow batches (``mapInPandas``) — the
+    embarrassingly-parallel codec shape.
+    """
+    from collections.abc import Iterator as _Iterator
+
+    from mission_data_pipeline_spark.functions.reed_solomon import rs_decode
+
+    cols = frames.select(
+        F.col(id_col).cast("long").alias("frame_id"),
+        F.col(payload_col).alias("codeword"),
+    )
+
+    def run(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for fid, cw in zip(pdf["frame_id"], pdf["codeword"]):
+                data, n = rs_decode(cw if cw is not None else b"")
+                recs.append(
+                    (
+                        fid,
+                        data is not None,
+                        n if n >= 0 else 0,
+                        bytearray(data) if data is not None else None,
+                    )
+                )
+            yield pd.DataFrame(
+                recs, columns=["frame_id", "ok", "n_corrected", "data"]
+            )
+
+    return cols.mapInPandas(run, schema=RS_CORRECT_SCHEMA)

@@ -11056,6 +11056,100 @@ _q(
 )
 
 
+def _rs_frame_correction_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Reed-Solomon frame FEC (functions/reed_solomon.py +
+    operators/frames.py correct_rs_frames): 40 formula-data blocks
+    (full RS(255,223) plus two shortened lengths) are encoded, k % 18
+    symbol errors injected at formula positions/magnitudes (0..17 —
+    crossing the 16-error correction radius), and decoded through the
+    full syndome/Berlekamp-Massey/Chien/Forney chain on executors.
+    Blocks with <= 16 errors must come back BYTE-EXACT (the oracle
+    recomputes length/sum/first/last from the data formula); 17-error
+    blocks must be flagged uncorrectable, never silently wrong."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.functions.reed_solomon import rs_encode
+    from mission_data_pipeline_spark.operators.frames import (
+        correct_rs_frames,
+    )
+
+    rows = []
+    for k in range(40):
+        dlen = (223, 100, 40)[k % 3]
+        data = bytes((k * 37 + j * 91) % 256 for j in range(dlen))
+        cw = bytearray(rs_encode(data))
+        m = dlen + 32
+        for j in range(k % 18):
+            cw[(k + j * 13) % m] ^= (k * 5 + j * 29) % 255 + 1
+        rows.append((k, bytearray(cw)))
+    df = spark.createDataFrame(rows, "frame_id long, codeword binary")
+    out = correct_rs_frames(df)
+    # stage hex(data) as its own projection: a hex() captured inside the
+    # HOF lambda would re-evaluate per element (the gram-operator trap)
+    staged = out.withColumn("__hx", F.hex("data"))
+    byte_at = lambda pos: F.expr(  # noqa: E731 - 1-based byte index
+        f"CAST(conv(substring(__hx, 2*({pos})-1, 2), 16, 10) AS INT)"
+    )
+    byte_sum = F.expr(
+        "aggregate(transform(sequence(1, length(data)), "
+        "i -> CAST(conv(substring(__hx, 2*i-1, 2), 16, 10) AS BIGINT)), "
+        "0L, (a, x) -> a + x)"
+    )
+    return staged.select(
+        "frame_id",
+        "ok",
+        "n_corrected",
+        F.length("data").cast("int").alias("data_len"),
+        byte_sum.alias("data_sum"),
+        byte_at("1").alias("data_first"),
+        byte_at("length(data)").alias("data_last"),
+    ).orderBy("frame_id")
+
+
+_q(
+    "s_rs_frame_correction",
+    Query(
+        _rs_frame_correction_spark,
+        """
+        WITH blocks AS (
+          SELECT k AS frame_id,
+                 CASE k % 3 WHEN 0 THEN 223 WHEN 1 THEN 100 ELSE 40 END
+                   AS dlen,
+                 k % 18 AS n_err
+          FROM range(0, 40) t(k)
+        ),
+        bytes AS (
+          SELECT frame_id, dlen, n_err, j.j,
+                 (frame_id * 37 + j.j * 91) % 256 AS b
+          FROM blocks, range(0, 223) j(j)
+          WHERE j.j < dlen
+        ),
+        agg AS (
+          SELECT frame_id, dlen, n_err,
+                 CAST(SUM(b) AS BIGINT) AS s,
+                 CAST(MIN(CASE WHEN j = 0 THEN b END) AS INT) AS fb,
+                 CAST(MIN(CASE WHEN j = dlen - 1 THEN b END) AS INT) AS lb
+          FROM bytes GROUP BY frame_id, dlen, n_err
+        )
+        SELECT frame_id, n_err <= 16 AS ok,
+               CAST(CASE WHEN n_err <= 16 THEN n_err ELSE 0 END AS INT)
+                 AS n_corrected,
+               CASE WHEN n_err <= 16 THEN CAST(dlen AS INT) END AS data_len,
+               CASE WHEN n_err <= 16 THEN s END AS data_sum,
+               CASE WHEN n_err <= 16 THEN fb END AS data_first,
+               CASE WHEN n_err <= 16 THEN lb END AS data_last
+        FROM agg ORDER BY frame_id
+        """,
+        "S+,X5",
+        "REAL Reed-Solomon (255,223) forward error correction: up to 16 "
+        "injected symbol errors per codeword corrected byte-exactly "
+        "through syndromes/Berlekamp-Massey/Chien/Forney; 17-error "
+        "blocks flagged uncorrectable — the oracle recomputes every "
+        "recovered block's accounting from the data formula",
+    ),
+)
+
+
 def _zorder_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE ZORDER sink round-trip (sinks/parquet.py
     write_zordered): events rewritten as 12 files Morton-clustered on
@@ -11253,6 +11347,7 @@ _CHECK_FIRST = [
     "w3_streaming_ewma",
     "l_hdf5_roundtrip",
     "l_zorder_roundtrip",
+    "s_rs_frame_correction",
     "w_ewma_sharded",
     "w_ewma_smoothing",
     "curation_segment_dedup",

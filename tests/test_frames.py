@@ -154,3 +154,76 @@ def test_multi_vc_groups_stay_separate(spark):
     }
     assert per_vc == {(1, 0x123), (2, 0x55)}
     assert out.count() == 8
+
+
+def test_reed_solomon_corrects_to_sixteen_and_flags_beyond():
+    """RS(255,223) codec: any <=16 injected symbol errors (data or
+    parity positions, full or shortened code) correct byte-exactly;
+    >16 errors are flagged, never silently wrong; zero-error words
+    decode with n_corrected=0."""
+    import random
+
+    from mission_data_pipeline_spark.functions.reed_solomon import (
+        RS_K,
+        rs_decode,
+        rs_encode,
+    )
+
+    rng = random.Random(42)
+    for trial in range(40):
+        klen = rng.choice([RS_K, 128, 64, 7, 1])
+        data = bytes(rng.randrange(256) for _ in range(klen))
+        cw = bytearray(rs_encode(data))
+        n_err = rng.randrange(0, 17)
+        for p in rng.sample(range(len(cw)), n_err):
+            cw[p] ^= rng.randrange(1, 256)
+        dec, n = rs_decode(cw)
+        assert dec == data and n == n_err
+    # beyond the radius: flagged (or at minimum never "corrected" back
+    # to the original, which would be impossible with >16 corruptions)
+    for trial in range(15):
+        data = bytes(rng.randrange(256) for _ in range(RS_K))
+        cw = bytearray(rs_encode(data))
+        for p in rng.sample(range(len(cw)), rng.randrange(17, 35)):
+            cw[p] ^= rng.randrange(1, 256)
+        dec, n = rs_decode(cw)
+        assert dec is None or dec != data
+    # degenerate inputs
+    assert rs_decode(b"") == (None, -1)
+    assert rs_decode(b"\x00" * 10) == (None, -1)  # shorter than parity
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rs_encode(b"x" * (RS_K + 1))
+
+
+def test_correct_rs_frames_operator(spark):
+    """Executor-side FEC: corrected frames return exact data; an
+    uncorrectable frame and a garbage payload come back ok=false with
+    null data (quarantine semantics)."""
+    import random
+
+    from mission_data_pipeline_spark.functions.reed_solomon import (
+        rs_encode,
+    )
+    from mission_data_pipeline_spark.operators.frames import (
+        correct_rs_frames,
+    )
+
+    rng = random.Random(3)
+    data = bytes(rng.randrange(256) for _ in range(60))
+    good = bytearray(rs_encode(data))
+    for p in rng.sample(range(len(good)), 10):
+        good[p] ^= rng.randrange(1, 256)
+    dead = bytearray(rs_encode(data))
+    for p in rng.sample(range(len(dead)), 30):
+        dead[p] ^= rng.randrange(1, 256)
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(dead)), (2, bytearray(b"xx"))],
+        "frame_id long, codeword binary",
+    )
+    rows = {r["frame_id"]: r for r in correct_rs_frames(df).collect()}
+    assert rows[0]["ok"] and bytes(rows[0]["data"]) == data
+    assert rows[0]["n_corrected"] == 10
+    assert not rows[1]["ok"] and rows[1]["data"] is None
+    assert not rows[2]["ok"] and rows[2]["data"] is None
