@@ -224,6 +224,7 @@ def correct_rs_frames(
     *,
     id_col: str = "frame_id",
     payload_col: str = "codeword",
+    interleave: int = 1,
 ) -> DataFrame:
     """Frame-level forward error correction: each row's RS(255,223)
     codeword (full or shortened) is decoded with the repo's own
@@ -235,6 +236,14 @@ def correct_rs_frames(
     uncorrectable words come back ``ok=false`` with null data
     (quarantine them, never silently pass corruption downstream).
 
+    ``interleave`` > 1 decodes the CCSDS interleaved layout (depth I:
+    channel byte ``i`` belongs to codeword ``i mod I``, so a BURST of
+    up to ``16*I`` consecutive corrupted bytes still corrects — the
+    reason real links interleave). The frame is de-interleaved, each
+    codeword decoded independently, and the data re-assembled in
+    channel order; ``ok`` requires every constituent codeword to
+    correct, ``n_corrected`` sums across them.
+
     Returns ``(frame_id, ok, n_corrected, data)``. Codewords decode
     independently over Arrow batches (``mapInPandas``) — the
     embarrassingly-parallel codec shape.
@@ -243,16 +252,37 @@ def correct_rs_frames(
 
     from mission_data_pipeline_spark.functions.reed_solomon import rs_decode
 
+    if interleave < 1:
+        raise ValueError(f"interleave must be >= 1, got {interleave}")
+
     cols = frames.select(
         F.col(id_col).cast("long").alias("frame_id"),
         F.col(payload_col).alias("codeword"),
     )
 
+    def one(cw: bytes) -> tuple[bytes | None, int]:
+        if interleave == 1:
+            return rs_decode(cw)
+        if len(cw) % interleave:
+            return None, -1
+        datas = []
+        total = 0
+        for lane in range(interleave):
+            d, n = rs_decode(cw[lane::interleave])
+            if d is None:
+                return None, -1
+            datas.append(d)
+            total += n
+        out = bytearray(sum(len(d) for d in datas))
+        for lane, d in enumerate(datas):
+            out[lane::interleave] = d
+        return bytes(out), total
+
     def run(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for fid, cw in zip(pdf["frame_id"], pdf["codeword"]):
-                data, n = rs_decode(cw if cw is not None else b"")
+                data, n = one(bytes(cw) if cw is not None else b"")
                 recs.append(
                     (
                         fid,

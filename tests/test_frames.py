@@ -227,3 +227,44 @@ def test_correct_rs_frames_operator(spark):
     assert rows[0]["n_corrected"] == 10
     assert not rows[1]["ok"] and rows[1]["data"] is None
     assert not rows[2]["ok"] and rows[2]["data"] is None
+
+
+def test_correct_rs_frames_interleaved_burst(spark):
+    """Interleave depth 5: a 60-byte BURST (~12 errors per lane) far
+    beyond a single codeword's 16-symbol radius corrects cleanly —
+    the reason real CCSDS links interleave."""
+    import random
+
+    from mission_data_pipeline_spark.functions.reed_solomon import (
+        rs_encode,
+    )
+    from mission_data_pipeline_spark.operators.frames import (
+        correct_rs_frames,
+    )
+
+    rng = random.Random(9)
+    I = 5
+    lanes = [bytes(rng.randrange(256) for _ in range(200)) for _ in range(I)]
+    cws = [rs_encode(d) for d in lanes]
+    frame = bytearray(len(cws[0]) * I)
+    for lane, cw in enumerate(cws):
+        frame[lane::I] = cw
+    start = rng.randrange(0, len(frame) - 60)
+    for p in range(start, start + 60):  # contiguous burst
+        frame[p] ^= rng.randrange(1, 256)
+    df = spark.createDataFrame(
+        [(0, bytearray(frame))], "frame_id long, codeword binary"
+    )
+    (row,) = correct_rs_frames(df, interleave=I).collect()
+    assert row["ok"] and row["n_corrected"] == 60
+    got = bytes(row["data"])
+    expect = bytearray(200 * I)
+    for lane, d in enumerate(lanes):
+        expect[lane::I] = d
+    assert got == bytes(expect)
+    # length not divisible by I -> quarantine, not crash
+    df2 = spark.createDataFrame(
+        [(1, bytearray(frame[:-1]))], "frame_id long, codeword binary"
+    )
+    (r2,) = correct_rs_frames(df2, interleave=I).collect()
+    assert not r2["ok"] and r2["data"] is None
