@@ -4,18 +4,15 @@ The engine's multimodal data model is the TelemetryPacket pattern
 (SURVEY §1.1) generalized: an opaque ``binary`` payload column plus a
 typed metadata struct (:data:`MEDIA_META_SCHEMA`).
 
-IMAGE decoding is REAL: :func:`probe_image_meta` parses
-format/width/height straight from PNG IHDR, JPEG SOF, GIF and BMP
-headers with stdlib ``struct``, and :func:`decode_png_pixels` decodes
-full PNG pixel data (chunk walk → zlib IDAT inflate → NumPy scanline
-unfilter, all five filters) with no codec library at all —
-:func:`image_pixel_stats` runs it over Arrow batches and
-:func:`encode_png` round-trips it for tests/fixtures. JPEG entropy
-decode is ALSO real — ``functions/jpeg.py`` implements the baseline
-sequential profile (Huffman decode, dequantize, matmul-IDCT, chroma
-upsample, YCbCr→RGB) in pure stdlib + NumPy, with :func:`~.jpeg
-.encode_jpeg` as the fixture mirror; progressive/arithmetic streams
-return the None sentinel. AUDIO decoding is REAL for uncompressed PCM
+IMAGE decoding is REAL for every recognized format: PNG pixel decode
+(:func:`decode_png_pixels` — chunk walk → zlib IDAT inflate → NumPy
+scanline unfilter, all five filters), baseline JPEG entropy decode
+(``functions/jpeg.py`` — Huffman, dequantize, matmul-IDCT, chroma
+upsample, YCbCr→RGB), and BMP + GIF-with-LZW
+(``functions/gif_bmp.py``), all dispatched through
+:func:`decode_image_pixels` with encode mirrors for fixtures;
+:func:`probe_image_meta` stays the cheap header-only path.
+Progressive/arithmetic JPEG streams return the None sentinel. AUDIO decoding is REAL for uncompressed PCM
 WAV: :func:`decode_wav_samples` (RIFF walk → NumPy sample view) feeds
 :func:`audio_sample_stats` and the real audio features, with
 :func:`encode_wav` as the fixture mirror. Compressed audio (MP3/AAC)
@@ -796,23 +793,46 @@ def decode_png_pixels(payload: bytes | None):
         return None
 
 
+def decode_image_pixels(payload: bytes | None):
+    """Unified REAL pixel decode across every recognized still-image
+    format: PNG (:func:`decode_png_pixels`), baseline JPEG
+    (:func:`~mission_data_pipeline_spark.functions.jpeg.decode_jpeg_pixels`),
+    BMP and GIF-with-LZW
+    (:mod:`~mission_data_pipeline_spark.functions.gif_bmp`). Dispatch
+    is by magic bytes (each decoder rejects foreign payloads cheaply);
+    returns ``(h, w, c)`` uint8 or None."""
+    from mission_data_pipeline_spark.functions.gif_bmp import (
+        decode_bmp_pixels,
+        decode_gif_pixels,
+    )
+    from mission_data_pipeline_spark.functions.jpeg import decode_jpeg_pixels
+
+    for dec in (
+        decode_png_pixels,
+        decode_jpeg_pixels,
+        decode_bmp_pixels,
+        decode_gif_pixels,
+    ):
+        px = dec(payload)
+        if px is not None:
+            return px
+    return None
+
+
 def image_pixel_stats(
     media: DataFrame,
     *,
     id_col: str = "item_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Decoded-pixel statistics per PNG or baseline-JPEG payload:
+    """Decoded-pixel statistics per image payload — PNG, baseline JPEG,
+    BMP, or GIF (:func:`decode_image_pixels`):
     (width, height, channels, px_sum, px_min, px_max, px_mean) — the
     feature-extraction step of a multimodal curation pipeline, run on
-    REAL pixels (:func:`decode_png_pixels` /
-    :func:`~mission_data_pipeline_spark.functions.jpeg
-    .decode_jpeg_pixels`), not headers. Undecodable payloads yield null
+    REAL pixels, not headers. Undecodable payloads yield null
     stats rows (sentinel, never a task failure). Arrow batches through
     ``mapInPandas``; per-image work is independent, so the operator
     scales with partitions like any map."""
-    from mission_data_pipeline_spark.functions.jpeg import decode_jpeg_pixels
-
     cols = media.select(
         F.col(id_col).cast("long").alias("item_id"),
         F.col(payload_col).alias("payload"),
@@ -822,9 +842,7 @@ def image_pixel_stats(
         for pdf in batches:
             recs = []
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
-                px = decode_png_pixels(payload)
-                if px is None:
-                    px = decode_jpeg_pixels(payload)
+                px = decode_image_pixels(payload)
                 if px is None:
                     recs.append((item_id, None, None, None, None, None, None, None))
                 else:
@@ -863,19 +881,17 @@ def _real_image_feature(payload: bytes | None, dim: int) -> list[float]:
     (:func:`~mission_data_pipeline_spark.functions.jpeg
     .decode_jpeg_pixels`): [width, height, aspect, size, pixel mean,
     pixel std, pixel min, pixel max] prefix — REAL pixel statistics,
-    not header guesses. For header-only formats (GIF/BMP, progressive
-    JPEG): [width, height, aspect, size] from the header parse. Both
-    fall back to a byte-histogram fold for remaining dims.
+    not header guesses — PNG, baseline JPEG, BMP and GIF all decode to
+    real pixels now (:func:`decode_image_pixels`). For the remaining
+    header-only case (progressive JPEG): [width, height, aspect, size]
+    from the header parse. Both fall back to a byte-histogram fold for
+    remaining dims.
 
     Null or unrecognized payloads (not PNG/JPEG/GIF/BMP) yield the all-zero
     sentinel vector rather than raising: at scale one dirty row must never
     fail the whole ``mapInPandas`` task.
     """
-    from mission_data_pipeline_spark.functions.jpeg import decode_jpeg_pixels
-
-    px = decode_png_pixels(payload)
-    if px is None:
-        px = decode_jpeg_pixels(payload)
+    px = decode_image_pixels(payload)
     if px is not None:
         h, w, c = px.shape
         pf = px.astype("float64")
@@ -1239,8 +1255,8 @@ def resize_images(
     id_col: str = "item_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """REAL image resize over Arrow batches: decode (PNG or baseline
-    JPEG — the two real decoders), nearest-neighbor sample to
+    """REAL image resize over Arrow batches: decode (PNG, baseline
+    JPEG, BMP, or GIF — every real decoder), nearest-neighbor sample to
     ``width x height``, re-encode as lossless PNG. The standard
     decode→resize step of a multimodal curation pipeline, with no codec
     library anywhere. Undecodable payloads yield a null row (sentinel,
@@ -1257,8 +1273,6 @@ def resize_images(
     """
     import numpy as np
 
-    from mission_data_pipeline_spark.functions.jpeg import decode_jpeg_pixels
-
     if width < 1 or height < 1:
         raise ValueError("resize target must be at least 1x1")
 
@@ -1271,9 +1285,7 @@ def resize_images(
         for pdf in batches:
             recs = []
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
-                px = decode_png_pixels(payload)
-                if px is None:
-                    px = decode_jpeg_pixels(payload)
+                px = decode_image_pixels(payload)
                 if px is None:
                     recs.append(
                         (item_id, None, None, None, None, None, None, None)
@@ -1332,7 +1344,7 @@ def image_dhash(
     :func:`~mission_data_pipeline_spark.operators.dedup.dhash_near_pairs`).
 
     Every step is integer-exact so a SQL oracle can recompute the hash
-    bit-for-bit from pixel values: REAL decode (PNG or baseline JPEG),
+    bit-for-bit from pixel values: REAL decode (PNG/JPEG/BMP/GIF),
     integer luma ``(299R + 587G + 114B) // 1000`` (single channel used
     directly for grayscale), nearest-neighbor floor-resample to a 9x8
     luma grid (``src = (dst * size) // 9``, same convention as
@@ -1346,17 +1358,13 @@ def image_dhash(
     """
     import numpy as np
 
-    from mission_data_pipeline_spark.functions.jpeg import decode_jpeg_pixels
-
     cols = media.select(
         F.col(id_col).cast("long").alias("item_id"),
         F.col(payload_col).alias("payload"),
     )
 
     def one(payload) -> int | None:
-        px = decode_png_pixels(payload)
-        if px is None:
-            px = decode_jpeg_pixels(payload)
+        px = decode_image_pixels(payload)
         if px is None:
             return None
         px = px.astype(np.int64)

@@ -11056,6 +11056,111 @@ _q(
 )
 
 
+def _bmp_gif_pixel_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP + GIF pixel decode (functions/gif_bmp.py): even items
+    are 24-bit BMPs (bottom-up BGR rows, 4-byte padding), odd items are
+    GIFs with a REAL LZW-compressed index stream over a 16-color
+    palette (every fourth interlaced — the 4-pass order must invert
+    exactly); every ninth payload is garbage (null sentinel). Both
+    formats are lossless, so the oracle recomputes the exact pixel
+    statistics from the generator formulas — the row layout, LZW bit
+    stream, palette lookup, and de-interlace all cross-check."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.gif_bmp import (
+        encode_bmp,
+        encode_gif,
+    )
+    from mission_data_pipeline_spark.functions.multimodal import (
+        image_pixel_stats,
+    )
+
+    rows = []
+    for k in range(36):
+        if k % 9 == 8:
+            rows.append((k, bytearray(b"not an image")))
+            continue
+        if k % 2 == 0:
+            h, w = k % 9 + 4, k % 7 + 5
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            px = ((k * 11 + x * 5 + y * 3 + c * 7) % 256).astype(np.uint8)
+            rows.append((k, bytearray(encode_bmp(px))))
+        else:
+            h, w = k % 6 + 3, k % 8 + 4
+            pal = np.array(
+                [
+                    [(k * 13 + ci * 17 + ch * 29) % 256 for ch in range(3)]
+                    for ci in range(16)
+                ],
+                dtype=np.uint8,
+            )
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            idx = ((k + x * 3 + y * 5) % 16).astype(np.uint8)
+            rows.append(
+                (k, bytearray(encode_gif(idx, pal, interlace=(k % 4 == 3))))
+            )
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    return image_pixel_stats(media).orderBy("item_id")
+
+
+_q(
+    "x5_bmp_gif_pixel_stats",
+    Query(
+        _bmp_gif_pixel_stats_spark,
+        """
+        WITH items AS (SELECT k AS item_id FROM range(0, 36) t(k)),
+        bmp_px AS (
+          SELECT item_id, (item_id*11 + xx.x*5 + yy.y*3 + cc.c*7) % 256 AS v
+          FROM items, range(0, 12) xx(x), range(0, 13) yy(y),
+               range(0, 3) cc(c)
+          WHERE item_id % 2 = 0 AND item_id % 9 != 8
+            AND xx.x < item_id % 7 + 5 AND yy.y < item_id % 9 + 4
+        ),
+        gif_px AS (
+          SELECT item_id,
+                 (item_id*13 + ((item_id + xx.x*3 + yy.y*5) % 16)*17
+                  + cc.c*29) % 256 AS v
+          FROM items, range(0, 12) xx(x), range(0, 9) yy(y),
+               range(0, 3) cc(c)
+          WHERE item_id % 2 = 1 AND item_id % 9 != 8
+            AND xx.x < item_id % 8 + 4 AND yy.y < item_id % 6 + 3
+        ),
+        px AS (SELECT * FROM bmp_px UNION ALL SELECT * FROM gif_px),
+        stats AS (
+          SELECT item_id, CAST(SUM(v) AS BIGINT) AS px_sum,
+                 CAST(MIN(v) AS INT) AS px_min,
+                 CAST(MAX(v) AS INT) AS px_max,
+                 COUNT(*) AS n
+          FROM px GROUP BY item_id
+        )
+        SELECT i.item_id,
+               CASE WHEN s.item_id IS NULL THEN NULL
+                    WHEN i.item_id % 2 = 0 THEN CAST(i.item_id % 7 + 5 AS INT)
+                    ELSE CAST(i.item_id % 8 + 4 AS INT) END AS width,
+               CASE WHEN s.item_id IS NULL THEN NULL
+                    WHEN i.item_id % 2 = 0 THEN CAST(i.item_id % 9 + 4 AS INT)
+                    ELSE CAST(i.item_id % 6 + 3 AS INT) END AS height,
+               CASE WHEN s.item_id IS NULL THEN NULL
+                    ELSE CAST(3 AS INT) END AS channels,
+               s.px_sum, s.px_min, s.px_max,
+               CASE WHEN s.item_id IS NULL THEN NULL
+                    ELSE ROUND(CAST(s.px_sum AS DOUBLE) / s.n, 6)
+                    END AS px_mean
+        FROM items i LEFT JOIN stats s USING (item_id)
+        ORDER BY i.item_id
+        """,
+        "X5",
+        "REAL BMP (bottom-up padded BGR rows) and GIF (LZW bit stream, "
+        "palette, interlace inversion) pixel decode — lossless, so the "
+        "oracle recomputes exact pixel statistics from the generator "
+        "formulas; garbage payloads yield null sentinels",
+    ),
+)
+
+
 def _rs_frame_correction_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Reed-Solomon frame FEC (functions/reed_solomon.py +
     operators/frames.py correct_rs_frames): 40 formula-data blocks
@@ -11348,6 +11453,7 @@ _CHECK_FIRST = [
     "l_hdf5_roundtrip",
     "l_zorder_roundtrip",
     "s_rs_frame_correction",
+    "x5_bmp_gif_pixel_stats",
     "w_ewma_sharded",
     "w_ewma_smoothing",
     "curation_segment_dedup",

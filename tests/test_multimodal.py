@@ -764,3 +764,53 @@ def test_flac_codec_lossless_roundtrip_and_sentinels(spark):
     rows = {r["item_id"]: r for r in flac_sample_stats(media).collect()}
     assert rows[0]["s_sum"] == int(mono8.sum())
     assert rows[1]["n_frames"] is None
+
+
+def test_bmp_gif_real_pixel_roundtrips(spark):
+    """BMP and GIF decode to REAL pixels: lossless round-trips (incl.
+    odd widths, interlaced GIF, full 256-color dictionary growth),
+    unified dispatch through decode_image_pixels, and sentinels."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.gif_bmp import (
+        decode_bmp_pixels,
+        decode_gif_pixels,
+        encode_bmp,
+        encode_gif,
+    )
+    from mission_data_pipeline_spark.functions.multimodal import (
+        decode_image_pixels,
+        image_pixel_stats,
+    )
+
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, size=(9, 13, 3)).astype(np.uint8)
+    assert (decode_bmp_pixels(encode_bmp(px)) == px).all()
+
+    pal = rng.integers(0, 256, size=(32, 3)).astype(np.uint8)
+    idx = rng.integers(0, 32, size=(17, 11)).astype(np.uint8)
+    for inter in (False, True):
+        got = decode_gif_pixels(encode_gif(idx, pal, interlace=inter))
+        assert (got == pal[idx]).all()
+    # dictionary growth + reset path
+    big = rng.integers(0, 256, size=(150, 200)).astype(np.uint8)
+    pal256 = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+    assert (decode_gif_pixels(encode_gif(big, pal256)) == pal256[big]).all()
+    # unified dispatch picks the right decoder per magic
+    assert (decode_image_pixels(encode_bmp(px)) == px).all()
+    assert (decode_image_pixels(encode_gif(idx, pal)) == pal[idx]).all()
+    # sentinels: garbage, truncated LZW, truncated BMP
+    gif = encode_gif(idx, pal)
+    assert decode_gif_pixels(gif[: len(gif) // 2]) is None
+    assert decode_bmp_pixels(encode_bmp(px)[:40]) is None
+    assert decode_image_pixels(b"nope") is None
+    # operator path: stats over a BMP + a GIF + garbage
+    media = spark.createDataFrame(
+        [(0, bytearray(encode_bmp(px))), (1, bytearray(gif)),
+         (2, bytearray(b"xx"))],
+        "item_id long, payload binary",
+    )
+    rows = {r["item_id"]: r for r in image_pixel_stats(media).collect()}
+    assert rows[0]["px_sum"] == int(px.sum())
+    assert rows[1]["px_sum"] == int(pal[idx].sum())
+    assert rows[2]["px_sum"] is None

@@ -542,3 +542,64 @@ def test_image_dhash_invariants(h, w, seed):
     back = decode_png_pixels(encode_png(px))
     assert (back == px).all()
     assert dhash_of(back) == expect
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ncolors_pow=st.integers(1, 8),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_lzw_roundtrip_property(h, w, ncolors_pow, interlace, seed):
+    """Any palette image round-trips the real LZW bit stream exactly,
+    plain or interlaced, at any power-of-two palette size."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.gif_bmp import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 1 << ncolors_pow
+    pal = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)
+    idx = rng.integers(0, n, size=(h, w)).astype(np.uint8)
+    got = decode_gif_pixels(encode_gif(idx, pal, interlace=interlace))
+    assert got is not None and (got == pal[idx]).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 40), w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.gif_bmp import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    got = decode_bmp_pixels(encode_bmp(px))
+    assert got is not None and (got == px).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=st.binary(max_size=300))
+def test_bmp_gif_rs_decoders_never_raise_on_garbage(payload):
+    from mission_data_pipeline_spark.functions.gif_bmp import (
+        decode_bmp_pixels,
+        decode_gif_pixels,
+    )
+    from mission_data_pipeline_spark.functions.reed_solomon import rs_decode
+
+    decode_bmp_pixels(payload)
+    decode_gif_pixels(payload)
+    decode_bmp_pixels(b"BM" + payload)
+    decode_gif_pixels(b"GIF89a" + payload)
+    rs_decode(payload)
