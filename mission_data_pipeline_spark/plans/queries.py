@@ -8539,6 +8539,87 @@ _q(
 )
 
 
+def _rs_frames_decom_e2e_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE ground-segment channel path in one plan: the same
+    200-packet stream as frames_to_packets_roundtrip is segmented into
+    64-byte TM frames, each frame RS-ENCODED (shortened RS(96,64)) and
+    CORRUPTED with i % 17 formula symbol errors — every frame within
+    the correction radius — then Spark runs
+    correct_rs_frames → frames_to_packets: FEC first, reassembly on the
+    RECOVERED bytes. The output (and oracle) are identical to the
+    clean-channel round-trip, which is the whole point: a noisy channel
+    with bounded errors is indistinguishable after FEC. A loud guard
+    fails if any frame was uncorrectable (the fixture never exceeds 16
+    errors, so a decode bug cannot hide as 'dropped frame')."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.functions.reed_solomon import rs_encode
+    from mission_data_pipeline_spark.models.ccsds import (
+        build_packet,
+        frame_packet_stream,
+    )
+    from mission_data_pipeline_spark.operators.frames import (
+        correct_rs_frames,
+        frames_to_packets,
+    )
+
+    stream = b"".join(
+        build_packet(0x123, i, chr(65 + i % 26).encode() * (20 + (i * 7) % 50))
+        for i in range(200)
+    )
+    frames = frame_packet_stream(stream, frame_data_len=64)
+    rows = []
+    for i, f in enumerate(frames):
+        cw = bytearray(rs_encode(f))  # len(f)+32 = shortened codeword
+        for j in range(i % 17):
+            cw[(i + j * 13) % len(cw)] ^= (i * 5 + j * 29) % 255 + 1
+        rows.append((i, bytearray(cw)))
+    df = spark.createDataFrame(rows, "frame_id long, codeword binary")
+    corrected = correct_rs_frames(df)
+    n_bad = corrected.filter(~F.col("ok")).count()
+    if n_bad:
+        raise RuntimeError(
+            f"{n_bad} frames uncorrectable though every injection is "
+            "within the 16-symbol radius — RS decode regression"
+        )
+    pk = frames_to_packets(
+        corrected.select(
+            F.col("frame_id").alias("recv_order"),
+            F.col("data").alias("frame"),
+        ),
+        order_col="recv_order",
+    )
+    return pk.select(
+        "seq_count",
+        "apid",
+        "data_length",
+        F.md5("user_data").alias("content_md5"),
+    ).orderBy("seq_count")
+
+
+_q(
+    "s_rs_frames_decom_e2e",
+    Query(
+        _rs_frames_decom_e2e_spark,
+        """
+        SELECT CAST(i AS INT) AS seq_count,
+               CAST(291 AS INT) AS apid,
+               CAST(20 + (i * 7) % 50 - 1 AS INT) AS data_length,
+               md5(repeat(chr(CAST(65 + i % 26 AS INT)),
+                          CAST(20 + (i * 7) % 50 AS INT))) AS content_md5
+        FROM range(0, 200) t(i)
+        ORDER BY seq_count
+        """,
+        "S+,§1.1",
+        "complete channel path: corrupted RS(96,64) codewords → FEC "
+        "correction → TM frame first-header-pointer reassembly — the "
+        "noisy channel must be indistinguishable from the clean one "
+        "after correction (same oracle as the clean round-trip); loud "
+        "guard on any uncorrectable frame",
+    ),
+)
+
+
 def _image_meta_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image metadata decode round-trip: Spark expressions synthesize
     structurally-valid PNG IHDR / JPEG SOF0 header bytes per document
@@ -11454,6 +11535,7 @@ _CHECK_FIRST = [
     "l_zorder_roundtrip",
     "s_rs_frame_correction",
     "x5_bmp_gif_pixel_stats",
+    "s_rs_frames_decom_e2e",
     "w_ewma_sharded",
     "w_ewma_smoothing",
     "curation_segment_dedup",
