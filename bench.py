@@ -103,6 +103,10 @@ EXTENDED = [
     "x5_flac_sample_stats",
     "x5_avi_audio_stats",
     "x5_image_dhash_near_dup",
+    # round 7, second batch: degree-oriented triangle counting over the
+    # co-occurrence graph, distributed full-corpus Lloyd k-means
+    "g_triangle_count",
+    "x3_kmeans_lloyd",
 ]
 
 N_ETL_PACKETS = 200_000

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, types as T
 from pyspark.sql import functions as F
 
-__all__ = ["ewma", "ewma_sharded", "lttb"]
+__all__ = ["ewma", "ewma_sharded", "holt_linear", "lttb"]
 
 
 def ewma(
@@ -100,6 +100,91 @@ def ewma(
         # a plain float64 column would smuggle it through as NaN.
         pdf["value"] = pd.array(xs, dtype="Float64")
         pdf["ewma"] = pd.array(smoothed, dtype="Float64")
+        return pdf
+
+    return cols.groupBy(*series_cols).applyInPandas(run, schema=out_schema)
+
+
+def holt_linear(
+    df: DataFrame,
+    *,
+    alpha: float,
+    beta: float,
+    time_col: str,
+    value_col: str,
+    series_cols: list[str],
+    order_cols: list[str] | None = None,
+    max_rows_per_series: int | None = None,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per series —
+    EWMA plus an explicit trend component, the standard drift-aware
+    smoother for telemetry channels that ramp (Holt 1957/2004):
+
+    ``l_0 = x_0; b_0 = 0``
+    ``l_i = alpha*x_i + (1-alpha)*(l_{i-1} + b_{i-1})``
+    ``b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}``
+
+    Returns the input columns plus ``level`` and ``trend``; the h-step
+    forecast is ``level + h*trend``. Null values are SKIPPED exactly
+    like :func:`ewma` (NULL level/trend out, state carries through
+    unchanged). Each step is the literal IEEE-754 formula evaluated in
+    ``(time_col, *order_cols)`` order, so a recursive-CTE oracle
+    replaying the same ops reproduces the doubles bit-exactly.
+
+    Memory bound: one Arrow group per series (see :func:`ewma`); for a
+    pathological hot channel use the same time-shard + tail-state-chain
+    decomposition (the recurrence is jointly linear in ``(l, b)``, so
+    shards compose as 2x2 affine maps the way :func:`ewma_sharded`
+    composes scalars). Pass ``max_rows_per_series`` to fail loudly
+    instead of OOMing.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    order = [time_col, *(order_cols or [])]
+    cols = df.select(
+        *series_cols, *order, F.col(value_col).cast("double").alias("__x")
+    )
+    out_schema = T.StructType(
+        cols.schema.fields[:-1]
+        + [
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("level", T.DoubleType(), True),
+            T.StructField("trend", T.DoubleType(), True),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_rows_per_series is not None and len(pdf) > max_rows_per_series:
+            key = pdf.iloc[0][list(series_cols)].to_dict() if len(pdf) else {}
+            raise ValueError(
+                f"holt_linear: series {key} has {len(pdf)} rows > "
+                f"max_rows_per_series={max_rows_per_series}; shard the "
+                "series by time and chain 2x2 affine tail state (see "
+                "docstring)"
+            )
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        xs = [None if pd.isna(x) else x for x in pdf["__x"].tolist()]
+        levels, trends = [], []
+        lv = tr = None
+        for x in xs:
+            if x is None:
+                levels.append(None)
+                trends.append(None)
+                continue
+            if lv is None:
+                lv, tr = x, 0.0
+            else:
+                prev = lv
+                lv = alpha * x + (1.0 - alpha) * (lv + tr)
+                tr = beta * (lv - prev) + (1.0 - beta) * tr
+            levels.append(lv)
+            trends.append(tr)
+        pdf = pdf.drop(columns=["__x"])
+        pdf["value"] = pd.array(xs, dtype="Float64")
+        pdf["level"] = pd.array(levels, dtype="Float64")
+        pdf["trend"] = pd.array(trends, dtype="Float64")
         return pdf
 
     return cols.groupBy(*series_cols).applyInPandas(run, schema=out_schema)

@@ -11515,6 +11515,559 @@ _q(
 
 
 # ---------------------------------------------------------------------------
+# Graph analytics beyond PageRank: co-occurrence edges, triangle
+# counting, label-propagation communities (operators/graph.py).
+# ---------------------------------------------------------------------------
+
+
+_COOC_EDGES_DUCK = """
+        pairs AS (
+          SELECT DISTINCT user_id AS gu,
+                 epoch_us(ts) // 86400000000 AS gd,
+                 CAST(FLOOR(value) AS BIGINT) AS i
+          FROM events WHERE value IS NOT NULL
+        ),
+        edges AS (
+          SELECT a.i AS u, b.i AS v
+          FROM pairs a JOIN pairs b ON a.gu = b.gu AND a.gd = b.gd
+          WHERE a.i < b.i
+          GROUP BY a.i, b.i
+        )"""
+
+
+def _triangle_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.py triangle_count) over the
+    item co-occurrence graph of events — items (integer value floor)
+    are connected when one user touches both on the same day
+    (cooccurrence_edges, the market-basket graph with the
+    max-items-per-group quadratic-blowup cap). Degree-ordered
+    orientation bounds the wedge join; each triangle enumerates once.
+    Output: top-10 nodes by triangle participation plus a node=-1 total
+    row. The oracle replays the same canonicalize/orient/wedge/close
+    pipeline in SQL — pure integer plumbing, so exact."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_count,
+    )
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT user_id, ts_ns DIV 1000 DIV 86400000000 AS day, "
+        "       CAST(FLOOR(value) AS BIGINT) AS item "
+        "FROM events WHERE value IS NOT NULL"
+    )
+    edges = cooccurrence_edges(
+        ev,
+        group_cols=["user_id", "day"],
+        item_col="item",
+        max_items_per_group=500,
+    )
+    tri = triangle_count(edges, src_col="u", dst_col="v")
+    pernode = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+        .orderBy(F.desc("n_tri"), "node")
+        .limit(10)
+    )
+    total = tri.agg(
+        F.lit(-1).cast("long").alias("node"), F.count("*").alias("n_tri")
+    )
+    return pernode.unionByName(total).orderBy(F.desc("n_tri"), "node")
+
+
+_q(
+    "g_triangle_count",
+    Query(
+        _triangle_spark,
+        f"""
+        WITH {_COOC_EDGES_DUCK},
+        deg AS (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+          ) x GROUP BY node
+        ),
+        wd AS (
+          SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
+          FROM edges e JOIN deg du ON e.u = du.node
+                       JOIN deg dv ON e.v = dv.node
+        ),
+        oriented AS (
+          SELECT CASE WHEN (du < dv) OR (du = dv AND u < v)
+                      THEN u ELSE v END AS lo,
+                 CASE WHEN (du < dv) OR (du = dv AND u < v)
+                      THEN v ELSE u END AS hi,
+                 CASE WHEN (du < dv) OR (du = dv AND u < v)
+                      THEN dv ELSE du END AS dhi
+          FROM wd
+        ),
+        wedges AS (
+          SELECT o1.lo AS a, o1.hi AS b, o2.hi AS c
+          FROM oriented o1 JOIN oriented o2 ON o1.lo = o2.lo
+          WHERE (o1.dhi < o2.dhi) OR (o1.dhi = o2.dhi AND o1.hi < o2.hi)
+        ),
+        tri AS (
+          SELECT a, wedges.b, wedges.c
+          FROM wedges JOIN oriented
+            ON wedges.b = oriented.lo AND wedges.c = oriented.hi
+        ),
+        pernode AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+          ) x GROUP BY node ORDER BY n_tri DESC, node LIMIT 10
+        )
+        SELECT node, n_tri FROM (
+          SELECT node, n_tri FROM pernode
+          UNION ALL
+          SELECT CAST(-1 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM tri
+        ) ORDER BY n_tri DESC, node
+        """,
+        "X2+,§graph",
+        "exact triangle enumeration with degree-ordered orientation "
+        "(out-degree bounded by O(sqrt(edges)), each triangle once) over "
+        "a market-basket co-occurrence graph; two hash-shuffle joins, "
+        "no node ever sees its full neighborhood squared",
+    ),
+)
+
+
+def _lpa_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (operators/graph.py
+    label_propagation): deterministic mode-of-neighbors with
+    smallest-label ties, 4 rounds, over a 12-clique ring (8 nodes per
+    clique, one bridge edge to the next clique) — the canonical
+    community-structure fixture, so the expected output is 12
+    communities anchored at each clique's minimum node. The oracle
+    unrolls the same 4 synchronous rounds as chained CTEs (pure integer
+    counts — exact)."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.graph import label_propagation
+
+    base = spark.range(96).select(F.col("id").alias("u"))
+    within = base.filter(F.col("u") % 8 != 7).select(
+        "u",
+        F.explode(
+            F.sequence(F.col("u") + 1, (F.col("u") - F.col("u") % 8) + 7)
+        ).alias("v"),
+    )
+    bridges = spark.range(12).select(
+        (F.col("id") * 8).alias("u"), (((F.col("id") + 1) % 12) * 8).alias("v")
+    )
+    labels = label_propagation(
+        within.unionByName(bridges), n_iter=4, src_col="u", dst_col="v"
+    )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").alias("size"),
+            F.min("node").alias("node_min"),
+            F.max("node").alias("node_max"),
+        )
+        .orderBy("label")
+    )
+
+
+def _lpa_oracle(n_iter: int = 4) -> str:
+    head = """
+        WITH nodes AS (SELECT i AS u FROM range(0, 96) t(i)),
+        within AS (
+          SELECT u, v FROM nodes, UNNEST(range(u + 1, (u - u % 8) + 8)) AS t(v)
+          WHERE u % 8 != 7
+        ),
+        bridges AS (
+          SELECT i * 8 AS u, ((i + 1) % 12) * 8 AS v FROM range(0, 12) t(i)
+        ),
+        edges AS (
+          SELECT u, v FROM within UNION ALL SELECT u, v FROM bridges
+        ),
+        und AS (
+          SELECT u, v FROM edges WHERE u != v
+          UNION
+          SELECT v, u FROM edges WHERE u != v
+        ),
+        l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)"""
+    its = []
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        its.append(f"""
+        , cnt{k} AS (
+          SELECT und.u AS node, l{p}.label, COUNT(*) AS cnt
+          FROM und JOIN l{p} ON und.v = l{p}.node
+          GROUP BY und.u, l{p}.label
+        ),
+        l{k} AS (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY node ORDER BY cnt DESC, label
+                   ) AS rn
+            FROM cnt{k}
+          ) WHERE rn = 1
+        )""")
+    return (
+        head
+        + "".join(its)
+        + f"""
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS size,
+               MIN(node) AS node_min, MAX(node) AS node_max
+        FROM l{n_iter} GROUP BY label ORDER BY label
+        """
+    )
+
+
+_q(
+    "g_label_propagation",
+    Query(
+        _lpa_spark,
+        _lpa_oracle(4),
+        "X2+,§graph",
+        "synchronous label-propagation community detection "
+        "(deterministic smallest-label ties): labels join edges on the "
+        "neighbor key then two partial-agg reductions per round — the "
+        "per-node argmax is max(struct(count, -label)), map-reduce "
+        "shaped, never a per-node window sort; O(edges) shuffle/round",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (operators/timeseries.py holt_linear).
+# ---------------------------------------------------------------------------
+
+
+def _holt_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend), alpha=0.25 /
+    beta=0.5, per probe user. Same bit-exact contract as
+    w_ewma_smoothing: both engines evaluate the literal IEEE-754
+    two-equation recurrence one step per row in (t, event_id) order;
+    nulls are skipped (NULL out, state carries)."""
+    from mission_data_pipeline_spark.operators.timeseries import holt_linear
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT user_id, event_id, ts_ns DIV 1000 AS t_us, value "
+        "FROM events WHERE user_id < 20"
+    )
+    out = holt_linear(
+        ev,
+        alpha=0.25,
+        beta=0.5,
+        time_col="t_us",
+        value_col="value",
+        series_cols=["user_id"],
+        order_cols=["event_id"],
+    )
+    return out.select(
+        "user_id", "event_id", "t_us", "value", "level", "trend"
+    ).orderBy("user_id", "t_us", "event_id")
+
+
+_q(
+    "w_holt_trend",
+    Query(
+        _holt_spark,
+        """
+        WITH RECURSIVE s AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ) AS n
+          FROM events WHERE user_id < 20
+        ),
+        -- lst/bst carry the last non-null (level, trend) state so NULL
+        -- inputs are SKIPPED exactly like the operator; the new level
+        -- expression is repeated inside the trend equation (same IEEE
+        -- ops -> same double, in both engines)
+        rec AS (
+          SELECT user_id, event_id, t, value, n,
+                 value AS lst,
+                 CASE WHEN value IS NULL THEN NULL
+                      ELSE CAST(0.0 AS DOUBLE) END AS bst,
+                 value AS level,
+                 CASE WHEN value IS NULL THEN NULL
+                      ELSE CAST(0.0 AS DOUBLE) END AS trend
+          FROM s WHERE n = 1
+          UNION ALL
+          SELECT s.user_id, s.event_id, s.t, s.value, s.n,
+                 CASE WHEN s.value IS NULL THEN rec.lst
+                      WHEN rec.lst IS NULL THEN s.value
+                      ELSE CAST(0.25 AS DOUBLE) * s.value
+                           + CAST(0.75 AS DOUBLE) * (rec.lst + rec.bst)
+                 END,
+                 CASE WHEN s.value IS NULL THEN rec.bst
+                      WHEN rec.lst IS NULL THEN CAST(0.0 AS DOUBLE)
+                      ELSE CAST(0.5 AS DOUBLE)
+                           * ((CAST(0.25 AS DOUBLE) * s.value
+                               + CAST(0.75 AS DOUBLE) * (rec.lst + rec.bst))
+                              - rec.lst)
+                           + CAST(0.5 AS DOUBLE) * rec.bst
+                 END,
+                 CASE WHEN s.value IS NULL THEN NULL
+                      WHEN rec.lst IS NULL THEN s.value
+                      ELSE CAST(0.25 AS DOUBLE) * s.value
+                           + CAST(0.75 AS DOUBLE) * (rec.lst + rec.bst)
+                 END,
+                 CASE WHEN s.value IS NULL THEN NULL
+                      WHEN rec.lst IS NULL THEN CAST(0.0 AS DOUBLE)
+                      ELSE CAST(0.5 AS DOUBLE)
+                           * ((CAST(0.25 AS DOUBLE) * s.value
+                               + CAST(0.75 AS DOUBLE) * (rec.lst + rec.bst))
+                              - rec.lst)
+                           + CAST(0.5 AS DOUBLE) * rec.bst
+                 END
+          FROM rec JOIN s
+            ON s.user_id = rec.user_id AND s.n = rec.n + 1
+        )
+        SELECT user_id, event_id, t AS t_us, value, level, trend
+        FROM rec
+        ORDER BY user_id, t_us, event_id
+        """,
+        "W+",
+        "Holt linear-trend double exponential smoothing per series "
+        "(level + trend recurrence, the drift-aware telemetry smoother): "
+        "parallel across series via applyInPandas, bit-exact "
+        "recursive-CTE oracle replaying the same IEEE op sequence",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (A+ sketch family).
+# ---------------------------------------------------------------------------
+
+
+_q(
+    "agg_cms_heavy_hitters",
+    _dialect(
+        r"""
+        WITH toks AS (
+          SELECT term FROM (
+            SELECT explode(split(lower(text), '\\s+')) AS term
+            FROM documents
+          ) WHERE length(term) > 0
+        ),
+        total AS (SELECT COUNT(*) AS n FROM toks),
+        exact AS (SELECT term, COUNT(*) AS exact_cnt FROM toks GROUP BY term),
+        rows_ AS (
+          SELECT i,
+                 CAST(conv(substring(md5(concat(term, '#',
+                       CAST(i AS STRING))), 1, 12), 16, 10) AS BIGINT)
+                   % 512 AS b
+          FROM toks LATERAL VIEW explode(array(0, 1, 2, 3)) t AS i
+        ),
+        buckets AS (SELECT i, b, COUNT(*) AS cnt FROM rows_ GROUP BY i, b),
+        cand AS (
+          SELECT term, exact_cnt, i,
+                 CAST(conv(substring(md5(concat(term, '#',
+                       CAST(i AS STRING))), 1, 12), 16, 10) AS BIGINT)
+                   % 512 AS b
+          FROM exact LATERAL VIEW explode(array(0, 1, 2, 3)) t AS i
+        ),
+        est AS (
+          SELECT cand.term, MIN(cand.exact_cnt) AS exact_cnt,
+                 MIN(buckets.cnt) AS est_cnt
+          FROM cand JOIN buckets
+            ON cand.i = buckets.i AND cand.b = buckets.b
+          GROUP BY cand.term
+        )
+        SELECT term, exact_cnt, est_cnt,
+               est_cnt >= exact_cnt
+               AND est_cnt <= exact_cnt
+                   + CAST(CEIL(2.0 * n / 512) AS BIGINT) AS within_bound
+        FROM est CROSS JOIN total
+        ORDER BY exact_cnt DESC, term LIMIT 15
+        """,
+        r"""
+        WITH toks AS (
+          SELECT t AS term
+          FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS ts
+                FROM documents),
+               UNNEST(ts) AS u(t)
+          WHERE length(t) > 0
+        ),
+        total AS (SELECT COUNT(*) AS n FROM toks),
+        exact AS (SELECT term, COUNT(*) AS exact_cnt FROM toks GROUP BY term),
+        rows_ AS (
+          SELECT i,
+                 CAST(('0x' || substr(md5(term || '#' || i), 1, 12))
+                      AS BIGINT) % 512 AS b
+          FROM toks, UNNEST([0, 1, 2, 3]) AS t(i)
+        ),
+        buckets AS (SELECT i, b, COUNT(*) AS cnt FROM rows_ GROUP BY i, b),
+        cand AS (
+          SELECT term, exact_cnt, i,
+                 CAST(('0x' || substr(md5(term || '#' || i), 1, 12))
+                      AS BIGINT) % 512 AS b
+          FROM exact, UNNEST([0, 1, 2, 3]) AS t(i)
+        ),
+        est AS (
+          SELECT cand.term, MIN(cand.exact_cnt) AS exact_cnt,
+                 CAST(MIN(buckets.cnt) AS BIGINT) AS est_cnt
+          FROM cand JOIN buckets
+            ON cand.i = buckets.i AND cand.b = buckets.b
+          GROUP BY cand.term
+        )
+        SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt, est_cnt,
+               est_cnt >= exact_cnt
+               AND est_cnt <= exact_cnt
+                   + CAST(CEIL(2.0 * n / 512) AS BIGINT) AS within_bound
+        FROM est CROSS JOIN total
+        ORDER BY exact_cnt DESC, term LIMIT 15
+        """,
+        "A+",
+        "count-min sketch (d=4 x w=512, portable md5-derived row hashes) "
+        "with the EMBEDDED exact-count verification the other sketch "
+        "queries carry: per-token estimate = min over rows, asserted "
+        ">= exact and within the 2N/w additive bound; sketch build is "
+        "one map-side partial agg over (row, bucket)",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd k-means (operators/clustering.py) — the full-corpus
+# centroid training step behind IVF / SemDeDup / PQ.
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus Lloyd k-means, k=8, 3 update rounds, over the
+    embeddings table. Assignment is map-side (centroids broadcast as
+    literal arrays; sequential-fold distances), the update is one
+    partial-agg shuffle of quantized-integer component sums (the
+    commutative-exact trick — float sums are partition-order-dependent,
+    BIGINT sums are not). The oracle replays identical iterations as
+    chained CTEs: same quantization, same fold order, same fixed
+    division sequence — so assignments, centroids, and inertia are
+    bit-reproducible at any partitioning."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.clustering import kmeans_lloyd
+
+    register_views(spark, sf_dir)
+    assigned, cents = kmeans_lloyd(
+        spark.table("embeddings"), k=8, n_iter=3
+    )
+    first_comps = F.array(*[F.lit(cents[j][0]) for j in range(8)])
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("id").alias("sum_vec_id"),
+            F.sum(F.floor(F.col("dist") * F.lit(1000000.0)).cast("long"))
+            .alias("inertia_q"),
+        )
+        .withColumn(
+            "centroid_c1", F.element_at(first_comps, F.col("cluster") + 1)
+        )
+        .select(
+            "cluster", "n_members", "sum_vec_id", "inertia_q", "centroid_c1"
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
+    qi = "CAST(FLOOR(CAST({v}[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+    dist = (
+        "list_reduce(list_transform(range(1, {d}), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - c.c[i])), "
+        "(acc, x) -> acc + x)"
+    ).format(d=dim + 1)
+    head = f"""
+        WITH c0 AS (
+          SELECT vec_id AS cluster,
+                 list_transform(range(1, {dim + 1}),
+                   i -> CAST({qi.format(v='embedding')} AS DOUBLE)
+                        / 1000000.0) AS c
+          FROM embeddings WHERE vec_id < {k}
+        )"""
+    its = []
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        its.append(f"""
+        , d{t} AS (
+          SELECT e.vec_id, e.embedding, c.cluster, {dist} AS dist
+          FROM embeddings e CROSS JOIN c{p} c
+        ),
+        a{t} AS (
+          SELECT vec_id, embedding AS v, cluster FROM (
+            SELECT vec_id, embedding, cluster,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY dist, cluster
+                   ) AS rn
+            FROM d{t}
+          ) WHERE rn = 1
+        ),
+        m{t} AS (
+          SELECT cluster, i AS dim, SUM({qi.format(v='v')}) AS s,
+                 COUNT(*) AS n
+          FROM a{t} CROSS JOIN range(1, {dim + 1}) t(i)
+          GROUP BY cluster, i
+        ),
+        c{t} AS (
+          SELECT p.cluster, COALESCE(m.c, p.c) AS c
+          FROM c{p} p LEFT JOIN (
+            SELECT cluster,
+                   list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                        ORDER BY dim) AS c
+            FROM m{t} GROUP BY cluster
+          ) m ON p.cluster = m.cluster
+        )""")
+    return (
+        head
+        + "".join(its)
+        + f"""
+        , dfin AS (
+          SELECT e.vec_id, c.cluster, {dist} AS dist
+          FROM embeddings e CROSS JOIN c{n_iter} c
+        ),
+        afin AS (
+          SELECT vec_id, cluster, dist FROM (
+            SELECT vec_id, cluster, dist,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY dist, cluster
+                   ) AS rn
+            FROM dfin
+          ) WHERE rn = 1
+        )
+        SELECT CAST(a.cluster AS INT) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(a.vec_id) AS BIGINT) AS sum_vec_id,
+               CAST(SUM(CAST(FLOOR(a.dist * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS inertia_q,
+               MIN(cc.c[1]) AS centroid_c1
+        FROM afin a JOIN c{n_iter} cc ON a.cluster = cc.cluster
+        GROUP BY a.cluster ORDER BY cluster
+        """
+    )
+
+
+_q(
+    "x3_kmeans_lloyd",
+    Query(
+        _kmeans_spark,
+        _kmeans_oracle(8, 3, 64),
+        "X3+",
+        "distributed Lloyd k-means over the full embedding corpus (the "
+        "coarse-quantizer training step of an IVF/PQ index build): "
+        "map-side assignment against broadcast literal centroids, one "
+        "quantized-BIGINT partial-agg shuffle per update — driver "
+        "traffic is k x dim per round, independent of corpus size; "
+        "bit-exact chained-CTE oracle",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-check ordering (round 7, STALEST-FIRST — VERDICT r06 item 2).
 # The driver verifies the first ~50 QUERIES entries per round. Slots 1-8:
 # every query whose plan or oracle changed this round (ewma null-skip
@@ -11527,6 +12080,11 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "g_triangle_count",
+    "g_label_propagation",
+    "w_holt_trend",
+    "agg_cms_heavy_hitters",
+    "x3_kmeans_lloyd",
     "x5_avi_audio_stats",
     "x5_flac_sample_stats",
     "x5_image_dhash_near_dup",

@@ -29,6 +29,9 @@ ALLOW: dict[str, set[str]] = {
     "x4_lang_id_confusion": {"nested-loop-join"},
     "x4_linear_probe_fit": {"nested-loop-join"},
     "s_jsonl_corrupt_quarantine": {"nested-loop-join"},
+    # one-row corpus-total broadcast onto the vocabulary-sized estimate
+    # table (the CMS additive error bound needs N)
+    "agg_cms_heavy_hitters": {"nested-loop-join"},
     # one-row quantile/threshold/normalizer broadcasts for sampling gates
     "curation_quality_tiers": {"nested-loop-join"},
     "curation_mixture_sample": {"nested-loop-join"},

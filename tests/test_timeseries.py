@@ -204,3 +204,47 @@ def test_ewma_sharded_plan_broadcasts_tail_state(spark):
     # and no shuffle of the row side for the join (the only Exchanges
     # are the applyInPandas groupings and the broadcast itself)
     assert "SortMergeJoin" not in final
+
+
+def test_holt_linear_recurrence_exact(spark):
+    from mission_data_pipeline_spark.operators.timeseries import holt_linear
+
+    rows = [
+        ("A", 1, 0, 10.0),
+        ("A", 2, 1, 20.0),
+        ("A", 3, 2, None),   # skipped: NULL out, state carries
+        ("A", 4, 3, 30.0),
+        ("B", 5, 0, None),   # series starting with a null
+        ("B", 6, 1, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, event_id long, t_us long, value double"
+    )
+    out = {
+        r["event_id"]: (r["level"], r["trend"])
+        for r in holt_linear(
+            df,
+            alpha=0.5,
+            beta=0.5,
+            time_col="t_us",
+            value_col="value",
+            series_cols=["name"],
+            order_cols=["event_id"],
+        ).collect()
+    }
+    # manual replay: l0=10,b0=0; l1=.5*20+.5*10=15, b1=.5*5+0=2.5;
+    # row 3 null; l3=.5*30+.5*17.5=23.75, b3=.5*8.75+.5*2.5=5.625
+    assert out[1] == (10.0, 0.0)
+    assert out[2] == (15.0, 2.5)
+    assert out[3] == (None, None)
+    assert out[4] == (23.75, 5.625)
+    assert out[5] == (None, None)
+    assert out[6] == (4.0, 0.0)  # state seeds at first non-null
+    with pytest.raises(ValueError):
+        holt_linear(df, alpha=0.5, beta=1.5, time_col="t_us",
+                    value_col="value", series_cols=["name"])
+    with pytest.raises(Exception):
+        holt_linear(
+            df, alpha=0.5, beta=0.5, time_col="t_us", value_col="value",
+            series_cols=["name"], max_rows_per_series=2,
+        ).collect()
