@@ -489,6 +489,98 @@ def normalize_text(
     return docs.withColumn(out_col or text_col, c)
 
 
+#: Tracking query parameters stripped by canonicalize_url — the
+#: standard crawl-dedup list (analytics/click identifiers that vary per
+#: visit without changing the resource).
+TRACKING_PARAM_PREFIXES: tuple[str, ...] = ("utm_",)
+TRACKING_PARAM_NAMES: tuple[str, ...] = ("gclid", "fbclid", "msclkid")
+
+
+def canonicalize_url(url: "F.Column | str") -> "F.Column":
+    """Canonical form of a URL for crawl-level deduplication — the
+    normalization pass every web-corpus pipeline runs before URL dedup
+    (the same page arrives as ``http://Example.COM/a?b=2&a=1#x``,
+    ``http://example.com:80/a?a=1&b=2``, and with ``utm_*`` junk):
+
+    1. trim; drop the ``#fragment``;
+    2. lowercase the ``scheme://authority`` prefix (path/query keep
+       their case — paths are case-sensitive per RFC 3986);
+    3. strip the scheme's default port (``:80`` http, ``:443`` https);
+    4. drop tracking query params (``utm_*``, ``gclid``/``fbclid``/
+       ``msclkid``), sort the surviving params byte-lexicographically,
+       and re-join (param ORDER is never semantic for dedup purposes);
+    5. collapse a bare ``/`` path with no query to the authority root.
+
+    Pure expression chain (regex in the Java∩RE2 subset; HOFs over the
+    small per-URL param array) — zero shuffles, rides the scan. The
+    canonical string is byte-deterministic, so a SQL oracle replaying
+    the same steps matches exactly.
+    """
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    u = F.regexp_replace(u, "#.*", "")
+    pre = F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(u, F.length(pre) + 1, F.lit(1 << 30))
+    pre_l = F.lower(pre)
+    pre_l = (
+        F.when(
+            pre_l.startswith("http://"), F.regexp_replace(pre_l, ":80$", "")
+        )
+        .when(
+            pre_l.startswith("https://"), F.regexp_replace(pre_l, ":443$", "")
+        )
+        .otherwise(pre_l)
+    )
+    qpos = F.instr(rest, "?")
+    path = F.when(qpos > 0, F.substring(rest, F.lit(1), qpos - 1)).otherwise(
+        rest
+    )
+    query = F.when(
+        qpos > 0, F.substring(rest, qpos + 1, F.lit(1 << 30))
+    ).otherwise(F.lit(""))
+
+    def _keep(p):  # drop empties, utm_* prefixes, named click ids
+        bad = F.lit(False)
+        for x in TRACKING_PARAM_PREFIXES:
+            bad = bad | (F.substring(p, 1, len(x)) == x)
+        return (
+            (p != "")
+            & ~bad
+            & ~F.substring_index(p, "=", 1).isin(*TRACKING_PARAM_NAMES)
+        )
+
+    params = F.filter(F.split(query, "&"), _keep)
+    qs = F.array_join(F.array_sort(params), "&")
+    path = F.when((path == "/") & (qs == ""), F.lit("")).otherwise(path)
+    return F.concat(
+        pre_l,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def url_canonical_dedup(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level crawl dedup: group by :func:`canonicalize_url`, keep
+    the minimum-id member as the canonical fetch, count the rest as
+    duplicates. One hash shuffle on the canonical string — the
+    canonicalization itself is map-side."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            canonicalize_url(url_col).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min("id").alias("keep_id"),
+        )
+    )
+
+
 def bigram_logprob(
     docs: DataFrame,
     *,

@@ -24,7 +24,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, types as T
 from pyspark.sql import functions as F
 
-__all__ = ["ewma", "ewma_sharded", "holt_linear", "lttb"]
+__all__ = [
+    "ewma",
+    "ewma_sharded",
+    "holt_linear",
+    "holt_winters_additive",
+    "lttb",
+]
 
 
 def ewma(
@@ -185,6 +191,108 @@ def holt_linear(
         pdf["value"] = pd.array(xs, dtype="Float64")
         pdf["level"] = pd.array(levels, dtype="Float64")
         pdf["trend"] = pd.array(trends, dtype="Float64")
+        return pdf
+
+    return cols.groupBy(*series_cols).applyInPandas(run, schema=out_schema)
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    *,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    time_col: str,
+    value_col: str,
+    series_cols: list[str],
+    order_cols: list[str] | None = None,
+    max_rows_per_series: int | None = None,
+) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing per series —
+    level + trend + a ``period``-slot seasonal cycle (the
+    diurnal/orbital-period telemetry smoother). Deterministic
+    cold-start convention (replayable step-for-step in SQL):
+
+    - seasonal slots start at 0.0; phase = (non-null step index) mod
+      ``period``;
+    - first non-null x: ``l = x, b = 0``;
+    - step i > 0 with phase p and previous seasonal ``s = S[p]``:
+      ``l' = alpha*(x - s) + (1-alpha)*(l + b)``;
+      ``b' = beta*(l' - l) + (1-beta)*b``;
+      ``S[p] = gamma*(x - l') + (1-gamma)*s``.
+
+    Returns the input columns plus ``level``, ``trend``, ``seasonal``
+    (the slot value AFTER the update); the h-step forecast is
+    ``level + h*trend + S[(i+h) mod period]``. Nulls are SKIPPED (NULL
+    out, state unchanged, phase does not advance) — same convention as
+    :func:`ewma`/:func:`holt_linear`. Every step is the literal
+    IEEE-754 formula in ``(time_col, *order_cols)`` order, so a
+    recursive-CTE oracle carrying (level, trend, seasonal-list, step
+    counter) reproduces the doubles bit-exactly.
+
+    Memory bound: one Arrow group per series (see :func:`ewma`).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError(f"gamma must be in [0, 1], got {gamma}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    order = [time_col, *(order_cols or [])]
+    cols = df.select(
+        *series_cols, *order, F.col(value_col).cast("double").alias("__x")
+    )
+    out_schema = T.StructType(
+        cols.schema.fields[:-1]
+        + [
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("level", T.DoubleType(), True),
+            T.StructField("trend", T.DoubleType(), True),
+            T.StructField("seasonal", T.DoubleType(), True),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_rows_per_series is not None and len(pdf) > max_rows_per_series:
+            key = pdf.iloc[0][list(series_cols)].to_dict() if len(pdf) else {}
+            raise ValueError(
+                f"holt_winters_additive: series {key} has {len(pdf)} rows "
+                f"> max_rows_per_series={max_rows_per_series}"
+            )
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        xs = [None if pd.isna(x) else x for x in pdf["__x"].tolist()]
+        levels, trends, seasonals = [], [], []
+        lv = tr = None
+        season = [0.0] * period
+        step = 0
+        for x in xs:
+            if x is None:
+                levels.append(None)
+                trends.append(None)
+                seasonals.append(None)
+                continue
+            p = step % period
+            if lv is None:
+                lv, tr = x, 0.0
+                season[p] = gamma * (x - lv) + (1.0 - gamma) * season[p]
+            else:
+                s_prev = season[p]
+                prev = lv
+                lv = alpha * (x - s_prev) + (1.0 - alpha) * (lv + tr)
+                tr = beta * (lv - prev) + (1.0 - beta) * tr
+                season[p] = gamma * (x - lv) + (1.0 - gamma) * s_prev
+            levels.append(lv)
+            trends.append(tr)
+            seasonals.append(season[p])
+            step += 1
+        pdf = pdf.drop(columns=["__x"])
+        pdf["value"] = pd.array(xs, dtype="Float64")
+        pdf["level"] = pd.array(levels, dtype="Float64")
+        pdf["trend"] = pd.array(trends, dtype="Float64")
+        pdf["seasonal"] = pd.array(seasonals, dtype="Float64")
         return pdf
 
     return cols.groupBy(*series_cols).applyInPandas(run, schema=out_schema)

@@ -12068,6 +12068,357 @@ _q(
 
 
 # ---------------------------------------------------------------------------
+# Archive ingest: ZIP member fan-out and gzip-JSONL (unsplittable
+# codec) round-trip (sources/archive.py, sinks/jsonl.py).
+# ---------------------------------------------------------------------------
+
+
+def _zip_ingest_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP archive ingest (sources/archive.py read_zip): documents
+    bundled driver-side into three archives (mixed STORED/DEFLATED
+    members — fixture mirror of a corpus delivery), fanned back out
+    distributed (binaryFile + Arrow member fan-out with per-member
+    CRC32 verification); the oracle recomputes every member's name,
+    size, codec, and payload digest from the source table."""
+    import io
+    import os
+    import zipfile
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sources.archive import read_zip
+
+    register_views(spark, sf_dir)
+    docs = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    d = _scratch_dir("zip_q")
+    for a in range(3):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for r in docs:
+                if r["doc_id"] % 3 != a:
+                    continue
+                zf.writestr(
+                    zipfile.ZipInfo(f"doc/{r['doc_id']}.txt"),
+                    r["text"].encode("utf-8"),
+                    compress_type=(
+                        zipfile.ZIP_DEFLATED
+                        if r["doc_id"] % 2
+                        else zipfile.ZIP_STORED
+                    ),
+                )
+        with open(os.path.join(d, f"bundle{a}.zip"), "wb") as f:
+            f.write(buf.getvalue())
+    out = read_zip(spark, d, path_glob="*.zip")
+    return out.select(
+        "member_name",
+        "compress_type",
+        "size",
+        F.md5("payload").alias("payload_md5"),
+        "crc_ok",
+    ).orderBy("member_name")
+
+
+_q(
+    "s_zip_archive_ingest",
+    Query(
+        _zip_ingest_spark,
+        """
+        SELECT 'doc/' || doc_id || '.txt' AS member_name,
+               CASE WHEN doc_id % 2 = 1 THEN 'deflated'
+                    ELSE 'stored' END AS compress_type,
+               CAST(octet_length(text::BLOB) AS BIGINT) AS size,
+               md5(text) AS payload_md5,
+               TRUE AS crc_ok
+        FROM documents WHERE doc_id < 120
+        ORDER BY member_name
+        """,
+        "S+,X-curation",
+        "ZIP bundle ingest: whole archives distributed via binaryFile "
+        "(the central directory pins members to their archive), member "
+        "fan-out in Arrow-batched mapInPandas with CRC32 verification — "
+        "corruption becomes crc_ok=false rows, never task failures",
+    ),
+)
+
+
+def _gzip_jsonl_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-JSONL ingest — the WET/dump delivery format. Documents are
+    written as FOUR gzip JSONL shards (gzip is an UNSPLITTABLE codec:
+    one file = one scan task, so shard count = read parallelism — the
+    operational reason dumps ship as many medium files) and read back
+    with an explicit schema through Spark's native codec path; per-lang
+    accounting must match the source table exactly."""
+    import glob
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    register_views(spark, sf_dir)
+    d = _scratch_dir("gzjsonl_q") + "/docs"
+    (
+        spark.table("documents")
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(d)
+    )
+    n_files = len(glob.glob(d + "/part-*.json.gz"))
+    if n_files != 4:
+        raise RuntimeError(f"expected 4 gzip shards, found {n_files}")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(d)
+    sig = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), "text")), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(sig).alias("content_sig"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_q(
+    "s_gzip_jsonl_ingest",
+    Query(
+        _gzip_jsonl_spark,
+        """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(('0x' || substr(md5(doc_id || '|' || text), 1, 12))
+                             AS BIGINT)) AS BIGINT) AS content_sig,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "S+,L+",
+        "gzip-JSONL round-trip through Spark's native codec path: "
+        "unsplittable-codec delivery sharded for read parallelism "
+        "(4 files = 4 scan tasks, asserted), content-lossless by "
+        "per-lang digest accounting vs the original table",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (operators/timeseries.py).
+# ---------------------------------------------------------------------------
+
+
+def _hw_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple smoothing (level + trend +
+    period-4 seasonal cycle), alpha=0.25 / beta=0.25 / gamma=0.5, per
+    probe user. The oracle's recursive CTE carries the FULL state —
+    level, trend, the 4-slot seasonal LIST (updated functionally via
+    list_transform), and the non-null step counter — replaying the
+    literal IEEE recurrence, so all three outputs match bit-exactly."""
+    from mission_data_pipeline_spark.operators.timeseries import (
+        holt_winters_additive,
+    )
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        "SELECT user_id, event_id, ts_ns DIV 1000 AS t_us, value "
+        "FROM events WHERE user_id < 12"
+    )
+    out = holt_winters_additive(
+        ev,
+        alpha=0.25,
+        beta=0.25,
+        gamma=0.5,
+        period=4,
+        time_col="t_us",
+        value_col="value",
+        series_cols=["user_id"],
+        order_cols=["event_id"],
+    )
+    return out.select(
+        "user_id", "event_id", "t_us", "value", "level", "trend", "seasonal"
+    ).orderBy("user_id", "t_us", "event_id")
+
+
+def _hw_oracle(period: int = 4) -> str:
+    zeros = "list_transform(range(1, %d), j -> CAST(0.0 AS DOUBLE))" % (
+        period + 1
+    )
+    # phase slot (1-based) for the incoming row, from the carried step
+    ph = f"(rec.stp % {period}) + 1"
+    sp = f"rec.slist[{ph}]"
+    lnew = (
+        f"CAST(0.25 AS DOUBLE) * (s.value - {sp}) "
+        "+ CAST(0.75 AS DOUBLE) * (rec.lst + rec.bst)"
+    )
+    bnew = (
+        f"CAST(0.25 AS DOUBLE) * (({lnew}) - rec.lst) "
+        "+ CAST(0.75 AS DOUBLE) * rec.bst"
+    )
+    snew = f"CAST(0.5 AS DOUBLE) * (s.value - ({lnew})) " \
+           f"+ CAST(0.5 AS DOUBLE) * {sp}"
+    return f"""
+        WITH RECURSIVE s AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ) AS n
+          FROM events WHERE user_id < 12
+        ),
+        -- carried state: lst/bst (last non-null level/trend), slist
+        -- (seasonal slots), stp (non-null step count). Anchor seasonal
+        -- update is exactly 0.0 (gamma*(x-x) + (1-gamma)*0), so the
+        -- anchor slist is the zero list regardless of value.
+        rec AS (
+          SELECT user_id, event_id, t, value, n,
+                 value AS lst,
+                 CASE WHEN value IS NULL THEN NULL
+                      ELSE CAST(0.0 AS DOUBLE) END AS bst,
+                 {zeros} AS slist,
+                 CASE WHEN value IS NULL THEN 0 ELSE 1 END AS stp,
+                 value AS level,
+                 CASE WHEN value IS NULL THEN NULL
+                      ELSE CAST(0.0 AS DOUBLE) END AS trend,
+                 CASE WHEN value IS NULL THEN NULL
+                      ELSE CAST(0.0 AS DOUBLE) END AS seasonal
+          FROM s WHERE n = 1
+          UNION ALL
+          SELECT s.user_id, s.event_id, s.t, s.value, s.n,
+                 CASE WHEN s.value IS NULL THEN rec.lst
+                      WHEN rec.lst IS NULL THEN s.value
+                      ELSE {lnew} END,
+                 CASE WHEN s.value IS NULL THEN rec.bst
+                      WHEN rec.lst IS NULL THEN CAST(0.0 AS DOUBLE)
+                      ELSE {bnew} END,
+                 CASE WHEN s.value IS NULL OR rec.lst IS NULL
+                      THEN rec.slist
+                      ELSE list_transform(range(1, {period + 1}),
+                             j -> CASE WHEN j = {ph} THEN {snew}
+                                       ELSE rec.slist[j] END)
+                 END,
+                 CASE WHEN s.value IS NULL THEN rec.stp
+                      ELSE rec.stp + 1 END,
+                 CASE WHEN s.value IS NULL THEN NULL
+                      WHEN rec.lst IS NULL THEN s.value
+                      ELSE {lnew} END,
+                 CASE WHEN s.value IS NULL THEN NULL
+                      WHEN rec.lst IS NULL THEN CAST(0.0 AS DOUBLE)
+                      ELSE {bnew} END,
+                 CASE WHEN s.value IS NULL THEN NULL
+                      WHEN rec.lst IS NULL THEN CAST(0.0 AS DOUBLE)
+                      ELSE {snew} END
+          FROM rec JOIN s
+            ON s.user_id = rec.user_id AND s.n = rec.n + 1
+        )
+        SELECT user_id, event_id, t AS t_us, value, level, trend, seasonal
+        FROM rec
+        ORDER BY user_id, t_us, event_id
+        """
+
+
+_q(
+    "w_holt_winters_seasonal",
+    Query(
+        _hw_spark,
+        _hw_oracle(4),
+        "W+",
+        "Holt-Winters additive triple exponential smoothing (level + "
+        "trend + period-4 seasonal cycle — the diurnal/orbital "
+        "telemetry smoother): parallel across series via applyInPandas; "
+        "the recursive-CTE oracle carries the full (level, trend, "
+        "seasonal-list, step) state and matches bit-exactly",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (operators/text.py canonicalize_url) —
+# the crawl-level normalization pass before URL dedup.
+# ---------------------------------------------------------------------------
+
+
+def _url_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL dedup: five deterministic messy variants per document
+    (case-shuffled authority, default port, fragment, unsorted params,
+    utm_*/gclid tracking junk, plus a genuinely distinct CDN host) are
+    canonicalized map-side and grouped. The oracle derives the ground-
+    truth canonical string directly from the variant formula — variants
+    0/1/2/4 of a page MUST collapse to one URL and the CDN variant must
+    stay distinct, so any canonicalization bug (missed port, unsorted
+    params, case leak, dropped real param) diverges."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.text import url_canonical_dedup
+
+    register_views(spark, sf_dir)
+    urls = spark.sql(
+        """
+        SELECT doc_id,
+          CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN concat('http://Example.COM/p/',
+                               CAST(doc_id % 211 AS STRING), '?b=2&a=1#sec')
+            WHEN 1 THEN concat('http://example.com:80/p/',
+                               CAST(doc_id % 211 AS STRING), '?a=1&b=2')
+            WHEN 2 THEN concat('HTTP://EXAMPLE.com/p/',
+                               CAST(doc_id % 211 AS STRING),
+                               '?utm_source=feed&a=1&b=2')
+            WHEN 3 THEN concat('https://cdn.example.com/p/',
+                               CAST(doc_id % 211 AS STRING))
+            ELSE concat('http://example.com/p/',
+                        CAST(doc_id % 211 AS STRING), '?gclid=g',
+                        CAST(doc_id AS STRING), '&b=2&a=1')
+          END AS url
+        FROM documents
+        """
+    )
+    out = url_canonical_dedup(urls, url_col="url", id_col="doc_id")
+    return out.orderBy(F.desc("n_urls"), "canonical_url").limit(15)
+
+
+_q(
+    "curation_url_canonical_dedup",
+    Query(
+        _url_dedup_spark,
+        """
+        WITH urls AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 3
+                      THEN 'https://cdn.example.com/p/' || (doc_id % 211)
+                      ELSE 'http://example.com/p/' || (doc_id % 211)
+                           || '?a=1&b=2'
+                 END AS canonical_url
+          FROM documents
+        )
+        SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_urls,
+               MIN(doc_id) AS keep_id
+        FROM urls GROUP BY canonical_url
+        ORDER BY n_urls DESC, canonical_url LIMIT 15
+        """,
+        "X-curation",
+        "URL canonicalization for crawl dedup (lowercased authority, "
+        "default-port strip, fragment drop, tracking-param removal, "
+        "sorted query params, root-slash collapse) — zero-shuffle "
+        "expression chain, one hash shuffle on the canonical string; "
+        "oracle derives ground truth from the variant formula",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-check ordering (round 7, STALEST-FIRST — VERDICT r06 item 2).
 # The driver verifies the first ~50 QUERIES entries per round. Slots 1-8:
 # every query whose plan or oracle changed this round (ewma null-skip
@@ -12080,6 +12431,10 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "s_zip_archive_ingest",
+    "s_gzip_jsonl_ingest",
+    "w_holt_winters_seasonal",
+    "curation_url_canonical_dedup",
     "g_triangle_count",
     "g_label_propagation",
     "w_holt_trend",

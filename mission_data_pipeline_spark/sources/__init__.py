@@ -1,3 +1,4 @@
+from mission_data_pipeline_spark.sources.archive import read_zip
 from mission_data_pipeline_spark.sources.binary import plan_ranges, read_packets
 from mission_data_pipeline_spark.sources.ccsds_datasource import (
     CcsdsDataSource,
@@ -23,4 +24,5 @@ __all__ = [
     "load_tables",
     "read_warc",
     "warc_to_documents",
+    "read_zip",
 ]

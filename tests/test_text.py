@@ -602,3 +602,38 @@ def test_heldout_backoff_branches(spark):
         + -math.log(0.4 * 3 / 6)  # z a (backoff to unigram a)
     ) / 3
     assert abs(r["neg_logprob"] - exp) < 1e-5
+
+
+def test_canonicalize_url_variants(spark):
+    from mission_data_pipeline_spark.operators.text import (
+        canonicalize_url,
+        url_canonical_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    cases = {
+        "http://Example.COM/path?b=2&a=1#frag": "http://example.com/path?a=1&b=2",
+        "http://example.com:80/path?a=1&b=2": "http://example.com/path?a=1&b=2",
+        "HTTP://EXAMPLE.com/path?utm_source=x&a=1&b=2": "http://example.com/path?a=1&b=2",
+        "https://example.com:443/p?gclid=z&a=1": "https://example.com/p?a=1",
+        "http://example.com/": "http://example.com",
+        "http://example.com/?utm_campaign=a": "http://example.com",
+        "http://example.com:8080/x": "http://example.com:8080/x",  # non-default port kept
+        "https://h.com/A/B?z=1&y=2": "https://h.com/A/B?y=2&z=1",  # path case kept
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in df.select("url", canonicalize_url("url").alias("c")).collect()
+    }
+    assert got == cases
+    # dedup groups the three equivalent fetches, keeps min id
+    dd = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "doc_id long, url string"
+    )
+    out = {
+        r["canonical_url"]: (r["n_urls"], r["keep_id"])
+        for r in url_canonical_dedup(dd).collect()
+    }
+    assert out["http://example.com/path?a=1&b=2"] == (3, 0)
+    assert out["http://example.com"] == (2, 4)

@@ -248,3 +248,51 @@ def test_holt_linear_recurrence_exact(spark):
             df, alpha=0.5, beta=0.5, time_col="t_us", value_col="value",
             series_cols=["name"], max_rows_per_series=2,
         ).collect()
+
+
+def test_holt_winters_additive_recurrence_exact(spark):
+    from mission_data_pipeline_spark.operators.timeseries import (
+        holt_winters_additive,
+    )
+
+    # period-2 seasonal square wave on a ramp; manual replay below
+    rows = [("A", i, i, float(10 * i + (5 if i % 2 else -5))) for i in range(6)]
+    rows.append(("A", 6, 6, None))
+    df = spark.createDataFrame(
+        rows, "name string, event_id long, t_us long, value double"
+    )
+    out = {
+        r["event_id"]: (r["level"], r["trend"], r["seasonal"])
+        for r in holt_winters_additive(
+            df, alpha=0.5, beta=0.5, gamma=0.5, period=2,
+            time_col="t_us", value_col="value", series_cols=["name"],
+            order_cols=["event_id"],
+        ).collect()
+    }
+    # manual replay of the documented recurrence
+    lv = tr = None
+    season = [0.0, 0.0]
+    exp = {}
+    for i, (_, eid, _, x) in enumerate(rows):
+        if x is None:
+            exp[eid] = (None, None, None)
+            continue
+        p = i % 2
+        if lv is None:
+            lv, tr = x, 0.0
+            season[p] = 0.5 * (x - lv) + 0.5 * season[p]
+        else:
+            sp = season[p]
+            prev = lv
+            lv = 0.5 * (x - sp) + 0.5 * (lv + tr)
+            tr = 0.5 * (lv - prev) + 0.5 * tr
+            season[p] = 0.5 * (x - lv) + 0.5 * sp
+        exp[eid] = (lv, tr, season[p])
+    assert out == exp
+    # seasonal signal is actually picked up: late even/odd slots differ
+    assert abs(out[5][2] - out[4][2]) > 1.0
+    with pytest.raises(ValueError):
+        holt_winters_additive(
+            df, alpha=0.5, beta=0.5, gamma=0.5, period=1,
+            time_col="t_us", value_col="value", series_cols=["name"],
+        )

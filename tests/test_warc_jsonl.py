@@ -131,3 +131,45 @@ def test_read_warc_multimember_gzip(spark, tmp_path):
     rows = out.collect()
     assert [r["payload"] for r in rows] == [f"member {i}".encode() for i in range(4)]
     assert all(r["n_parse_errors"] == 0 for r in rows)
+
+
+def test_read_zip_members_and_corruption(spark, tmp_path):
+    """ZIP member fan-out: names/payloads/codec survive; a member whose
+    stored bytes are flipped surfaces as crc_ok=false, not a task
+    failure; directory entries are skipped."""
+    import io
+    import zipfile
+
+    from mission_data_pipeline_spark.sources.archive import read_zip
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("dir/", b"")
+        zf.writestr(
+            zipfile.ZipInfo("a.txt"), b"alpha",
+            compress_type=zipfile.ZIP_STORED,
+        )
+        zf.writestr(
+            zipfile.ZipInfo("b.txt"), b"beta" * 100,
+            compress_type=zipfile.ZIP_DEFLATED,
+        )
+    raw = bytearray(buf.getvalue())
+    # corrupt the STORED payload of a.txt in place ("alpha" -> "alphA")
+    i = raw.find(b"alpha")
+    raw[i + 4] ^= 0x20
+    p = tmp_path / "arch.zip"
+    p.write_bytes(bytes(raw))
+    rows = {
+        r["member_name"]: r
+        for r in read_zip(spark, str(p)).collect()
+    }
+    assert set(rows) == {"a.txt", "b.txt"}  # dir entry skipped
+    a, b = rows["a.txt"], rows["b.txt"]
+    # corrupted member is QUARANTINED: flagged, payload withheld, size
+    # still reported from the directory entry
+    assert a["crc_ok"] is False and a["payload"] is None and a["size"] == 5
+    assert b["crc_ok"] is True and bytes(b["payload"]) == b"beta" * 100
+    assert a["compress_type"] == "stored"
+    assert b["compress_type"] == "deflated"
+    assert b["compressed_size"] < b["size"]  # deflate actually compressed
+    assert a["member_idx"] == 0 and b["member_idx"] == 1
