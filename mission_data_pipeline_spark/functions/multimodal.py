@@ -218,8 +218,9 @@ def probe_image_meta(payload: bytes | None) -> tuple[str | None, int | None, int
     """REAL image header parse: ``(format, width, height)`` from raw bytes.
 
     Pure stdlib — understands PNG (IHDR), JPEG (first SOF0-SOF15 frame
-    marker, skipping entropy-free segments), GIF87a/89a and BMP
-    (BITMAPINFOHEADER). Unknown/short payloads → ``(None, None, None)``;
+    marker, skipping entropy-free segments), GIF87a/89a, BMP
+    (BITMAPINFOHEADER), and TIFF (II/MM IFD walk for tags 256/257).
+    Unknown/short payloads → ``(None, None, None)``;
     a recognized container whose dimension field is truncated keeps the
     format with null dimensions. CRCs are not validated (metadata probe,
     not integrity check).
@@ -260,6 +261,28 @@ def probe_image_meta(payload: bytes | None) -> tuple[str | None, int | None, int
             w, h = struct.unpack("<ii", payload[18:26])
             return ("bmp", w, abs(h))  # negative height = top-down rows
         return ("bmp", None, None)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        e = "<" if payload[:2] == b"II" else ">"
+        try:
+            (ifd,) = struct.unpack_from(e + "I", payload, 4)
+            (n,) = struct.unpack_from(e + "H", payload, ifd)
+            w = h = None
+            for i in range(n):
+                tag, typ, _cnt = struct.unpack_from(
+                    e + "HHI", payload, ifd + 2 + 12 * i
+                )
+                if tag in (256, 257) and typ in (3, 4):
+                    fmt = "H" if typ == 3 else "I"
+                    (v,) = struct.unpack_from(
+                        e + fmt, payload, ifd + 2 + 12 * i + 8
+                    )
+                    if tag == 256:
+                        w = v
+                    else:
+                        h = v
+            return ("tiff", w, h)
+        except Exception:
+            return ("tiff", None, None)
     return (None, None, None)
 
 
@@ -798,7 +821,9 @@ def decode_image_pixels(payload: bytes | None):
     format: PNG (:func:`decode_png_pixels`), baseline JPEG
     (:func:`~mission_data_pipeline_spark.functions.jpeg.decode_jpeg_pixels`),
     BMP and GIF-with-LZW
-    (:mod:`~mission_data_pipeline_spark.functions.gif_bmp`). Dispatch
+    (:mod:`~mission_data_pipeline_spark.functions.gif_bmp`), and
+    baseline TIFF with strips + PackBits
+    (:mod:`~mission_data_pipeline_spark.functions.tiff`). Dispatch
     is by magic bytes (each decoder rejects foreign payloads cheaply);
     returns ``(h, w, c)`` uint8 or None."""
     from mission_data_pipeline_spark.functions.gif_bmp import (
@@ -806,12 +831,14 @@ def decode_image_pixels(payload: bytes | None):
         decode_gif_pixels,
     )
     from mission_data_pipeline_spark.functions.jpeg import decode_jpeg_pixels
+    from mission_data_pipeline_spark.functions.tiff import decode_tiff_pixels
 
     for dec in (
         decode_png_pixels,
         decode_jpeg_pixels,
         decode_bmp_pixels,
         decode_gif_pixels,
+        decode_tiff_pixels,
     ):
         px = dec(payload)
         if px is not None:

@@ -12068,6 +12068,114 @@ _q(
 
 
 # ---------------------------------------------------------------------------
+# Baseline TIFF pixel decode (functions/tiff.py).
+# ---------------------------------------------------------------------------
+
+
+def _tiff_pixel_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode (functions/tiff.py): even items are
+    RGB, odd items grayscale; the fixtures sweep BOTH byte orders,
+    multi-strip layouts (rows_per_strip=2), PackBits vs uncompressed,
+    and WhiteIsZero (photometric 0 — stored INVERTED, so the decoder's
+    re-inversion is what makes the stats match); every ninth payload is
+    garbage (null sentinel). Lossless, so the oracle recomputes the
+    exact pixel statistics from the generator formulas — the IFD walk,
+    strip reassembly, PackBits stream, and inversion all cross-check."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        image_pixel_stats,
+    )
+    from mission_data_pipeline_spark.functions.tiff import encode_tiff
+
+    rows = []
+    for k in range(30):
+        if k % 9 == 8:
+            rows.append((k, bytearray(b"not a tiff")))
+            continue
+        comp = "packbits" if k % 4 < 2 else "none"
+        be = k % 3 == 0
+        if k % 2 == 0:
+            h, w = k % 8 + 3, k % 6 + 4
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            px = ((k * 7 + x * 3 + y * 11 + c * 5) % 256).astype(np.uint8)
+            buf = encode_tiff(
+                px, compression=comp, rows_per_strip=2, big_endian=be
+            )
+        else:
+            h, w = k % 5 + 3, k % 7 + 4
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            px = ((k * 9 + x * 2 + y * 13) % 256).astype(np.uint8)
+            buf = encode_tiff(
+                px,
+                compression=comp,
+                photometric=(0 if k % 3 == 0 else 1),
+                rows_per_strip=2,
+                big_endian=be,
+            )
+        rows.append((k, bytearray(buf)))
+    media = spark.createDataFrame(rows, "item_id long, payload binary")
+    return image_pixel_stats(media).orderBy("item_id")
+
+
+_q(
+    "x5_tiff_pixel_stats",
+    Query(
+        _tiff_pixel_stats_spark,
+        """
+        WITH items AS (SELECT k AS item_id FROM range(0, 30) t(k)),
+        rgb_px AS (
+          SELECT item_id, (item_id*7 + xx.x*3 + yy.y*11 + cc.c*5) % 256 AS v
+          FROM items, range(0, 10) xx(x), range(0, 11) yy(y),
+               range(0, 3) cc(c)
+          WHERE item_id % 2 = 0 AND item_id % 9 != 8
+            AND xx.x < item_id % 6 + 4 AND yy.y < item_id % 8 + 3
+        ),
+        gray_px AS (
+          SELECT item_id, (item_id*9 + xx.x*2 + yy.y*13) % 256 AS v
+          FROM items, range(0, 11) xx(x), range(0, 8) yy(y)
+          WHERE item_id % 2 = 1 AND item_id % 9 != 8
+            AND xx.x < item_id % 7 + 4 AND yy.y < item_id % 5 + 3
+        ),
+        px AS (SELECT * FROM rgb_px UNION ALL SELECT * FROM gray_px),
+        stats AS (
+          SELECT item_id, CAST(SUM(v) AS BIGINT) AS px_sum,
+                 CAST(MIN(v) AS INT) AS px_min,
+                 CAST(MAX(v) AS INT) AS px_max,
+                 COUNT(*) AS n
+          FROM px GROUP BY item_id
+        )
+        SELECT i.item_id,
+               CASE WHEN s.item_id IS NULL THEN NULL
+                    WHEN i.item_id % 2 = 0 THEN CAST(i.item_id % 6 + 4 AS INT)
+                    ELSE CAST(i.item_id % 7 + 4 AS INT) END AS width,
+               CASE WHEN s.item_id IS NULL THEN NULL
+                    WHEN i.item_id % 2 = 0 THEN CAST(i.item_id % 8 + 3 AS INT)
+                    ELSE CAST(i.item_id % 5 + 3 AS INT) END AS height,
+               CASE WHEN s.item_id IS NULL THEN NULL
+                    WHEN i.item_id % 2 = 0 THEN CAST(3 AS INT)
+                    ELSE CAST(1 AS INT) END AS channels,
+               s.px_sum, s.px_min, s.px_max,
+               CASE WHEN s.item_id IS NULL THEN NULL
+                    ELSE ROUND(CAST(s.px_sum AS DOUBLE) / s.n, 6)
+                    END AS px_mean
+        FROM items i LEFT JOIN stats s USING (item_id)
+        ORDER BY i.item_id
+        """,
+        "X5",
+        "REAL baseline-TIFF pixel decode — II/MM byte orders, IFD walk, "
+        "multi-strip reassembly, PackBits RLE, WhiteIsZero re-inversion "
+        "— lossless, so the oracle recomputes exact pixel statistics "
+        "from the generator formulas; garbage payloads yield null "
+        "sentinels",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # Archive ingest: ZIP member fan-out and gzip-JSONL (unsplittable
 # codec) round-trip (sources/archive.py, sinks/jsonl.py).
 # ---------------------------------------------------------------------------
@@ -12431,6 +12539,7 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "x5_tiff_pixel_stats",
     "s_zip_archive_ingest",
     "s_gzip_jsonl_ingest",
     "w_holt_winters_seasonal",

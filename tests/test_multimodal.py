@@ -814,3 +814,34 @@ def test_bmp_gif_real_pixel_roundtrips(spark):
     assert rows[0]["px_sum"] == int(px.sum())
     assert rows[1]["px_sum"] == int(pal[idx].sum())
     assert rows[2]["px_sum"] is None
+
+
+def test_tiff_real_pixel_decode_in_engine(spark):
+    """TIFF flows through the unified decode path end-to-end: dims from
+    probe_image_meta, exact pixel stats from image_pixel_stats, gray
+    channels=1, WhiteIsZero re-inverted, garbage nulls."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        image_pixel_stats,
+        probe_image_meta,
+    )
+    from mission_data_pipeline_spark.functions.tiff import encode_tiff
+
+    rgb = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    gray = (np.arange(6 * 7, dtype=np.uint8) * 3 % 256).reshape(6, 7)
+    b_rgb = encode_tiff(rgb, compression="packbits", big_endian=True)
+    b_gray = encode_tiff(gray, photometric=0)  # stored inverted
+    assert probe_image_meta(b_rgb) == ("tiff", 4, 5)
+    assert probe_image_meta(b_gray) == ("tiff", 7, 6)
+    media = spark.createDataFrame(
+        [(0, bytearray(b_rgb)), (1, bytearray(b_gray)), (2, bytearray(b"x"))],
+        "item_id long, payload binary",
+    )
+    rows = {r["item_id"]: r for r in image_pixel_stats(media).collect()}
+    r0, r1, r2 = rows[0], rows[1], rows[2]
+    assert (r0["width"], r0["height"], r0["channels"]) == (4, 5, 3)
+    assert r0["px_sum"] == int(rgb.sum())
+    assert (r1["width"], r1["height"], r1["channels"]) == (7, 6, 1)
+    assert r1["px_sum"] == int(gray.sum())  # inversion undone
+    assert r2["width"] is None and r2["px_sum"] is None

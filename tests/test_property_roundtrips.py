@@ -603,3 +603,56 @@ def test_bmp_gif_rs_decoders_never_raise_on_garbage(payload):
     decode_bmp_pixels(b"BM" + payload)
     decode_gif_pixels(b"GIF89a" + payload)
     rs_decode(payload)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24), w=st.integers(1, 24),
+    spp=st.sampled_from([1, 3]),
+    comp=st.sampled_from(["none", "packbits"]),
+    big_endian=st.booleans(),
+    rps=st.integers(1, 30),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_roundtrip_property(h, w, spp, comp, big_endian, rps, seed):
+    """Any 8-bit gray/RGB image round-trips the baseline-TIFF encoder/
+    decoder exactly — both byte orders, any strip height, PackBits or
+    raw, and WhiteIsZero inversion for grayscale."""
+    import numpy as np
+
+    from mission_data_pipeline_spark.functions.tiff import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, spp)).astype(np.uint8)
+    photo = (0 if seed % 2 else 1) if spp == 1 else 2
+    got = decode_tiff_pixels(
+        encode_tiff(
+            px, compression=comp, photometric=photo,
+            rows_per_strip=rps, big_endian=big_endian,
+        )
+    )
+    assert got is not None and got.shape == px.shape and (got == px).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=st.binary(max_size=300))
+def test_tiff_decoder_never_raises_on_garbage(payload):
+    from mission_data_pipeline_spark.functions.tiff import decode_tiff_pixels
+
+    for p in (payload, b"II*\x00" + payload, b"MM\x00*" + payload):
+        out = decode_tiff_pixels(p)
+        assert out is None or out.ndim == 3
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=600))
+def test_packbits_roundtrip_property(data):
+    from mission_data_pipeline_spark.functions.tiff import (
+        packbits_decode,
+        packbits_encode,
+    )
+
+    assert packbits_decode(packbits_encode(data), len(data)) == data
