@@ -560,3 +560,120 @@ def dedup_exact_segments(
     return totals.join(rebuilt, "doc_id").select(
         "doc_id", "n_segs", "n_kept", "clean_text"
     )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    *,
+    k: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022 §4.1): find every ``k``-token
+    span that occurs more than once in the corpus, keep its globally
+    first occurrence (min ``(doc_id, pos)``), and remove the tokens of
+    every other occurrence from their documents. Returns one row per
+    eligible document (``>= k`` tokens):
+    ``(doc_id, n_tokens, n_removed, n_spans, kept_text)`` where
+    ``n_spans`` counts maximal merged removal intervals and
+    ``kept_text`` is the surviving tokens rejoined with single spaces.
+
+    This is the remove-the-substring-itself variant — the repo's other
+    Lee et al. operator (``duplicate_span_fraction``) only *scores*
+    span duplication; this one performs the surgery. The reference
+    suffix-array construction is a single-node in-memory algorithm;
+    the distributed shape here is gram-keyed: explode to position
+    grams, one groupBy on the gram key for (count, first-occurrence),
+    join back to tag removable occurrences, interval-merge per doc.
+    Every shuffle is proportional to the token table (grams) or to the
+    duplicated subset (coverage) — no suffix array, no pairwise scan.
+
+    Gram keys shuffle as ``xxhash64(gram)`` (8 bytes, not ~100-byte
+    strings); a 64-bit collision could only over-remove a span, and
+    the exact string-grouped DuckDB oracle would surface it. Like the
+    paper's own implementation, "keep one occurrence" is best-effort
+    under overlap: the kept occurrence's tokens may still be removed
+    if a *different* duplicated gram covers them.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    staged = docs.filter(F.size(toks) >= k).select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    )
+    # __toks staged as a projection first: higher-order lambdas run
+    # interpreted, so an inline split() would re-tokenize per gram
+    # position (O(tokens^2) per doc — see duplicate_span_fraction).
+    gram_list = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - k),
+        lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, k)),
+    )
+    grams = staged.select(
+        "doc_id", F.posexplode(gram_list).alias("pos", "gram")
+    ).select("doc_id", "pos", F.xxhash64("gram").alias("__gh"))
+    # One gram-keyed partial-agg shuffle yields both the corpus count
+    # and the canonical first occurrence (min struct = lexicographic
+    # (doc_id, pos) — the survivor Lee et al. keep).
+    occ = grams.groupBy("__gh").agg(
+        F.count("*").alias("__n"),
+        F.min(F.struct("doc_id", "pos")).alias("__first"),
+    )
+    removable = (
+        grams.join(occ.filter(F.col("__n") >= 2), "__gh")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("__first.doc_id"))
+                & (F.col("pos") == F.col("__first.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    # Coverage explodes only the REMOVABLE occurrences by k (the
+    # duplicated tail, typically a small corpus fraction), then
+    # distinct-merges overlaps on (doc_id, position).
+    cov = removable.select(
+        "doc_id",
+        F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("p"),
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("p")
+    stats = (
+        cov.withColumn(
+            "__start",
+            F.when(
+                F.coalesce(F.col("p") - F.lag("p").over(w), F.lit(2)) > 1, 1
+            ).otherwise(0),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_removed"),
+            F.sum("__start").alias("n_spans"),
+        )
+    )
+    positions = staged.select(
+        "doc_id", F.posexplode("__toks").alias("p", "tok")
+    )
+    kept = (
+        positions.join(cov, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("kept_text")
+        )
+    )
+    return (
+        staged.select("doc_id", F.size("__toks").alias("n_tokens"))
+        .join(stats, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )

@@ -12526,6 +12526,113 @@ _q(
 )
 
 
+def _substring_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (operators/dedup.py exact_substring_dedup —
+    Lee et al. 2022 §4.1 remove-the-duplicate-substring variant): every
+    12-token span occurring more than once in the corpus keeps its
+    globally first occurrence and is excised everywhere else, merged
+    removal intervals per doc, surviving tokens rejoined. The check
+    seeds 40 in-plan partial copies (first 20 source tokens + unique
+    tail) on top of the raw corpus (which also carries whole-doc exact
+    dups): copies must lose their shared prefix (one merged span),
+    first occurrences keep theirs, later whole-doc dups empty out."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    register_views(spark, sf_dir)
+    base = spark.table("documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    copies = base.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(toks, 1, 20), " "),
+            F.lit(" uniq"),
+            F.col("doc_id").cast("string"),
+            F.lit(" tail marker extra pad tokens"),
+        ).alias("text"),
+    )
+    corpus = base.unionByName(copies)
+    return exact_substring_dedup(corpus, k=12).orderBy("doc_id")
+
+
+_q(
+    "x2_substring_dedup",
+    Query(
+        _substring_dedup_spark,
+        r"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 array_to_string(
+                   string_split_regex(trim(lower(text)), '\s+')[1:20], ' ')
+                 || ' uniq' || CAST(doc_id AS VARCHAR)
+                 || ' tail marker extra pad tokens' AS text
+          FROM documents WHERE doc_id < 40
+        ), tok AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM corpus
+        ), eligible AS (
+          SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) >= 12
+        ), grams AS (
+          SELECT doc_id, u.i - 1 AS pos,
+                 array_to_string(toks[u.i:u.i+11], ' ') AS gram
+          FROM eligible, UNNEST(generate_series(1, n - 11)) AS u(i)
+        ), ranked AS (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY gram
+                                    ORDER BY doc_id, pos) AS rn,
+                 count(*) OVER (PARTITION BY gram) AS cnt
+          FROM grams
+        ), removable AS (
+          SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rn > 1
+        ), cov AS (
+          SELECT DISTINCT doc_id, pos + u.off AS p
+          FROM removable, UNNEST(generate_series(0, 11)) AS u(off)
+        ), marked AS (
+          SELECT doc_id, p,
+                 CASE WHEN COALESCE(
+                        p - lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+                        2) > 1
+                      THEN 1 ELSE 0 END AS is_start
+          FROM cov
+        ), stats AS (
+          SELECT doc_id, COUNT(*) AS n_removed, SUM(is_start) AS n_spans
+          FROM marked GROUP BY doc_id
+        ), positions AS (
+          SELECT doc_id, u.i - 1 AS p, toks[u.i] AS tok
+          FROM eligible, UNNEST(generate_series(1, n)) AS u(i)
+        ), kept AS (
+          SELECT po.doc_id,
+                 array_to_string(list(po.tok ORDER BY po.p), ' ')
+                   AS kept_text
+          FROM positions po
+          ANTI JOIN cov c ON po.doc_id = c.doc_id AND po.p = c.p
+          GROUP BY po.doc_id
+        )
+        SELECT e.doc_id, e.n AS n_tokens,
+               CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_removed,
+               CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
+               COALESCE(k.kept_text, '') AS kept_text
+        FROM eligible e
+        LEFT JOIN stats s ON e.doc_id = s.doc_id
+        LEFT JOIN kept k ON e.doc_id = k.doc_id
+        ORDER BY e.doc_id
+        """,
+        "X2,X1",
+        "ExactSubstr dedup (Lee et al. 2022): duplicated 12-token spans "
+        "keep their globally first occurrence, all other occurrences "
+        "excised (merged per-doc intervals, text rebuilt) — gram-keyed "
+        "groupBy for (count, first), join-back tag, coverage explode "
+        "on the duplicated subset only; no suffix array, no n² scan",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering (round 7, STALEST-FIRST — VERDICT r06 item 2).
 # The driver verifies the first ~50 QUERIES entries per round. Slots 1-8:

@@ -727,3 +727,65 @@ def test_dhash_banding_exact_recall_to_hamming_7(spark):
     # within but 100+i > i pairs may appear reversed)
     expect = {(min(a, b), max(a, b)) for a, b in expect}
     assert got == expect and len(got) >= 12  # every planted twin found
+
+
+def test_exact_substring_dedup_surgery_semantics(spark):
+    """ExactSubstr (Lee et al. 2022 §4.1) hand-checkable corpus:
+    - docs A and B share a verbatim 4-token run; A is first by
+      (doc_id, pos) so A keeps it, B loses exactly those tokens as ONE
+      merged span;
+    - doc C is a verbatim copy of A → C empties out entirely;
+    - doc D shares nothing → untouched;
+    - doc E repeats a 4-gram WITHIN itself → second occurrence removed.
+    """
+    from mission_data_pipeline_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        (1, a),
+        (2, "intro words here quick brown fox jumps closing remark now"),
+        (3, a),  # whole-doc dup of 1
+        (4, "completely unrelated text with plenty distinct tokens inside"),
+        (5, "alpha beta gamma delta filler one alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(df, k=4).collect()
+    }
+    assert len(got) == 5
+    # A: first occurrence of every shared gram → intact
+    assert got[1]["n_removed"] == 0 and got[1]["kept_text"] == a
+    # B: loses exactly "quick brown fox jumps" as one merged span
+    assert got[2]["n_removed"] == 4 and got[2]["n_spans"] == 1
+    assert (
+        got[2]["kept_text"] == "intro words here closing remark now"
+    )
+    # C: whole-doc dup → fully excised
+    assert got[3]["n_removed"] == got[3]["n_tokens"] == 10
+    assert got[3]["kept_text"] == "" and got[3]["n_spans"] == 1
+    # D: untouched
+    assert got[4]["n_removed"] == 0 and got[4]["kept_text"] == rows[3][1]
+    # E: within-doc repeat — tail occurrence of "alpha beta gamma
+    # delta" removed, head kept
+    assert got[5]["n_removed"] == 4 and got[5]["n_spans"] == 1
+    assert got[5]["kept_text"] == "alpha beta gamma delta filler one"
+
+
+def test_exact_substring_dedup_short_docs_and_validation(spark):
+    from mission_data_pipeline_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "also short")], "doc_id long, text string"
+    )
+    # < k tokens → ineligible, dropped (a span shorter than k tokens
+    # cannot be a k-token duplicate)
+    assert exact_substring_dedup(df, k=4).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_substring_dedup(df, k=1)
