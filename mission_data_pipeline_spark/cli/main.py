@@ -160,5 +160,89 @@ def run(
         sys.exit(1)
 
 
+@cli.group()
+def query() -> None:
+    """Browse and run the declared query library.
+
+    Every entry is an oracle-checked operator demonstration from the
+    coverage map (COVERAGE.md / SURVEY.md §2) over the standard test
+    tables. Mirrors the reference's registry-driven CLI design
+    (``src/mdp/cli/main.py:29-225``: discoverable named components,
+    runnable by name) for the query surface.
+    """
+
+
+@query.command("list")
+@click.option("--tag", default=None,
+              help="substring filter on the SURVEY §2 id (e.g. X2, W, L)")
+@click.option("--grep", default=None,
+              help="substring filter on name or description")
+def query_list(tag: str | None, grep: str | None) -> None:
+    """List declared queries: NAME [SURVEY-ID] DESCRIPTION."""
+    from mission_data_pipeline_spark.plans.queries import QUERIES
+
+    n = 0
+    for name in sorted(QUERIES):
+        q = QUERIES[name]
+        if tag and tag.lower() not in q.survey_id.lower():
+            continue
+        if grep and (
+            grep.lower() not in name.lower()
+            and grep.lower() not in q.description.lower()
+        ):
+            continue
+        desc = " ".join(q.description.split())
+        if len(desc) > 90:
+            desc = desc[:87] + "..."
+        click.echo(f"{name:<40} [{q.survey_id}] {desc}")
+        n += 1
+    click.echo(f"{n} quer{'y' if n == 1 else 'ies'}")
+
+
+@query.command("run")
+@click.argument("name")
+@click.option("--sf", "sf_dir", default="/root/testdata/sf0.01",
+              show_default=True, help="directory of test-table parquet")
+@click.option("--explain", is_flag=True,
+              help="print the formatted physical plan instead of rows")
+@click.option("--max-rows", default=20, show_default=True)
+@click.option("--oracle", "show_oracle", is_flag=True,
+              help="print the DuckDB oracle SQL and exit (no Spark)")
+@click.option("--master", default="local[*]", show_default=True)
+def query_run(
+    name: str,
+    sf_dir: str,
+    explain: bool,
+    max_rows: int,
+    show_oracle: bool,
+    master: str,
+) -> None:
+    """Run (or explain) one declared query by name."""
+    from mission_data_pipeline_spark.plans.queries import QUERIES
+
+    if name not in QUERIES:
+        import difflib
+
+        close = difflib.get_close_matches(name, QUERIES, n=3)
+        hint = f" (did you mean: {', '.join(close)}?)" if close else ""
+        raise click.ClickException(f"unknown query {name!r}{hint}")
+    q = QUERIES[name]
+    if show_oracle:
+        if q.oracle is None:
+            raise click.ClickException(
+                f"{name} has no SQL oracle (non-SQL-expressible; "
+                "rows-only checked)"
+            )
+        click.echo(q.oracle.strip())
+        return
+    spark = get_spark(app_name=f"mdps-query-{name}", master=master)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = q.spark(spark, sf_dir)
+    if explain:
+        df.explain("formatted")
+        return
+    df.show(n=max_rows, truncate=40)
+
+
 if __name__ == "__main__":
     cli()

@@ -82,3 +82,50 @@ def test_run_unknown_stage_is_clean_error():
     r = CliRunner().invoke(cli, ["run", "--extractor", "nope=x.json"])
     assert r.exit_code != 0
     assert "registered" in r.output
+
+
+def test_query_list_and_filters():
+    r = CliRunner().invoke(cli, ["query", "list"])
+    assert r.exit_code == 0, r.output
+    assert "q1_pricing_summary" in r.output
+    assert "x2_substring_dedup" in r.output
+    # every declared query appears, count line matches the registry
+    from mission_data_pipeline_spark.plans.queries import QUERIES
+
+    assert f"{len(QUERIES)} queries" in r.output
+    r = CliRunner().invoke(cli, ["query", "list", "--tag", "X2"])
+    assert r.exit_code == 0
+    assert "x2_minhash_bands" in r.output and "q1_pricing_summary" not in r.output
+    r = CliRunner().invoke(cli, ["query", "list", "--grep", "pagerank"])
+    assert r.exit_code == 0 and "g_pagerank" in r.output
+
+
+def test_query_run_by_name(spark):
+    r = CliRunner().invoke(
+        cli,
+        ["query", "run", "d8_top_n_preview",
+         "--sf", "/root/testdata/sf0.001", "--master", "local[4]"],
+    )
+    assert r.exit_code == 0, r.output
+    assert "rows" in r.output or "+--" in r.output  # show() table rendered
+
+
+def test_query_run_explain(spark):
+    r = CliRunner().invoke(
+        cli,
+        ["query", "run", "q1_pricing_summary", "--explain",
+         "--sf", "/root/testdata/sf0.001", "--master", "local[4]"],
+    )
+    assert r.exit_code == 0, r.output
+    # Physical-plan markers reach the user: the point of --explain is
+    # auditing pushdown/codegen, so assert the sections exist
+    assert "Physical Plan" in r.output
+    assert "HashAggregate" in r.output
+
+
+def test_query_run_oracle_and_unknown():
+    r = CliRunner().invoke(cli, ["query", "run", "q1_pricing_summary", "--oracle"])
+    assert r.exit_code == 0 and "SELECT" in r.output.upper()
+    r = CliRunner().invoke(cli, ["query", "run", "q1_pricing_sumary"])
+    assert r.exit_code != 0
+    assert "did you mean" in r.output and "q1_pricing_summary" in r.output
