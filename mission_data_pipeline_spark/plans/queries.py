@@ -89,31 +89,52 @@ class Query:
     description: str = ""
 
 
-#: session -> sf_dir whose tables its views currently expose. Weak keys:
-#: a dead session's entry must not linger, because id()-style keys can be
-#: recycled onto a new session that has no temp views registered yet.
-_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+#: session -> (sf_dir, input_repartition) its views currently expose.
+#: Weak keys: a dead session's entry must not linger, because id()-style
+#: keys can be recycled onto a new session with no temp views yet.
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, tuple]" = (
     weakref.WeakKeyDictionary()
 )
+
+#: Adversarial-layout knob for the partitioning-invariance sweep
+#: (scripts/check_correctness.py --perturb): when set, every registered
+#: view is re-keyed through .repartition(n) so no query can silently
+#: depend on the parquet files' physical row order or split layout. A
+#: correct engine — commutative-exact accumulators (quantized BIGINT /
+#: DECIMAL sums), order-pinned windows, tie-broken ranks — produces
+#: bit-identical results under any layout; a raw-double cross-partition
+#: sum does not, which is exactly the defect class this exposes.
+_INPUT_REPARTITION: int | None = None
+
+
+def set_input_repartition(n: "int | None") -> None:
+    """Set (or clear with None) the adversarial input repartitioning."""
+    global _INPUT_REPARTITION
+    _INPUT_REPARTITION = n
 
 
 def register_views(spark: SparkSession, sf_dir: str, *, force: bool = False) -> None:
     """Register the test tables as temp views (events gains ts_ns/ts).
 
-    Memoized on the session's *current* sf_dir: every declared query
-    calls this, so without the memo a bench/correctness sweep re-reads
-    ten parquet footers and re-registers ten views per query — pure
-    fixed overhead that drowns real per-query deltas. Switching sf_dir
-    re-registers (the views always expose exactly one directory); the
-    tables are static driver-provided parquet, so a same-dir re-use can
-    never change results. Pass ``force=True`` after externally
-    replacing the files in place.
+    Memoized on the session's *current* (sf_dir, repartition) pair:
+    every declared query calls this, so without the memo a bench/
+    correctness sweep re-reads ten parquet footers and re-registers ten
+    views per query — pure fixed overhead that drowns real per-query
+    deltas. Switching sf_dir or the perturbation knob re-registers (the
+    views always expose exactly one layout); the tables are static
+    driver-provided parquet, so a same-key re-use can never change
+    results. Pass ``force=True`` after externally replacing the files
+    in place.
     """
-    if not force and _REGISTERED.get(spark) == sf_dir:
+    key = (sf_dir, _INPUT_REPARTITION)
+    if not force and _REGISTERED.get(spark) == key:
         return
     for name in TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _REGISTERED[spark] = sf_dir
+        df = load_table(spark, sf_dir, name)
+        if _INPUT_REPARTITION is not None:
+            df = df.repartition(_INPUT_REPARTITION)
+        df.createOrReplaceTempView(name)
+    _REGISTERED[spark] = key
 
 
 def _sql(spark_sql: str) -> Callable[[SparkSession, str], DataFrame]:

@@ -6,11 +6,24 @@ columns), and require exact value equality. Stricter than a hash match —
 if this passes, any reasonable hash normalization matches too.
 
 Usage: python scripts/check_correctness.py [name ...] [--sf DIR] [--lint]
+       [--perturb [--perturb-shuffle N] [--perturb-repartition M]]
 
 ``--lint`` additionally runs the plan-shape linter (plans/lint.py) on
 each query's executed plan and reports non-allowlisted anti-pattern
 nodes as failures — the same sweep ``tests/test_plan_shape.py`` pins,
 available here for one-off use on a subset or a different sf.
+
+``--perturb`` is the partitioning-invariance sweep: after the default
+run, each query re-executes under an adversarial layout
+(``spark.sql.shuffle.partitions`` = an awkward prime, every input view
+``.repartition()``-ed to a different prime) and the two result sets
+must be EXACTLY equal. The engine's determinism engineering (quantized
+BIGINT / DECIMAL accumulators, order-pinned windows, deterministic tie
+breaks) claims cross-partition reproducibility; this makes the claim
+machine-swept instead of per-operator asserted — a raw-double
+cross-partition sum passes a single-layout oracle check by accident of
+evaluation order and fails here. ``tests/test_partition_invariance.py``
+seeds exactly that defect to prove the harness catches it.
 """
 
 from __future__ import annotations
@@ -101,11 +114,43 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     return problems
 
 
+def run_perturbed(
+    spark,
+    fn,
+    sf_dir: str,
+    *,
+    shuffle_partitions: int = 7,
+    input_repartition: int = 13,
+) -> pd.DataFrame:
+    """Execute one query under an adversarial layout and return pandas.
+
+    Temporarily pins ``spark.sql.shuffle.partitions`` to an awkward
+    value and re-keys every registered input view through
+    ``.repartition(input_repartition)`` (plans.queries knob), then
+    restores both. The combination changes every exchange's partition
+    count AND the physical row order feeding every partial aggregate —
+    the two degrees of freedom a layout-sensitive operator can leak.
+    """
+    from mission_data_pipeline_spark.plans import queries as qmod
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    qmod.set_input_repartition(input_repartition)
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return fn(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        qmod.set_input_repartition(None)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--lint", action="store_true")
+    ap.add_argument("--perturb", action="store_true")
+    ap.add_argument("--perturb-shuffle", type=int, default=7)
+    ap.add_argument("--perturb-repartition", type=int, default=13)
     args = ap.parse_args()
     lint_allow: dict[str, set[str]] = {}
     if args.lint:
@@ -162,6 +207,23 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error")
             continue
         problems = compare(name, sdf, ddf)
+        if not problems and args.perturb:
+            try:
+                pdf = run_perturbed(
+                    spark,
+                    qs[name],
+                    args.sf,
+                    shuffle_partitions=args.perturb_shuffle,
+                    input_repartition=args.perturb_repartition,
+                )
+            except Exception as e:
+                problems = [
+                    f"PERTURBED SPARK ERROR: {type(e).__name__}: {str(e)[:300]}"
+                ]
+            else:
+                problems = [
+                    f"LAYOUT: {p}" for p in compare(name, pdf, sdf)
+                ]
         dt = time.time() - t0
         if problems:
             n_fail += 1
@@ -169,7 +231,8 @@ def main() -> int:
             print(f"FAIL  {name} ({dt:.1f}s)")
         else:
             n_pass += 1
-            print(f"pass  {name}: {len(sdf)} rows ({dt:.1f}s)")
+            tag = " [+layout]" if args.perturb else ""
+            print(f"pass  {name}: {len(sdf)} rows ({dt:.1f}s){tag}")
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
     for name, probs in failures.items():
