@@ -493,3 +493,96 @@ def test_ewma_stream_state_and_null_skip_across_batches(spark, tmp_path):
     assert rows[2] == (20.0, 15.0)       # state bridged null + batches
     with pytest.raises(ValueError):
         ewma_stream(stream, alpha=0.0)
+
+
+def test_streaming_ewma_restart_from_checkpoint(spark, tmp_path):
+    """Kill the stateful EWMA stream mid-run, restart from the SAME
+    checkpoint: per-channel smoothing state must survive the restart —
+    the state store replays committed state, the exactly-once parquet
+    file sink absorbs the aborted batch, and the final smoothed series
+    equals the uninterrupted recurrence bit-for-bit (VERDICT r07 item
+    6: the stream-stream join had this proof; the per-key state op did
+    not)."""
+    import json
+    import os
+    import time as _time
+
+    from mission_data_pipeline_spark.streaming.stateful import ewma_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = []
+    for i in range(80):
+        rows.append(
+            {
+                "key": i % 2,
+                "t_us": 1_000_000 + i * 1_000,
+                "event_id": i,
+                # deterministic mixed values; a couple of nulls exercise
+                # the null-skip path across the restart boundary
+                "value": None if i in (13, 47) else ((i * 37) % 101) / 7.0,
+            }
+        )
+    base_mtime = _time.time() - 100
+    for f in range(4):
+        p = src / f"f{f}.json"
+        p.write_text(
+            "\n".join(json.dumps(r) for r in rows[f * 20 : (f + 1) * 20])
+            + "\n"
+        )
+        # file source picks files up in mtime order — pin it so the
+        # time-ordered delivery contract holds deterministically
+        os.utime(p, (base_mtime + f, base_mtime + f))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(
+                "key long, t_us long, event_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        return (
+            ewma_stream(stream, alpha=0.3)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    n_partial = (
+        spark.read.parquet(out).count() if os.path.isdir(out) else 0
+    )
+    assert n_partial < 80, "stream finished before we could interrupt it"
+
+    q2 = start()
+    q2.awaitTermination(120)
+
+    got = {
+        r["event_id"]: r
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == 80  # exactly once: no dupes, no holes
+    # uninterrupted recurrence, replayed in plain IEEE float64
+    state: dict[int, float] = {}
+    for r in rows:  # already in (t_us, event_id) order per key
+        g = got[r["event_id"]]
+        if r["value"] is None:
+            assert g["ewma"] is None and g["value"] is None
+            continue
+        k = r["key"]
+        s = state.get(k)
+        s = r["value"] if s is None else 0.3 * r["value"] + 0.7 * s
+        state[k] = s
+        assert g["ewma"] == s, (r["event_id"], g["ewma"], s)
