@@ -12655,68 +12655,18 @@ _q(
 
 
 # ---------------------------------------------------------------------------
-# Driver-check ordering (round 7, STALEST-FIRST — VERDICT r06 item 2).
-# The driver verifies the first ~50 QUERIES entries per round. Slots 1-8:
-# every query whose plan or oracle changed this round (ewma null-skip
-# oracle, segment-dedup exact window keys, the WAV-decode family after
-# the fact-trim fix, Arrow UDTF, q5 staging memoization). Slots 9+: ALL
-# remaining queries ordered by the round they were last driver-checked
-# (oldest first, name tiebreak) — generated from the CORRECTNESS_r0*.json
-# history, so the r07 window lands on the 42 stalest (r01/r02-checked)
-# queries and cumulative freshness is maximal. Regenerate per round.
+# Driver-check ordering (round 8, STALEST-FIRST — VERDICT r07 item 2).
+# The driver verifies the first ~50 QUERIES entries per round. Slot 1:
+# the round-8 addition (x2_substring_dedup). Slots 2-43: the 42 queries
+# whose most recent driver check was still r01/r02 (the staleness tail
+# VERDICT r07 flagged — this window flushes it completely, so after r08
+# no query's latest driver check predates r03). Remaining slots: the
+# next-stalest (r03-checked) queries, name tiebreak. Generated from the
+# CORRECTNESS_r0*.json history; regenerate per round.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    "x5_tiff_pixel_stats",
-    "s_zip_archive_ingest",
-    "s_gzip_jsonl_ingest",
-    "w_holt_winters_seasonal",
-    "curation_url_canonical_dedup",
-    "g_triangle_count",
-    "g_label_propagation",
-    "w_holt_trend",
-    "agg_cms_heavy_hitters",
-    "x3_kmeans_lloyd",
-    "x5_avi_audio_stats",
-    "x5_flac_sample_stats",
-    "x5_image_dhash_near_dup",
-    "w3_streaming_ewma",
-    "l_hdf5_roundtrip",
-    "l_zorder_roundtrip",
-    "s_rs_frame_correction",
-    "x5_bmp_gif_pixel_stats",
-    "s_rs_frames_decom_e2e",
-    "w_ewma_sharded",
-    "w_ewma_smoothing",
-    "curation_segment_dedup",
-    "x5_audio_sample_stats",
-    "x5_g711_sample_stats",
-    "x5_adpcm_sample_stats",
-    "x5_media_stats",
-    "udtf_token_spans",
-    "q5_bucketed_broadcast_dims",
-    "correlated_scalar_subquery",
-    "d3_pivot_wide",
-    "d4_union_all",
-    "d8_top_n_preview",
-    "date_extract_parts",
-    "filter_between_range",
-    "j2_left_join_config",
-    "join_cross_small",
-    "join_full_outer",
-    "join_right",
-    "join_semi_exists",
-    "q3_shipping_priority",
-    "s2_unpivot_melt",
-    "set_intersect",
-    "set_union_distinct",
-    "t10_piecewise_clamp",
-    "t5_string_functions",
-    "t7_coalesce_fallback",
-    "t8_filter_exclude",
-    "t9_polynomial_calibration",
-    "w1_tumbling_window",
-    "w_lag_delta_gap",
+    "x2_substring_dedup",
     "w_moving_average",
     "w_rank_orders_by_priority",
     "w_row_number_first_events",
@@ -12771,129 +12721,6 @@ _CHECK_FIRST = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q1_pricing_summary",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "s2_native_unpivot",
-    "w1_native_tumbling_window",
-    "w1_streaming_tumbling",
-    "w4_native_session_window",
-    "w4_streaming_dedup",
-    "x1_incremental_dedup",
-    "x2_embedding_near_dup",
-    "x4_token_count_bpe",
-    "x5_frame_sample",
-    "agg_approx_percentile_bound",
-    "agg_hll_distinct_bound",
-    "agg_kll_quantile_bound",
-    "agg_theta_distinct_bound",
-    "agg_value_histogram",
-    "curation_chunk_tokens",
-    "curation_split_assign",
-    "curation_temperature_sample",
-    "curation_weighted_sample",
-    "grouping_sets_mixed",
-    "j_fuzzy_match_join",
-    "join_anti",
-    "join_null_safe_eq",
-    "rollup_flag_status",
-    "s3_filter_pushdown_in",
-    "set_bag_semantics_all",
-    "set_except",
-    "w_ewma_smooth",
-    "w_funnel_depth_histogram",
-    "w_retention_cohorts",
-    "w_scd2_intervals",
-    "w_streaming_static_enrich",
-    "w_streaming_stream_join",
-    "w_top_user_journeys",
-    "w_zscore_anomaly",
-    "x1_dedup_exact_hash",
-    "x3_ann_recall",
-    "x3_ivf_topk_ann",
-    "x3_kmeans_ivf_topk",
-    "x3_lsh_topk_ann",
-    "x4_winnow_fingerprint",
-    "x6_table_profile",
-    "agg_global_stats",
-    "agg_having",
-    "agg_salted_avg",
-    "asof_join_latest_purchase",
-    "case_bucketing",
-    "cube_priority_status",
-    "etl_binary_decom_calibrate_e2e",
-    "j1_broadcast_dim_join",
-    "j_hinted_shuffle_hash",
-    "j_salted_skew_join",
-    "l_csv_roundtrip",
-    "l_jsonl_roundtrip",
-    "l_merge_upsert_roundtrip",
-    "l_orc_roundtrip",
-    "l_parquet_roundtrip",
-    "q10_returned_items",
-    "q11_important_stock",
-    "s2_csv_source_e2e",
-    "s_jsonl_corrupt_quarantine",
-    "s_warc_ingest",
-    "udaf_grouped_median",
-    "w3_streaming_stateful_cumulative",
-    "w_streaming_foreachbatch_upsert",
-    "w_streaming_stream_join_restart",
-    "x2_minhash_bands",
-    "x2_ngram_jaccard_pairs",
-    "x2_simhash_fingerprint",
-    "x2_simhash_near_pairs",
-    "x3_pq_rerank_topk",
-    "x6_constraint_report",
-    "curation_c4_signals",
-    "curation_decontaminate",
-    "curation_leakage_safe_split",
-    "curation_quality_tiers",
-    "curation_token_packing",
-    "g_pagerank",
-    "j_aqe_skew_split",
-    "j_dynamic_partition_pruning",
-    "j_runtime_bloom_filter",
-    "l_compact_roundtrip",
-    "l_schema_evolution_merge",
-    "q3_bucketed_colocated",
-    "q5_nation_revenue",
-    "s1_ccsds_datasource_scan",
-    "s1_ccsds_streaming_tail",
-    "s_corrupt_file_skip",
-    "w4_sessionization",
-    "w_lttb_downsample",
-    "w_resample_grid_gapfill",
-    "x2_canonical_per_cluster",
-    "x2_duplicate_components",
-    "x2_duplicate_span_fraction",
-    "x2_lsh_near_dedup_survivors",
-    "x2_semantic_dedup",
-    "x3_ivf_disk_index_topk",
-    "x4_bigram_logprob",
-    "x4_bm25_relevance",
-    "x4_bpe_corpus_budget",
-    "x4_bpe_token_stats",
-    "x4_bpe_vocab_freq",
-    "x4_heldout_backoff_logprob",
-    "x4_lang_id_confusion",
-    "x4_linear_probe_fit",
-    "x4_repetition_signals",
-    "x4_tfidf_sparse",
-    "x4_top_terms",
-    "x4_unigram_logprob",
-    "x4_zipf_slope",
-    "x5_avi_meta_decode",
-    "x5_image_pixel_stats",
-    "x5_image_resize",
-    "x5_jpeg_pixel_stats",
-    "x5_multimodal_features",
-    "x5_video_frame_stats",
-    "x6_variant_json_shred",
 ]
 
 QUERIES = {
