@@ -1,0 +1,50 @@
+#!/usr/bin/env bash
+# Round ritual (VERDICT r07 items 1, 3, 4): the standing gates that must
+# be green before a round ends, in one runnable artifact. Each gate logs
+# to /tmp/round_gate_<name>.log; the script prints a one-line verdict
+# per gate and exits nonzero if any failed.
+#
+#   1. pytest              — full unit/integration suite
+#   2. sweep_sf001_lint    — all declared queries vs DuckDB oracles at
+#                            sf0.01, exact values + plan-shape lint
+#   3. perturb_sf001       — partitioning-invariance sweep: every query
+#                            re-run under adversarial layout (shuffle
+#                            partitions 7, inputs repartition(13)) and
+#                            exact-diffed against the default layout
+#   4. sweep_sfx1_lint     — the same oracle + lint sweep at 100x the
+#                            driver gate's data (/tmp/sfx1; regenerated
+#                            from the driver's sf0.1 tables if absent)
+#
+# Bench runs stay OUT of this script: timing needs a quiet box, and the
+# gates above saturate all cores for ~2-3 h combined. Run bench.py
+# separately (sf0.1 longitudinal + /tmp/sfx10 anchor, BASELINE.md).
+
+set -u
+cd "$(dirname "$0")/.."
+
+if [ ! -d /tmp/sfx1 ]; then
+    echo "== staging /tmp/sfx1 (10x replicas of the driver sf0.1 tables)"
+    python scripts/make_scaled_data.py --out /tmp/sfx1 --n 10 || exit 1
+fi
+
+overall=0
+run() {
+    local name=$1; shift
+    local t0=$SECONDS
+    echo "== $name: $*"
+    if "$@" > "/tmp/round_gate_${name}.log" 2>&1; then
+        echo "   PASS ($((SECONDS - t0))s)"
+    else
+        echo "   FAIL ($((SECONDS - t0))s) — /tmp/round_gate_${name}.log:"
+        tail -5 "/tmp/round_gate_${name}.log" | sed 's/^/   | /'
+        overall=1
+    fi
+}
+
+run pytest           python -m pytest tests/ -q
+run sweep_sf001_lint python scripts/check_correctness.py --lint
+run perturb_sf001    python scripts/check_correctness.py --perturb
+run sweep_sfx1_lint  python scripts/check_correctness.py --lint --sf /tmp/sfx1
+
+if [ "$overall" -eq 0 ]; then echo "ROUND GATE: GREEN"; else echo "ROUND GATE: RED"; fi
+exit $overall
