@@ -107,6 +107,10 @@ EXTENDED = [
     # co-occurrence graph, distributed full-corpus Lloyd k-means
     "g_triangle_count",
     "x3_kmeans_lloyd",
+    # round 8: ExactSubstr span surgery (gram-keyed first-occurrence
+    # dedup + per-doc interval merge), DSIR importance resampling
+    "x2_substring_dedup",
+    "curation_dsir_select",
 ]
 
 N_ETL_PACKETS = 200_000

@@ -301,3 +301,138 @@ def leakage_safe_split(
         seed=seed,
         out_col=out_col,
     ).drop("__split_group")
+
+
+def _hashed_gram_buckets(
+    docs: DataFrame,
+    *,
+    buckets: int,
+    text_col: str,
+    id_col: str,
+    hash_fn: str,
+) -> DataFrame:
+    """(doc_id, bucket) per unigram+bigram occurrence — DSIR's hashed
+    bag-of-ngrams featurization. ``hash_fn='md5'`` (default) is exactly
+    replayable in the DuckDB oracle; ``'xxhash64'`` is the cheap
+    JVM-side path for real deployments (same distributional semantics —
+    any uniform hash works for DSIR — but not SQL-twinnable)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    staged = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
+    # Stage the token array before HOF lambdas reference it (interpreted
+    # lambdas re-evaluate captured expressions per element).
+    unis = F.filter("__t", lambda t: F.length(t) > 0)
+    bis = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("__t", i), F.element_at("__t", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = staged.select(
+        "doc_id", F.explode(F.concat(unis, bis)).alias("gram")
+    )
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64("gram")
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    return grams.select("doc_id", F.pmod(h, F.lit(buckets)).alias("bucket"))
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    *,
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    pick the ``n`` raw-corpus documents whose hashed-ngram distribution
+    looks most like the ``target`` corpus, with Gumbel-noise resampling
+    so the selection is a sample from the importance weights rather
+    than a hard argmax. Returns the selected rows:
+    ``(doc_id, n_grams, logw, sel_key)``, ``sel_key`` descending.
+
+    Construction (all public, from the paper):
+    - featurize both corpora as hashed unigram+bigram bags into
+      ``buckets`` buckets;
+    - fit two add-``alpha``-smoothed categorical distributions p̂_target
+      and q̂_raw over the buckets (two partial-agg shuffles over the
+      gram tables; the fitted tables are ≤ ``buckets`` rows);
+    - per-doc importance weight ``log w = Σ_grams (ln p̂_t[b] − ln
+      q̂_r[b])`` via a broadcast join of the tiny log-ratio table onto
+      the exploded gram table and one doc-keyed partial agg;
+    - Gumbel-top-n: ``sel_key = logw + Gumbel(seeded md5 uniform)`` and
+      TakeOrderedAndProject keeps the per-partition top-n — no global
+      sort, no single-partition window.
+
+    Determinism engineering (the perturb sweep's contract): each
+    per-bucket log-ratio is rounded to 9 decimals then accumulated as
+    DECIMAL(20,9) — commutative-exact, layout-invariant — and cast back
+    via STRING (the repo's exact decimal→double convention). At 100 TB
+    everything that touches the corpus is map-side expression work plus
+    two gram-keyed partial aggs; only the O(buckets) model broadcasts.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    kw = dict(
+        buckets=buckets, text_col=text_col, id_col=id_col, hash_fn=hash_fn
+    )
+    raw_grams = _hashed_gram_buckets(raw, **kw)
+    tgt_grams = _hashed_gram_buckets(target, **kw)
+    rc = raw_grams.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tc = tgt_grams.groupBy("bucket").agg(F.count("*").alias("ct"))
+    counts = (
+        rc.join(tc, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("cr").alias("totr"), F.sum("ct").alias("tott")
+    )
+    a, b = float(alpha), float(buckets)
+    model = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("ct") + a) / (F.col("tott") + a * b))
+            - F.log((F.col("cr") + a) / (F.col("totr") + a * b)),
+            9,
+        ).alias("lr"),
+    )
+    scored = (
+        raw_grams.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.sum(F.col("lr").cast("decimal(20,9)"))
+                .cast("string")
+                .cast("double"),
+                6,
+            ).alias("logw"),
+        )
+    )
+    # +0.5 keeps u strictly inside (0,1): u=1 would hit ln(0), whose
+    # result differs across engines (Spark NULL vs DuckDB -inf).
+    u = (_seeded_hash(["doc_id"], seed) + F.lit(0.5)).cast(
+        "double"
+    ) / F.lit(float(1 << 32))
+    gumbel = F.round(-F.log(-F.log(u)), 9)
+    return (
+        scored.withColumn("sel_key", F.round(F.col("logw") + gumbel, 6))
+        .orderBy(F.desc("sel_key"), "doc_id")
+        .limit(n)
+    )

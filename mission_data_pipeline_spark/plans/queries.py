@@ -860,7 +860,16 @@ def _bloom_filter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in knobs.items():
             spark.conf.set(k, v)
         plan = out._jdf.queryExecution().optimizedPlan().toString()
-        if "might_contain" not in plan.lower():
+        # The assert pins the DEFAULT plan shape. Under the perturb
+        # sweep's adversarial input .repartition() the non-injection is
+        # Catalyst behaving correctly — InjectRuntimeFilter only fires
+        # when the probe side is a plain scan-shaped subtree, and a
+        # user-specified Repartition is not one — so only the VALUES
+        # are checked in that mode (the sweep's job).
+        if (
+            "might_contain" not in plan.lower()
+            and _INPUT_REPARTITION is None
+        ):
             raise RuntimeError(
                 "runtime bloom filter was not injected below the fact "
                 "shuffle:\n" + plan[:3000]
@@ -12654,6 +12663,104 @@ _q(
 )
 
 
+def _dsir_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/sampling.py dsir_select —
+    Xie et al. 2023): select the 25 raw-corpus docs whose hashed
+    unigram+bigram distribution is most target-like (target = the 'en'
+    slice), Gumbel-noise resampled from the importance weights. md5
+    bucket hash so the oracle replays the exact feature space; per-
+    bucket log-ratios rounded to 9 then DECIMAL-summed (layout-
+    invariant under the perturb sweep)."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.sampling import dsir_select
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return dsir_select(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+        25,
+        buckets=4096,
+        seed=9,
+    )
+
+
+_q(
+    "curation_dsir_select",
+    Query(
+        _dsir_spark,
+        r"""
+        WITH raw_toks AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents
+        ), tgt_toks AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents WHERE lang = 'en'
+        ), raw_b AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)
+                   % 4096 AS bucket
+          FROM (SELECT doc_id, unnest(list_concat(
+                  list_filter(t, x -> length(x) > 0),
+                  CASE WHEN len(t) >= 2
+                       THEN list_transform(generate_series(1, len(t) - 1),
+                                           i -> t[i] || ' ' || t[i+1])
+                       ELSE []::VARCHAR[] END)) AS gram
+                FROM raw_toks)
+        ), tgt_b AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)
+                   % 4096 AS bucket
+          FROM (SELECT doc_id, unnest(list_concat(
+                  list_filter(t, x -> length(x) > 0),
+                  CASE WHEN len(t) >= 2
+                       THEN list_transform(generate_series(1, len(t) - 1),
+                                           i -> t[i] || ' ' || t[i+1])
+                       ELSE []::VARCHAR[] END)) AS gram
+                FROM tgt_toks)
+        ), rc AS (
+          SELECT bucket, COUNT(*) AS cr FROM raw_b GROUP BY bucket
+        ), tc AS (
+          SELECT bucket, COUNT(*) AS ct FROM tgt_b GROUP BY bucket
+        ), counts AS (
+          SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+                 COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
+          FROM rc FULL JOIN tc ON rc.bucket = tc.bucket
+        ), tot AS (
+          SELECT SUM(cr) AS totr, SUM(ct) AS tott FROM counts
+        ), model AS (
+          SELECT bucket,
+                 ROUND(ln((ct + 1.0) / (tott + 1.0 * 4096))
+                       - ln((cr + 1.0) / (totr + 1.0 * 4096)), 9) AS lr
+          FROM counts CROSS JOIN tot
+        ), scored AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 ROUND(CAST(CAST(SUM(CAST(lr AS DECIMAL(20,9)))
+                       AS STRING) AS DOUBLE), 6) AS logw
+          FROM raw_b JOIN model USING (bucket) GROUP BY doc_id
+        )
+        SELECT doc_id, n_grams, logw,
+               ROUND(logw + ROUND(-ln(-ln(
+                 (CAST(('0x' || substr(md5('9|' || CAST(doc_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) + 0.5) / 4294967296.0)), 9), 6)
+                 AS sel_key
+        FROM scored
+        ORDER BY sel_key DESC, doc_id LIMIT 25
+        """,
+        "X-curation",
+        "DSIR importance resampling (Xie et al. 2023): hashed-ngram bag "
+        "distributions fitted on target and raw corpora (add-1 "
+        "smoothing), per-doc log importance weight via broadcast "
+        "log-ratio model join + one doc-keyed partial agg, Gumbel-top-n "
+        "selection as TakeOrderedAndProject — corpus never shuffles "
+        "beyond two gram-keyed partial aggs; model is O(buckets)",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering (round 8, STALEST-FIRST — VERDICT r07 item 2).
 # The driver verifies the first ~50 QUERIES entries per round. Slot 1:
@@ -12667,6 +12774,7 @@ _q(
 
 _CHECK_FIRST = [
     "x2_substring_dedup",
+    "curation_dsir_select",
     "w_moving_average",
     "w_rank_orders_by_priority",
     "w_row_number_first_events",

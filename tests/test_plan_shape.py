@@ -36,6 +36,9 @@ ALLOW: dict[str, set[str]] = {
     "curation_quality_tiers": {"nested-loop-join"},
     "curation_mixture_sample": {"nested-loop-join"},
     "curation_temperature_sample": {"nested-loop-join"},
+    # one-row (totr, tott) corpus-total broadcast onto the O(buckets)
+    # DSIR model table — scalar-statistic attach, corpus never crosses
+    "curation_dsir_select": {"nested-loop-join"},
     # deliberate small cross join (the declared CROSS JOIN demo; 5x5 dims)
     "join_cross_small": {"nested-loop-join"},
     # bounded probe-side similarity: the broadcast side is a fixed id

@@ -316,3 +316,58 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         ).collect()
     }
     assert again == rows
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR semantics: raw docs drawn from the target's vocabulary must
+    out-weigh docs from a disjoint vocabulary. Target speaks 'alpha
+    beta gamma...'; raw has 6 target-like and 6 off-vocabulary docs —
+    a top-6 selection must be exactly the target-like ones, and their
+    logw must all exceed every off-target logw."""
+    from mission_data_pipeline_spark.operators.sampling import dsir_select
+
+    tgt_words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    off_words = ["uno", "dos", "tres", "cuatro", "cinco", "seis"]
+
+    def sent(words, i):
+        return " ".join(words[(i + j) % len(words)] for j in range(8))
+
+    target = spark.createDataFrame(
+        [(100 + i, sent(tgt_words, i)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, sent(tgt_words, i)) for i in range(6)]
+        + [(10 + i, sent(off_words, i)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    all_scored = dsir_select(raw, target, 12, buckets=512, seed=1)
+    rows = {r["doc_id"]: r for r in all_scored.collect()}
+    like = [rows[i]["logw"] for i in range(6)]
+    off = [rows[10 + i]["logw"] for i in range(6)]
+    assert min(like) > max(off), (like, off)
+    top6 = {r["doc_id"] for r in dsir_select(
+        raw, target, 6, buckets=512, seed=1).collect()}
+    assert top6 == set(range(6))
+
+
+def test_dsir_select_validation_and_determinism(spark):
+    from mission_data_pipeline_spark.operators.sampling import dsir_select
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dsir_select(df, df, 0)
+    with _pytest.raises(ValueError):
+        dsir_select(df, df, 1, buckets=1)
+    with _pytest.raises(ValueError):
+        dsir_select(df, df, 1, hash_fn="sha1")
+    # same inputs + seed -> identical selection under different layouts
+    a = dsir_select(df, df, 2, seed=5).collect()
+    b = dsir_select(df.repartition(7), df.repartition(3), 2, seed=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # xxhash64 fast path runs and returns the same row count
+    assert dsir_select(df, df, 2, hash_fn="xxhash64").count() == 2
