@@ -108,9 +108,11 @@ EXTENDED = [
     "g_triangle_count",
     "x3_kmeans_lloyd",
     # round 8: ExactSubstr span surgery (gram-keyed first-occurrence
-    # dedup + per-doc interval merge), DSIR importance resampling
+    # dedup + per-doc interval merge), DSIR importance resampling,
+    # FineWeb-style composed curation capstone
     "x2_substring_dedup",
     "curation_dsir_select",
+    "curation_e2e_pipeline",
 ]
 
 N_ETL_PACKETS = 200_000

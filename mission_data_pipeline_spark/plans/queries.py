@@ -12761,6 +12761,102 @@ _q(
 )
 
 
+def _curation_e2e_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation capstone: the canonical FineWeb/C4-style pipeline as ONE
+    composed plan — language gate → quality gates (length, token count,
+    stopword evidence) → exact dedup (first occurrence by content hash)
+    → PII scrub (operators/text.py scrub_text) → per-source funnel
+    stats. Every stage is an already-oracled operator; this query pins
+    that they COMPOSE (the production shape: one job, one pass over the
+    corpus, stages fused by Catalyst). Scale shape: the gates and the
+    scrub are map-side expressions; the only shuffles are the dedup's
+    content-hash window and the final source-keyed partial agg."""
+    from pyspark.sql import Window, functions as F
+
+    from mission_data_pipeline_spark.operators.text import scrub_text
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    gated = (
+        docs.filter(F.col("lang") == "en")
+        .withColumn("n_tokens", F.expr(_TOKENS))
+        .withColumn("n_chars", F.length("text"))
+    )
+    quality = gated.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_chars") >= 50)
+        & (F.expr(_occurrences("the")) + F.expr(_occurrences("a")) > 0)
+    )
+    w = Window.partitionBy(F.md5(F.lower(F.col("text")))).orderBy("doc_id")
+    survivors = (
+        quality.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    scrubbed = scrub_text(survivors)
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_out"),
+            F.sum("n_tokens").cast("long").alias("tokens_out"),
+            F.count_distinct(F.md5("text")).alias("n_unique_scrubbed"),
+            F.sum(F.length("text")).cast("long").alias("chars_out"),
+        )
+        .orderBy("source")
+    )
+
+
+_q(
+    "curation_e2e_pipeline",
+    Query(
+        _curation_e2e_spark,
+        rf"""
+        WITH gated AS (
+          SELECT doc_id, source, text,
+                 {_TOKENS} AS n_tokens, LENGTH(text) AS n_chars
+          FROM documents
+          WHERE lang = 'en'
+        ), quality AS (
+          SELECT * FROM gated
+          WHERE n_tokens >= 10 AND n_chars >= 50
+            AND ({_occurrences('the')} + {_occurrences('a')}) > 0
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY MD5(LOWER(text))
+                                       ORDER BY doc_id) AS rn
+          FROM quality
+        ), scrubbed AS (
+          SELECT doc_id, source, n_tokens,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}',
+                         '<EMAIL>', 'g'),
+                       'https?://[^\s]+', '<URL>', 'g'),
+                     '\b\d{{3}}[-.]\d{{3,4}}[-.]\d{{4}}\b', '<PHONE>', 'g'),
+                   '\b\d{{13,19}}\b', '<LONGNUM>', 'g') AS text
+          FROM ranked WHERE rn = 1
+        )
+        SELECT source,
+               COUNT(*) AS n_docs_out,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_out,
+               CAST(COUNT(DISTINCT MD5(text)) AS BIGINT)
+                 AS n_unique_scrubbed,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS chars_out
+        FROM scrubbed
+        GROUP BY source
+        ORDER BY source
+        """,
+        "X-curation",
+        "curation capstone: lang gate -> quality gates -> exact "
+        "first-occurrence dedup -> PII scrub -> per-source funnel, "
+        "composed as ONE Catalyst plan (map-side gates/scrub fused; "
+        "shuffles only at the content-hash dedup window and the final "
+        "source agg) — pins that the oracled stages compose",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering (round 8, STALEST-FIRST — VERDICT r07 item 2).
 # The driver verifies the first ~50 QUERIES entries per round. Slot 1:
@@ -12775,6 +12871,7 @@ _q(
 _CHECK_FIRST = [
     "x2_substring_dedup",
     "curation_dsir_select",
+    "curation_e2e_pipeline",
     "w_moving_average",
     "w_rank_orders_by_priority",
     "w_row_number_first_events",
