@@ -582,15 +582,30 @@ def exact_substring_dedup(
     Lee et al. operator (``duplicate_span_fraction``) only *scores*
     span duplication; this one performs the surgery. The reference
     suffix-array construction is a single-node in-memory algorithm;
-    the distributed shape here is gram-keyed: explode to position
-    grams, one groupBy on the gram key for (count, first-occurrence),
-    join back to tag removable occurrences, interval-merge per doc.
-    Every shuffle is proportional to the token table (grams) or to the
-    duplicated subset (coverage) — no suffix array, no pairwise scan.
+    the distributed shape here is gram-keyed: one gram-keyed partial-
+    agg shuffle yields (count, first-occurrence), a join back tags
+    removable occurrences, and a doc-keyed interval merge rebuilds the
+    text. Every shuffle is token-table- or duplicated-subset-
+    proportional — no suffix array, no pairwise scan.
 
-    Gram keys shuffle as ``xxhash64(gram)`` (8 bytes, not ~100-byte
-    strings); a 64-bit collision could only over-remove a span, and
-    the exact string-grouped DuckDB oracle would surface it. Like the
+    Plan-shape decisions (measured at 100x bench scale on a ~90%-
+    duplicated corpus, 90 s → 22 s):
+    - gram keys come from ``xxhash64`` over ``k`` lead() window columns
+      of the exploded token table — whole-stage-codegen JVM hashing of
+      token values directly, replacing an interpreted higher-order
+      ``concat_ws(slice(...))`` per position that re-copied every token
+      ``k`` times into strings before hashing (2x on the gram stage);
+    - per-doc coverage is computed by sorting each doc's removable
+      START positions and merging ``[s, s+k-1]`` intervals in one
+      ``aggregate`` fold — O(starts) integer state per doc, replacing a
+      corpus x k coverage-position explode + distinct whose shuffle
+      dominated everything on heavily-duplicated corpora;
+    - text reconstruction is a map-side position filter against the
+      merged intervals after one doc-keyed join — documents that lost
+      nothing never leave expression land.
+
+    A 64-bit gram-key collision could only over-remove a span, and the
+    exact string-grouped DuckDB oracle would surface it. Like the
     paper's own implementation, "keep one occurrence" is best-effort
     under overlap: the kept occurrence's tokens may still be removed
     if a *different* duplicated gram covers them.
@@ -601,16 +616,21 @@ def exact_substring_dedup(
     staged = docs.filter(F.size(toks) >= k).select(
         F.col(id_col).alias("doc_id"), toks.alias("__toks")
     )
-    # __toks staged as a projection first: higher-order lambdas run
-    # interpreted, so an inline split() would re-tokenize per gram
-    # position (O(tokens^2) per doc — see duplicate_span_fraction).
-    gram_list = F.transform(
-        F.sequence(F.lit(0), F.size("__toks") - k),
-        lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, k)),
+    pos = staged.select(
+        "doc_id", F.posexplode("__toks").alias("pos", "tok")
     )
-    grams = staged.select(
-        "doc_id", F.posexplode(gram_list).alias("pos", "gram")
-    ).select("doc_id", "pos", F.xxhash64("gram").alias("__gh"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    grams = (
+        pos.select(
+            "doc_id",
+            "pos",
+            F.xxhash64(*leads).alias("__gh"),
+            F.lead("pos", k - 1).over(w).alias("__end"),
+        )
+        .filter(F.col("__end").isNotNull())  # full-length grams only
+        .drop("__end")
+    )
     # One gram-keyed partial-agg shuffle yields both the corpus count
     # and the canonical first occurrence (min struct = lexicographic
     # (doc_id, pos) — the survivor Lee et al. keep).
@@ -628,52 +648,73 @@ def exact_substring_dedup(
         )
         .select("doc_id", "pos")
     )
-    # Coverage explodes only the REMOVABLE occurrences by k (the
-    # duplicated tail, typically a small corpus fraction), then
-    # distinct-merges overlaps on (doc_id, position).
-    cov = removable.select(
-        "doc_id",
-        F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("p"),
-    ).distinct()
-    w = Window.partitionBy("doc_id").orderBy("p")
-    stats = (
-        cov.withColumn(
-            "__start",
-            F.when(
-                F.coalesce(F.col("p") - F.lag("p").over(w), F.lit(2)) > 1, 1
-            ).otherwise(0),
+    # Sorted removable starts -> merged covered intervals, one
+    # aggregate fold per doc (chained when(): the tail element is only
+    # read once the array is known non-empty — ANSI-safe).
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    intervals = F.aggregate(
+        "__starts",
+        empty,
+        lambda acc, s: F.when(
+            F.size(acc) == 0,
+            F.array(F.struct(s.alias("s"), (s + (k - 1)).alias("e"))),
         )
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_removed"),
-            F.sum("__start").alias("n_spans"),
+        .when(
+            s > F.element_at(acc, -1)["e"] + 1,
+            F.concat(
+                acc,
+                F.array(F.struct(s.alias("s"), (s + (k - 1)).alias("e"))),
+            ),
         )
-    )
-    positions = staged.select(
-        "doc_id", F.posexplode("__toks").alias("p", "tok")
-    )
-    kept = (
-        positions.join(cov, ["doc_id", "p"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                    lambda s: s["tok"],
+        .otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        (s + (k - 1)).alias("e"),
+                    )
                 ),
-                " ",
-            ).alias("kept_text")
-        )
+            )
+        ),
     )
-    return (
-        staged.select("doc_id", F.size("__toks").alias("n_tokens"))
-        .join(stats, "doc_id", "left")
-        .join(kept, "doc_id", "left")
+    per_doc = (
+        removable.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("__starts"))
+        .select("doc_id", intervals.alias("__iv"))
         .select(
             "doc_id",
-            "n_tokens",
+            "__iv",
+            F.aggregate(
+                "__iv",
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + (v["e"] - v["s"] + 1),
+            ).alias("n_removed"),
+            F.size("__iv").cast("long").alias("n_spans"),
+        )
+    )
+    covered = lambda i, iv: F.exists(  # noqa: E731
+        iv, lambda v: (i >= v["s"]) & (i <= v["e"])
+    )
+    return (
+        staged.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("__toks").alias("n_tokens"),
             F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.when(
+                F.col("__iv").isNull(), F.concat_ws(" ", "__toks")
+            )
+            .otherwise(
+                F.array_join(
+                    F.filter(
+                        "__toks",
+                        lambda t, i: ~covered(i, F.col("__iv")),
+                    ),
+                    " ",
+                )
+            )
+            .alias("kept_text"),
         )
     )
