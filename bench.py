@@ -113,6 +113,7 @@ EXTENDED = [
     "x2_substring_dedup",
     "curation_dsir_select",
     "curation_e2e_pipeline",
+    "x2_incremental_near_dedup",
 ]
 
 N_ETL_PACKETS = 200_000

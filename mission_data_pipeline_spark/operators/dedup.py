@@ -121,17 +121,7 @@ def lsh_candidate_pairs(
     Docs agreeing on ALL rows of any band collide. The join key is
     (band, band_hash) — shuffle is proportional to collisions, never n².
     """
-    banded = (
-        signatures.withColumn("band", F.col("seed") % bands)
-        .groupBy("doc_id", "band")
-        .agg(
-            F.xxhash64(
-                F.concat_ws(
-                    ",", F.sort_array(F.collect_list(F.col("minhash").cast("string")))
-                )
-            ).alias("band_hash")
-        )
-    )
+    banded = band_signatures(signatures, bands=bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -718,3 +708,97 @@ def exact_substring_dedup(
             .alias("kept_text"),
         )
     )
+
+
+def band_signatures(signatures: DataFrame, *, bands: int = 4) -> DataFrame:
+    """(doc_id, band, band_hash) from per-seed minhashes — the stored
+    LSH index shape. ``band_hash`` fingerprints the band's sorted
+    minima; docs agreeing on ALL rows of a band collide. This is the
+    table a production ingest pipeline MATERIALIZES for the existing
+    corpus (parquet, partitioned by band) so that new batches join
+    against it without ever re-featurizing the corpus."""
+    return (
+        signatures.withColumn("band", F.col("seed") % bands)
+        .groupBy("doc_id", "band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(F.col("minhash").cast("string"))
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
+def incremental_near_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest near-dedup: keep only the rows of ``batch``
+    that are NOT near-duplicates of the existing ``corpus`` — the
+    production crawl-ingest shape (the near-dup twin of the exact
+    content-hash anti-join in ``x1_incremental_dedup``).
+
+    Only the BATCH is fully featurized. The corpus side needs its LSH
+    band index (:func:`band_signatures` — at scale a stored table,
+    recomputed here from ``corpus`` for self-containment) plus gram
+    sets for the verification step, which touch only the candidate
+    docs. Batch band hashes join the corpus index on (band, band_hash)
+    — shuffle proportional to the batch and its collisions, never
+    batch x corpus — and candidates are confirmed with exact n-gram
+    Jaccard before a batch row is dropped. Batch-internal duplicates
+    are NOT collapsed here (that is a corpus-build step, see
+    ``near_dedup_minhash``); this operator answers "is it new?".
+    """
+    gb = shingles(batch, n=n, text_col=text_col, id_col=id_col)
+    gc = shingles(corpus, n=n, text_col=text_col, id_col=id_col)
+    sb = minhash_signatures(gb, num_hashes=num_hashes)
+    sc = minhash_signatures(gc, num_hashes=num_hashes)
+    bb = band_signatures(sb, bands=bands)
+    bc = band_signatures(sc, bands=bands)
+    cand = (
+        bb.alias("b")
+        .join(
+            bc.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.band_hash") == F.col("c.band_hash")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(gb.withColumnRenamed("doc_id", "batch_id"), "batch_id")
+        .join(
+            gc.withColumnRenamed("doc_id", "corpus_id"),
+            ["corpus_id", "gram"],
+        )
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    szb = gb.groupBy("doc_id").agg(F.count("*").alias("n_b"))
+    szc = gc.groupBy("doc_id").agg(F.count("*").alias("n_c"))
+    dups = (
+        inter.join(szb.withColumnRenamed("doc_id", "batch_id"), "batch_id")
+        .join(szc.withColumnRenamed("doc_id", "corpus_id"), "corpus_id")
+        .filter(
+            F.col("n_inter")
+            / (F.col("n_b") + F.col("n_c") - F.col("n_inter"))
+            >= threshold
+        )
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dups, on=id_col, how="left_anti")

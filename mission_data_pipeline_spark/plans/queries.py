@@ -12857,6 +12857,130 @@ _q(
 )
 
 
+def _incremental_near_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest NEAR-dedup (operators/dedup.py
+    incremental_near_dedup) — the near-dup twin of x1_incremental_dedup:
+    a new batch (20 appended-tail near-copies of corpus docs + 20
+    genuinely new docs) is gated against the existing corpus via its
+    LSH band index; only the batch featurizes, candidates verify with
+    exact n-gram Jaccard, near-copies drop, new docs survive."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        incremental_near_dedup,
+    )
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    corpus = docs.filter(F.col("doc_id") < 80).select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + 50000).alias("doc_id"),
+            F.concat("text", F.lit(" extra tail tokens tacked on")).alias(
+                "text"
+            ),
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") >= 100) & (F.col("doc_id") < 120)
+            ).select((F.col("doc_id") + 60000).alias("doc_id"), "text")
+        )
+    )
+    out = incremental_near_dedup(
+        batch, corpus, n=2, num_hashes=8, bands=4, threshold=0.6
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
+_q(
+    "x2_incremental_near_dedup",
+    Query(
+        _incremental_near_dedup_spark,
+        r"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 80
+        ), batch AS (
+          SELECT doc_id + 50000 AS doc_id,
+                 text || ' extra tail tokens tacked on' AS text
+          FROM documents WHERE doc_id < 20
+          UNION ALL
+          SELECT doc_id + 60000 AS doc_id, text
+          FROM documents WHERE doc_id >= 100 AND doc_id < 120
+        ), gc AS (
+          SELECT * FROM (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(toks, CAST(i AS INT) + 1,
+                                              CAST(i AS INT) + 2), ' ') AS gram
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '\s+') AS toks
+                  FROM corpus),
+                 UNNEST(range(0, greatest(len(toks) - 2, 0) + 1)) AS t(i))
+          WHERE length(gram) > 0
+        ), gb AS (
+          SELECT * FROM (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(toks, CAST(i AS INT) + 1,
+                                              CAST(i AS INT) + 2), ' ') AS gram
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '\s+') AS toks
+                  FROM batch),
+                 UNNEST(range(0, greatest(len(toks) - 2, 0) + 1)) AS t(i))
+          WHERE length(gram) > 0
+        ), hc AS (
+          SELECT g.doc_id, s.seed,
+                 MIN(CAST(('0x' || SUBSTR(MD5(CAST(s.seed AS VARCHAR)
+                       || ':' || g.gram), 1, 12)) AS BIGINT)) AS minhash
+          FROM gc g CROSS JOIN (SELECT UNNEST(range(0, 8)) AS seed) s
+          GROUP BY g.doc_id, s.seed
+        ), hb AS (
+          SELECT g.doc_id, s.seed,
+                 MIN(CAST(('0x' || SUBSTR(MD5(CAST(s.seed AS VARCHAR)
+                       || ':' || g.gram), 1, 12)) AS BIGINT)) AS minhash
+          FROM gb g CROSS JOIN (SELECT UNNEST(range(0, 8)) AS seed) s
+          GROUP BY g.doc_id, s.seed
+        ), bc AS (
+          SELECT doc_id, seed % 4 AS band,
+                 array_to_string(list_sort(list(CAST(minhash AS VARCHAR))),
+                                 ',') AS sig
+          FROM hc GROUP BY doc_id, seed % 4
+        ), bb AS (
+          SELECT doc_id, seed % 4 AS band,
+                 array_to_string(list_sort(list(CAST(minhash AS VARCHAR))),
+                                 ',') AS sig
+          FROM hb GROUP BY doc_id, seed % 4
+        ), cand AS (
+          SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+          FROM bb b JOIN bc c ON b.band = c.band AND b.sig = c.sig
+        ), inter AS (
+          SELECT p.batch_id, p.corpus_id, COUNT(*) AS n_inter
+          FROM cand p
+          JOIN gb ON gb.doc_id = p.batch_id
+          JOIN gc ON gc.doc_id = p.corpus_id AND gc.gram = gb.gram
+          GROUP BY p.batch_id, p.corpus_id
+        ), szb AS (SELECT doc_id, COUNT(*) AS n FROM gb GROUP BY doc_id),
+        szc AS (SELECT doc_id, COUNT(*) AS n FROM gc GROUP BY doc_id),
+        dups AS (
+          SELECT DISTINCT i.batch_id AS doc_id
+          FROM inter i
+          JOIN szb ON szb.doc_id = i.batch_id
+          JOIN szc ON szc.doc_id = i.corpus_id
+          WHERE CAST(i.n_inter AS DOUBLE)
+                / (szb.n + szc.n - i.n_inter) >= 0.6
+        )
+        SELECT b.doc_id FROM batch b
+        WHERE b.doc_id NOT IN (SELECT doc_id FROM dups)
+        ORDER BY b.doc_id
+        """,
+        "X2,X1",
+        "incremental ingest near-dedup: new batch gated against the "
+        "existing corpus's LSH band index (batch-only featurization, "
+        "band-keyed join, exact Jaccard verify on candidates only) — "
+        "near-copies drop, new docs survive; oracle replays every stage",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering (round 8, STALEST-FIRST — VERDICT r07 item 2).
 # The driver verifies the first ~50 QUERIES entries per round. Slot 1:
@@ -12872,6 +12996,7 @@ _CHECK_FIRST = [
     "x2_substring_dedup",
     "curation_dsir_select",
     "curation_e2e_pipeline",
+    "x2_incremental_near_dedup",
     "w_moving_average",
     "w_rank_orders_by_priority",
     "w_row_number_first_events",

@@ -789,3 +789,39 @@ def test_exact_substring_dedup_short_docs_and_validation(spark):
 
     with _pytest.raises(ValueError):
         exact_substring_dedup(df, k=1)
+
+
+def test_incremental_near_dedup_gates_batch_against_corpus(spark):
+    """Batch rows near-duplicating a corpus doc must drop; genuinely new
+    rows survive; batch-internal twins are NOT collapsed (corpus-build
+    concern, documented)."""
+    from mission_data_pipeline_spark.operators.dedup import (
+        incremental_near_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near river"),
+            (2, "completely different corpus text about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-copy of corpus doc 1 (tail appended) -> drop
+            (10, "the quick brown fox jumps over the lazy dog near river extra"),
+            # brand-new -> survive
+            (11, "unrelated fresh content with tokens nobody used before today"),
+            # batch-internal twins of each other, no corpus match -> BOTH survive
+            (12, "twin sentence alpha beta gamma delta epsilon zeta eta theta"),
+            (13, "twin sentence alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_near_dedup(
+            batch, corpus, n=2, num_hashes=8, bands=4, threshold=0.6
+        ).collect()
+    )
+    assert kept == [11, 12, 13]
