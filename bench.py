@@ -114,6 +114,7 @@ EXTENDED = [
     "curation_dsir_select",
     "curation_e2e_pipeline",
     "x2_incremental_near_dedup",
+    "x3_hard_negative_mining",
 ]
 
 N_ETL_PACKETS = 200_000

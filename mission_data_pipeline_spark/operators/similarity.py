@@ -1068,3 +1068,101 @@ def pq_topk_rerank(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    *,
+    k: int = 5,
+    margin: "float | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each anchor, the
+    ``k`` most-similar corpus items with a DIFFERENT label — the
+    near-the-decision-boundary negatives that make triplet/contrastive
+    batches informative. Returns ``(query_id, neighbor_id,
+    neighbor_label, cosine, rank, pos_cosine)`` where ``pos_cosine`` is
+    the anchor's nearest SAME-label cosine (its hardest positive).
+
+    With ``margin`` set, negatives are restricted to the SEMI-HARD band
+    of Schroff et al. 2015 (FaceNet §3.2), translated to cosine:
+    ``pos_cosine > cosine >= pos_cosine - margin`` — harder than "easy"
+    negatives but not harder than the positive (those invert the
+    gradient). Anchors without any same-label neighbor pass ``margin``
+    unfiltered (pos_cosine NULL).
+
+    Scale shape: the anchor batch is bounded by contract (same as
+    cosine_topk / knn); the corpus is scanned once against the
+    broadcast anchors, all-JVM expression cosines (no Python), and only
+    per-anchor windows rank the scored rows. Ranking happens AFTER the
+    semi-hard filter so ``rank <= k`` selects the k hardest negatives
+    WITHIN the band. Cosines round before ranking (``round_digits``)
+    with id tie-break, so the selection is reproducible cross-engine.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if margin is not None and margin <= 0:
+        raise ValueError(f"margin must be > 0 when set, got {margin}")
+    a = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("__qv"),
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            F.col(vec_col).alias("__v"),
+        )
+        .crossJoin(broadcast(a))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(
+                cosine_similarity(F.col("__qv"), F.col("__v")),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    wpos = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    pos = (
+        scored.filter(F.col("neighbor_label") == F.col("query_label"))
+        .withColumn("__rn", F.row_number().over(wpos))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("cosine").alias("pos_cosine"))
+    )
+    neg = scored.filter(
+        F.col("neighbor_label") != F.col("query_label")
+    ).join(pos, "query_id", "left")
+    if margin is not None:
+        neg = neg.filter(
+            F.col("pos_cosine").isNull()
+            | (
+                (F.col("cosine") < F.col("pos_cosine"))
+                & (F.col("cosine") >= F.col("pos_cosine") - margin)
+            )
+        )
+    wneg = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        neg.withColumn("rank", F.row_number().over(wneg))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine",
+            "rank",
+            "pos_cosine",
+        )
+    )

@@ -12981,6 +12981,84 @@ _q(
 )
 
 
+def _hard_negative_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (operators/
+    similarity.py hard_negative_mining): per anchor, the 5 most-similar
+    DIFFERENT-label vectors plus the anchor's hardest positive cosine.
+    The query mines plain hard negatives (non-vacuous at every sf —
+    the scaled corpora plant near-clone positives at cosine≈1.0, which
+    would empty a FaceNet semi-hard band); the margin/band semantics
+    are pinned by the unit test's hand-built fixture."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    anchors = emb.filter(F.col("vec_id") < 12)
+    return hard_negative_mining(emb, anchors, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+_q(
+    "x3_hard_negative_mining",
+    Query(
+        _hard_negative_spark,
+        """
+        WITH e AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ), a AS (
+          SELECT vec_id AS query_id, label AS query_label, v AS qv
+          FROM e WHERE vec_id < 12
+        ), scored AS (
+          SELECT a.query_id, a.query_label,
+                 e.vec_id AS neighbor_id, e.label AS neighbor_label,
+                 ROUND(list_cosine_similarity(a.qv, e.v), 6) AS cosine
+          FROM e CROSS JOIN a
+          WHERE e.vec_id != a.query_id
+        ), pos AS (
+          SELECT query_id, cosine AS pos_cosine
+          FROM (SELECT query_id, cosine,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC,
+                                                   neighbor_id) AS rn
+                FROM scored WHERE neighbor_label = query_label)
+          WHERE rn = 1
+        ), neg AS (
+          SELECT s.query_id, s.neighbor_id, s.neighbor_label, s.cosine,
+                 p.pos_cosine
+          FROM scored s LEFT JOIN pos p ON s.query_id = p.query_id
+          WHERE s.neighbor_label != s.query_label
+        )
+        SELECT query_id, neighbor_id, neighbor_label, cosine,
+               CAST(rank AS INT) AS rank, pos_cosine
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC,
+                                                    neighbor_id) AS rank
+              FROM neg)
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+        """,
+        "X3+",
+        "contrastive hard-negative mining: per anchor the 5 hardest "
+        "different-label neighbors plus the hardest-positive cosine "
+        "(operator also offers the FaceNet semi-hard band, unit-pinned) "
+        "— bounded anchor broadcast, one corpus scan, all-JVM cosines, "
+        "rank-after-filter windows; the triplet-batch miner for "
+        "embedding fine-tuning on curated corpora",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering (round 8, STALEST-FIRST — VERDICT r07 item 2).
 # The driver verifies the first ~50 QUERIES entries per round. Slot 1:
@@ -12997,6 +13075,7 @@ _CHECK_FIRST = [
     "curation_dsir_select",
     "curation_e2e_pipeline",
     "x2_incremental_near_dedup",
+    "x3_hard_negative_mining",
     "w_moving_average",
     "w_rank_orders_by_priority",
     "w_row_number_first_events",

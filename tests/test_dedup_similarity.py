@@ -825,3 +825,50 @@ def test_incremental_near_dedup_gates_batch_against_corpus(spark):
         ).collect()
     )
     assert kept == [11, 12, 13]
+
+
+def test_hard_negative_mining_semi_hard_band(spark):
+    """Hand-built 2-D fixture: anchor (label 0) at [1,0]; positive at
+    cos=0.8; negatives at cos≈0.9 (too hard — inverts the triplet),
+    0.7 (semi-hard), 0.3 (too easy for margin 0.5). With margin=0.5
+    only the 0.7 negative is in the band; without margin the top-k is
+    plain hardest-first including the 0.9 one."""
+    import math
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    def vec(cos):  # unit vector at the angle giving this cosine vs [1,0]
+        return [float(cos), float(math.sqrt(1 - cos * cos))]
+
+    rows = [
+        (0, 0, [1.0, 0.0]),  # anchor
+        (1, 0, vec(0.8)),    # hardest positive
+        (2, 1, vec(0.9)),    # negative harder than the positive
+        (3, 1, vec(0.7)),    # semi-hard negative
+        (4, 1, vec(0.3)),    # easy negative
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    anchors = df.filter("vec_id = 0")
+    plain = hard_negative_mining(df, anchors, k=3).collect()
+    assert [r["neighbor_id"] for r in plain] == [2, 3, 4]
+    assert all(abs(r["pos_cosine"] - 0.8) < 1e-9 for r in plain)
+    semi = hard_negative_mining(df, anchors, k=3, margin=0.5).collect()
+    assert [r["neighbor_id"] for r in semi] == [3]
+    assert semi[0]["rank"] == 1  # rank assigned AFTER the band filter
+    # anchor with no same-label neighbor: margin passes unfiltered
+    lonely = df.filter("vec_id != 1")
+    out = hard_negative_mining(
+        lonely, lonely.filter("vec_id = 0"), k=3, margin=0.5
+    ).collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3, 4]
+    assert all(r["pos_cosine"] is None for r in out)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hard_negative_mining(df, anchors, k=0)
+    with _pytest.raises(ValueError):
+        hard_negative_mining(df, anchors, k=1, margin=-0.1)

@@ -45,6 +45,7 @@ ALLOW: dict[str, set[str]] = {
     # slice (LINEAR in corpus, see VERIFY notes), never corpus x corpus
     "x3_cosine_topk_bruteforce": {"nested-loop-join"},
     "x3_knn_label_vote": {"nested-loop-join"},
+    "x3_hard_negative_mining": {"nested-loop-join"},
     "x2_embedding_near_dup": {"nested-loop-join"},
     "x2_minhash_bands": {"nested-loop-join"},
     "x2_simhash_fingerprint": {"nested-loop-join"},
