@@ -115,6 +115,7 @@ EXTENDED = [
     "curation_e2e_pipeline",
     "x2_incremental_near_dedup",
     "x3_hard_negative_mining",
+    "curation_gopher_rules",
 ]
 
 N_ETL_PACKETS = 200_000

@@ -955,3 +955,98 @@ def heldout_backoff_logprob(
             ).alias("neg_logprob"),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_signals(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher/MassiveText repetition-free quality rules (Rae et al.
+    2021, Appendix A "quality filtering"): the word-level half of the
+    rule set — word-count window, mean-word-length window, hash/
+    ellipsis symbol-to-word ratio, alphabetic-word fraction, and the
+    required-stopword count (≥ ``min_stopwords`` distinct members of
+    the canonical 8-word set). Returns per-doc signals plus the
+    composite ``gopher_pass``. (The line-level rules — bullet/ellipsis
+    line fractions — live with the C4 line gates in ``c4_signals``;
+    this corpus is single-line.)
+
+    All array/higher-order expressions over one token split — zero
+    shuffles, rides the scan; at 100 TB this is the cheap map-side gate
+    in front of dedup/scoring, same as ``c4_signals``. Ratios round to
+    6 so the DuckDB oracle reproduces every comparison bit-for-bit.
+    """
+    text = F.col(text_col)
+    toks = F.filter(
+        F.split(F.trim(F.lower(text)), r"\s+"), lambda x: F.length(x) > 0
+    )
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), text.alias("__text"), toks.alias("__t")
+    )
+    n_words = F.size("__t").cast("long")
+    char_mass = F.aggregate(
+        F.transform("__t", lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_wl = F.round(
+        char_mass.cast("double") / F.col("n_words").cast("double"), 6
+    )
+    n_hash = F.length("__text") - F.length(F.replace("__text", F.lit("#")))
+    n_ellipsis = (
+        F.length("__text") - F.length(F.replace("__text", F.lit("...")))
+    ) / F.lit(3)
+    symbol_ratio = F.round(
+        (n_hash + n_ellipsis).cast("double")
+        / F.col("n_words").cast("double"),
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter("__t", lambda t: t.rlike("[a-z]"))).cast("double")
+        / F.col("n_words").cast("double"),
+        6,
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            "__t", F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    ).cast("long")
+    # mean_wl/symbol_ratio/alpha_frac reference n_words — bind it first
+    # as its own projection (HOF lambdas evaluate interpreted; see the
+    # module's staged-projection convention).
+    sig = (
+        staged.filter(F.size("__t") > 0)
+        .select("doc_id", "__text", "__t", n_words.alias("n_words"))
+        .select(
+            "doc_id",
+            "n_words",
+            mean_wl.alias("mean_word_len"),
+            symbol_ratio.alias("symbol_ratio"),
+            alpha_frac.alias("alpha_frac"),
+            n_stop.alias("n_stopwords"),
+        )
+    )
+    return sig.select(
+        "*",
+        (
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+            & (F.col("symbol_ratio") <= max_symbol_ratio)
+            & (F.col("alpha_frac") >= min_alpha_frac)
+            & (F.col("n_stopwords") >= min_stopwords)
+        ).alias("gopher_pass"),
+    )

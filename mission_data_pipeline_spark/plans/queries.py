@@ -13059,6 +13059,74 @@ _q(
 )
 
 
+def _gopher_rules_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText word-level quality rules (operators/text.py
+    gopher_quality_signals, Rae et al. 2021 App. A): word-count and
+    mean-word-length windows, #/ellipsis symbol ratio, alphabetic-word
+    fraction, required-stopword count, composite pass. Thresholds
+    loosened to the synthetic corpus's shape (min_words 10, stopwords
+    via 'the'/'and'/'of' presence) so the verdict is non-degenerate."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.text import (
+        gopher_quality_signals,
+    )
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 300)
+    return gopher_quality_signals(
+        docs, min_words=10, min_mean_word_len=3.0, max_mean_word_len=10.0,
+        max_symbol_ratio=0.1, min_alpha_frac=0.8, min_stopwords=1,
+    ).orderBy("doc_id")
+
+
+_q(
+    "curation_gopher_rules",
+    Query(
+        _gopher_rules_spark,
+        r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> length(x) > 0) AS toks
+          FROM documents WHERE doc_id < 300
+        ), sig AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 ROUND(CAST(list_sum(list_transform(toks, x -> length(x)))
+                            AS DOUBLE) / len(toks), 6) AS mean_word_len,
+                 ROUND((CAST(length(text)
+                        - length(replace(text, '#', '')) AS DOUBLE)
+                        + (length(text)
+                           - length(replace(text, '...', ''))) / 3.0)
+                       / len(toks), 6) AS symbol_ratio,
+                 ROUND(CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                       / len(toks), 6) AS alpha_frac,
+                 CAST(len(list_intersect(toks,
+                      ['the','be','to','of','and','that','have','with']))
+                   AS BIGINT) AS n_stopwords
+          FROM t WHERE len(toks) > 0
+        )
+        SELECT *,
+               (n_words >= 10 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1
+                AND alpha_frac >= 0.8
+                AND n_stopwords >= 1) AS gopher_pass
+        FROM sig ORDER BY doc_id
+        """,
+        "X4,X-curation",
+        "Gopher/MassiveText word-level quality rules (Rae et al. 2021 "
+        "App. A): word-count + mean-word-length windows, #/ellipsis "
+        "symbol-to-word ratio, alphabetic-word fraction, required "
+        "stopwords, composite verdict — all higher-order expressions "
+        "over one token split, zero shuffles, rides the scan (the "
+        "map-side gate in front of dedup/scoring at 100 TB)",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering (round 8, STALEST-FIRST — VERDICT r07 item 2).
 # The driver verifies the first ~50 QUERIES entries per round. Slot 1:
@@ -13076,6 +13144,7 @@ _CHECK_FIRST = [
     "curation_e2e_pipeline",
     "x2_incremental_near_dedup",
     "x3_hard_negative_mining",
+    "curation_gopher_rules",
     "w_moving_average",
     "w_rank_orders_by_priority",
     "w_row_number_first_events",

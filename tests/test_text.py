@@ -637,3 +637,41 @@ def test_canonicalize_url_variants(spark):
     }
     assert out["http://example.com/path?a=1&b=2"] == (3, 0)
     assert out["http://example.com"] == (2, 4)
+
+
+def test_gopher_quality_signals_rule_trips(spark):
+    """Each Gopher rule trips on its designed offender and the clean doc
+    passes (Rae et al. 2021 App. A word-level rules)."""
+    from mission_data_pipeline_spark.operators.text import (
+        gopher_quality_signals,
+    )
+
+    clean = (
+        "the quick brown fox and the lazy dog have gone to rest "
+        "with some friends of theirs beside that quiet river today"
+    )
+    rows = [
+        (1, clean),                                  # passes everything
+        (2, "too few words here"),                   # word-count floor
+        (3, "a b c d e f g h i j k l m n o p q r the of"),  # mean len < 3
+        (4, clean + " ### ## # # # # # # # # # #"),  # symbol ratio > 0.1
+        (5, " ".join(["1234567"] * 30) + " the of"), # alpha frac < 0.8
+        (6, "quick brown foxes jump quietly beside rivers during "
+            "autumn mornings carrying small bright lanterns"),  # no stopword
+        (7, ""),                                     # empty -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality_signals(df, min_words=10).collect()
+    }
+    assert 7 not in got and len(got) == 6  # empty doc has no tokens
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["gopher_pass"] is False and got[2]["n_words"] < 10
+    assert got[3]["gopher_pass"] is False and got[3]["mean_word_len"] < 3.0
+    assert got[4]["gopher_pass"] is False and got[4]["symbol_ratio"] > 0.1
+    assert got[5]["gopher_pass"] is False and got[5]["alpha_frac"] < 0.8
+    assert got[6]["gopher_pass"] is False and got[6]["n_stopwords"] < 2
+    # signal arithmetic spot-checks
+    assert got[2]["n_words"] == 4
+    assert got[5]["alpha_frac"] == round(2 / 32, 6)
