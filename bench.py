@@ -116,6 +116,7 @@ EXTENDED = [
     "x2_incremental_near_dedup",
     "x3_hard_negative_mining",
     "curation_gopher_rules",
+    "x3_matryoshka_recall",
 ]
 
 N_ETL_PACKETS = 200_000

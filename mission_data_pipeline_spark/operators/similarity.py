@@ -1166,3 +1166,88 @@ def hard_negative_mining(
             "pos_cosine",
         )
     )
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    *,
+    k: int = 5,
+    prefix_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Matryoshka-truncation retrieval audit (Kusupati et al. 2022,
+    Matryoshka Representation Learning): how much top-``k`` retrieval
+    quality survives when embeddings are truncated to their first
+    ``prefix_dim`` coordinates — the measurement that decides whether a
+    64-dim index can be served from a 16-dim prefix (4× memory/ANN
+    speed). Per anchor: exact top-k under FULL cosine (ground truth),
+    top-k under PREFIX cosine (candidate), and
+    ``recall = |overlap| / k``. Returns ``(query_id, n_hits, recall)``.
+
+    Scale shape: the anchor batch is bounded by contract (cosine_topk /
+    knn convention); ONE corpus scan computes both cosines per
+    (row, anchor) — full and prefix — map-side against the broadcast
+    anchors, then two per-anchor windows rank and a positional
+    anti/semi count overlaps. Cosines round before ranking with id
+    tie-breaks so both rankings (and thus recall) are reproducible
+    cross-engine; prefix vectors are NOT re-normalized (cosine is
+    scale-invariant).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if prefix_dim < 1:
+        raise ValueError(f"prefix_dim must be >= 1, got {prefix_dim}")
+    a = anchors.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+        )
+        .crossJoin(broadcast(a))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("__qv"), F.col("__v")),
+                round_digits,
+            ).alias("cos_full"),
+            F.round(
+                cosine_similarity(
+                    F.slice("__qv", 1, prefix_dim),
+                    F.slice("__v", 1, prefix_dim),
+                ),
+                round_digits,
+            ).alias("cos_prefix"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cos_prefix").desc(), F.col("neighbor_id")
+    )
+    # Both ranks ride the same scored rows, so the overlap is a single
+    # conjunctive filter — ONE corpus-scan lineage, not a truth/cand
+    # self-join that would recompute the broadcast-cross three times.
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wf).alias("__rf"),
+        F.row_number().over(wp).alias("__rp"),
+    )
+    hits = (
+        ranked.filter((F.col("__rf") <= k) & (F.col("__rp") <= k))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return a.select("query_id").join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6
+        ).alias("recall"),
+    )

@@ -13127,6 +13127,76 @@ _q(
 )
 
 
+def _matryoshka_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit (operators/similarity.py
+    matryoshka_recall): top-5 recall of 16-dim-prefix cosine retrieval
+    vs full 64-dim ground truth for 15 anchors."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    anchors = emb.filter(F.col("vec_id") < 15)
+    return matryoshka_recall(emb, anchors, k=5, prefix_dim=16).orderBy(
+        "query_id"
+    )
+
+
+_q(
+    "x3_matryoshka_recall",
+    Query(
+        _matryoshka_spark,
+        """
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), a AS (
+          SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 15
+        ), scored AS (
+          SELECT a.query_id, e.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(a.qv, e.v), 6) AS cos_full,
+                 ROUND(list_cosine_similarity(a.qv[1:16], e.v[1:16]), 6)
+                   AS cos_prefix
+          FROM e CROSS JOIN a WHERE e.vec_id != a.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_full DESC,
+                                             neighbor_id) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_prefix DESC,
+                                             neighbor_id) AS rp
+          FROM scored
+        ), hits AS (
+          SELECT query_id, COUNT(*) AS n_hits
+          FROM ranked WHERE rf <= 5 AND rp <= 5
+          GROUP BY query_id
+        )
+        SELECT a.query_id,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               ROUND(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall
+        FROM a LEFT JOIN hits h ON a.query_id = h.query_id
+        ORDER BY a.query_id
+        """,
+        "X3+",
+        "Matryoshka-truncation retrieval audit (Kusupati et al. 2022): "
+        "top-5 recall of 16-dim-prefix cosine retrieval vs full 64-dim "
+        "ground truth — ONE corpus scan computes both cosines per "
+        "(row, anchor) against the broadcast anchor batch; rounded-"
+        "before-rank with id tie-breaks keeps both rankings (and the "
+        "recall) cross-engine exact; the serve-from-a-prefix decision "
+        "gauge for 4x index memory savings",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering (round 8, STALEST-FIRST — VERDICT r07 item 2).
 # The driver verifies the first ~50 QUERIES entries per round. Slot 1:
@@ -13145,6 +13215,7 @@ _CHECK_FIRST = [
     "x2_incremental_near_dedup",
     "x3_hard_negative_mining",
     "curation_gopher_rules",
+    "x3_matryoshka_recall",
     "w_moving_average",
     "w_rank_orders_by_priority",
     "w_row_number_first_events",

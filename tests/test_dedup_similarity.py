@@ -872,3 +872,41 @@ def test_hard_negative_mining_semi_hard_band(spark):
         hard_negative_mining(df, anchors, k=0)
     with _pytest.raises(ValueError):
         hard_negative_mining(df, anchors, k=1, margin=-0.1)
+
+
+def test_matryoshka_recall_prefix_agreement_and_loss(spark):
+    """Hand-built fixture: vectors whose 2-dim prefix preserves the
+    full-4-dim ranking give recall 1.0; a corpus where the tail
+    coordinates INVERT the ranking scores recall < 1 for k=1."""
+    from mission_data_pipeline_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    # prefix-faithful corpus: tail dims are constant -> identical order
+    rows = [
+        (0, [1.0, 0.0, 0.5, 0.5]),
+        (1, [0.9, 0.1, 0.5, 0.5]),
+        (2, [0.5, 0.5, 0.5, 0.5]),
+        (3, [0.1, 0.9, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = matryoshka_recall(df, df.filter("vec_id = 0"), k=2, prefix_dim=2)
+    r = out.collect()[0]
+    assert r["n_hits"] == 2 and r["recall"] == 1.0
+    # adversarial corpus: prefix says 1 is closest, full says 2 is
+    adv = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, -1.0, -1.0]),   # prefix-identical, full-far
+        (2, [0.7, 0.1, 0.05, 0.05]),   # full-near
+    ]
+    df2 = spark.createDataFrame(adv, "vec_id long, embedding array<double>")
+    r2 = matryoshka_recall(
+        df2, df2.filter("vec_id = 0"), k=1, prefix_dim=2
+    ).collect()[0]
+    assert r2["n_hits"] == 0 and r2["recall"] == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        matryoshka_recall(df, df, k=0)
+    with _pytest.raises(ValueError):
+        matryoshka_recall(df, df, k=1, prefix_dim=0)

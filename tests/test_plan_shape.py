@@ -46,6 +46,7 @@ ALLOW: dict[str, set[str]] = {
     "x3_cosine_topk_bruteforce": {"nested-loop-join"},
     "x3_knn_label_vote": {"nested-loop-join"},
     "x3_hard_negative_mining": {"nested-loop-join"},
+    "x3_matryoshka_recall": {"nested-loop-join"},
     "x2_embedding_near_dup": {"nested-loop-join"},
     "x2_minhash_bands": {"nested-loop-join"},
     "x2_simhash_fingerprint": {"nested-loop-join"},
