@@ -910,3 +910,67 @@ def test_matryoshka_recall_prefix_agreement_and_loss(spark):
         matryoshka_recall(df, df, k=0)
     with _pytest.raises(ValueError):
         matryoshka_recall(df, df, k=1, prefix_dim=0)
+
+
+def _exact_substring_reference(rows, k):
+    """Brute-force Python reference for exact_substring_dedup: same
+    tokenize → gram → count/first-occurrence → remove → interval-merge
+    → rebuild pipeline, computed with plain dicts. The oracle-of-the-
+    oracle for the hypothesis sweep below."""
+    toks = {d: t.strip().lower().split() for d, t in rows}
+    toks = {d: [x for x in t if x] for d, t in toks.items()}
+    eligible = {d: t for d, t in toks.items() if len(t) >= k}
+    occ: dict[tuple, list] = {}
+    for d in sorted(eligible):
+        t = eligible[d]
+        for p in range(len(t) - k + 1):
+            occ.setdefault(tuple(t[p : p + k]), []).append((d, p))
+    covered: dict[int, set] = {d: set() for d in eligible}
+    for places in occ.values():
+        if len(places) < 2:
+            continue
+        for d, p in places[1:]:  # first (min doc,pos) kept
+            covered[d].update(range(p, p + k))
+    out = {}
+    for d, t in eligible.items():
+        cov = covered[d]
+        spans = sum(1 for p in cov if p - 1 not in cov)
+        kept = " ".join(x for i, x in enumerate(t) if i not in cov)
+        out[d] = (len(t), len(cov), spans, kept)
+    return out
+
+
+def test_exact_substring_dedup_matches_reference_property(spark):
+    """Hypothesis sweep: random tiny-vocabulary corpora (to force heavy
+    gram collisions, overlaps, and within-doc repeats) must match the
+    brute-force reference exactly — tokens, removals, merged spans,
+    and the rebuilt text."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    vocab = ["aa", "bb", "cc"]
+    doc = st.lists(st.sampled_from(vocab), min_size=0, max_size=10).map(
+        " ".join
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(texts=st.lists(doc, min_size=1, max_size=5), k=st.integers(2, 3))
+    def run(texts, k):
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["n_removed"],
+                r["n_spans"],
+                r["kept_text"],
+            )
+            for r in exact_substring_dedup(df, k=k).collect()
+        }
+        assert got == _exact_substring_reference(rows, k)
+
+    run()
