@@ -117,6 +117,10 @@ EXTENDED = [
     "x3_hard_negative_mining",
     "curation_gopher_rules",
     "x3_matryoshka_recall",
+    # round 9: stored-index incremental near-dedup (writes + probes the
+    # on-disk LSH band index each run) and BPE-granularity ExactSubstr
+    "x2_incremental_near_dedup_stored",
+    "x2_substring_dedup_bpe",
 ]
 
 N_ETL_PACKETS = 200_000
@@ -243,6 +247,15 @@ def compact_inputs(spark, sf_dir: str) -> tuple[str, dict]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # --anchor (or SPARK_GRAFT_BENCH_SAMPLES=N): best-of-3 per query
+    # instead of best-of-2 — the committed longitudinal anchors are
+    # taken in this mode, across TWO separated windows merged per-query
+    # by scripts/merge_bench.py (BASELINE.md §anchor methodology; the
+    # r08 anchor episode showed best-of-2 in one window is not enough
+    # on this host).
+    samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2"))
+    if "--anchor" in sys.argv[1:]:
+        samples = max(samples, 3)
     from mission_data_pipeline_spark import get_spark
     from mission_data_pipeline_spark.plans.queries import QUERIES, register_views
 
@@ -259,6 +272,7 @@ def main() -> None:
 
     out: dict = {
         "metric": "headline_queries_total",
+        "samples_per_query": samples,
         "value": 0.0,
         "unit": "sec",
         "queries": {},
@@ -274,7 +288,7 @@ def main() -> None:
         # executions measures the engine, not the co-tenant. The ETL
         # slice below already does the same.
         dts, dts_noop = [], []
-        for _ in range(2):
+        for _ in range(samples):
             t0 = time.time()
             q.spark(spark, sf_dir).count()
             dts.append(time.time() - t0)
@@ -309,7 +323,7 @@ def main() -> None:
     for name in EXTENDED:
         q = QUERIES[name]
         dts = []
-        for _ in range(2):
+        for _ in range(samples):
             t0 = time.time()
             q.spark(spark, sf_dir).write.mode("overwrite").format(
                 "noop"

@@ -201,6 +201,51 @@ def bpe_encode_words(
     return cols.mapInPandas(run, schema=_ENCODED_SCHEMA)
 
 
+def bpe_token_sequences(
+    docs: DataFrame,
+    merges: tuple[tuple[str, str], ...] | list[tuple[str, str]] = DEFAULT_MERGES,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full per-document BPE token sequence in word order:
+    ``(doc_id, toks array<string>)`` — the input shape for
+    token-granularity span operators (ExactSubstr dedup over BPE ids,
+    Lee et al. 2022 §4.1 run their dedup at exactly this granularity).
+
+    Plan shape: ``posexplode`` the word split (positions pin word
+    order), encode the DISTINCT vocabulary once (Arrow-batched,
+    memoized — the Python step never touches the corpus-sized stream),
+    join back on word, and flatten each doc's (wpos, tokens) structs in
+    position order. One word-keyed join plus one doc-keyed partial agg;
+    docs with zero alphabetic words yield no row (they have no token
+    sequence — callers' ``>= k`` eligibility filters drop them anyway).
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("wpos", "word"),
+    ).filter(F.length("word") > 0)
+    encoded = bpe_encode_words(
+        words.select("word").distinct(), merges
+    ).select("word", "tokens")
+    return (
+        words.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("wpos", "tokens"))
+                    ),
+                    lambda s: s["tokens"],
+                )
+            ).alias("toks")
+        )
+    )
+
+
 def bpe_token_stats(
     docs: DataFrame,
     merges: tuple[tuple[str, str], ...] | list[tuple[str, str]] = DEFAULT_MERGES,

@@ -568,6 +568,74 @@ def exact_substring_dedup(
     ``n_spans`` counts maximal merged removal intervals and
     ``kept_text`` is the surviving tokens rejoined with single spaces.
 
+    Tokens are lowercased whitespace words; for the paper's
+    BPE-token-granularity setting compose a tokenizer with
+    :func:`exact_substring_dedup_tokens` (see
+    ``exact_substring_dedup_bpe``). See the core function for the
+    algorithm and plan-shape decisions.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return exact_substring_dedup_tokens(
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")),
+        k=k,
+        tokens_col="toks",
+        id_col="doc_id",
+    )
+
+
+def exact_substring_dedup_bpe(
+    docs: DataFrame,
+    merges=None,
+    *,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr dedup at BPE-token granularity — the setting Lee et
+    al. 2022 actually ran (§4.1 dedups 50-token windows of the BPE id
+    stream, not whitespace words). Word granularity under-merges
+    near-boundary duplicates: two documents sharing a long span that
+    differs only inside one word (a typo, an inflection) still share
+    the sub-word token run. Composition: the corpus is tokenized by the
+    repo's distributed BPE encoder (``operators/bpe.py
+    bpe_token_sequences`` — distinct vocabulary encoded once, joined
+    back, order-preserving flatten), then the same gram-keyed span
+    surgery runs over the token sequences. ``kept_text`` is the
+    surviving BPE tokens rejoined with single spaces (a token-level
+    view, not detokenized text — the removal decisions are what
+    downstream consumes).
+
+    At 100 TB the added cost over word granularity is the vocabulary-
+    bounded Python encode plus one word-keyed join; everything
+    corpus-sized stays in the same JVM gram/interval plan.
+    """
+    from mission_data_pipeline_spark.operators.bpe import (
+        DEFAULT_MERGES,
+        bpe_token_sequences,
+    )
+
+    if merges is None:
+        merges = DEFAULT_MERGES
+    seqs = bpe_token_sequences(
+        docs, merges, text_col=text_col, id_col=id_col
+    )
+    return exact_substring_dedup_tokens(
+        seqs, k=k, tokens_col="toks", id_col="doc_id"
+    )
+
+
+def exact_substring_dedup_tokens(
+    docs: DataFrame,
+    *,
+    k: int = 12,
+    tokens_col: str = "toks",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Core ExactSubstr span surgery over pre-tokenized documents
+    (``tokens_col``: ``array<string>``). Every ``k``-token span that
+    occurs more than once in the corpus keeps its globally first
+    occurrence (min ``(doc_id, pos)``) and is removed everywhere else.
+
     This is the remove-the-substring-itself variant — the repo's other
     Lee et al. operator (``duplicate_span_fraction``) only *scores*
     span duplication; this one performs the surgery. The reference
@@ -602,10 +670,9 @@ def exact_substring_dedup(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    staged = docs.filter(F.size(toks) >= k).select(
-        F.col(id_col).alias("doc_id"), toks.alias("__toks")
-    )
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("__toks")
+    ).filter(F.size("__toks") >= k)
     pos = staged.select(
         "doc_id", F.posexplode("__toks").alias("pos", "tok")
     )
@@ -733,9 +800,84 @@ def band_signatures(signatures: DataFrame, *, bands: int = 4) -> DataFrame:
     )
 
 
+def write_near_dedup_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Materialize the production LSH ingest-gate index for ``corpus``:
+
+    - ``{path}/bands`` — ``(doc_id, band_hash)`` parquet PARTITIONED BY
+      ``band`` (the :func:`band_signatures` shape, at rest);
+    - ``{path}/grams`` — the distinct ``(doc_id, gram)`` shingle sets
+      the exact-Jaccard verification step joins (only candidate docs'
+      rows are ever touched at probe time);
+    - ``{path}/params.json`` — the featurization parameters, so a probe
+      with mismatched n/num_hashes/bands fails loudly instead of
+      silently missing every near-dup.
+
+    This is what a 100 TB crawl-ingest materializes nightly: each new
+    batch featurizes ONLY itself and joins this index
+    (:func:`incremental_near_dedup` with ``corpus_bands``/
+    ``corpus_grams``) — the corpus is never re-shingled per batch.
+    Returns ``{"bands": ..., "grams": ...}`` paths.
+    """
+    import json
+    import os
+
+    g = shingles(corpus, n=n, text_col=text_col, id_col=id_col)
+    sig = minhash_signatures(g, num_hashes=num_hashes)
+    bands_path = os.path.join(path, "bands")
+    grams_path = os.path.join(path, "grams")
+    band_signatures(sig, bands=bands).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(bands_path)
+    g.write.mode("overwrite").parquet(grams_path)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "params.json"), "w") as f:
+        json.dump({"n": n, "num_hashes": num_hashes, "bands": bands}, f)
+    return {"bands": bands_path, "grams": grams_path}
+
+
+def read_near_dedup_index(
+    spark,
+    path: str,
+    *,
+    n: int | None = None,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Load a stored :func:`write_near_dedup_index` →
+    ``(corpus_bands, corpus_grams)``. Any featurization parameter the
+    caller passes is validated against the index's recorded
+    ``params.json`` — a probe built with different shingle width or
+    band count would silently match nothing, which at ingest time means
+    every near-duplicate slips through."""
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        params = json.load(f)
+    for name, want in (("n", n), ("num_hashes", num_hashes), ("bands", bands)):
+        if want is not None and params[name] != want:
+            raise ValueError(
+                f"index at {path} was built with {name}={params[name]}, "
+                f"probe requested {name}={want}"
+            )
+    return (
+        spark.read.parquet(os.path.join(path, "bands")),
+        spark.read.parquet(os.path.join(path, "grams")),
+    )
+
+
 def incremental_near_dedup(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     *,
     n: int = 3,
     num_hashes: int = 16,
@@ -743,6 +885,8 @@ def incremental_near_dedup(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_bands: DataFrame | None = None,
+    corpus_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingest near-dedup: keep only the rows of ``batch``
     that are NOT near-duplicates of the existing ``corpus`` — the
@@ -750,22 +894,45 @@ def incremental_near_dedup(
     content-hash anti-join in ``x1_incremental_dedup``).
 
     Only the BATCH is fully featurized. The corpus side needs its LSH
-    band index (:func:`band_signatures` — at scale a stored table,
-    recomputed here from ``corpus`` for self-containment) plus gram
-    sets for the verification step, which touch only the candidate
-    docs. Batch band hashes join the corpus index on (band, band_hash)
+    band index (:func:`band_signatures`) plus gram sets for the
+    verification step, which touch only the candidate docs. Two ways
+    to supply it:
+
+    - ``corpus=`` — recompute both from the corpus text
+      (self-contained; fine for one-shot jobs);
+    - ``corpus_bands=``/``corpus_grams=`` — the MATERIALIZED index
+      (:func:`write_near_dedup_index` / :func:`read_near_dedup_index`),
+      the production path: the corpus text is never re-featurized per
+      ingest batch, its scan is the stored parquet index.
+
+    Batch band hashes join the corpus index on (band, band_hash)
     — shuffle proportional to the batch and its collisions, never
     batch x corpus — and candidates are confirmed with exact n-gram
     Jaccard before a batch row is dropped. Batch-internal duplicates
     are NOT collapsed here (that is a corpus-build step, see
     ``near_dedup_minhash``); this operator answers "is it new?".
     """
+    if (corpus_bands is None) != (corpus_grams is None):
+        raise ValueError(
+            "corpus_bands and corpus_grams must be passed together "
+            "(the band index generates candidates, the gram sets verify "
+            "them — one without the other cannot gate a batch)"
+        )
+    if (corpus is None) == (corpus_bands is None):
+        raise ValueError(
+            "pass exactly one corpus side: corpus= (recompute) or "
+            "corpus_bands=/corpus_grams= (stored index)"
+        )
     gb = shingles(batch, n=n, text_col=text_col, id_col=id_col)
-    gc = shingles(corpus, n=n, text_col=text_col, id_col=id_col)
+    if corpus_bands is None:
+        gc = shingles(corpus, n=n, text_col=text_col, id_col=id_col)
+        sc = minhash_signatures(gc, num_hashes=num_hashes)
+        bc = band_signatures(sc, bands=bands)
+    else:
+        gc = corpus_grams.select("doc_id", "gram")
+        bc = corpus_bands.select("doc_id", "band", "band_hash")
     sb = minhash_signatures(gb, num_hashes=num_hashes)
-    sc = minhash_signatures(gc, num_hashes=num_hashes)
     bb = band_signatures(sb, bands=bands)
-    bc = band_signatures(sc, bands=bands)
     cand = (
         bb.alias("b")
         .join(

@@ -866,13 +866,22 @@ def _bloom_filter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         # when the probe side is a plain scan-shaped subtree, and a
         # user-specified Repartition is not one — so only the VALUES
         # are checked in that mode (the sweep's job).
-        if (
-            "might_contain" not in plan.lower()
-            and _INPUT_REPARTITION is None
-        ):
-            raise RuntimeError(
-                "runtime bloom filter was not injected below the fact "
-                "shuffle:\n" + plan[:3000]
+        if "might_contain" not in plan.lower():
+            if _INPUT_REPARTITION is None:
+                raise RuntimeError(
+                    "runtime bloom filter was not injected below the fact "
+                    "shuffle:\n" + plan[:3000]
+                )
+            # Visible, not silent: a perturb-only run must not read as
+            # coverage of the injection property (ADVICE r08).
+            import sys as _sys
+
+            print(
+                "NOTE: j_runtime_bloom_filter plan assert SKIPPED "
+                "(perturbed layout — InjectRuntimeFilter correctly "
+                "declines below a user Repartition); values still "
+                "compared, injection property NOT covered by this run",
+                file=_sys.stderr,
             )
     finally:
         for k, v in prev.items():
@@ -6363,13 +6372,18 @@ def _bpe_merges_sql_literal() -> str:
     return "[" + ", ".join(f"'{l}|{r}'" for l, r in DEFAULT_MERGES) + "]"
 
 
-#: Recursive-CTE prelude shared by both BPE oracles: distinct words of
-#: the doc slice, greedily re-merged under the literal rank table with
-#: the SAME semantics as operators/bpe.py bpe_apply (lowest rank first,
-#: all non-overlapping occurrences left-to-right per iteration).
+#: Default doc slice for the per-doc BPE oracles (the full-corpus
+#: budget query builds its own docs CTE).
+_BPE_DOCS_SRC_DEFAULT = "SELECT doc_id, text FROM documents WHERE doc_id < 500"
+
+#: Recursive-CTE prelude shared by the BPE oracles: distinct words of
+#: the ``{docs_src}`` slice, greedily re-merged under the literal rank
+#: table with the SAME semantics as operators/bpe.py bpe_apply (lowest
+#: rank first, all non-overlapping occurrences left-to-right per
+#: iteration).
 _BPE_ORACLE_PRELUDE = """
         WITH RECURSIVE docs AS (
-          SELECT doc_id, text FROM documents WHERE doc_id < 500
+          {docs_src}
         ),
         words AS (
           SELECT doc_id, w
@@ -6438,7 +6452,8 @@ _q(
     "x4_bpe_token_stats",
     Query(
         _bpe_token_stats_spark,
-        _BPE_ORACLE_PRELUDE.format(merges=_bpe_merges_sql_literal())
+        _BPE_ORACLE_PRELUDE.format(merges=_bpe_merges_sql_literal(),
+                           docs_src=_BPE_DOCS_SRC_DEFAULT)
         + """
         SELECT p.doc_id,
                CAST(SUM(p.occurrences) AS BIGINT) AS n_words,
@@ -6473,7 +6488,8 @@ _q(
     "x4_bpe_vocab_freq",
     Query(
         _bpe_vocab_freq_spark,
-        _BPE_ORACLE_PRELUDE.format(merges=_bpe_merges_sql_literal())
+        _BPE_ORACLE_PRELUDE.format(merges=_bpe_merges_sql_literal(),
+                           docs_src=_BPE_DOCS_SRC_DEFAULT)
         + """
         , wc AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w)
         SELECT token, CAST(SUM(cnt) AS BIGINT) AS freq
@@ -12663,6 +12679,128 @@ _q(
 )
 
 
+def _substring_dedup_bpe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup at BPE-TOKEN granularity (operators/dedup.py
+    exact_substring_dedup_bpe) — the setting Lee et al. 2022 actually
+    ran (§4.1 dedups ~50-token windows of the tokenizer id stream, not
+    whitespace words). The corpus is tokenized by the repo's
+    distributed BPE encoder (distinct vocabulary encoded once, order-
+    preserving flatten) and every duplicated 30-token span keeps only
+    its globally first occurrence. Same seeded-copy construction as
+    x2_substring_dedup: 20 in-plan partial copies (first 20 source
+    words + unique tail) must lose their shared prefix at TOKEN
+    granularity; the oracle replays BPE (recursive CTE over the same
+    literal merges), the ordered flatten, and the span surgery."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        exact_substring_dedup_bpe,
+    )
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    base = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    copies = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(toks, 1, 20), " "),
+            F.lit(" uniq"),
+            F.col("doc_id").cast("string"),
+            F.lit(" tail marker extra pad tokens"),
+        ).alias("text"),
+    )
+    corpus = base.unionByName(copies)
+    return exact_substring_dedup_bpe(corpus, k=30).orderBy("doc_id")
+
+
+_q(
+    "x2_substring_dedup_bpe",
+    Query(
+        _substring_dedup_bpe_spark,
+        _BPE_ORACLE_PRELUDE.format(
+            merges=_bpe_merges_sql_literal(),
+            docs_src=r"""SELECT doc_id, text FROM documents WHERE doc_id < 200
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 array_to_string(
+                   string_split_regex(trim(lower(text)), '\s+')[1:20], ' ')
+                 || ' uniq' || CAST(doc_id AS VARCHAR)
+                 || ' tail marker extra pad tokens' AS text
+          FROM documents WHERE doc_id < 20""",
+        )
+        + r"""
+        , wp AS (
+          SELECT doc_id, u.i AS wpos, ws[u.i] AS w
+          FROM (SELECT doc_id,
+                       list_filter(
+                         string_split_regex(lower(text), '[^a-z]+'),
+                         x -> len(x) > 0) AS ws
+                FROM docs) t,
+               UNNEST(generate_series(1, len(ws))) AS u(i)
+        ), tokseq AS (
+          SELECT wp.doc_id, flatten(list(f.toks ORDER BY wp.wpos)) AS toks
+          FROM wp JOIN fin f ON wp.w = f.w
+          GROUP BY wp.doc_id
+        ), eligible AS (
+          SELECT doc_id, toks, len(toks) AS n FROM tokseq
+          WHERE len(toks) >= 30
+        ), grams AS (
+          SELECT doc_id, u.i - 1 AS pos,
+                 array_to_string(toks[u.i:u.i+29], ' ') AS gram
+          FROM eligible, UNNEST(generate_series(1, n - 29)) AS u(i)
+        ), ranked AS (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY gram
+                                    ORDER BY doc_id, pos) AS rn,
+                 count(*) OVER (PARTITION BY gram) AS cnt
+          FROM grams
+        ), removable AS (
+          SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rn > 1
+        ), cov AS (
+          SELECT DISTINCT doc_id, pos + u.off AS p
+          FROM removable, UNNEST(generate_series(0, 29)) AS u(off)
+        ), marked AS (
+          SELECT doc_id, p,
+                 CASE WHEN COALESCE(
+                        p - lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+                        2) > 1
+                      THEN 1 ELSE 0 END AS is_start
+          FROM cov
+        ), stats AS (
+          SELECT doc_id, COUNT(*) AS n_removed, SUM(is_start) AS n_spans
+          FROM marked GROUP BY doc_id
+        ), positions AS (
+          SELECT doc_id, u.i - 1 AS p, toks[u.i] AS tok
+          FROM eligible, UNNEST(generate_series(1, n)) AS u(i)
+        ), kept AS (
+          SELECT po.doc_id,
+                 array_to_string(list(po.tok ORDER BY po.p), ' ')
+                   AS kept_text
+          FROM positions po
+          ANTI JOIN cov c ON po.doc_id = c.doc_id AND po.p = c.p
+          GROUP BY po.doc_id
+        )
+        SELECT e.doc_id, e.n AS n_tokens,
+               CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_removed,
+               CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
+               COALESCE(k.kept_text, '') AS kept_text
+        FROM eligible e
+        LEFT JOIN stats s ON e.doc_id = s.doc_id
+        LEFT JOIN kept k ON e.doc_id = k.doc_id
+        ORDER BY e.doc_id
+        """,
+        "X2,X4",
+        "ExactSubstr dedup over BPE token ids (Lee et al.'s actual "
+        "granularity): distributed BPE tokenization composed with the "
+        "gram-keyed span surgery — duplicated 30-token runs keep only "
+        "their first occurrence even when word boundaries differ; "
+        "oracle replays BPE (recursive CTE), the ordered flatten, and "
+        "every surgery stage",
+    ),
+)
+
+
 def _dsir_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators/sampling.py dsir_select —
     Xie et al. 2023): select the 25 raw-corpus docs whose hashed
@@ -12893,11 +13031,10 @@ def _incremental_near_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("doc_id").orderBy("doc_id")
 
 
-_q(
-    "x2_incremental_near_dedup",
-    Query(
-        _incremental_near_dedup_spark,
-        r"""
+# Shared by x2_incremental_near_dedup and its stored-index twin: the
+# materialized parquet index path must reproduce the recompute path
+# exactly, so both compare against one oracle text.
+_INC_NEAR_DEDUP_DUCK = r"""
         WITH corpus AS (
           SELECT doc_id, text FROM documents WHERE doc_id < 80
         ), batch AS (
@@ -12971,12 +13108,90 @@ _q(
         SELECT b.doc_id FROM batch b
         WHERE b.doc_id NOT IN (SELECT doc_id FROM dups)
         ORDER BY b.doc_id
-        """,
+        """
+
+
+_q(
+    "x2_incremental_near_dedup",
+    Query(
+        _incremental_near_dedup_spark,
+        _INC_NEAR_DEDUP_DUCK,
         "X2,X1",
         "incremental ingest near-dedup: new batch gated against the "
         "existing corpus's LSH band index (batch-only featurization, "
         "band-keyed join, exact Jaccard verify on candidates only) — "
         "near-copies drop, new docs survive; oracle replays every stage",
+    ),
+)
+
+
+def _incremental_near_dedup_stored_spark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION shape of incremental near-dedup: the corpus's LSH
+    band index + gram sets are MATERIALIZED to parquet
+    (operators/dedup.py write_near_dedup_index — bands partitioned by
+    band, params recorded) and the batch joins the STORED index
+    (read_near_dedup_index → incremental_near_dedup(corpus_bands=...,
+    corpus_grams=...)); the corpus text is never re-featurized at probe
+    time. Same corpus/batch construction and parameters as
+    x2_incremental_near_dedup — the stored path must reproduce the
+    recompute path exactly, so it shares that query's oracle verbatim.
+    """
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        incremental_near_dedup,
+        read_near_dedup_index,
+        write_near_dedup_index,
+    )
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    corpus = docs.filter(F.col("doc_id") < 80).select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + 50000).alias("doc_id"),
+            F.concat("text", F.lit(" extra tail tokens tacked on")).alias(
+                "text"
+            ),
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") >= 100) & (F.col("doc_id") < 120)
+            ).select((F.col("doc_id") + 60000).alias("doc_id"), "text")
+        )
+    )
+    d = _scratch_dir("near_dedup_idx_q")
+    write_near_dedup_index(corpus, d, n=2, num_hashes=8, bands=4)
+    idx_bands, idx_grams = read_near_dedup_index(
+        spark, d, n=2, num_hashes=8, bands=4
+    )
+    out = incremental_near_dedup(
+        batch,
+        n=2,
+        num_hashes=8,
+        bands=4,
+        threshold=0.6,
+        corpus_bands=idx_bands,
+        corpus_grams=idx_grams,
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
+_q(
+    "x2_incremental_near_dedup_stored",
+    Query(
+        _incremental_near_dedup_stored_spark,
+        _INC_NEAR_DEDUP_DUCK,
+        "X2,X1,L1+",
+        "stored-index incremental near-dedup round-trip: the corpus's "
+        "LSH band index and gram sets are written to parquet "
+        "(partitioned by band, params.json-validated) and the batch "
+        "joins the ON-DISK index — the nightly 100 TB crawl-ingest "
+        "shape where the corpus is never re-featurized; must equal the "
+        "recompute path, so it shares its oracle verbatim",
     ),
 )
 
@@ -13209,56 +13424,8 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    "x2_substring_dedup",
-    "curation_dsir_select",
-    "curation_e2e_pipeline",
-    "x2_incremental_near_dedup",
-    "x3_hard_negative_mining",
-    "curation_gopher_rules",
-    "x3_matryoshka_recall",
-    "w_moving_average",
-    "w_rank_orders_by_priority",
-    "w_row_number_first_events",
-    "w_running_sum",
-    "x1_distinct_dedup",
-    "x4_fingerprint",
-    "x4_lang_signal",
-    "x4_quality_score",
-    "x4_token_stats",
-    "x6_json_extract_agg",
-    "agg_percentiles",
-    "agg_stats_corr",
-    "curation_hash_sample",
-    "curation_mixture_sample",
-    "curation_pii_scrub",
-    "curation_stratified_sample",
-    "d2_tidy_projection_sorted",
-    "d6_per_name_time_range",
-    "frames_to_packets_roundtrip",
-    "q14_promo_effect",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q20_volume_suppliers",
-    "q21_waiting_suppliers",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "range_join_event_pairs",
-    "time_bucket_rollup",
-    "w2_sliding_window",
-    "w4_last_wins_dedup",
-    "w_analytic_functions",
-    "w_forward_fill_hold",
-    "w_interpolate_linear",
-    "w_ranking_functions",
-    "x3_cosine_topk_bruteforce",
-    "x3_knn_label_vote",
-    "x3_quantize_embeddings",
-    "x3_vector_array_stats",
-    "x5_audio_meta_decode",
-    "x5_image_meta_decode",
-    "x5_multimodal_payload_meta",
-    "x5_video_meta_decode",
-    "agg_conditional_bool",
+    "x2_incremental_near_dedup_stored",
+    "x2_substring_dedup_bpe",
     "agg_distinct_by_group",
     "agg_two_phase_distinct",
     "agg_variance_manual",
@@ -13270,6 +13437,55 @@ _CHECK_FIRST = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "s2_native_unpivot",
+    "w1_native_tumbling_window",
+    "w1_streaming_tumbling",
+    "w4_native_session_window",
+    "w4_streaming_dedup",
+    "x1_incremental_dedup",
+    "x2_embedding_near_dup",
+    "x4_token_count_bpe",
+    "x5_frame_sample",
+    "agg_approx_percentile_bound",
+    "agg_hll_distinct_bound",
+    "agg_kll_quantile_bound",
+    "agg_theta_distinct_bound",
+    "agg_value_histogram",
+    "curation_chunk_tokens",
+    "curation_split_assign",
+    "curation_temperature_sample",
+    "curation_weighted_sample",
+    "grouping_sets_mixed",
+    "j_fuzzy_match_join",
+    "join_anti",
+    "join_null_safe_eq",
+    "rollup_flag_status",
+    "s3_filter_pushdown_in",
+    "set_bag_semantics_all",
+    "set_except",
+    "w_ewma_smooth",
+    "w_funnel_depth_histogram",
+    "w_retention_cohorts",
+    "w_scd2_intervals",
+    "w_streaming_static_enrich",
+    "w_streaming_stream_join",
+    "w_top_user_journeys",
+    "w_zscore_anomaly",
+    "x1_dedup_exact_hash",
+    "x3_ann_recall",
+    "x3_ivf_topk_ann",
+    "x3_kmeans_ivf_topk",
+    "x3_lsh_topk_ann",
+    "x4_winnow_fingerprint",
+    "x6_table_profile",
+    "agg_global_stats",
 ]
 
 QUERIES = {

@@ -8,6 +8,9 @@ late/duplicate-data semantics the reference only has implicitly
 (wide-pivot last-wins, ``dataset.py:88-91``).
 """
 
+from mission_data_pipeline_spark.streaming.ingest import (
+    near_dedup_ingest_stream,
+)
 from mission_data_pipeline_spark.streaming.pipeline import StreamingPipeline
 from mission_data_pipeline_spark.streaming.sources import (
     stream_csv_telemetry,
@@ -28,6 +31,7 @@ __all__ = [
     "StreamingPipeline",
     "dedup_late_samples",
     "dedup_stream_content",
+    "near_dedup_ingest_stream",
     "seq_gaps",
     "seq_gaps_batch",
     "seq_gaps_stream",

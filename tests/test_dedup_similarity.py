@@ -974,3 +974,149 @@ def test_exact_substring_dedup_matches_reference_property(spark):
         assert got == _exact_substring_reference(rows, k)
 
     run()
+
+
+def test_exact_substring_dedup_bpe_token_vs_word_granularity(spark):
+    """Pins a case where word- and BPE-token-granularity disagree
+    (VERDICT r08 item 6): under merges [(a,b),(c,d)] the words
+    'abcd' and 'ab cd' tokenize to the SAME run [ab, cd], so two docs
+    that share no word-level k-gram share a token-level one — the
+    token-granularity pass excises the later doc, the word pass
+    touches nothing."""
+    from mission_data_pipeline_spark.operators.dedup import (
+        exact_substring_dedup,
+        exact_substring_dedup_bpe,
+    )
+
+    merges = [("a", "b"), ("c", "d")]
+    rows = [(1, "abcd efgh"), (2, "ab cd efgh")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # word granularity, k=2: doc1 gram "abcd efgh"; doc2 grams
+    # "ab cd", "cd efgh" — no overlap, nothing removed
+    word = {r["doc_id"]: r for r in exact_substring_dedup(df, k=2).collect()}
+    assert word[1]["n_removed"] == 0 and word[2]["n_removed"] == 0
+    # BPE token granularity: both docs -> [ab, cd, e, f, g, h]; the
+    # 6-token run duplicates, doc 1 (first occurrence) keeps it, doc 2
+    # empties out
+    bpe = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup_bpe(df, merges, k=6).collect()
+    }
+    assert bpe[1]["n_tokens"] == 6 and bpe[1]["n_removed"] == 0
+    assert bpe[1]["kept_text"] == "ab cd e f g h"
+    assert bpe[2]["n_removed"] == 6 and bpe[2]["n_spans"] == 1
+    assert bpe[2]["kept_text"] == ""
+
+
+def test_bpe_token_sequences_order_and_eligibility(spark):
+    """Token sequences preserve word order through the distinct-vocab
+    encode/join/flatten, and docs with zero alphabetic words yield no
+    row."""
+    from mission_data_pipeline_spark.operators.bpe import (
+        bpe_token_sequences,
+    )
+
+    merges = [("a", "b"), ("c", "d")]
+    df = spark.createDataFrame(
+        [(1, "abcd ab abcd"), (2, "123 456 --")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bpe_token_sequences(df, merges).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["toks"] == ["ab", "cd", "ab", "ab", "cd"]
+
+
+def test_near_dedup_stored_index_roundtrip_and_plan(spark, tmp_path):
+    """The materialized-index production path (VERDICT r08 item 2):
+    write_near_dedup_index -> read_near_dedup_index ->
+    incremental_near_dedup(corpus_bands=, corpus_grams=) must equal the
+    recompute path, and the probe plan's corpus side must scan the
+    STORED parquet index — never the corpus text table."""
+    from mission_data_pipeline_spark.operators.dedup import (
+        incremental_near_dedup,
+        read_near_dedup_index,
+        write_near_dedup_index,
+    )
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog near river"),
+        (2, "completely different corpus text about spark shuffles and joins"),
+    ]
+    corpus_path = str(tmp_path / "corpus_tbl")
+    spark.createDataFrame(
+        corpus_rows, "doc_id long, text string"
+    ).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near river extra"),
+            (11, "unrelated fresh content with tokens nobody used before today"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    paths = write_near_dedup_index(
+        corpus, idx, n=2, num_hashes=8, bands=4
+    )
+    assert paths["bands"].endswith("bands")
+    bands_df, grams_df = read_near_dedup_index(
+        spark, idx, n=2, num_hashes=8, bands=4
+    )
+    stored = incremental_near_dedup(
+        batch,
+        n=2,
+        num_hashes=8,
+        bands=4,
+        threshold=0.6,
+        corpus_bands=bands_df,
+        corpus_grams=grams_df,
+    )
+    assert sorted(r["doc_id"] for r in stored.collect()) == [11]
+    # recompute path agrees
+    recompute = incremental_near_dedup(
+        batch, corpus, n=2, num_hashes=8, bands=4, threshold=0.6
+    )
+    assert sorted(r["doc_id"] for r in recompute.collect()) == [11]
+    # plan pin: every file scan in the probe is an INDEX scan (bands:
+    # band_hash + the band partition column; grams: gram) — the corpus
+    # text parquet is never read (its scan would carry a text column).
+    # Path strings are elided in toString, so pin on the read schemas.
+    plan = _final_plan(stored)
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans, "expected parquet index scans in the probe plan"
+    assert all("text" not in ln for ln in scans), scans
+    assert any("band_hash" in ln for ln in scans), scans
+    assert any("gram" in ln and "band_hash" not in ln for ln in scans), scans
+
+
+def test_near_dedup_stored_index_validation(spark, tmp_path):
+    """Mismatched probe parameters and half-supplied corpus sides fail
+    loudly — a probe built with a different shingle width would
+    silently match nothing and wave every near-dup through."""
+    import pytest as _pytest
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        incremental_near_dedup,
+        read_near_dedup_index,
+        write_near_dedup_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some corpus text with enough tokens to shingle")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx2")
+    write_near_dedup_index(df, idx, n=2, num_hashes=8, bands=4)
+    with _pytest.raises(ValueError, match="n=2"):
+        read_near_dedup_index(spark, idx, n=3)
+    with _pytest.raises(ValueError, match="bands=4"):
+        read_near_dedup_index(spark, idx, bands=8)
+    bands_df, grams_df = read_near_dedup_index(spark, idx)
+    with _pytest.raises(ValueError, match="together"):
+        incremental_near_dedup(df, corpus_bands=bands_df)
+    with _pytest.raises(ValueError, match="exactly one"):
+        incremental_near_dedup(df)
+    with _pytest.raises(ValueError, match="exactly one"):
+        incremental_near_dedup(
+            df, df, corpus_bands=bands_df, corpus_grams=grams_df
+        )

@@ -371,3 +371,53 @@ def test_dsir_select_validation_and_determinism(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     # xxhash64 fast path runs and returns the same row count
     assert dsir_select(df, df, 2, hash_fn="xxhash64").count() == 2
+
+
+def test_dsir_xxhash64_fast_path_target_like_and_invariant(spark):
+    """The deployment hash path (VERDICT r08 item 3): under
+    hash_fn='xxhash64' (JVM-side, not SQL-twinnable) DSIR must still
+    (a) weigh target-vocabulary docs strictly above off-vocabulary
+    docs, (b) select exactly the target-like ones, and (c) return an
+    identical selection under adversarial repartitioning. Exact
+    equality with the md5 path is NOT expected — the bucket hash
+    differs — but the paper's semantics must hold for both."""
+    from mission_data_pipeline_spark.operators.sampling import dsir_select
+
+    tgt_words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    off_words = ["uno", "dos", "tres", "cuatro", "cinco", "seis"]
+
+    def sent(words, i):
+        return " ".join(words[(i + j) % len(words)] for j in range(8))
+
+    target = spark.createDataFrame(
+        [(100 + i, sent(tgt_words, i)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, sent(tgt_words, i)) for i in range(6)]
+        + [(10 + i, sent(off_words, i)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    scored = dsir_select(
+        raw, target, 12, buckets=512, seed=1, hash_fn="xxhash64"
+    )
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    like = [rows[i]["logw"] for i in range(6)]
+    off = [rows[10 + i]["logw"] for i in range(6)]
+    assert min(like) > max(off), (like, off)
+    top6 = {
+        r["doc_id"]
+        for r in dsir_select(
+            raw, target, 6, buckets=512, seed=1, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert top6 == set(range(6))
+    perturbed = dsir_select(
+        raw.repartition(7),
+        target.repartition(3),
+        6,
+        buckets=512,
+        seed=1,
+        hash_fn="xxhash64",
+    ).collect()
+    assert {r["doc_id"] for r in perturbed} == top6

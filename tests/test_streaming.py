@@ -524,15 +524,24 @@ def test_streaming_ewma_restart_from_checkpoint(spark, tmp_path):
             }
         )
     base_mtime = _time.time() - 100
-    for f in range(4):
-        p = src / f"f{f}.json"
-        p.write_text(
-            "\n".join(json.dumps(r) for r in rows[f * 20 : (f + 1) * 20])
-            + "\n"
-        )
-        # file source picks files up in mtime order — pin it so the
-        # time-ordered delivery contract holds deterministically
-        os.utime(p, (base_mtime + f, base_mtime + f))
+
+    def write_files(lo: int, hi: int) -> None:
+        for f in range(lo, hi):
+            p = src / f"f{f}.json"
+            p.write_text(
+                "\n".join(json.dumps(r) for r in rows[f * 20 : (f + 1) * 20])
+                + "\n"
+            )
+            # file source picks files up in mtime order — pin it so the
+            # time-ordered delivery contract holds deterministically
+            os.utime(p, (base_mtime + f, base_mtime + f))
+
+    # Deterministic interruption (ADVICE r08): only the first two source
+    # files exist before the first run, so it CANNOT emit all 80 rows no
+    # matter how fast the machine drains availableNow batches — the
+    # stop() below still exercises a mid-stream kill when it wins the
+    # race, but the n_partial < 80 invariant no longer depends on it.
+    write_files(0, 2)
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
 
@@ -566,6 +575,9 @@ def test_streaming_ewma_restart_from_checkpoint(spark, tmp_path):
     )
     assert n_partial < 80, "stream finished before we could interrupt it"
 
+    # remaining source arrives only now — the restarted query must both
+    # recover committed EWMA state and pick up the new files
+    write_files(2, 4)
     q2 = start()
     q2.awaitTermination(120)
 
@@ -586,3 +598,113 @@ def test_streaming_ewma_restart_from_checkpoint(spark, tmp_path):
         s = r["value"] if s is None else 0.3 * r["value"] + 0.7 * s
         state[k] = s
         assert g["ewma"] == s, (r["event_id"], g["ewma"], s)
+
+
+def test_streaming_near_dedup_ingest_restart_from_checkpoint(spark, tmp_path):
+    """Streaming ingest gate (streaming/ingest.py, VERDICT r08 item 7):
+    micro-batches gated against the STORED LSH band index, survivors'
+    signatures appended as index deltas, per-epoch idempotent writes.
+    The stream is killed between the first and second wave of source
+    files and restarted from the checkpoint: across the boundary no
+    near-dup may slip through (including near-dups of docs ACCEPTED
+    before the kill — delta-index state) and no new doc may be dropped
+    or duplicated (exactly-once through the per-epoch overwrite sink)."""
+    import json
+    import os
+    import time as _time
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        write_near_dedup_index,
+    )
+    from mission_data_pipeline_spark.streaming.ingest import (
+        near_dedup_ingest_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near river"),
+            (2, "completely different corpus text about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    write_near_dedup_index(corpus, idx, n=2, num_hashes=8, bands=4)
+
+    new_11 = "unrelated fresh content with tokens nobody used before today"
+    new_13 = "another brand new document mentioning satellites weather and maps"
+    new_15 = "totally novel words describing gardens bloom tulip rows in spring"
+    new_17 = "final unique entry capturing museum archives and quiet halls"
+    files = [
+        # near-copy of corpus doc 1 -> drop; brand new -> survive
+        [(10, corpus.collect()[0]["text"] + " extra"), (11, new_11)],
+        # near-copy of doc 11 (accepted in the PREVIOUS epoch -> must be
+        # caught by the delta index); brand new -> survive
+        [(12, new_11 + " extra"), (13, new_13)],
+        # written only AFTER the kill: near-copy of pre-kill survivor 13
+        # (delta state must cross the restart); brand new -> survive
+        [(14, new_13 + " extra"), (15, new_15)],
+        # near-copy of corpus doc 2 -> drop; brand new -> survive
+        [(16, "completely different corpus text about spark shuffles and joins extra"), (17, new_17)],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    base_mtime = _time.time() - 100
+
+    def write_files(lo: int, hi: int) -> None:
+        for f in range(lo, hi):
+            p = src / f"f{f}.json"
+            p.write_text(
+                "\n".join(
+                    json.dumps({"doc_id": d, "text": t}) for d, t in files[f]
+                )
+                + "\n"
+            )
+            os.utime(p, (base_mtime + f, base_mtime + f))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        return near_dedup_ingest_stream(
+            stream,
+            idx,
+            out,
+            checkpoint=ckpt,
+            n=2,
+            num_hashes=8,
+            bands=4,
+            threshold=0.6,
+        )
+
+    # deterministic interruption: only the first two files exist before
+    # the first run (the stop() still exercises a mid-stream kill when
+    # it wins the race)
+    write_files(0, 2)
+    q = start()
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    write_files(2, 4)
+    q2 = start()
+    q2.awaitTermination(120)
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert got == [11, 13, 15, 17]  # exactly once: no near-dups, no holes
+    # the index deltas for the accepted docs exist (the stored-corpus
+    # index itself is untouched)
+    assert os.path.isdir(os.path.join(idx, "delta"))
+    assert {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(idx, "delta", "*", "grams")).collect()
+    } == {11, 13, 15, 17}
