@@ -121,6 +121,10 @@ EXTENDED = [
     # on-disk LSH band index each run) and BPE-granularity ExactSubstr
     "x2_incremental_near_dedup_stored",
     "x2_substring_dedup_bpe",
+    # round 9, second batch: quality-aware representative selection over
+    # duplicate clusters; D4/SSL-prototypes per-cluster pruning
+    "curation_quality_dedup",
+    "x3_prototype_prune",
 ]
 
 N_ETL_PACKETS = 200_000

@@ -800,6 +800,65 @@ def band_signatures(signatures: DataFrame, *, bands: int = 4) -> DataFrame:
     )
 
 
+def quality_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    quality_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Quality-aware near-dedup: close the verified near-dup ``pairs``
+    into clusters (:func:`connected_components` to the fixpoint) and
+    keep ONE representative per cluster — the HIGHEST ``quality_col``,
+    ties broken toward the smallest ``id_col``. Returns the surviving
+    rows of ``docs``.
+
+    Production dedup pipelines keep the *best* member of a duplicate
+    cluster (longest, highest quality-classifier score, canonical
+    source), not the arbitrary min-id member the plain constructions
+    keep — on crawl data the first-crawled copy is often the truncated
+    or boilerplate-wrapped one.
+
+    Scale shape: everything cluster-related touches only the PAIR
+    GRAPH (duplicated subset), never the corpus — the quality join is
+    node-keyed, representative selection is one max-of-struct partial
+    agg per component, and survivors come from one anti-join of the
+    losers. For layout-invariant results pass a quality column that is
+    exactly reproducible across partitionings (integer counts or a
+    rounded score — same contract as every other accumulator in this
+    repo).
+    """
+    comp = connected_components(
+        pairs, id_a=id_a, id_b=id_b, checkpoint_dir=checkpoint_dir
+    )
+    q = docs.select(
+        F.col(id_col).alias("node"), F.col(quality_col).alias("__q")
+    )
+    best = (
+        comp.join(q, "node")
+        .groupBy("component_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__q").alias("q"),
+                    (-F.col("node")).alias("negid"),
+                    F.col("node").alias("keep"),
+                )
+            ).alias("__b")
+        )
+        .select("component_id", F.col("__b.keep").alias("keep_id"))
+    )
+    losers = (
+        comp.join(best, "component_id")
+        .filter(F.col("node") != F.col("keep_id"))
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
 def write_near_dedup_index(
     corpus: DataFrame,
     path: str,

@@ -694,6 +694,109 @@ def semantic_dedup(
     return corpus.join(dropped, id_col, "left_anti")
 
 
+def _np_assign_sim_udf(
+    cents: list[tuple[int, list[float]]], *, round_digits: int = 6
+):
+    """Arrow-batched assignment WITH the winning similarity:
+    ``struct<centroid_id long, sim double>`` per vector (NULL for
+    malformed vectors). Same matmul/rounding/tie semantics as
+    :func:`_np_argmax_udf`; used where downstream needs the
+    prototypicality score, not just the partition id."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cmat = np.array([vec for _, vec in cents], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    dim = cmat.shape[1]
+    out_t = StructType(
+        [
+            StructField("centroid_id", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def assign(v: pd.Series) -> pd.DataFrame:
+        mask, mat = _valid_matrix(v, dim)
+        vnorm = np.sqrt((mat * mat).sum(axis=1))
+        sims = np.round(
+            (mat @ cmat.T) / (vnorm[:, None] * cnorm[None, :]), round_digits
+        )
+        cid_col = np.full(len(v), None, dtype=object)
+        sim_col = np.full(len(v), None, dtype=object)
+        if len(mat):
+            arg = np.argmax(sims, axis=1)
+            cid_col[mask] = cids[arg]
+            sim_col[mask] = sims[np.arange(len(mat)), arg]
+        return pd.DataFrame({"centroid_id": cid_col, "sim": sim_col})
+
+    return assign
+
+
+def prototype_prune(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    drop_frac: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Prototype-based data pruning (the SSL-prototypes step of D4,
+    Tirumala et al. 2023; Sorscher et al. 2022 "Beyond neural scaling
+    laws"): within each embedding cluster, DROP the ``drop_frac``
+    fraction of points MOST similar to their centroid — the most
+    prototypical points are the most redundant, and pruning them beats
+    random pruning at scale (keeps the diverse/hard examples). The
+    natural companion to :func:`semantic_dedup` (which removes
+    near-exact semantic copies; this thins dense regions): together
+    they are the published D4 pipeline.
+
+    Per cluster of size ``n_c``, exactly ``floor(drop_frac * n_c)``
+    points drop — the cluster's top-ranked by
+    (round(cosine-to-centroid, round_digits) DESC, id ASC), so the
+    selection is engine- and layout-reproducible. Returns the
+    surviving ``corpus`` rows unchanged; malformed vectors are kept
+    (they belong to no cluster — filter them upstream if unwanted).
+
+    Scale shape: assignment + prototypicality is ONE Arrow-batched
+    NumPy matmul pass against the broadcast literal codebook (map-side,
+    zero shuffle); the only shuffle is the per-cluster rank window, and
+    cluster sizes are bounded by codebook sizing (same contract as
+    :func:`semantic_dedup`).
+    """
+    if not (0.0 <= drop_frac <= 1.0):
+        raise ValueError(f"drop_frac must be in [0, 1], got {drop_frac}")
+    from pyspark.sql import Window
+
+    cents = _centroid_literals(centroids)
+    if not cents:
+        raise ValueError("prototype_prune needs at least one centroid")
+    assign = _np_assign_sim_udf(cents, round_digits=round_digits)
+    scored = corpus.select(
+        F.col(id_col).alias("__pp_id"), assign(F.col(vec_col)).alias("__pp")
+    ).filter(F.col("__pp").isNotNull())
+    w = Window.partitionBy("__pp.centroid_id").orderBy(
+        F.desc("__pp.sim"), F.asc("__pp_id")
+    )
+    wc = Window.partitionBy("__pp.centroid_id")
+    dropped = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__nc", F.count("*").over(wc))
+        .filter(
+            F.col("__rk")
+            <= F.floor(F.lit(float(drop_frac)) * F.col("__nc"))
+        )
+        .select(F.col("__pp_id").alias(id_col))
+    )
+    return corpus.join(dropped, id_col, "left_anti")
+
+
 def ann_recall(
     approx: DataFrame, exact: DataFrame, *, k: int = 10
 ) -> DataFrame:

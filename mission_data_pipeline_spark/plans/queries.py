@@ -3665,10 +3665,9 @@ _q(
 
 # Deterministic MinHash: h_s(gram) = first 12 hex digits of md5(seed||gram)
 # as int; signature = min per seed; band agreement >= 3 of 6 seeds.
-_MINHASH_SPARK = (
-    "WITH "
-    + _GRAMS_SPARK
-    + """
+# Bodies are shared by the plain construction (x2_minhash_bands,
+# x2_duplicate_components) and the seeded-corpus quality-dedup variant.
+_MINHASH_BODY_SPARK = """
 , hashes AS (
     SELECT g.doc_id, s.seed,
            MIN(CAST(CONV(SUBSTR(MD5(CONCAT(CAST(s.seed AS STRING), ':', g.gram)), 1, 12), 16, 10) AS BIGINT)) AS minhash
@@ -3683,11 +3682,7 @@ GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= 3
 ORDER BY doc_a, doc_b
 """
-)
-_MINHASH_DUCK = (
-    "WITH "
-    + _GRAMS_DUCK
-    + """
+_MINHASH_BODY_DUCK = """
 , hashes AS (
     SELECT g.doc_id, s.seed,
            MIN(CAST(('0x' || SUBSTR(MD5(CONCAT(CAST(s.seed AS VARCHAR), ':', g.gram)), 1, 12)) AS BIGINT)) AS minhash
@@ -3702,7 +3697,8 @@ GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= 3
 ORDER BY doc_a, doc_b
 """
-)
+_MINHASH_SPARK = "WITH " + _GRAMS_SPARK + _MINHASH_BODY_SPARK
+_MINHASH_DUCK = "WITH " + _GRAMS_DUCK + _MINHASH_BODY_DUCK
 _q(
     "x2_minhash_bands",
     _dialect(
@@ -6891,6 +6887,172 @@ _q(
         "transitive duplicate clustering: iterative min-label propagation "
         "to the connected-component fixpoint (lineage-checkpointed, one "
         "shuffle per round); oracle = recursive-CTE transitive closure",
+    ),
+)
+
+
+# Seeded-corpus MinHash pairs for quality-aware dedup: each doc_id<30
+# document gets a LONGER near-dup twin (id+1000, ' near dup tail'
+# appended), so the highest-quality member of a duplicate cluster is
+# NOT the min-id member — the argmax-representative semantics are
+# observable (min-id dedup would keep the opposite doc).
+_MINHASH_SEEDED_SPARK = "WITH " + _GRAMS_SEEDED_SPARK + _MINHASH_BODY_SPARK
+_MINHASH_SEEDED_DUCK = "WITH " + _GRAMS_SEEDED_DUCK + _MINHASH_BODY_DUCK
+
+
+def _quality_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dedup (operators/dedup.py quality_dedup):
+    verified MinHash pairs close into clusters and each cluster keeps
+    its HIGHEST-quality member (here: token count — the keep-the-
+    longest production heuristic), ties toward min id. The seeded
+    corpus plants a longer twin for every doc_id<30 document, so the
+    kept representative differs from what min-id dedup would keep —
+    the oracle replays closure, argmax and anti-join exactly."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dedup import quality_dedup
+
+    register_views(spark, sf_dir)
+    docs = spark.sql(
+        """
+        SELECT doc_id, text FROM documents WHERE doc_id < 30
+        UNION ALL
+        SELECT doc_id + 1000 AS doc_id, CONCAT(text, ' near dup tail') AS text
+        FROM documents WHERE doc_id < 30
+        """
+    ).select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    pairs = spark.sql(f"SELECT doc_a, doc_b FROM ({_MINHASH_SEEDED_SPARK}) p")
+    out = quality_dedup(docs, pairs, quality_col="n_tokens")
+    return out.select("doc_id", "n_tokens").orderBy("doc_id")
+
+
+_q(
+    "curation_quality_dedup",
+    Query(
+        _quality_dedup_spark,
+        f"""
+        WITH RECURSIVE pairs AS (
+          SELECT doc_a, doc_b FROM ({_MINHASH_SEEDED_DUCK}) p
+        ),
+        docs2 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 30
+          UNION ALL
+          SELECT doc_id + 1000 AS doc_id, text || ' near dup tail' AS text
+          FROM documents WHERE doc_id < 30
+        ),
+        q AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM docs2
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, node) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+        ),
+        comp AS (
+          SELECT src AS node, MIN(node) AS component_id
+          FROM reach GROUP BY src
+        ),
+        best AS (
+          SELECT component_id, keep_id FROM (
+            SELECT c.component_id, c.node AS keep_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                      ORDER BY q.n_tokens DESC, c.node) AS rn
+            FROM comp c JOIN q ON q.doc_id = c.node) t
+          WHERE rn = 1
+        ),
+        losers AS (
+          SELECT c.node AS doc_id
+          FROM comp c JOIN best b ON c.component_id = b.component_id
+          WHERE c.node != b.keep_id
+        )
+        SELECT q.doc_id, q.n_tokens FROM q
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM losers)
+        ORDER BY q.doc_id
+        """,
+        "X2,X-curation",
+        "quality-aware near-dedup: duplicate clusters (MinHash pairs "
+        "closed to the component fixpoint) each keep their HIGHEST-"
+        "quality member (token count, tie min id) instead of the "
+        "arbitrary min-id one — the keep-the-best production semantics; "
+        "cluster work touches only the pair graph, survivors via one "
+        "anti-join; oracle replays closure + argmax + anti-join",
+    ),
+)
+
+
+def _prototype_prune_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-based pruning (operators/similarity.py prototype_prune
+    — the SSL-prototypes step of D4, Tirumala et al. 2023): per
+    embedding cluster, the floor(25%) most-prototypical points (highest
+    rounded cosine to their centroid, id tie-break) are dropped, keeping
+    the diverse tail. Deterministic first-32 centroids make the
+    selection oracle-replayable; with semantic_dedup this is the
+    published D4 pipeline."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        default_centroids,
+        prototype_prune,
+    )
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = default_centroids(emb, n_centroids=32, vec_col="v")
+    out = prototype_prune(emb, cents, drop_frac=0.25, vec_col="v")
+    return out.select("vec_id").orderBy("vec_id")
+
+
+_q(
+    "x3_prototype_prune",
+    Query(
+        _prototype_prune_spark,
+        """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 32),
+        assign AS (
+          SELECT vec_id, cid, sim FROM (
+            SELECT e.vec_id, c.cid,
+                   ROUND(list_cosine_similarity(e.v, c.cv), 6) AS sim,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
+                       DESC, c.cid) AS rn
+            FROM e CROSS JOIN c) t WHERE rn = 1
+        ),
+        ranked AS (
+          SELECT vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY cid
+                                    ORDER BY sim DESC, vec_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY cid) AS nc
+          FROM assign
+        )
+        SELECT e.vec_id FROM e
+        WHERE e.vec_id NOT IN
+              (SELECT vec_id FROM ranked WHERE rk <= FLOOR(0.25 * nc))
+        ORDER BY e.vec_id
+        """,
+        "X3+,X-curation",
+        "D4/SSL-prototypes data pruning: per cluster, drop the "
+        "floor(25%) points most similar to their centroid (most "
+        "prototypical = most redundant), keep the diverse tail — one "
+        "Arrow-batched matmul assignment pass, one per-cluster rank "
+        "window; oracle replays assignment, ranking and the floor drop",
     ),
 )
 
@@ -13426,6 +13588,8 @@ _q(
 _CHECK_FIRST = [
     "x2_incremental_near_dedup_stored",
     "x2_substring_dedup_bpe",
+    "curation_quality_dedup",
+    "x3_prototype_prune",
     "agg_distinct_by_group",
     "agg_two_phase_distinct",
     "agg_variance_manual",

@@ -1120,3 +1120,75 @@ def test_near_dedup_stored_index_validation(spark, tmp_path):
         incremental_near_dedup(
             df, df, corpus_bands=bands_df, corpus_grams=grams_df
         )
+
+
+def test_quality_dedup_keeps_best_member(spark):
+    """Quality-aware dedup: each duplicate cluster keeps its highest-
+    quality member (tie -> min id), not the min-id member; unpaired
+    docs always survive."""
+    from mission_data_pipeline_spark.operators.dedup import quality_dedup
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 1), (10, 7)],
+        "doc_id long, quality long",
+    )
+    # chain 1-2-3 is ONE cluster (transitive closure); 4 and 10 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in quality_dedup(docs, pairs, quality_col="quality").collect()
+    )
+    # cluster max quality 9 is shared by 2 and 3 -> min id 2 kept
+    assert kept == [2, 4, 10]
+
+
+def test_prototype_prune_drops_most_prototypical(spark):
+    """D4/SSL-prototypes pruning: per cluster, exactly floor(frac*n)
+    points drop, the ones MOST similar to their centroid — hand-built
+    2-D fixture with known cosines."""
+    import math
+
+    import pytest as _pytest
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        default_centroids,
+        prototype_prune,
+    )
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [
+        (0, vec(0)),   # centroid A (most prototypical of cluster A)
+        (1, vec(90)),  # centroid B (most prototypical of cluster B)
+        (2, vec(5)),
+        (3, vec(20)),
+        (4, vec(40)),  # cluster A: n=4 -> floor(0.5*4)=2 drop (0, 2)
+        (5, vec(85)),
+        (6, vec(70)),  # cluster B: n=3 -> floor(0.5*3)=1 drop (1)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = default_centroids(emb, n_centroids=2)
+    kept = sorted(
+        r["vec_id"]
+        for r in prototype_prune(emb, cents, drop_frac=0.5).collect()
+    )
+    assert kept == [3, 4, 5, 6]
+    # frac 0 keeps everything; out-of-range frac fails loudly
+    assert prototype_prune(emb, cents, drop_frac=0.0).count() == 7
+    with _pytest.raises(ValueError):
+        prototype_prune(emb, cents, drop_frac=1.5)
+    # malformed vectors belong to no cluster and are kept
+    bad = emb.unionByName(
+        spark.createDataFrame(
+            [(99, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+        )
+    )
+    kept_bad = {
+        r["vec_id"]
+        for r in prototype_prune(bad, cents, drop_frac=0.5).collect()
+    }
+    assert 99 in kept_bad
