@@ -1192,3 +1192,67 @@ def test_prototype_prune_drops_most_prototypical(spark):
         for r in prototype_prune(bad, cents, drop_frac=0.5).collect()
     }
     assert 99 in kept_bad
+
+
+def _quality_dedup_reference(quality: dict, pairs: list) -> set:
+    """Union-find + per-cluster argmax(quality, tie min id) — the
+    brute-force survivor set."""
+    parent = {n: n for n in quality}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict = {}
+    for n in quality:
+        clusters.setdefault(find(n), []).append(n)
+    return {
+        max(members, key=lambda n: (quality[n], -n))
+        for members in clusters.values()
+    }
+
+
+def test_quality_dedup_matches_reference_property(spark):
+    """Hypothesis sweep: random small pair graphs (chains, cliques,
+    self-contradictory duplicate edges, isolated nodes) + random
+    qualities must keep exactly the brute-force argmax representative
+    per connected component."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mission_data_pipeline_spark.operators.dedup import quality_dedup
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        n=st.integers(2, 8),
+        edges=st.lists(
+            st.tuples(st.integers(0, 7), st.integers(0, 7)), max_size=10
+        ),
+        quals=st.lists(
+            st.integers(0, 5), min_size=8, max_size=8
+        ),
+    )
+    def run(n, edges, quals):
+        nodes = list(range(n))
+        pairs = [(a, b) for a, b in edges if a != b and a < n and b < n]
+        quality = {i: quals[i] for i in nodes}
+        docs = spark.createDataFrame(
+            [(i, quality[i]) for i in nodes], "doc_id long, quality long"
+        )
+        pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        kept = {
+            r["doc_id"]
+            for r in quality_dedup(docs, pdf, quality_col="quality").collect()
+        }
+        assert kept == _quality_dedup_reference(quality, pairs), (
+            pairs,
+            quality,
+        )
+
+    run()
