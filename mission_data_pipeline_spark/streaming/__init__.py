@@ -9,6 +9,7 @@ late/duplicate-data semantics the reference only has implicitly
 """
 
 from mission_data_pipeline_spark.streaming.ingest import (
+    compact_near_dedup_index,
     near_dedup_ingest_stream,
 )
 from mission_data_pipeline_spark.streaming.pipeline import StreamingPipeline
@@ -29,6 +30,7 @@ from mission_data_pipeline_spark.streaming.windows import (
 
 __all__ = [
     "StreamingPipeline",
+    "compact_near_dedup_index",
     "dedup_late_samples",
     "dedup_stream_content",
     "near_dedup_ingest_stream",

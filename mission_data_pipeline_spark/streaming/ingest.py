@@ -48,7 +48,7 @@ from mission_data_pipeline_spark.operators.dedup import (
     shingles,
 )
 
-__all__ = ["near_dedup_ingest_stream"]
+__all__ = ["compact_near_dedup_index", "near_dedup_ingest_stream"]
 
 
 def _delta_paths(index_path: str, *, current_epoch: int) -> tuple[list, list]:
@@ -68,6 +68,53 @@ def _delta_paths(index_path: str, *, current_epoch: int) -> tuple[list, list]:
                 bands_paths.append(b)
                 grams_paths.append(g)
     return bands_paths, grams_paths
+
+
+def compact_near_dedup_index(spark, index_path: str) -> dict:
+    """Fold committed streaming delta epochs into the base index — the
+    nightly OPTIMIZE for the ingest gate. Rewrites ``{index}/bands``
+    (partitioned by band) and ``{index}/grams`` to include every delta
+    epoch's rows, then removes the delta directory, so the next day's
+    gating reads one compacted table instead of a base + N-epoch union.
+    Returns ``{"epochs_folded": n}``.
+
+    MUST NOT run concurrently with an active ingest stream: the stream
+    reads "all delta epochs except the one being processed", and a
+    concurrent fold would present those rows twice (base + delta). At
+    scale this whole function is a transactional-table MERGE +
+    compaction (Delta/Iceberg); here the swap is two directory renames
+    — crash-safe on a local/HDFS-like filesystem in the sense that
+    either the old or the new layout is fully present (``params.json``
+    is never touched).
+    """
+    import shutil
+
+    delta_root = os.path.join(index_path, "delta")
+    dbp, dgp = _delta_paths(index_path, current_epoch=-1)
+    if not dbp:
+        shutil.rmtree(delta_root, ignore_errors=True)
+        return {"epochs_folded": 0}
+    base_bands, base_grams = read_near_dedup_index(spark, index_path)
+    all_bands = base_bands.unionByName(
+        spark.read.parquet(*dbp).select("doc_id", "band", "band_hash")
+    )
+    all_grams = base_grams.unionByName(
+        spark.read.parquet(*dgp).select("doc_id", "gram")
+    )
+    bands_new = os.path.join(index_path, "bands__compacting")
+    grams_new = os.path.join(index_path, "grams__compacting")
+    all_bands.write.mode("overwrite").partitionBy("band").parquet(bands_new)
+    all_grams.write.mode("overwrite").parquet(grams_new)
+    for cur, new in (
+        (os.path.join(index_path, "bands"), bands_new),
+        (os.path.join(index_path, "grams"), grams_new),
+    ):
+        old = cur + "__old"
+        os.rename(cur, old)
+        os.rename(new, cur)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(delta_root, ignore_errors=True)
+    return {"epochs_folded": len(dbp)}
 
 
 def near_dedup_ingest_stream(

@@ -708,3 +708,86 @@ def test_streaming_near_dedup_ingest_restart_from_checkpoint(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(
         os.path.join(idx, "delta", "*", "grams")).collect()
     } == {11, 13, 15, 17}
+
+
+def test_compact_near_dedup_index_folds_deltas(spark, tmp_path):
+    """Nightly index compaction: after a streamed ingest left per-epoch
+    deltas, compact_near_dedup_index folds them into the base tables
+    and removes the delta directory — a post-compaction probe must
+    still catch near-dups of BOTH the original corpus and the streamed
+    survivors, and a second compaction is a no-op."""
+    import json
+    import os
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        incremental_near_dedup,
+        read_near_dedup_index,
+        write_near_dedup_index,
+    )
+    from mission_data_pipeline_spark.streaming.ingest import (
+        compact_near_dedup_index,
+        near_dedup_ingest_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near river")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    write_near_dedup_index(corpus, idx, n=2, num_hashes=8, bands=4)
+
+    new_a = "unrelated fresh content with tokens nobody used before today"
+    new_b = "another brand new document mentioning satellites weather and maps"
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f0.json").write_text(json.dumps({"doc_id": 100, "text": new_a}) + "\n")
+    (src / "f1.json").write_text(json.dumps({"doc_id": 101, "text": new_b}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = near_dedup_ingest_stream(
+        stream,
+        idx,
+        str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        n=2,
+        num_hashes=8,
+        bands=4,
+        threshold=0.6,
+    )
+    q.awaitTermination(120)
+    assert os.path.isdir(os.path.join(idx, "delta"))
+
+    res = compact_near_dedup_index(spark, idx)
+    assert res["epochs_folded"] == 2
+    assert not os.path.isdir(os.path.join(idx, "delta"))
+    # compacted index now gates against corpus AND streamed survivors
+    bands_df, grams_df = read_near_dedup_index(
+        spark, idx, n=2, num_hashes=8, bands=4
+    )
+    assert {r["doc_id"] for r in grams_df.select("doc_id").distinct().collect()} == {1, 100, 101}
+    probe = spark.createDataFrame(
+        [
+            (200, new_a + " extra"),      # near-dup of streamed survivor
+            (201, "the quick brown fox jumps over the lazy dog near river extra"),
+            (202, "genuinely novel words about glaciers penguins and auroras tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_near_dedup(
+            probe,
+            n=2,
+            num_hashes=8,
+            bands=4,
+            threshold=0.6,
+            corpus_bands=bands_df,
+            corpus_grams=grams_df,
+        ).collect()
+    )
+    assert kept == [202]
+    # second compaction is a clean no-op
+    assert compact_near_dedup_index(spark, idx)["epochs_folded"] == 0
