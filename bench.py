@@ -122,9 +122,11 @@ EXTENDED = [
     "x2_incremental_near_dedup_stored",
     "x2_substring_dedup_bpe",
     # round 9, second batch: quality-aware representative selection over
-    # duplicate clusters; D4/SSL-prototypes per-cluster pruning
+    # duplicate clusters; D4/SSL-prototypes per-cluster pruning;
+    # filter-threshold P/R/F1 calibration sweep
     "curation_quality_dedup",
     "x3_prototype_prune",
+    "curation_filter_threshold_sweep",
 ]
 
 N_ETL_PACKETS = 200_000

@@ -7057,6 +7057,116 @@ _q(
 )
 
 
+# Shared stopword list for the threshold-sweep score (literal in both
+# dialects so the two engines cannot drift).
+_SWEEP_STOPWORDS = "('the','a','of','and','to','in','is','that','it','for')"
+
+_q(
+    "curation_filter_threshold_sweep",
+    _dialect(
+        f"""
+        WITH scored AS (
+          SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+                 ROUND(
+                   CAST(size(filter(split(lower(text), '[^a-z]+'),
+                        w -> w IN {_SWEEP_STOPWORDS})) AS DOUBLE)
+                   / GREATEST(size(filter(split(lower(text), '[^a-z]+'),
+                        w -> length(w) > 0)), 1),
+                 6) AS score
+          FROM documents
+        ),
+        grid AS (SELECT explode(sequence(0, 9)) AS i),
+        stats AS (
+          SELECT ROUND(CAST(g.i AS DOUBLE) / CAST(20 AS DOUBLE), 6)
+                   AS threshold,
+                 CAST(SUM(CASE WHEN s.score >=
+                       CAST(g.i AS DOUBLE) / CAST(20 AS DOUBLE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN s.score >=
+                       CAST(g.i AS DOUBLE) / CAST(20 AS DOUBLE)
+                       AND s.is_en = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+                 CAST(SUM(s.is_en) AS BIGINT) AS n_pos
+          FROM scored s CROSS JOIN grid g
+          GROUP BY g.i
+        ),
+        pr AS (
+          SELECT threshold, n_kept, n_tp,
+                 CASE WHEN n_kept > 0
+                      THEN ROUND(CAST(n_tp AS DOUBLE) / n_kept, 6) END
+                   AS prec,
+                 CASE WHEN n_pos > 0
+                      THEN ROUND(CAST(n_tp AS DOUBLE) / n_pos, 6) END
+                   AS recall
+          FROM stats
+        )
+        SELECT threshold, n_kept, n_tp, prec, recall,
+               CASE WHEN prec IS NOT NULL AND recall IS NOT NULL
+                         AND prec + recall > 0
+                    THEN ROUND(2 * prec * recall / (prec + recall), 6)
+               END AS f1
+        FROM pr ORDER BY threshold
+        """,
+        f"""
+        WITH scored AS (
+          SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+                 ROUND(
+                   CAST(len(list_filter(
+                        string_split_regex(lower(text), '[^a-z]+'),
+                        w -> w IN {_SWEEP_STOPWORDS})) AS DOUBLE)
+                   / GREATEST(len(list_filter(
+                        string_split_regex(lower(text), '[^a-z]+'),
+                        w -> len(w) > 0)), 1),
+                 6) AS score
+          FROM documents
+        ),
+        grid AS (SELECT UNNEST(range(0, 10)) AS i),
+        stats AS (
+          SELECT ROUND(CAST(g.i AS DOUBLE) / CAST(20 AS DOUBLE), 6)
+                   AS threshold,
+                 CAST(SUM(CASE WHEN s.score >=
+                       CAST(g.i AS DOUBLE) / CAST(20 AS DOUBLE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN s.score >=
+                       CAST(g.i AS DOUBLE) / CAST(20 AS DOUBLE)
+                       AND s.is_en = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+                 CAST(SUM(s.is_en) AS BIGINT) AS n_pos
+          FROM scored s CROSS JOIN grid g
+          GROUP BY g.i
+        ),
+        pr AS (
+          SELECT threshold, n_kept, n_tp,
+                 CASE WHEN n_kept > 0
+                      THEN ROUND(CAST(n_tp AS DOUBLE) / n_kept, 6) END
+                   AS prec,
+                 CASE WHEN n_pos > 0
+                      THEN ROUND(CAST(n_tp AS DOUBLE) / n_pos, 6) END
+                   AS recall
+          FROM stats
+        )
+        SELECT threshold, n_kept, n_tp, prec, recall,
+               CASE WHEN prec IS NOT NULL AND recall IS NOT NULL
+                         AND prec + recall > 0
+                    THEN ROUND(2 * prec * recall / (prec + recall), 6)
+               END AS f1
+        FROM pr ORDER BY threshold
+        """,
+        "X-curation,X4+",
+        "filter-threshold calibration sweep: a cheap quality score "
+        "(stopword fraction) evaluated against a weak label (lang='en') "
+        "across a 10-point threshold grid — kept count, precision, "
+        "recall, F1 per threshold, the choose-the-cutoff table every "
+        "filtering pipeline needs before committing a gate; one corpus "
+        "scan, grid is a 10-row literal cross join, exact integer "
+        "counts + guarded rounded ratios (0-division -> NULL in both "
+        "engines)",
+    ),
+)
+
+
 def _segment_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style corpus-level exact segment ("line") dedup as
     a TRANSFORM (operators/dedup.py dedup_exact_segments): every 10-token
@@ -13590,6 +13700,7 @@ _CHECK_FIRST = [
     "x2_substring_dedup_bpe",
     "curation_quality_dedup",
     "x3_prototype_prune",
+    "curation_filter_threshold_sweep",
     "agg_distinct_by_group",
     "agg_two_phase_distinct",
     "agg_variance_manual",

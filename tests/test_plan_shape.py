@@ -41,6 +41,9 @@ ALLOW: dict[str, set[str]] = {
     "curation_dsir_select": {"nested-loop-join"},
     # deliberate small cross join (the declared CROSS JOIN demo; 5x5 dims)
     "join_cross_small": {"nested-loop-join"},
+    # 10-row literal threshold grid broadcast onto per-doc scores —
+    # O(|corpus| x 10) map-side work, the correct sweep shape
+    "curation_filter_threshold_sweep": {"nested-loop-join"},
     # bounded probe-side similarity: the broadcast side is a fixed id
     # slice (LINEAR in corpus, see VERIFY notes), never corpus x corpus
     "x3_cosine_topk_bruteforce": {"nested-loop-join"},
