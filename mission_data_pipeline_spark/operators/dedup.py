@@ -204,6 +204,7 @@ def connected_components(
     id_b: str = "doc_b",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate clusters from candidate pairs: (node, component_id).
 
@@ -232,6 +233,11 @@ def connected_components(
     cluster pass a reliable ``checkpoint_dir`` (HDFS/S3A): executor loss
     mid-fixpoint then recovers from the checkpoint files instead of
     killing the job (see ``operators/lineage.py``).
+
+    ``stats``: pass a dict to receive ``{"rounds": k}`` — the number of
+    propagation rounds actually run (including the final zero-change
+    verification round). The giant-component probe uses this to pin
+    that a power-law crawl graph converges in O(log diameter) rounds.
     """
     from mission_data_pipeline_spark.operators.lineage import make_truncator
 
@@ -254,7 +260,9 @@ def connected_components(
     # so a graph that converges exactly at max_iter hops can verify that
     # the fixpoint was reached (that round observes zero changes).
     changed = 0
+    rounds = 0
     for _ in range(max_iter + 1):
+        rounds += 1
         neigh = (
             edges.join(
                 labels.select(
@@ -300,6 +308,8 @@ def connected_components(
         labels = new_labels.drop("__ch")
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
@@ -824,12 +834,17 @@ def quality_dedup(
 
     Scale shape: everything cluster-related touches only the PAIR
     GRAPH (duplicated subset), never the corpus — the quality join is
-    node-keyed, representative selection is one max-of-struct partial
-    agg per component, and survivors come from one anti-join of the
-    losers. For layout-invariant results pass a quality column that is
-    exactly reproducible across partitionings (integer counts or a
-    rounded score — same contract as every other accumulator in this
-    repo).
+    node-keyed, representative selection is two partial aggregates per
+    component (max quality, then min id among the maximal rows — both
+    map-side combinable, so a power-law giant component never funnels
+    raw rows through one task the way a rank window would), and
+    survivors come from one anti-join of the losers. ``id_col`` may be
+    any orderable type (numeric OR string — no numeric-negation
+    tie-break trick); a doc whose quality is NULL sorts below every
+    non-NULL quality, and an all-NULL cluster keeps its smallest id.
+    For layout-invariant results pass a quality column that is exactly
+    reproducible across partitionings (integer counts or a rounded
+    score — same contract as every other accumulator in this repo).
     """
     comp = connected_components(
         pairs, id_a=id_a, id_b=id_b, checkpoint_dir=checkpoint_dir
@@ -837,26 +852,81 @@ def quality_dedup(
     q = docs.select(
         F.col(id_col).alias("node"), F.col(quality_col).alias("__q")
     )
-    best = (
-        comp.join(q, "node")
+    cq = comp.join(q, "node")
+    best_q = cq.groupBy("component_id").agg(F.max("__q").alias("__qbest"))
+    # eqNullSafe: max() ignores NULLs, so a mixed cluster's NULL-quality
+    # rows fail the equality (they lose); an all-NULL cluster matches
+    # NULL<=>NULL and falls through to the min-id tie-break.
+    keep = (
+        cq.join(best_q, "component_id")
+        .filter(F.col("__q").eqNullSafe(F.col("__qbest")))
         .groupBy("component_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("__q").alias("q"),
-                    (-F.col("node")).alias("negid"),
-                    F.col("node").alias("keep"),
-                )
-            ).alias("__b")
-        )
-        .select("component_id", F.col("__b.keep").alias("keep_id"))
+        .agg(F.min("node").alias("keep_id"))
     )
     losers = (
-        comp.join(best, "component_id")
+        comp.join(keep, "component_id")
         .filter(F.col("node") != F.col("keep_id"))
         .select(F.col("node").alias(id_col))
     )
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+def _require_local_index_path(path: str) -> None:
+    """The stored near-dedup index manages its sidecar files
+    (``manifest.json``, ``params.json``) and atomic manifest swaps with
+    driver-local POSIX calls while the parquet goes through Spark
+    writers. A URI-scheme path (``s3://``, ``hdfs://``, ...) would land
+    the parquet remotely but the sidecars locally — a torn index that
+    only fails at probe time on another host. Reject it loudly; at real
+    scale this layer is a transactional table format (Delta/Iceberg)
+    whose commit protocol subsumes the manifest."""
+    import re
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path) or path.startswith(
+        ("hdfs:", "s3:", "s3a:", "s3n:", "gs:", "abfs:", "wasb:")
+    ):
+        raise ValueError(
+            f"near-dedup index path must be driver-local POSIX, got "
+            f"{path!r}: the manifest/params sidecars and atomic renames "
+            "use local filesystem calls; use a transactional table "
+            "format for object-store deployments"
+        )
+
+
+def _index_manifest_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "manifest.json")
+
+
+def read_index_manifest(path: str) -> dict:
+    """Read the index's current ``manifest.json`` — the single atomic
+    pointer naming the exact base version directories and committed
+    delta epochs that constitute the index. Readers resolve through it
+    once, then only ever touch immutable version directories, so a
+    concurrent compaction can never present a torn base/delta set."""
+    import json
+
+    _require_local_index_path(path)
+    with open(_index_manifest_path(path)) as f:
+        return json.load(f)
+
+
+def write_index_manifest(path: str, manifest: dict) -> None:
+    """Atomically publish ``manifest.json`` (temp file + ``os.replace``
+    — readers see the old or the new manifest in full, never a partial
+    write). This is the index's only mutable file; everything it points
+    to is written-once."""
+    import json
+    import os
+
+    _require_local_index_path(path)
+    tmp = _index_manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _index_manifest_path(path))
 
 
 def write_near_dedup_index(
@@ -871,28 +941,34 @@ def write_near_dedup_index(
 ) -> dict:
     """Materialize the production LSH ingest-gate index for ``corpus``:
 
-    - ``{path}/bands`` — ``(doc_id, band_hash)`` parquet PARTITIONED BY
-      ``band`` (the :func:`band_signatures` shape, at rest);
-    - ``{path}/grams`` — the distinct ``(doc_id, gram)`` shingle sets
+    - ``{path}/bands-v0`` — ``(doc_id, band_hash)`` parquet PARTITIONED
+      BY ``band`` (the :func:`band_signatures` shape, at rest);
+    - ``{path}/grams-v0`` — the distinct ``(doc_id, gram)`` shingle sets
       the exact-Jaccard verification step joins (only candidate docs'
       rows are ever touched at probe time);
     - ``{path}/params.json`` — the featurization parameters, so a probe
       with mismatched n/num_hashes/bands fails loudly instead of
-      silently missing every near-dup.
+      silently missing every near-dup;
+    - ``{path}/manifest.json`` — the atomic version pointer
+      (:func:`read_index_manifest`): base dirs are versioned and
+      written-once, streaming deltas register here per epoch, and
+      compaction publishes a new version before garbage-collecting the
+      old one, so a reader never sees a torn base/delta set.
 
     This is what a 100 TB crawl-ingest materializes nightly: each new
     batch featurizes ONLY itself and joins this index
     (:func:`incremental_near_dedup` with ``corpus_bands``/
     ``corpus_grams``) — the corpus is never re-shingled per batch.
-    Returns ``{"bands": ..., "grams": ...}`` paths.
+    Returns ``{"bands": ..., "grams": ..., "manifest": ...}`` paths.
     """
     import json
     import os
 
+    _require_local_index_path(path)
     g = shingles(corpus, n=n, text_col=text_col, id_col=id_col)
     sig = minhash_signatures(g, num_hashes=num_hashes)
-    bands_path = os.path.join(path, "bands")
-    grams_path = os.path.join(path, "grams")
+    bands_path = os.path.join(path, "bands-v0")
+    grams_path = os.path.join(path, "grams-v0")
     band_signatures(sig, bands=bands).write.mode("overwrite").partitionBy(
         "band"
     ).parquet(bands_path)
@@ -900,7 +976,22 @@ def write_near_dedup_index(
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "params.json"), "w") as f:
         json.dump({"n": n, "num_hashes": num_hashes, "bands": bands}, f)
-    return {"bands": bands_path, "grams": grams_path}
+    # publish LAST: until the manifest lands the index does not exist
+    # to readers, so a crash mid-build leaves no torn state behind
+    write_index_manifest(
+        path,
+        {
+            "version": 0,
+            "bands": "bands-v0",
+            "grams": "grams-v0",
+            "delta_epochs": [],
+        },
+    )
+    return {
+        "bands": bands_path,
+        "grams": grams_path,
+        "manifest": _index_manifest_path(path),
+    }
 
 
 def read_near_dedup_index(
@@ -910,16 +1001,28 @@ def read_near_dedup_index(
     n: int | None = None,
     num_hashes: int | None = None,
     bands: int | None = None,
+    exclude_epoch: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Load a stored :func:`write_near_dedup_index` →
-    ``(corpus_bands, corpus_grams)``. Any featurization parameter the
-    caller passes is validated against the index's recorded
-    ``params.json`` — a probe built with different shingle width or
-    band count would silently match nothing, which at ingest time means
-    every near-duplicate slips through."""
+    ``(corpus_bands, corpus_grams)``, resolved through the atomic
+    ``manifest.json``: the returned frames scan exactly the base
+    version directories plus the committed delta epochs the manifest
+    names — never a directory listing — so a compaction publishing a
+    new version mid-read cannot present a half-folded index.
+
+    Any featurization parameter the caller passes is validated against
+    the index's recorded ``params.json`` — a probe built with different
+    shingle width or band count would silently match nothing, which at
+    ingest time means every near-duplicate slips through.
+
+    ``exclude_epoch`` is for the streaming ingest gate: the epoch being
+    processed derives from the very batch being gated, and including
+    its (possibly half-written, from an aborted attempt) delta would
+    let a batch near-dup itself."""
     import json
     import os
 
+    _require_local_index_path(path)
     with open(os.path.join(path, "params.json")) as f:
         params = json.load(f)
     for name, want in (("n", n), ("num_hashes", num_hashes), ("bands", bands)):
@@ -928,10 +1031,26 @@ def read_near_dedup_index(
                 f"index at {path} was built with {name}={params[name]}, "
                 f"probe requested {name}={want}"
             )
-    return (
-        spark.read.parquet(os.path.join(path, "bands")),
-        spark.read.parquet(os.path.join(path, "grams")),
-    )
+    m = read_index_manifest(path)
+    bands_df = spark.read.parquet(os.path.join(path, m["bands"]))
+    grams_df = spark.read.parquet(os.path.join(path, m["grams"]))
+    epochs = [e for e in m.get("delta_epochs", []) if e != exclude_epoch]
+    if epochs:
+        dbp = [
+            os.path.join(path, "delta", f"epoch={e}", "bands")
+            for e in epochs
+        ]
+        dgp = [
+            os.path.join(path, "delta", f"epoch={e}", "grams")
+            for e in epochs
+        ]
+        bands_df = bands_df.select("doc_id", "band", "band_hash").unionByName(
+            spark.read.parquet(*dbp).select("doc_id", "band", "band_hash")
+        )
+        grams_df = grams_df.select("doc_id", "gram").unionByName(
+            spark.read.parquet(*dgp).select("doc_id", "gram")
+        )
+    return bands_df, grams_df
 
 
 def incremental_near_dedup(

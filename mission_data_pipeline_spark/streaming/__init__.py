@@ -10,6 +10,8 @@ late/duplicate-data semantics the reference only has implicitly
 
 from mission_data_pipeline_spark.streaming.ingest import (
     compact_near_dedup_index,
+    gc_near_dedup_index,
+    last_committed_epoch,
     near_dedup_ingest_stream,
 )
 from mission_data_pipeline_spark.streaming.pipeline import StreamingPipeline
@@ -33,6 +35,8 @@ __all__ = [
     "compact_near_dedup_index",
     "dedup_late_samples",
     "dedup_stream_content",
+    "gc_near_dedup_index",
+    "last_committed_epoch",
     "near_dedup_ingest_stream",
     "seq_gaps",
     "seq_gaps_batch",

@@ -15,19 +15,29 @@ Exactly-once across crashes WITHOUT a transactional table format:
 ``foreachBatch`` may replay an epoch whose sink writes half-landed
 before a crash, so every write is an idempotent per-epoch OVERWRITE —
 ``{out}/epoch=N/`` for survivors, ``{index}/delta/epoch=N/{bands,grams}``
-for the index deltas. A replayed epoch rewrites exactly its own
-directories; completed epochs are never replayed (the checkpoint's
-commit log gates that), so reading "all delta epochs except the one
-being processed" is both correct (the current epoch's delta derives
-from the very batch being gated — including it would let a batch
-near-dup itself) and crash-safe (a half-written current-epoch delta
-from the aborted attempt is ignored, then overwritten).
+for the index deltas — and the set of COMMITTED deltas is named by the
+index's atomic ``manifest.json`` (``operators/dedup.py
+read_index_manifest``), not a directory listing. The gate reads the
+manifest's delta epochs minus the epoch being processed (the current
+epoch's delta derives from the very batch being gated — including it
+would let a batch near-dup itself; a half-written current-epoch delta
+from an aborted attempt is likewise excluded, then overwritten), writes
+its delta, and only then registers the epoch in the manifest with an
+atomic swap.
 
-At 100 TB the per-epoch listing/union of deltas is the simplification
-to replace with a transactional table (Delta/Iceberg MERGE into the
-band index, which also compacts deltas); the gating joins themselves
-are already the scale shape — shuffle ∝ batch + collisions, never
-batch × corpus.
+Compaction (:func:`compact_near_dedup_index`) is the transactional
+piece: it folds only delta epochs the STREAM'S CHECKPOINT has actually
+committed (the ``commits/`` log — folding an uncommitted epoch would,
+after a crash-and-replay, gate the replayed batch against its own
+signatures and silently drop every document as a self-duplicate),
+writes the folded base as a NEW immutable version directory, publishes
+the new manifest atomically, and garbage-collects the old version
+last — so a concurrent probe resolves either the old or the new
+version in full, never a half-folded mix. At real scale this whole
+layer is a transactional table format (Delta/Iceberg MERGE +
+OPTIMIZE); the manifest protocol is the minimal local-filesystem
+equivalent, and the gating joins are already the scale shape — shuffle
+∝ batch + collisions, never batch × corpus.
 
 The reference pipeline (northflowlabs/mission-data-pipeline) has no
 streaming ingest or dedup; this extends the W1/X2 surface.
@@ -44,77 +54,165 @@ from mission_data_pipeline_spark.operators.dedup import (
     band_signatures,
     incremental_near_dedup,
     minhash_signatures,
+    read_index_manifest,
     read_near_dedup_index,
     shingles,
+    write_index_manifest,
 )
 
-__all__ = ["compact_near_dedup_index", "near_dedup_ingest_stream"]
+__all__ = [
+    "compact_near_dedup_index",
+    "gc_near_dedup_index",
+    "last_committed_epoch",
+    "near_dedup_ingest_stream",
+]
 
 
-def _delta_paths(index_path: str, *, current_epoch: int) -> tuple[list, list]:
-    """(bands_paths, grams_paths) of all COMMITTED delta epochs — every
-    epoch directory except the one being processed (see module doc)."""
-    root = os.path.join(index_path, "delta")
-    bands_paths, grams_paths = [], []
-    if os.path.isdir(root):
-        for name in sorted(os.listdir(root)):
-            if not name.startswith("epoch="):
-                continue
-            if int(name.split("=", 1)[1]) == current_epoch:
-                continue
-            b = os.path.join(root, name, "bands")
-            g = os.path.join(root, name, "grams")
-            if os.path.isdir(b) and os.path.isdir(g):
-                bands_paths.append(b)
-                grams_paths.append(g)
-    return bands_paths, grams_paths
+def last_committed_epoch(checkpoint: str) -> int:
+    """Highest batch id in a Structured Streaming checkpoint's
+    ``commits/`` log (-1 if none). An epoch's delta may exist on disk
+    while the epoch itself never committed (crash between the delta
+    write and the checkpoint commit); only the commit log can tell the
+    two apart, and compaction must not fold the uncommitted one."""
+    commits = os.path.join(checkpoint, "commits")
+    last = -1
+    if os.path.isdir(commits):
+        for name in os.listdir(commits):
+            if name.isdigit():
+                last = max(last, int(name))
+    return last
 
 
-def compact_near_dedup_index(spark, index_path: str) -> dict:
-    """Fold committed streaming delta epochs into the base index — the
-    nightly OPTIMIZE for the ingest gate. Rewrites ``{index}/bands``
-    (partitioned by band) and ``{index}/grams`` to include every delta
-    epoch's rows, then removes the delta directory, so the next day's
-    gating reads one compacted table instead of a base + N-epoch union.
-    Returns ``{"epochs_folded": n}``.
-
-    MUST NOT run concurrently with an active ingest stream: the stream
-    reads "all delta epochs except the one being processed", and a
-    concurrent fold would present those rows twice (base + delta). At
-    scale this whole function is a transactional-table MERGE +
-    compaction (Delta/Iceberg); here the swap is two directory renames
-    — crash-safe on a local/HDFS-like filesystem in the sense that
-    either the old or the new layout is fully present (``params.json``
-    is never touched).
-    """
+def gc_near_dedup_index(index_path: str) -> dict:
+    """Remove index artifacts the current manifest does not reference:
+    superseded base version directories (``bands-v*``/``grams-v*``),
+    folded or orphaned delta epoch directories, and leftover temp
+    files. Safe to run any time — the manifest is read first, so only
+    unreachable state is touched; a crash between a compaction's
+    manifest publish and its GC simply leaves garbage this call
+    removes. Returns ``{"removed": [relative paths]}``."""
     import shutil
 
+    m = read_index_manifest(index_path)
+    keep = {m["bands"], m["grams"]}
+    removed = []
+    for name in sorted(os.listdir(index_path)):
+        if (
+            (name.startswith("bands-v") or name.startswith("grams-v"))
+            and name not in keep
+        ):
+            shutil.rmtree(os.path.join(index_path, name), ignore_errors=True)
+            removed.append(name)
     delta_root = os.path.join(index_path, "delta")
-    dbp, dgp = _delta_paths(index_path, current_epoch=-1)
-    if not dbp:
-        shutil.rmtree(delta_root, ignore_errors=True)
-        return {"epochs_folded": 0}
-    base_bands, base_grams = read_near_dedup_index(spark, index_path)
-    all_bands = base_bands.unionByName(
+    live = {f"epoch={e}" for e in m.get("delta_epochs", [])}
+    if os.path.isdir(delta_root):
+        for name in sorted(os.listdir(delta_root)):
+            if name not in live:
+                shutil.rmtree(
+                    os.path.join(delta_root, name), ignore_errors=True
+                )
+                removed.append(os.path.join("delta", name))
+        if not os.listdir(delta_root):
+            os.rmdir(delta_root)
+    return {"removed": removed}
+
+
+def compact_near_dedup_index(
+    spark, index_path: str, *, checkpoint: str | None = None, gc: bool = True
+) -> dict:
+    """Fold committed streaming delta epochs into the base index — the
+    nightly OPTIMIZE for the ingest gate. Transactional against
+    concurrent probes via the manifest protocol:
+
+    1. resolve the current manifest (base version V, delta epochs);
+    2. keep only delta epochs the stream's checkpoint has COMMITTED
+       (``checkpoint`` is required whenever deltas exist: folding an
+       epoch whose commit never landed would — after the stream
+       replays it — gate the batch against its own signatures and
+       silently drop every doc as a self-duplicate);
+    3. write base ∪ folded-deltas as NEW immutable ``bands-v{V+1}`` /
+       ``grams-v{V+1}`` directories (a crash here leaves the manifest
+       pointing at V — rerun overwrites);
+    4. atomically publish the new manifest (version V+1, unfolded
+       epochs carried over) — the commit point;
+    5. garbage-collect the old version and folded deltas LAST
+       (``gc=False`` skips this, modelling a crash between publish and
+       GC: the index stays fully readable, :func:`gc_near_dedup_index`
+       cleans up later).
+
+    Returns ``{"epochs_folded": n, "epochs_skipped_uncommitted": [...],
+    "version": v}``.
+    """
+    m = read_index_manifest(index_path)
+    epochs = sorted(m.get("delta_epochs", []))
+    if not epochs:
+        if gc:
+            gc_near_dedup_index(index_path)
+        return {
+            "epochs_folded": 0,
+            "epochs_skipped_uncommitted": [],
+            "version": m["version"],
+        }
+    if checkpoint is None:
+        raise ValueError(
+            "compact_near_dedup_index: delta epochs exist but no "
+            "checkpoint= was passed — the stream's commits/ log is the "
+            "only way to tell a committed delta from one whose epoch "
+            "crashed before committing; folding the latter would make "
+            "the replayed batch drop itself as a self-duplicate"
+        )
+    committed = last_committed_epoch(checkpoint)
+    fold = [e for e in epochs if e <= committed]
+    skipped = [e for e in epochs if e > committed]
+    if not fold:
+        if gc:
+            gc_near_dedup_index(index_path)
+        return {
+            "epochs_folded": 0,
+            "epochs_skipped_uncommitted": skipped,
+            "version": m["version"],
+        }
+    base_bands = spark.read.parquet(os.path.join(index_path, m["bands"]))
+    base_grams = spark.read.parquet(os.path.join(index_path, m["grams"]))
+    dbp = [
+        os.path.join(index_path, "delta", f"epoch={e}", "bands")
+        for e in fold
+    ]
+    dgp = [
+        os.path.join(index_path, "delta", f"epoch={e}", "grams")
+        for e in fold
+    ]
+    all_bands = base_bands.select("doc_id", "band", "band_hash").unionByName(
         spark.read.parquet(*dbp).select("doc_id", "band", "band_hash")
     )
-    all_grams = base_grams.unionByName(
+    all_grams = base_grams.select("doc_id", "gram").unionByName(
         spark.read.parquet(*dgp).select("doc_id", "gram")
     )
-    bands_new = os.path.join(index_path, "bands__compacting")
-    grams_new = os.path.join(index_path, "grams__compacting")
-    all_bands.write.mode("overwrite").partitionBy("band").parquet(bands_new)
-    all_grams.write.mode("overwrite").parquet(grams_new)
-    for cur, new in (
-        (os.path.join(index_path, "bands"), bands_new),
-        (os.path.join(index_path, "grams"), grams_new),
-    ):
-        old = cur + "__old"
-        os.rename(cur, old)
-        os.rename(new, cur)
-        shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(delta_root, ignore_errors=True)
-    return {"epochs_folded": len(dbp)}
+    v = m["version"] + 1
+    bands_new = f"bands-v{v}"
+    grams_new = f"grams-v{v}"
+    all_bands.write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(index_path, bands_new)
+    )
+    all_grams.write.mode("overwrite").parquet(
+        os.path.join(index_path, grams_new)
+    )
+    write_index_manifest(
+        index_path,
+        {
+            "version": v,
+            "bands": bands_new,
+            "grams": grams_new,
+            "delta_epochs": skipped,
+        },
+    )
+    if gc:
+        gc_near_dedup_index(index_path)
+    return {
+        "epochs_folded": len(fold),
+        "epochs_skipped_uncommitted": skipped,
+        "version": v,
+    }
 
 
 def near_dedup_ingest_stream(
@@ -149,23 +247,8 @@ def near_dedup_ingest_stream(
     )
 
     def gate(batch: DataFrame, epoch_id: int) -> None:
-        base_bands, base_grams = read_near_dedup_index(spark, index_path)
-        dbp, dgp = _delta_paths(index_path, current_epoch=epoch_id)
-        corpus_bands = (
-            base_bands.unionByName(
-                spark.read.parquet(*dbp).select(
-                    "doc_id", "band", "band_hash"
-                )
-            )
-            if dbp
-            else base_bands
-        )
-        corpus_grams = (
-            base_grams.unionByName(
-                spark.read.parquet(*dgp).select("doc_id", "gram")
-            )
-            if dgp
-            else base_grams
+        corpus_bands, corpus_grams = read_near_dedup_index(
+            spark, index_path, exclude_epoch=epoch_id
         )
         survivors = incremental_near_dedup(
             batch,
@@ -192,6 +275,15 @@ def near_dedup_ingest_stream(
             os.path.join(ddir, "bands")
         )
         g.write.mode("overwrite").parquet(os.path.join(ddir, "grams"))
+        # register the epoch's delta in the manifest LAST — until this
+        # atomic swap the delta is invisible to readers, so a crash
+        # anywhere above leaves the index exactly as it was (the
+        # replayed epoch overwrites its directories and re-registers;
+        # registration is idempotent across replays)
+        m = read_index_manifest(index_path)
+        if epoch_id not in m["delta_epochs"]:
+            m["delta_epochs"] = sorted(m["delta_epochs"] + [epoch_id])
+            write_index_manifest(index_path, m)
 
     writer = stream.writeStream.foreachBatch(gate).option(
         "checkpointLocation", checkpoint

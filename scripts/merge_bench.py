@@ -32,11 +32,26 @@ def merge(paths: list[str]) -> dict:
             raise SystemExit("layout mode mismatch between windows")
     out = dict(base)
     for series in ("queries", "queries_noop", "extended_queries"):
+        # union of keys across ALL windows (ADVICE r09): a query present
+        # only in a later window (added between anchor windows) must not
+        # be silently dropped, and a query missing from some window is a
+        # thinner sample — warn so the anchor's provenance is honest.
+        names: dict[str, None] = {}
+        for r in runs:
+            for name in r.get(series, {}):
+                names.setdefault(name)
         merged = {}
-        for name in base.get(series, {}):
+        for name in names:
             vals = [
                 r[series][name] for r in runs if name in r.get(series, {})
             ]
+            if len(vals) < len(runs):
+                print(
+                    f"merge_bench: WARNING {series}/{name} present in "
+                    f"{len(vals)}/{len(runs)} windows — min over fewer "
+                    "samples",
+                    file=sys.stderr,
+                )
             merged[name] = min(vals)
         out[series] = merged
     out["value"] = round(sum(out["queries"].values()), 3)

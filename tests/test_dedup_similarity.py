@@ -1058,7 +1058,7 @@ def test_near_dedup_stored_index_roundtrip_and_plan(spark, tmp_path):
     paths = write_near_dedup_index(
         corpus, idx, n=2, num_hashes=8, bands=4
     )
-    assert paths["bands"].endswith("bands")
+    assert paths["bands"].endswith("bands-v0")  # versioned, manifest-pointed
     bands_df, grams_df = read_near_dedup_index(
         spark, idx, n=2, num_hashes=8, bands=4
     )
@@ -1142,6 +1142,35 @@ def test_quality_dedup_keeps_best_member(spark):
     )
     # cluster max quality 9 is shared by 2 and 3 -> min id 2 kept
     assert kept == [2, 4, 10]
+
+
+def test_quality_dedup_string_ids_and_null_quality(spark):
+    """ADVICE r09: id_col is generic — STRING ids must keep the
+    documented 'ties toward smallest id' semantics (the old numeric
+    -node negation would cast to NULL and silently flip to largest-id).
+    NULL quality loses to any non-NULL; an all-NULL cluster keeps its
+    smallest id."""
+    from mission_data_pipeline_spark.operators.dedup import quality_dedup
+
+    docs = spark.createDataFrame(
+        [
+            ("url-a", 9), ("url-b", 9), ("url-c", 5),   # tie 9: keep url-a
+            ("url-x", None), ("url-y", 3),              # null loses: url-y
+            ("url-p", None), ("url-q", None),           # all-null: url-p
+            ("solo", None),                              # unpaired survives
+        ],
+        "doc_id string, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [("url-a", "url-b"), ("url-b", "url-c"),
+         ("url-x", "url-y"), ("url-p", "url-q")],
+        "doc_a string, doc_b string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in quality_dedup(docs, pairs, quality_col="quality").collect()
+    )
+    assert kept == ["solo", "url-a", "url-p", "url-y"]
 
 
 def test_prototype_prune_drops_most_prototypical(spark):
@@ -1256,3 +1285,74 @@ def test_quality_dedup_matches_reference_property(spark):
         )
 
     run()
+
+
+def test_near_dedup_index_rejects_non_local_path(spark):
+    """ADVICE r09: the index's sidecars (manifest/params) and atomic
+    renames are driver-local POSIX — an object-store URI would write
+    the parquet remotely and the sidecars locally, a torn index that
+    only surfaces on another host. Reject loudly at every entry point."""
+    import pytest as _pytest
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        read_index_manifest,
+        read_near_dedup_index,
+        write_near_dedup_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some corpus text with enough tokens")],
+        "doc_id long, text string",
+    )
+    for bad in ("s3://bucket/idx", "hdfs://nn/idx", "abfs://c@a/idx"):
+        with _pytest.raises(ValueError, match="driver-local"):
+            write_near_dedup_index(df, bad, n=2, num_hashes=8, bands=4)
+        with _pytest.raises(ValueError, match="driver-local"):
+            read_near_dedup_index(spark, bad)
+        with _pytest.raises(ValueError, match="driver-local"):
+            read_index_manifest(bad)
+
+
+def test_giant_component_power_law_graph(spark):
+    """VERDICT r09 item 2: real crawl pair graphs are power-law — one
+    component holds a large fraction of all duplicates and one hub node
+    carries ~N/4 of the edges. The fixpoint must stay at O(log
+    diameter) rounds (path halving), label every giant-component node
+    0, and quality_dedup's two partial aggregates must keep the exact
+    argmax representative — computed here against an independent
+    reference that never runs the fixpoint (membership is known by
+    construction). scripts/giant_component_probe.py runs the same
+    shape at millions of nodes (BASELINE.md §round 10)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from giant_component_probe import build_graph, expected_keepers
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        quality_dedup,
+    )
+
+    n_giant, n_small = 60_000, 10_000
+    pairs, docs = build_graph(spark, n_giant, n_small)
+    stats: dict = {}
+    comp = connected_components(pairs, stats=stats)
+    # uniform-random-earlier attachment gives tree depth O(log n);
+    # pointer jumping then converges in O(log depth) + verification
+    assert stats["rounds"] <= 9, stats
+    giant = comp.filter(F.col("node") < n_giant)
+    assert giant.select("component_id").distinct().collect() == [
+        __import__("pyspark.sql", fromlist=["Row"]).Row(component_id=0)
+    ]
+    assert giant.count() == n_giant
+    kept = quality_dedup(docs, pairs, quality_col="quality")
+    exp = expected_keepers(docs, n_giant)
+    assert (
+        kept.select("doc_id")
+        .exceptAll(exp)
+        .unionByName(exp.exceptAll(kept.select("doc_id")))
+        .count()
+        == 0
+    )
+    # one representative per component: giant + n_small/2 pairs
+    assert kept.count() == 1 + n_small // 2

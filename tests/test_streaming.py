@@ -760,7 +760,7 @@ def test_compact_near_dedup_index_folds_deltas(spark, tmp_path):
     q.awaitTermination(120)
     assert os.path.isdir(os.path.join(idx, "delta"))
 
-    res = compact_near_dedup_index(spark, idx)
+    res = compact_near_dedup_index(spark, idx, checkpoint=str(tmp_path / "ckpt"))
     assert res["epochs_folded"] == 2
     assert not os.path.isdir(os.path.join(idx, "delta"))
     # compacted index now gates against corpus AND streamed survivors
@@ -790,4 +790,182 @@ def test_compact_near_dedup_index_folds_deltas(spark, tmp_path):
     )
     assert kept == [202]
     # second compaction is a clean no-op
-    assert compact_near_dedup_index(spark, idx)["epochs_folded"] == 0
+    assert (
+        compact_near_dedup_index(
+            spark, idx, checkpoint=str(tmp_path / "ckpt")
+        )["epochs_folded"]
+        == 0
+    )
+
+
+def test_index_manifest_transactional_compaction_and_crash_gc(
+    spark, tmp_path
+):
+    """The manifest-pointer commit protocol (VERDICT r09 item 1):
+    interleave probe / compact / probe with a simulated crash between
+    the manifest publish and the garbage collection (``gc=False``) and
+    prove a reader NEVER sees a torn base/delta set — a probe that
+    resolved the manifest before compaction keeps its fully-intact old
+    version (nothing it references is deleted until GC), a probe after
+    the publish sees the fully-folded new version, and
+    ``gc_near_dedup_index`` later removes exactly the superseded
+    artifacts without disturbing either."""
+    import json
+    import os
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        incremental_near_dedup,
+        read_index_manifest,
+        read_near_dedup_index,
+        write_near_dedup_index,
+    )
+    from mission_data_pipeline_spark.streaming.ingest import (
+        compact_near_dedup_index,
+        gc_near_dedup_index,
+        near_dedup_ingest_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near river")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    write_near_dedup_index(corpus, idx, n=2, num_hashes=8, bands=4)
+
+    new_a = "unrelated fresh content with tokens nobody used before today"
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f0.json").write_text(
+        json.dumps({"doc_id": 100, "text": new_a}) + "\n"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(src)
+    )
+    near_dedup_ingest_stream(
+        stream,
+        idx,
+        str(tmp_path / "out"),
+        checkpoint=ckpt,
+        n=2,
+        num_hashes=8,
+        bands=4,
+        threshold=0.6,
+    ).awaitTermination(120)
+    assert read_index_manifest(idx)["delta_epochs"] == [0]
+
+    probe = spark.createDataFrame(
+        [
+            (200, new_a + " extra"),  # near-dup of the streamed survivor
+            (201, "genuinely novel words about glaciers penguins tonight"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def gate(bands_df, grams_df):
+        return sorted(
+            r["doc_id"]
+            for r in incremental_near_dedup(
+                probe,
+                n=2,
+                num_hashes=8,
+                bands=4,
+                threshold=0.6,
+                corpus_bands=bands_df,
+                corpus_grams=grams_df,
+            ).collect()
+        )
+
+    # reader resolves the OLD manifest (base v0 + delta epoch 0) ...
+    pre_bands, pre_grams = read_near_dedup_index(spark, idx)
+    # ... then compaction publishes v1 but "crashes" before GC
+    res = compact_near_dedup_index(spark, idx, checkpoint=ckpt, gc=False)
+    assert res == {
+        "epochs_folded": 1,
+        "epochs_skipped_uncommitted": [],
+        "version": 1,
+    }
+    m = read_index_manifest(idx)
+    assert m["version"] == 1 and m["delta_epochs"] == []
+    # crash point: old version + folded delta still on disk (not torn)
+    assert os.path.isdir(os.path.join(idx, "bands-v0"))
+    assert os.path.isdir(os.path.join(idx, "delta", "epoch=0"))
+    # the pre-compaction reader's plan still scans a complete index
+    assert gate(pre_bands, pre_grams) == [201]
+    # a post-publish reader resolves the fully-folded v1
+    post_bands, post_grams = read_near_dedup_index(spark, idx)
+    assert gate(post_bands, post_grams) == [201]
+    # delayed GC removes exactly the superseded artifacts
+    removed = gc_near_dedup_index(idx)["removed"]
+    assert "bands-v0" in removed and "grams-v0" in removed
+    assert os.path.join("delta", "epoch=0") in removed
+    assert not os.path.isdir(os.path.join(idx, "delta"))
+    assert gate(*read_near_dedup_index(spark, idx)) == [201]
+
+
+def test_compact_refuses_uncommitted_epochs(spark, tmp_path):
+    """ADVICE r09 (medium): a delta epoch written to disk whose batch
+    never COMMITTED in the stream's checkpoint must not be folded —
+    after the crash the stream replays that epoch, and a folded base
+    would gate the batch against its own signatures (Jaccard 1.0) and
+    silently drop every doc. Compaction consults the checkpoint's
+    commits/ log and skips (never folds, never GCs) any delta epoch
+    beyond the last committed batch; without a checkpoint it refuses
+    outright."""
+    import os
+
+    import pytest as _pytest
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        band_signatures,
+        minhash_signatures,
+        read_index_manifest,
+        shingles,
+        write_index_manifest,
+        write_near_dedup_index,
+    )
+    from mission_data_pipeline_spark.streaming.ingest import (
+        compact_near_dedup_index,
+        last_committed_epoch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near river")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    write_near_dedup_index(corpus, idx, n=2, num_hashes=8, bands=4)
+    # fabricate the crash: epoch 0 committed, epoch 1's delta landed and
+    # was registered but its checkpoint commit never happened
+    batch = spark.createDataFrame(
+        [(50, "fresh crashed-epoch content with brand new tokens")],
+        "doc_id long, text string",
+    )
+    for epoch in (0, 1):
+        g = shingles(batch, n=2)
+        sig = minhash_signatures(g, num_hashes=8)
+        ddir = os.path.join(idx, "delta", f"epoch={epoch}")
+        band_signatures(sig, bands=4).write.mode("overwrite").parquet(
+            os.path.join(ddir, "bands")
+        )
+        g.write.mode("overwrite").parquet(os.path.join(ddir, "grams"))
+    m = read_index_manifest(idx)
+    m["delta_epochs"] = [0, 1]
+    write_index_manifest(idx, m)
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "commits" / "0").write_text("v1\n{}")
+    assert last_committed_epoch(str(ckpt)) == 0
+
+    with _pytest.raises(ValueError, match="commits"):
+        compact_near_dedup_index(spark, idx)  # no checkpoint: refuse
+
+    res = compact_near_dedup_index(spark, idx, checkpoint=str(ckpt))
+    assert res["epochs_folded"] == 1
+    assert res["epochs_skipped_uncommitted"] == [1]
+    m = read_index_manifest(idx)
+    assert m["version"] == 1 and m["delta_epochs"] == [1]
+    # the uncommitted epoch's delta survives GC for the replay to
+    # overwrite; the folded epoch's is gone
+    assert os.path.isdir(os.path.join(idx, "delta", "epoch=1"))
+    assert not os.path.isdir(os.path.join(idx, "delta", "epoch=0"))
