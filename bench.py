@@ -132,6 +132,49 @@ EXTENDED = [
 N_ETL_PACKETS = 200_000
 
 
+def _shuffle_snapshot(spark) -> dict | None:
+    """(stageId, attemptId) -> (shuffleReadBytes, shuffleWriteBytes) of
+    COMPLETED stages, from the JVM AppStatusStore (the UI-less listener
+    store — this sandbox runs with the web UI off, so the REST API is
+    unavailable). Wall-time at bench scale is noise-dominated (0.1 s
+    swings), but a plan regression that matters at 100 TB shows first
+    in shuffle BYTES, which are layout-deterministic; the per-query
+    delta of this snapshot is that tripwire. Returns None if the
+    private JVM surface moves (metrics then degrade gracefully to
+    absent, never crash the bench)."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        jvm, gw = sc._jvm, sc._gateway
+        stages = store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            gw.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        out = {}
+        it = stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            if str(s.status()) == "COMPLETE":
+                out[(s.stageId(), s.attemptId())] = (
+                    s.shuffleReadBytes(),
+                    s.shuffleWriteBytes(),
+                )
+        return out
+    except Exception:
+        return None
+
+
+def _shuffle_delta(before: dict | None, after: dict | None) -> dict | None:
+    if before is None or after is None:
+        return None
+    read = sum(v[0] for k, v in after.items() if k not in before)
+    write = sum(v[1] for k, v in after.items() if k not in before)
+    return {"read": read, "write": write}
+
+
 def bench_etl(spark, out: dict) -> None:
     from mission_data_pipeline_spark.models.ccsds import generate_housekeeping_stream
     from mission_data_pipeline_spark.operators import (
@@ -287,6 +330,7 @@ def main() -> None:
         "layout": layout,
     }
     total = 0.0
+    shuffle_bytes: dict = {}
     for name in HEADLINE:
         q = QUERIES[name]
         # Best-of-2: this host has noisy neighbors (observed 0.5 s -> 9 s
@@ -294,7 +338,7 @@ def main() -> None:
         # executions measures the engine, not the co-tenant. The ETL
         # slice below already does the same.
         dts, dts_noop = [], []
-        for _ in range(samples):
+        for i in range(samples):
             t0 = time.time()
             q.spark(spark, sf_dir).count()
             dts.append(time.time() - t0)
@@ -307,15 +351,21 @@ def main() -> None:
             # comparability with the recorded baseline (same
             # methodology); "queries_noop"/"value_noop" are the
             # corrected series going forward. See BASELINE.md round 5.
+            snap = _shuffle_snapshot(spark) if i == samples - 1 else None
             t0 = time.time()
             q.spark(spark, sf_dir).write.mode("overwrite").format(
                 "noop"
             ).save()
             dts_noop.append(time.time() - t0)
+            if i == samples - 1:
+                shuffle_bytes[name] = _shuffle_delta(
+                    snap, _shuffle_snapshot(spark)
+                )
         dt = min(dts)
         out["queries"][name] = round(dt, 3)
         out["queries_noop"][name] = round(min(dts_noop), 3)
         total += dt
+    out["shuffle_bytes"] = shuffle_bytes
     bench_etl(spark, out)
     total += out["queries"]["etl_binary_decom_calibrate"]
     out["value"] = round(total, 3)
@@ -355,6 +405,12 @@ def main() -> None:
         "evaluated (honest series, since r05)",
         "extended_queries": "noop-sink since r05; count() in r04 and "
         "earlier — do not compare across that boundary",
+        "shuffle_bytes": "per-headline-query shuffle read/write BYTES "
+        "from the JVM AppStatusStore, delta of completed stages around "
+        "the final noop run (since r10). Bytes are layout-deterministic "
+        "where wall-time is noise-dominated; a >=1.5x write-bytes "
+        "growth vs the previous round is the scale-regression tripwire "
+        "(see regressions[])",
     }
 
     out["regressions"] = _regressions(out)
@@ -400,6 +456,22 @@ def _regressions(out: dict) -> list[dict]:
                             "baseline_file": os.path.basename(path),
                         }
                     )
+        # Shuffle-BYTES tripwire (>=1.5x write bytes, floor 1 MiB): bytes
+        # are layout-deterministic, so unlike the wall-time flags a bytes
+        # flag is a real plan-shape change, not co-tenant noise.
+        for name, sb in (out.get("shuffle_bytes") or {}).items():
+            base = (ref.get("shuffle_bytes") or {}).get(name)
+            if not sb or not base:
+                continue
+            if base["write"] >= 1 << 20 and sb["write"] > 1.5 * base["write"]:
+                flags.append(
+                    {
+                        "query": name,
+                        "now_shuffle_write_bytes": sb["write"],
+                        "baseline_shuffle_write_bytes": base["write"],
+                        "baseline_file": os.path.basename(path),
+                    }
+                )
         return flags
     return []
 
