@@ -972,6 +972,7 @@ def gopher_quality_signals(
     max_symbol_ratio: float = 0.1,
     min_alpha_frac: float = 0.8,
     min_stopwords: int = 2,
+    keep_text: bool = False,
 ) -> DataFrame:
     """Gopher/MassiveText repetition-free quality rules (Rae et al.
     2021, Appendix A "quality filtering"): the word-level half of the
@@ -1026,11 +1027,16 @@ def gopher_quality_signals(
     # mean_wl/symbol_ratio/alpha_frac reference n_words — bind it first
     # as its own projection (HOF lambdas evaluate interpreted; see the
     # module's staged-projection convention).
+    # keep_text=True threads the text column through (aliased back to
+    # ``text_col``) so the gate composes as ONE streaming-safe
+    # projection — filter gopher_pass then feed the ingest stream
+    # without a stream-stream self-join to recover the text.
     sig = (
         staged.filter(F.size("__t") > 0)
         .select("doc_id", "__text", "__t", n_words.alias("n_words"))
         .select(
             "doc_id",
+            *([F.col("__text").alias(text_col)] if keep_text else []),
             "n_words",
             mean_wl.alias("mean_word_len"),
             symbol_ratio.alias("symbol_ratio"),

@@ -10,7 +10,11 @@ from mission_data_pipeline_spark.sources.jsonl import (
     read_jsonl,
 )
 from mission_data_pipeline_spark.sources.tables import load_table, load_tables
-from mission_data_pipeline_spark.sources.warc import read_warc, warc_to_documents
+from mission_data_pipeline_spark.sources.warc import (
+    read_warc,
+    read_warc_stream,
+    warc_to_documents,
+)
 
 __all__ = [
     "read_packets",
@@ -23,6 +27,7 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_warc",
+    "read_warc_stream",
     "warc_to_documents",
     "read_zip",
 ]

@@ -154,8 +154,42 @@ def read_warc(
     reader = spark.read.format("binaryFile")
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
-    files = reader.load(path).select("path", "content")
+    return _fan_out_records(
+        reader.load(path).select("path", "content"), gzip_per_file
+    )
 
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    gzip_per_file: bool = False,
+    path_glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: archives arriving under
+    ``path`` become micro-batches of parsed records — the front of a
+    crawl-ingest stream (``examples/11_warc_crawl_ingest.py`` composes
+    it with the Gopher gate and the near-dedup ingest gate). Same
+    Arrow-batched fan-out; one archive per task (WARC members are not
+    splittable mid-record), which is the right granularity for Common
+    Crawl's ~1 GiB files."""
+    # streaming file sources require an explicit schema; binaryFile's
+    # is fixed by the format
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, "
+        "content binary"
+    )
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return _fan_out_records(
+        reader.load(path).select("path", "content"), gzip_per_file
+    )
+
+
+def _fan_out_records(files: DataFrame, gzip_per_file: bool) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []

@@ -14,12 +14,12 @@
 #   4. sweep_sfx1_lint     — the same oracle + lint sweep at 100x the
 #                            driver gate's data (/tmp/sfx1; regenerated
 #                            from the driver's sf0.1 tables if absent)
-#   5. perturb_sfx1_slice  — partitioning-invariance at sf1 for the
-#                            driver-window slice + every heavy/iterative
-#                            query (VERDICT r08 item 4: AQE coalescing
-#                            changes partition counts exactly at larger
-#                            data, so layout-dependence is most likely
-#                            to flip there)
+#   5. perturb_sfx1_full   — FULL partitioning-invariance sweep at sf1
+#                            (VERDICT r09 item 4, promoted from the
+#                            62-query slice: AQE decisions — coalescing,
+#                            skew splits, bloom injection — differ most
+#                            at larger inputs, which is exactly where
+#                            layout-dependent bugs hide)
 #
 # Bench runs stay OUT of this script: timing needs a quiet box, and the
 # gates above saturate all cores for ~2-3 h combined. Run bench.py
@@ -52,22 +52,7 @@ run sweep_sf001_lint python scripts/check_correctness.py --lint
 run perturb_sf001    python scripts/check_correctness.py --perturb
 run sweep_sfx1_lint  python scripts/check_correctness.py --lint --sf /tmp/sfx1
 
-SLICE=$(python - <<'EOF'
-import sys
-sys.path.insert(0, ".")
-from mission_data_pipeline_spark.plans.queries import _CHECK_FIRST
-
-heavy = [
-    "g_pagerank", "g_triangle_count", "g_label_propagation",
-    "x3_kmeans_lloyd", "x2_duplicate_components", "x2_substring_dedup",
-    "x2_substring_dedup_bpe", "curation_dsir_select", "x2_semantic_dedup",
-    "x2_minhash_bands", "x2_incremental_near_dedup_stored",
-    "curation_e2e_pipeline",
-]
-print(" ".join(dict.fromkeys(list(_CHECK_FIRST[:52]) + heavy)))
-EOF
-)
-run perturb_sfx1_slice python scripts/check_correctness.py --perturb --sf /tmp/sfx1 $SLICE
+run perturb_sfx1_full python scripts/check_correctness.py --perturb --sf /tmp/sfx1
 
 if [ "$overall" -eq 0 ]; then echo "ROUND GATE: GREEN"; else echo "ROUND GATE: RED"; fi
 exit $overall
