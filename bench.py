@@ -127,6 +127,13 @@ EXTENDED = [
     "curation_quality_dedup",
     "x3_prototype_prune",
     "curation_filter_threshold_sweep",
+    # round 10: transactional compacted-index probe (writes base +
+    # delta, compacts, probes per run), per-domain cap, distributed
+    # prefix-sum token-budget selection, string-id quality dedup
+    "x2_near_dedup_compacted_index",
+    "curation_domain_cap",
+    "curation_token_budget_select",
+    "curation_quality_dedup_url",
 ]
 
 N_ETL_PACKETS = 200_000

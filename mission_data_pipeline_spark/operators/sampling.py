@@ -436,3 +436,114 @@ def dsir_select(
         .orderBy(F.desc("sel_key"), "doc_id")
         .limit(n)
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    *,
+    cap: int,
+    domain_col: str = "source",
+    quality_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap — the RefinedWeb/FineWeb anti-monoculture
+    rule: no single domain may contribute more than ``cap`` documents,
+    keeping each domain's BEST ``cap`` by ``quality_col`` (ties, and the
+    no-quality case, break toward the smallest ``id_col`` — crawl order).
+    Returns the surviving rows plus ``domain_rank`` (1-based within the
+    domain).
+
+    Scale shape: one shuffle on the domain column and a per-domain
+    top-``cap`` window — rank windows partition by domain, so no global
+    sort and no single-task funnel. A power-law mega-domain (the usual
+    skew suspect) is exactly what AQE's skew-join/partition splitting
+    handles; at 100 TB pre-aggregate candidates map-side by filtering on
+    a cheap quality floor first so the window input is the plausible
+    survivors, not the whole crawl.
+    """
+    order = (
+        [F.desc(quality_col), F.asc(id_col)]
+        if quality_col is not None
+        else [F.asc(id_col)]
+    )
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        docs.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= cap)
+    )
+
+
+def budget_select(
+    docs: DataFrame,
+    *,
+    budget: int,
+    weight_col: str,
+    quality_col: str,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Select the highest-quality documents until a corpus budget is
+    exhausted — "take the best N tokens", the final step of a curation
+    pipeline with a fixed training-token target (e.g. FineWeb-Edu's
+    score-ranked selection). Documents are ordered by
+    (``quality_col`` DESC, ``id_col`` ASC — a total order) and kept
+    while the running sum of ``weight_col`` stays ≤ ``budget``.
+    Returns (id, quality, weight, ``cum_weight``).
+
+    A single ``SUM() OVER (ORDER BY ...)`` window is the textbook
+    construction and a single-task funnel: an unpartitioned window
+    pulls the whole corpus through one executor. This is the
+    DISTRIBUTED prefix sum instead:
+
+    1. ``repartitionByRange`` on the selection order — globally ordered
+       partitions, each locally sortable;
+    2. lineage-truncate the ranged frame (``checkpoint_dir`` semantics
+       as in :func:`connected_components`) so the two passes below read
+       the SAME materialized partitioning — range sampling is not
+       guaranteed stable across recomputes;
+    3. pass 1: per-partition weight totals (``num_partitions`` rows to
+       the driver) → exclusive prefix offsets, broadcast back;
+    4. pass 2: per-partition cumulative window (partitioned by the
+       range partition id — 1 task per partition, JVM-side) + offset,
+       then the budget filter.
+
+    The kept SET is layout-invariant: the order is total (quality ties
+    broken by id), so each row's global running sum is independent of
+    where the range boundaries land.
+    """
+    spark = docs.sparkSession
+    from mission_data_pipeline_spark.operators.lineage import make_truncator
+
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    trunc = make_truncator(checkpoint_dir)
+    ranged = trunc(
+        docs.select(
+            F.col(id_col),
+            F.col(quality_col),
+            F.col(weight_col).cast("long").alias(weight_col),
+        )
+        .repartitionByRange(n, F.desc(quality_col), F.asc(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    per = ranged.groupBy("__pid").agg(
+        F.sum(weight_col).alias("__w")
+    ).collect()  # bounded: one row per partition
+    offs, acc = [], 0
+    for r in sorted(per, key=lambda r: r["__pid"]):
+        offs.append((r["__pid"], acc))
+        acc += r["__w"] or 0
+    off_df = spark.createDataFrame(offs, "__pid int, __off long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.desc(quality_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            "cum_weight", F.sum(weight_col).over(w) + F.col("__off")
+        )
+        .filter(F.col("cum_weight") <= budget)
+        .drop("__pid", "__off")
+    )

@@ -13684,68 +13684,333 @@ _q(
 )
 
 
+def _near_dedup_compacted_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional index lifecycle end-to-end (round 10): base
+    index from HALF the corpus (write_near_dedup_index — manifest-
+    pointed v0), the other half lands as a streaming-style epoch DELTA
+    (registered in the manifest, commit recorded in a checkpoint
+    commits/ log), compact_near_dedup_index folds it into an immutable
+    v1 published by an atomic manifest swap, and the batch probes the
+    COMPACTED index. Gating against {base v0 + folded delta} must equal
+    gating against the full corpus, so this shares
+    x2_incremental_near_dedup's oracle verbatim — any torn fold, missed
+    epoch, or manifest misresolution breaks the hash."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        band_signatures,
+        incremental_near_dedup,
+        minhash_signatures,
+        read_index_manifest,
+        read_near_dedup_index,
+        shingles,
+        write_index_manifest,
+        write_near_dedup_index,
+    )
+    from mission_data_pipeline_spark.streaming.ingest import (
+        compact_near_dedup_index,
+    )
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    corpus1 = docs.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    corpus2 = docs.filter(
+        (F.col("doc_id") >= 40) & (F.col("doc_id") < 80)
+    ).select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + 50000).alias("doc_id"),
+            F.concat("text", F.lit(" extra tail tokens tacked on")).alias(
+                "text"
+            ),
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") >= 100) & (F.col("doc_id") < 120)
+            ).select((F.col("doc_id") + 60000).alias("doc_id"), "text")
+        )
+    )
+    d = _scratch_dir("near_dedup_idx_compacted_q")
+    write_near_dedup_index(corpus1, d, n=2, num_hashes=8, bands=4)
+    g2 = shingles(corpus2, n=2)
+    ddir = os.path.join(d, "delta", "epoch=0")
+    band_signatures(
+        minhash_signatures(g2, num_hashes=8), bands=4
+    ).write.mode("overwrite").parquet(os.path.join(ddir, "bands"))
+    g2.write.mode("overwrite").parquet(os.path.join(ddir, "grams"))
+    m = read_index_manifest(d)
+    m["delta_epochs"] = [0]
+    write_index_manifest(d, m)
+    ck = _scratch_dir("near_dedup_idx_compacted_ck")
+    os.makedirs(os.path.join(ck, "commits"), exist_ok=True)
+    with open(os.path.join(ck, "commits", "0"), "w") as f:
+        f.write("v1\n{}")
+    res = compact_near_dedup_index(spark, d, checkpoint=ck)
+    if res["version"] != 1 or res["epochs_folded"] != 1:
+        raise RuntimeError(f"compaction did not fold the epoch: {res}")
+    bands_df, grams_df = read_near_dedup_index(
+        spark, d, n=2, num_hashes=8, bands=4
+    )
+    out = incremental_near_dedup(
+        batch,
+        n=2,
+        num_hashes=8,
+        bands=4,
+        threshold=0.6,
+        corpus_bands=bands_df,
+        corpus_grams=grams_df,
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
+_q(
+    "x2_near_dedup_compacted_index",
+    Query(
+        _near_dedup_compacted_spark,
+        _INC_NEAR_DEDUP_DUCK,
+        "X2,X1,L1+,W1+",
+        "transactional index lifecycle: base index (manifest v0) + "
+        "registered epoch delta + checkpoint-commit-gated compaction "
+        "into an atomically published v1, probed by the batch — must "
+        "equal gating against the full corpus (shares the recompute "
+        "twin's oracle verbatim), pinning fold completeness and "
+        "manifest resolution in the driver gate",
+    ),
+)
+
+
+def _domain_cap_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/sampling.py domain_cap — the
+    RefinedWeb/FineWeb anti-monoculture rule): each source keeps its
+    best 10 documents by n_chars (ties toward crawl order / min id).
+    One shuffle on the domain column, per-domain rank window — no
+    global sort; output is cap x n_domains rows at every sf."""
+    from mission_data_pipeline_spark.operators.sampling import domain_cap
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "source", "n_chars")
+    out = domain_cap(docs, cap=10, quality_col="n_chars")
+    return out.select(
+        "doc_id", "source", "n_chars", "domain_rank"
+    ).orderBy("source", "domain_rank")
+
+
+_q(
+    "curation_domain_cap",
+    Query(
+        _domain_cap_spark,
+        """
+        SELECT doc_id, source, n_chars, domain_rank FROM (
+          SELECT doc_id, source, n_chars,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY n_chars DESC, doc_id)
+                   AS INT) AS domain_rank
+          FROM documents) t
+        WHERE domain_rank <= 10
+        ORDER BY source, domain_rank
+        """,
+        "X-curation",
+        "per-domain cap (RefinedWeb anti-monoculture): each source "
+        "keeps its 10 best docs by length, ties toward crawl order — "
+        "one domain-keyed shuffle + per-domain rank window, no global "
+        "sort; the map-side gate against mega-domain dominance",
+    ),
+)
+
+
+def _budget_select_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget selection (operators/sampling.py
+    budget_select — FineWeb-Edu-style "take the best docs until the
+    training budget is full"): docs ordered by (stopword count DESC,
+    doc_id) are kept while the running word total stays within 1/5 of
+    the corpus's words. The running sum is a DISTRIBUTED prefix sum
+    (range partition + per-partition totals + broadcast offsets +
+    partition-local windows) — never an unpartitioned window; the kept
+    set is layout-invariant because the order is total."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.sampling import budget_select
+    from mission_data_pipeline_spark.operators.text import GOPHER_STOPWORDS
+
+    register_views(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    staged = (
+        spark.table("documents")
+        .select("doc_id", toks.alias("__t"))
+        .filter(F.size("__t") > 0)
+    )
+    sig = staged.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                "__t", F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+            )
+        ).cast("long").alias("n_stopwords"),
+        F.size("__t").cast("long").alias("n_words"),
+    )
+    budget = sig.agg(F.sum("n_words")).first()[0] // 5
+    out = budget_select(
+        sig,
+        budget=budget,
+        weight_col="n_words",
+        quality_col="n_stopwords",
+        num_partitions=8,
+    )
+    return out.select(
+        "doc_id", "n_stopwords", "n_words", "cum_weight"
+    ).orderBy("doc_id")
+
+
+_q(
+    "curation_token_budget_select",
+    Query(
+        _budget_select_spark,
+        r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> length(x) > 0) AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CAST(len(list_intersect(toks,
+                      ['the','be','to','of','and','that','have','with']))
+                   AS BIGINT) AS n_stopwords,
+                 CAST(len(toks) AS BIGINT) AS n_words
+          FROM t WHERE len(toks) > 0
+        ), b AS (
+          SELECT CAST(SUM(n_words) // 5 AS BIGINT) AS budget FROM s
+        ), c AS (
+          SELECT doc_id, n_stopwords, n_words,
+                 CAST(SUM(n_words) OVER (ORDER BY n_stopwords DESC, doc_id)
+                   AS BIGINT) AS cum_weight
+          FROM s
+        )
+        SELECT doc_id, n_stopwords, n_words, cum_weight
+        FROM c, b WHERE cum_weight <= budget
+        ORDER BY doc_id
+        """,
+        "X-curation",
+        "token-budget selection (FineWeb-Edu shape): keep the highest-"
+        "quality docs until 1/5 of the corpus's words are spent — "
+        "DISTRIBUTED prefix sum (range partition, per-partition totals "
+        "to the driver, broadcast offsets, partition-local windows) "
+        "instead of the single-task unpartitioned running-sum window; "
+        "kept set layout-invariant under a total order",
+    ),
+)
+
+
+def _quality_dedup_url_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup over STRING ids (round 10, ADVICE r09): the
+    generic id_col contract — duplicate chains of canonical URLs keep
+    the longest member, ties toward the lexicographically smallest URL
+    (zero-padded so lexical = numeric order). Pins the two-partial-agg
+    representative selection (no numeric-negation tie-break) in the
+    driver gate."""
+    from mission_data_pipeline_spark.operators.dedup import quality_dedup
+
+    register_views(spark, sf_dir)
+    docs = spark.sql(
+        """
+        SELECT CONCAT('url-', LPAD(CAST(doc_id AS STRING), 4, '0')) AS url,
+               n_chars
+        FROM documents WHERE doc_id < 40
+        """
+    )
+    pairs = spark.sql(
+        """
+        SELECT CONCAT('url-', LPAD(CAST(doc_id AS STRING), 4, '0')) AS doc_a,
+               CONCAT('url-', LPAD(CAST(doc_id + 1 AS STRING), 4, '0'))
+                 AS doc_b
+        FROM documents WHERE doc_id < 39 AND doc_id % 4 != 3
+        """
+    )
+    out = quality_dedup(
+        docs, pairs, quality_col="n_chars", id_col="url",
+        id_a="doc_a", id_b="doc_b",
+    )
+    return out.select("url", "n_chars").orderBy("url")
+
+
+_q(
+    "curation_quality_dedup_url",
+    Query(
+        _quality_dedup_url_spark,
+        """
+        WITH RECURSIVE docs2 AS (
+          SELECT 'url-' || LPAD(CAST(doc_id AS VARCHAR), 4, '0') AS url,
+                 n_chars
+          FROM documents WHERE doc_id < 40
+        ),
+        pairs AS (
+          SELECT 'url-' || LPAD(CAST(doc_id AS VARCHAR), 4, '0') AS doc_a,
+                 'url-' || LPAD(CAST(doc_id + 1 AS VARCHAR), 4, '0') AS doc_b
+          FROM documents WHERE doc_id < 39 AND doc_id % 4 != 3
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, node) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+        ),
+        comp AS (
+          SELECT src AS node, MIN(node) AS component_id
+          FROM reach GROUP BY src
+        ),
+        best AS (
+          SELECT component_id, keep_id FROM (
+            SELECT c.component_id, c.node AS keep_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                      ORDER BY d.n_chars DESC, c.node) AS rn
+            FROM comp c JOIN docs2 d ON d.url = c.node) t
+          WHERE rn = 1
+        ),
+        losers AS (
+          SELECT c.node AS url
+          FROM comp c JOIN best b ON c.component_id = b.component_id
+          WHERE c.node != b.keep_id
+        )
+        SELECT d.url, d.n_chars FROM docs2 d
+        WHERE d.url NOT IN (SELECT url FROM losers)
+        ORDER BY d.url
+        """,
+        "X2,X-curation",
+        "quality-aware dedup with STRING ids (generic id_col contract): "
+        "URL chains keep the longest member, ties toward the smallest "
+        "URL — pins the two-partial-agg representative selection "
+        "(max quality then min id among maximal rows; no numeric "
+        "negation) against a recursive-CTE closure + argmax oracle",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
-# Driver-check ordering (round 8, STALEST-FIRST — VERDICT r07 item 2).
-# The driver verifies the first ~50 QUERIES entries per round. Slot 1:
-# the round-8 addition (x2_substring_dedup). Slots 2-43: the 42 queries
-# whose most recent driver check was still r01/r02 (the staleness tail
-# VERDICT r07 flagged — this window flushes it completely, so after r08
-# no query's latest driver check predates r03). Remaining slots: the
-# next-stalest (r03-checked) queries, name tiebreak. Generated from the
-# CORRECTNESS_r0*.json history; regenerate per round.
+# Driver-check ordering (STALEST-FIRST, regenerated per round from the
+# CORRECTNESS_r0*.json history). The driver verifies the first ~50
+# QUERIES entries per round. Round 10: slots 1-4 are the round-10
+# additions (transactional compacted index, domain cap, token-budget
+# select, string-id quality dedup); slots 5-48 are the complete r04+r05
+# staleness tail (VERDICT r09 item 3) — after the r10 driver window no
+# query's most recent driver check predates r06.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    "x2_incremental_near_dedup_stored",
-    "x2_substring_dedup_bpe",
-    "curation_quality_dedup",
-    "x3_prototype_prune",
-    "curation_filter_threshold_sweep",
-    "agg_distinct_by_group",
-    "agg_two_phase_distinct",
-    "agg_variance_manual",
-    "curation_content_filter",
-    "curation_normalize_text",
-    "decode_golden_matrix",
-    "limit_check_alarm",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q1_pricing_summary",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "s2_native_unpivot",
-    "w1_native_tumbling_window",
-    "w1_streaming_tumbling",
-    "w4_native_session_window",
-    "w4_streaming_dedup",
-    "x1_incremental_dedup",
-    "x2_embedding_near_dup",
-    "x4_token_count_bpe",
-    "x5_frame_sample",
-    "agg_approx_percentile_bound",
-    "agg_hll_distinct_bound",
-    "agg_kll_quantile_bound",
-    "agg_theta_distinct_bound",
-    "agg_value_histogram",
-    "curation_chunk_tokens",
-    "curation_split_assign",
-    "curation_temperature_sample",
-    "curation_weighted_sample",
-    "grouping_sets_mixed",
-    "j_fuzzy_match_join",
-    "join_anti",
-    "join_null_safe_eq",
-    "rollup_flag_status",
-    "s3_filter_pushdown_in",
-    "set_bag_semantics_all",
-    "set_except",
-    "w_ewma_smooth",
+    "x2_near_dedup_compacted_index",
+    "curation_domain_cap",
+    "curation_token_budget_select",
+    "curation_quality_dedup_url",
     "w_funnel_depth_histogram",
     "w_retention_cohorts",
     "w_scd2_intervals",
@@ -13761,6 +14026,35 @@ _CHECK_FIRST = [
     "x4_winnow_fingerprint",
     "x6_table_profile",
     "agg_global_stats",
+    "agg_having",
+    "agg_salted_avg",
+    "asof_join_latest_purchase",
+    "case_bucketing",
+    "cube_priority_status",
+    "etl_binary_decom_calibrate_e2e",
+    "j1_broadcast_dim_join",
+    "j_hinted_shuffle_hash",
+    "j_salted_skew_join",
+    "l_csv_roundtrip",
+    "l_jsonl_roundtrip",
+    "l_merge_upsert_roundtrip",
+    "l_orc_roundtrip",
+    "l_parquet_roundtrip",
+    "q10_returned_items",
+    "q11_important_stock",
+    "s2_csv_source_e2e",
+    "s_jsonl_corrupt_quarantine",
+    "s_warc_ingest",
+    "udaf_grouped_median",
+    "w3_streaming_stateful_cumulative",
+    "w_streaming_foreachbatch_upsert",
+    "w_streaming_stream_join_restart",
+    "x2_minhash_bands",
+    "x2_ngram_jaccard_pairs",
+    "x2_simhash_fingerprint",
+    "x2_simhash_near_pairs",
+    "x3_pq_rerank_topk",
+    "x6_constraint_report",
 ]
 
 QUERIES = {

@@ -421,3 +421,75 @@ def test_dsir_xxhash64_fast_path_target_like_and_invariant(spark):
         hash_fn="xxhash64",
     ).collect()
     assert {r["doc_id"] for r in perturbed} == top6
+
+
+def test_domain_cap_keeps_best_per_domain(spark):
+    """Per-domain cap: each domain keeps its best `cap` docs by quality
+    (ties -> min id); smaller domains survive whole."""
+    from mission_data_pipeline_spark.operators.sampling import domain_cap
+
+    rows = [
+        (1, "a", 9), (2, "a", 9), (3, "a", 5), (4, "a", 7),
+        (10, "b", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q long")
+    out = {
+        r["doc_id"]: r["domain_rank"]
+        for r in domain_cap(df, cap=2, quality_col="q").collect()
+    }
+    assert out == {1: 1, 2: 2, 10: 1}  # 4 (q=7) ranks 3rd -> dropped
+    # no quality: crawl order (min id) wins
+    out2 = sorted(
+        r["doc_id"] for r in domain_cap(df, cap=2).collect()
+    )
+    assert out2 == [1, 2, 10]
+
+
+def test_budget_select_exact_and_layout_invariant(spark):
+    """Distributed prefix-sum budget selection: kept set equals the
+    single-window reference, cum_weight is the true global running sum,
+    and the result is identical under an adversarial repartitioning
+    (total order -> running sums independent of range boundaries)."""
+    from pyspark.sql import Window
+
+    from mission_data_pipeline_spark.operators.sampling import budget_select
+
+    rows = [(i, (i * 7) % 5, 10 + (i * 3) % 4) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, q long, w long")
+    ref_w = Window.orderBy(F.desc("q"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = {
+        r["doc_id"]: r["cw"]
+        for r in df.withColumn("cw", F.sum("w").over(ref_w))
+        .filter(F.col("cw") <= 900)
+        .collect()
+    }
+    for frame in (df, df.repartition(13)):
+        got = {
+            r["doc_id"]: r["cum_weight"]
+            for r in budget_select(
+                frame,
+                budget=900,
+                weight_col="w",
+                quality_col="q",
+                num_partitions=7,
+            ).collect()
+        }
+        assert got == ref
+    # plan shape: the operator must never contain an UNPARTITIONED
+    # window (the single-task funnel it exists to avoid)
+    plan = (
+        budget_select(
+            df, budget=900, weight_col="w", quality_col="q",
+            num_partitions=7,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start(): plan.find("\n", m.start())]
+        assert "__pid" in seg, seg
