@@ -19,6 +19,6 @@ Two canonical DataFrames replace the reference's ``TelemetryDataset``
 
 from mission_data_pipeline_spark.session import get_spark
 
-__version__ = "0.5.0"
+__version__ = "0.10.0"
 
 __all__ = ["get_spark", "__version__"]
