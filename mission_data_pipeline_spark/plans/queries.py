@@ -950,13 +950,26 @@ def _q3_bucketed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt, ot = "q3b_lineitem", "q3b_orders"
     for name in (lt, ot):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+    from mission_data_pipeline_spark.sinks.compact import dataset_bytes
+
+    # size-proportional bucket count (see _q5_bucketed_spark: one task
+    # per bucket, so a fixed count caps join parallelism at scale)
+    n_buckets = max(
+        8,
+        min(
+            256,
+            dataset_bytes(f"{sf_dir}/lineitem.parquet")
+            // (128 * 1024 * 1024)
+            + 1,
+        ),
+    )
     write_bucketed(
         spark.table("lineitem").select(
             "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
         ),
         lt,
         keys=["l_orderkey"],
-        n_buckets=8,
+        n_buckets=n_buckets,
         sort_by=["l_orderkey"],
         path=f"{tmp}/lineitem",
     )
@@ -964,7 +977,7 @@ def _q3_bucketed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("orders").select("o_orderkey", "o_custkey", "o_orderdate"),
         ot,
         keys=["o_orderkey"],
-        n_buckets=8,
+        n_buckets=n_buckets,
         sort_by=["o_orderkey"],
         path=f"{tmp}/orders",
     )
@@ -1102,6 +1115,24 @@ def _q5_broadcast_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # records the query-only number; the first-run sample (staging
     # included) is recorded separately (BASELINE.md r07).
     if _Q5_STAGED.get(spark) != sf_dir:
+        from mission_data_pipeline_spark.sinks.compact import dataset_bytes
+
+        # Bucket count is a PHYSICAL layout knob that must scale with
+        # the data: a bucketed-table scan runs one task per bucket, so
+        # a fixed 8 caps the co-located join's parallelism at 8 no
+        # matter the cluster (measured at sfx100: 600M lineitem rows on
+        # 32 cores ran the join 4x slower than linear scaling predicts
+        # — BASELINE.md §round 10). ~128 MiB of source parquet per
+        # bucket, floor 8 (small-SF layout unchanged), cap 256.
+        n_buckets = max(
+            8,
+            min(
+                256,
+                dataset_bytes(f"{sf_dir}/lineitem.parquet")
+                // (128 * 1024 * 1024)
+                + 1,
+            ),
+        )
         tmp = _scratch_dir("bucketed_q5")
         for name in (lt, ot):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -1111,7 +1142,7 @@ def _q5_broadcast_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             lt,
             keys=["l_orderkey"],
-            n_buckets=8,
+            n_buckets=n_buckets,
             sort_by=["l_orderkey"],
             path=f"{tmp}/lineitem",
         )
@@ -1119,7 +1150,7 @@ def _q5_broadcast_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.table("orders").select("o_orderkey", "o_custkey"),
             ot,
             keys=["o_orderkey"],
-            n_buckets=8,
+            n_buckets=n_buckets,
             sort_by=["o_orderkey"],
             path=f"{tmp}/orders",
         )
