@@ -134,6 +134,11 @@ EXTENDED = [
     "curation_domain_cap",
     "curation_token_budget_select",
     "curation_quality_dedup_url",
+    # round 10, second batch: Bloom-filter decontamination (map-side
+    # broadcast-bitset gate + embedded exact twin) and UniMax
+    # language-balanced water-filling sampling
+    "curation_bloom_decontaminate",
+    "curation_unimax_sample",
 ]
 
 N_ETL_PACKETS = 200_000

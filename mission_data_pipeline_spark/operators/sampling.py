@@ -547,3 +547,102 @@ def budget_select(
         .filter(F.col("cum_weight") <= budget)
         .drop("__pid", "__off")
     )
+
+
+def unimax_allocate(
+    counts: list[tuple[str, int]],
+    budget: int,
+    *,
+    epochs_num: int = 1,
+    epochs_den: int = 1,
+) -> dict[str, int]:
+    """UniMax budget allocation (Chung et al. 2023) in exact integer
+    arithmetic: distribute ``budget`` documents across groups (languages)
+    as uniformly as possible, capping each group at
+    ``floor(counts * epochs_num / epochs_den)`` — low-resource groups
+    saturate at their cap, the rest share the remainder equally
+    (water-filling).
+
+    Closed form, no iteration: sort ascending by (cap, group); with
+    prefix sums ``P`` over caps and ``L`` groups, group ``i`` saturates
+    iff ``cap_i * (L - i + 1) <= budget - P_{i-1}`` — the predicate is
+    monotone under the ascending order, so the saturated set is a
+    prefix ``s`` and every unsaturated group gets the same waterline
+    floor ``(budget - P_s) // (L - s)``. All-integer, so the SQL-oracle
+    replay is exact on any engine (no float division at the knife
+    edge). Floor remainders (< L docs) are deliberately NOT
+    redistributed — allocation is a pure function of the sorted caps.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if epochs_num < 0 or epochs_den <= 0:
+        raise ValueError("epochs ratio must be >= 0 with a positive denominator")
+    caps = sorted(
+        ((cnt * epochs_num) // epochs_den, grp) for grp, cnt in counts
+    )
+    total_groups = len(caps)
+    prefix = 0
+    saturated_sum = 0
+    saturated_n = 0
+    for i, (cap, _grp) in enumerate(caps, start=1):
+        if cap * (total_groups - i + 1) <= budget - prefix:
+            saturated_sum += cap
+            saturated_n += 1
+        prefix += cap
+    base = (
+        (budget - saturated_sum) // (total_groups - saturated_n)
+        if saturated_n < total_groups
+        else 0
+    )
+    return {
+        grp: (cap if i <= saturated_n else base)
+        for i, (cap, grp) in enumerate(caps, start=1)
+    }
+
+
+def unimax_sample(
+    docs: DataFrame,
+    *,
+    budget: int,
+    epochs_num: int = 1,
+    epochs_den: int = 1,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """UniMax language-balanced corpus sampling: allocate ``budget``
+    documents across languages with :func:`unimax_allocate` (each
+    language capped at ``epochs_num/epochs_den`` passes over its own
+    corpus), then keep each language's first ``alloc`` documents under
+    the seeded-hash total order (ties toward smallest ``id_col``).
+    Returns the kept rows plus ``lang_rank`` (1-based within language)
+    and ``lang_alloc``.
+
+    Selection is without replacement, so a language never yields more
+    than its corpus size even when ``epochs > 1`` raises its cap.
+
+    Scale shape: per-language counts are one partial-agg shuffle with a
+    bounded collect (one row per language); the allocation table is
+    broadcast back; selection is a per-language rank window (one
+    shuffle on ``lang_col``, no global sort). Membership is a pure
+    function of row content + seed — layout-invariant by construction.
+    """
+    spark = docs.sparkSession
+    counts = [
+        (r[lang_col], r["count"])
+        for r in docs.groupBy(lang_col).count().collect()
+    ]  # bounded: one row per language
+    alloc = unimax_allocate(
+        counts, budget, epochs_num=epochs_num, epochs_den=epochs_den
+    )
+    alloc_df = spark.createDataFrame(
+        sorted(alloc.items()), f"{lang_col} string, lang_alloc bigint"
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        _seeded_hash([id_col], seed), F.asc(id_col)
+    )
+    return (
+        docs.withColumn("lang_rank", F.row_number().over(w))
+        .join(F.broadcast(alloc_df), lang_col)
+        .filter(F.col("lang_rank") <= F.col("lang_alloc"))
+    )

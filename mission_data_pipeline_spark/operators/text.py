@@ -223,6 +223,105 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    k: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter decontamination gate — the broadcast-bitset shape
+    of :func:`decontaminate` (Dolma / RedPajama-style): instead of
+    broadcasting every distinct benchmark n-gram, the benchmark is
+    folded into an ``m_bits``-bit Bloom filter (``k`` hash functions)
+    whose size is bounded by the BENCHMARK — which is constant-sized in
+    production — regardless of corpus scale. A corpus gram is flagged
+    when all ``k`` of its bit probes are set; per published Bloom
+    semantics the gate is one-sided (no false negatives, a deterministic
+    false-positive rate of roughly ``(set_bits/m)^k``).
+
+    Returns ``docs`` plus ``n_bloom_grams`` (count of DISTINCT doc
+    n-grams the filter flags — a superset of the exact overlap count)
+    and ``bloom_contaminated``.
+
+    Scale shape: the filter is built with one map-side hash pass over
+    the benchmark grams and a ``bit_or`` partial aggregate onto at most
+    ``m_bits / 64`` word rows (the only shuffle on the benchmark side),
+    collected bounded (≤ 16 Ki rows at the 1 Mi-bit default) and
+    embedded as ONE array literal. The corpus side is then a pure
+    map-side expression — n-gram split, distinct, two md5 probes and a
+    bit test per gram, all inside whole-stage codegen — with NO join,
+    NO explode, and NO shuffle at any corpus size; that zero-shuffle
+    gate is exactly why crawls use Blooms for decontamination at
+    100 TB. Hashes are seeded md5 (``j|gram``) so the DuckDB oracle
+    replays bit-identically via a position semi-join.
+    """
+    if m_bits <= 0 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from mission_data_pipeline_spark.operators.dedup import word_ngrams
+
+    def _pos(gram: F.Column, j: int) -> F.Column:
+        tag = F.md5(F.concat(F.lit(f"{j}|"), gram))
+        return F.conv(F.substring(tag, 1, 8), 16, 10).cast("long") % m_bits
+
+    # Filter build: benchmark grams -> k positions each -> bit_or fold
+    # into <= m_bits/64 words (bounded collect, independent of corpus).
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(bench_text_col, n)).alias("gram"))
+        .filter(F.length("gram") > 0)
+        .distinct()
+    )
+    positions = bench_grams.select(
+        F.explode(F.array(*[_pos(F.col("gram"), j) for j in range(1, k + 1)]))
+        .alias("pos")
+    )
+    word_rows = (
+        positions.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            # call_function: the shiftleft Python wrapper only takes a
+            # literal bit count, the SQL function takes a column.
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("m"))
+        .collect()
+    )  # bounded: at most m_bits / 64 rows
+    words = [0] * (m_bits // 64)
+    for r in word_rows:
+        words[r["w"]] = r["m"]
+    bitset = F.lit(words).cast("array<bigint>")
+
+    def _bit_set(pos: F.Column) -> F.Column:
+        word = F.element_at(bitset, (pos / 64).cast("int") + 1)
+        return (
+            F.call_function("shiftright", word, (pos % 64).cast("int"))
+            .bitwiseAND(F.lit(1).cast("long"))
+            == 1
+        )
+
+    def _flagged(gram: F.Column) -> F.Column:
+        hit = F.lit(True)
+        for j in range(1, k + 1):
+            hit = hit & _bit_set(_pos(gram, j))
+        return hit
+
+    grams = F.array_distinct(
+        F.filter(word_ngrams(text_col, n), lambda g: F.length(g) > 0)
+    )
+    n_bloom = F.size(F.filter(grams, _flagged)).cast("long")
+    return docs.withColumn("n_bloom_grams", n_bloom).withColumn(
+        "bloom_contaminated", F.col("n_bloom_grams") > 0
+    )
+
+
 def c4_signals(
     docs: DataFrame,
     *,

@@ -493,3 +493,82 @@ def test_budget_select_exact_and_layout_invariant(spark):
     for m in re.finditer(r"Window \[", plan):
         seg = plan[m.start(): plan.find("\n", m.start())]
         assert "__pid" in seg, seg
+
+
+def test_unimax_allocate_water_filling_properties():
+    """Closed-form integer water-filling vs the defining properties:
+    never over budget, never over cap, unsaturated groups share one
+    waterline, and the waterline is maximal (one more doc per
+    unsaturated group would blow the budget)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mission_data_pipeline_spark.operators.sampling import unimax_allocate
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        counts=st.lists(st.integers(0, 1000), min_size=1, max_size=12),
+        budget=st.integers(0, 20000),
+        num=st.integers(0, 4),
+        den=st.integers(1, 3),
+    )
+    def run(counts, budget, num, den):
+        groups = [(f"g{i}", c) for i, c in enumerate(counts)]
+        caps = {g: (c * num) // den for g, c in groups}
+        alloc = unimax_allocate(groups, budget, epochs_num=num, epochs_den=den)
+        assert set(alloc) == set(caps)
+        assert all(0 <= alloc[g] <= caps[g] for g in alloc)
+        assert sum(alloc.values()) <= budget
+        unsat = [g for g in alloc if alloc[g] < caps[g]]
+        if unsat:
+            base = alloc[unsat[0]]
+            assert all(alloc[g] == base for g in unsat)
+            # maximality: waterline + 1 exceeds the budget
+            assert sum(min(caps[g], base + 1) for g in caps) > budget
+        else:
+            assert sum(alloc.values()) == sum(caps.values())
+
+    run()
+
+
+def test_unimax_sample_saturates_small_langs_and_is_layout_invariant(spark):
+    from mission_data_pipeline_spark.operators.sampling import (
+        unimax_allocate,
+        unimax_sample,
+    )
+
+    rows = (
+        [(i, "en") for i in range(100)]
+        + [(100 + i, "de") for i in range(20)]
+        + [(120 + i, "fr") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = unimax_sample(df, budget=80, seed=3)
+    kept = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in kept}
+    # water-filling at budget 80 over caps (100, 20, 10): fr and de
+    # saturate, en gets the waterline (80 - 30) // 1 = 50
+    assert counts == {"en": 50, "de": 20, "fr": 10}
+    assert unimax_allocate(
+        [("en", 100), ("de", 20), ("fr", 10)], 80
+    ) == {"en": 50, "de": 20, "fr": 10}
+    ref = sorted(r["doc_id"] for r in out.collect())
+    again = sorted(
+        r["doc_id"]
+        for r in unimax_sample(df.repartition(13), budget=80, seed=3).collect()
+    )
+    assert again == ref
+    # different seed -> same per-lang counts, different membership
+    other = sorted(
+        r["doc_id"] for r in unimax_sample(df, budget=80, seed=4).collect()
+    )
+    assert other != ref
+    # epochs > 1 raises caps but selection is without replacement:
+    # never more rows than the language has
+    burst = unimax_sample(df, budget=500, epochs_num=3, seed=3)
+    got = {r["lang"]: r["count"] for r in burst.groupBy("lang").count().collect()}
+    assert got == {"en": 100, "de": 20, "fr": 10}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        unimax_sample(df, budget=-1)

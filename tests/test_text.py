@@ -675,3 +675,91 @@ def test_gopher_quality_signals_rule_trips(spark):
     # signal arithmetic spot-checks
     assert got[2]["n_words"] == 4
     assert got[5]["alpha_frac"] == round(2 / 32, 6)
+
+
+def test_bloom_decontaminate_superset_and_zero_shuffle(spark):
+    """The Bloom gate is one-sided: every exact hit is flagged (no
+    false negatives), clean docs MAY be over-flagged but the flagged
+    gram count never undercounts the exact overlap; and the corpus-side
+    plan is a pure map-side expression — no join, no Exchange."""
+    from mission_data_pipeline_spark.operators.text import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog tonight ok"),
+            (101, "pack my box with five dozen liquor jugs right now please"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog tonight ok suffix"),
+            (2, "completely different content with no benchmark overlap at all whatsoever"),
+            (3, "pack my box with five dozen liquor jugs right now please thanks"),
+        ],
+        "doc_id long, text string",
+    )
+    bloom = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(docs, bench, n=8, m_bits=1 << 12, k=2).collect()
+    }
+    exact = {
+        r["doc_id"]: r for r in decontaminate(docs, bench, n=8).collect()
+    }
+    for i in (1, 2, 3):
+        # one-sided: never undercounts the exact overlap
+        assert bloom[i]["n_bloom_grams"] >= exact[i]["n_contaminated_grams"]
+        if exact[i]["is_contaminated"]:
+            assert bloom[i]["bloom_contaminated"]
+    assert bloom[1]["bloom_contaminated"] and bloom[3]["bloom_contaminated"]
+    # corpus-side plan: map-side only — no join, no shuffle
+    plan = (
+        bloom_decontaminate(docs, bench, n=8, m_bits=1 << 12, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_bloom_decontaminate_layout_invariant_and_validated(spark):
+    """Membership is a pure function of text content: the flagged set
+    and counts are identical under an adversarial repartition; filter
+    geometry is validated loudly."""
+    import pytest as _pytest
+
+    from mission_data_pipeline_spark.operators.text import bloom_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (i, f"filler{i} alpha beta gamma delta epsilon zeta eta theta iota kappa end{i}")
+            for i in range(20)
+        ]
+        + [(i, f"unique{i} words only here nothing shared with the benchmark set {i}")
+           for i in range(20, 40)],
+        "doc_id long, text string",
+    )
+    ref = {
+        r["doc_id"]: (r["n_bloom_grams"], r["bloom_contaminated"])
+        for r in bloom_decontaminate(docs, bench, n=8, m_bits=1 << 12, k=3).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_bloom_grams"], r["bloom_contaminated"])
+        for r in bloom_decontaminate(
+            docs.repartition(13), bench.repartition(7), n=8, m_bits=1 << 12, k=3
+        ).collect()
+    }
+    assert got == ref
+    assert all(ref[i][1] for i in range(20))
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bloom_decontaminate(docs, bench, m_bits=100)
+    with _pytest.raises(ValueError, match="k must be"):
+        bloom_decontaminate(docs, bench, k=0)
