@@ -620,6 +620,9 @@ def unimax_sample(
 
     Selection is without replacement, so a language never yields more
     than its corpus size even when ``epochs > 1`` raises its cap.
+    Rows with a NULL ``lang_col`` are excluded from the mixture (the
+    allocation join is an equi-join): unlabeled text is not a language
+    — run language ID first.
 
     Scale shape: per-language counts are one partial-agg shuffle with a
     bounded collect (one row per language); the allocation table is

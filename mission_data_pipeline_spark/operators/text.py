@@ -252,13 +252,19 @@ def bloom_decontaminate(
     the benchmark grams and a ``bit_or`` partial aggregate onto at most
     ``m_bits / 64`` word rows (the only shuffle on the benchmark side),
     collected bounded (≤ 16 Ki rows at the 1 Mi-bit default) and
-    embedded as ONE array literal. The corpus side is then a pure
-    map-side expression — n-gram split, distinct, two md5 probes and a
-    bit test per gram, all inside whole-stage codegen — with NO join,
-    NO explode, and NO shuffle at any corpus size; that zero-shuffle
-    gate is exactly why crawls use Blooms for decontamination at
-    100 TB. Hashes are seeded md5 (``j|gram``) so the DuckDB oracle
-    replays bit-identically via a position semi-join.
+    embedded as ONE array literal. The corpus side explodes each doc's
+    DISTINCT grams (array_distinct rides the scan, so the explode never
+    duplicates) into the md5 probes + bit test as WHOLE-STAGE-CODEGEN
+    expressions — deliberately NOT a higher-order ``F.filter`` lambda,
+    which evaluates its body INTERPRETED per element (measured 6x
+    slower end-to-end at sf1; same pitfall word_ngrams fixed). The
+    gram table itself never shuffles: flagged grams partial-aggregate
+    to per-doc counts before the only corpus-side exchange (rows ∝
+    flagged docs, not grams), and the hit join back to ``docs`` is
+    AQE-broadcastable whenever contamination is sparse (a saturated
+    filter degrades it to a corpus-keyed join — size ``m_bits`` to the
+    benchmark). Hashes are seeded md5 (``j|gram``) so the DuckDB
+    oracle replays bit-identically via a position semi-join.
     """
     if m_bits <= 0 or m_bits % 64 != 0:
         raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
@@ -297,7 +303,11 @@ def bloom_decontaminate(
     words = [0] * (m_bits // 64)
     for r in word_rows:
         words[r["w"]] = r["m"]
-    bitset = F.lit(words).cast("array<bigint>")
+    # ONE string literal, folded to the array literal by Catalyst's
+    # ConstantFolding: F.lit(<python list>) converts element-by-element
+    # over py4j (measured 6 s for 16 Ki longs — slower than the whole
+    # corpus probe); a single string crosses the bridge in one call.
+    bitset = F.split(F.lit(",".join(map(str, words))), ",").cast("array<bigint>")
 
     def _bit_set(pos: F.Column) -> F.Column:
         word = F.element_at(bitset, (pos / 64).cast("int") + 1)
@@ -307,18 +317,29 @@ def bloom_decontaminate(
             == 1
         )
 
-    def _flagged(gram: F.Column) -> F.Column:
-        hit = F.lit(True)
-        for j in range(1, k + 1):
-            hit = hit & _bit_set(_pos(gram, j))
-        return hit
-
-    grams = F.array_distinct(
-        F.filter(word_ngrams(text_col, n), lambda g: F.length(g) > 0)
+    gram = F.col("__gram")
+    flagged = F.lit(True)
+    for j in range(1, k + 1):
+        flagged = flagged & _bit_set(_pos(gram, j))
+    hits = (
+        docs.select(
+            F.col(id_col).alias("__hit_id"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(word_ngrams(text_col, n), lambda g: F.length(g) > 0)
+                )
+            ).alias("__gram"),
+        )
+        .filter(flagged)
+        .groupBy("__hit_id")
+        .agg(F.count("*").alias("n_bloom_grams"))
     )
-    n_bloom = F.size(F.filter(grams, _flagged)).cast("long")
-    return docs.withColumn("n_bloom_grams", n_bloom).withColumn(
-        "bloom_contaminated", F.col("n_bloom_grams") > 0
+    out = docs.join(hits, F.col(id_col) == F.col("__hit_id"), "left").drop(
+        "__hit_id"
+    )
+    n_bloom = F.coalesce(F.col("n_bloom_grams"), F.lit(0)).cast("long")
+    return out.withColumn("n_bloom_grams", n_bloom).withColumn(
+        "bloom_contaminated", n_bloom > 0
     )
 
 

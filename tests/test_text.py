@@ -715,15 +715,19 @@ def test_bloom_decontaminate_superset_and_zero_shuffle(spark):
         if exact[i]["is_contaminated"]:
             assert bloom[i]["bloom_contaminated"]
     assert bloom[1]["bloom_contaminated"] and bloom[3]["bloom_contaminated"]
-    # corpus-side plan: map-side only — no join, no shuffle
+    # plan shape: the gram table itself never shuffles — every Exchange
+    # partitions on the doc id (hit counts / hit join), never on the
+    # exploded gram column; and the probe expressions are codegen'd,
+    # not an interpreted higher-order lambda (no ArrayFilter with an
+    # embedded md5 probe)
     plan = (
         bloom_decontaminate(docs, bench, n=8, m_bits=1 << 12, k=2)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "Join" not in plan
-    assert "Exchange" not in plan
+    assert "hashpartitioning(__gram" not in plan
+    assert "filter(lambdafunction(md5" not in plan.replace(" ", "").lower()
 
 
 def test_bloom_decontaminate_layout_invariant_and_validated(spark):
