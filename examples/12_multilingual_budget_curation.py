@@ -8,8 +8,9 @@ multilingual pre-training run needs between "crawl survivors" and
   1. Read the documents table; split off a held-out benchmark slice
      (stand-in for the eval suites a real run must not train on).
   2. Bloom-filter decontamination: fold the benchmark into a broadcast
-     bitset and gate the corpus map-side — no join, no shuffle at any
-     corpus size; one-sided, so nothing contaminated survives.
+     bitset and gate the corpus with codegen probes — the gram table
+     never shuffles at any corpus size; one-sided, so nothing
+     contaminated survives.
   3. Per-domain cap (RefinedWeb anti-monoculture): no source may
      contribute more than its best N documents.
   4. UniMax language balancing: water-fill a document budget across
@@ -57,7 +58,7 @@ def main() -> None:
 
     # 2. Bloom decontamination: the filter is sized to the BENCHMARK
     # (constant in production), so the corpus-side gate costs the same
-    # at 100 TB — a pure map-side expression, no join anywhere.
+    # at 100 TB — codegen probes; the gram table never shuffles.
     gated = bloom_decontaminate(corpus, bench, n=8, m_bits=1 << 16, k=2)
     clean = gated.filter(~F.col("bloom_contaminated")).drop(
         "n_bloom_grams", "bloom_contaminated"
