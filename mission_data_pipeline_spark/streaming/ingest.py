@@ -3,8 +3,12 @@ Structured Streaming job (VERDICT r08 item 7; composes the stored LSH
 band index of ``operators/dedup.py write_near_dedup_index`` with
 ``foreachBatch``).
 
-Every micro-batch of incoming documents is gated against the corpus's
-MATERIALIZED band index: only the batch featurizes
+Every micro-batch of incoming documents is first near-deduped WITHIN
+itself (``near_dedup_minhash`` — duplicate clusters keep their smallest
+id; required because a micro-batch may span several source files, e.g.
+after a restart coalesces pending files, and the index only knows docs
+from EARLIER epochs), then gated against the corpus's MATERIALIZED
+band index: only the batch featurizes
 (``incremental_near_dedup(corpus_bands=..., corpus_grams=...)``),
 survivors land in the output table, and — with ``update_index=True`` —
 the survivors' own band signatures and gram sets are appended as index
@@ -54,6 +58,7 @@ from mission_data_pipeline_spark.operators.dedup import (
     band_signatures,
     incremental_near_dedup,
     minhash_signatures,
+    near_dedup_minhash,
     read_index_manifest,
     read_near_dedup_index,
     shingles,
@@ -247,6 +252,24 @@ def near_dedup_ingest_stream(
     )
 
     def gate(batch: DataFrame, epoch_id: int) -> None:
+        # Intra-batch near-dedup FIRST: a micro-batch may span several
+        # source files (rate limits like maxFilesPerTrigger are
+        # best-effort, and a restart can merge all pending files into
+        # one epoch), so a near-dup pair can arrive INSIDE one batch,
+        # where the index gate cannot see it — the index only knows
+        # docs from EARLIER epochs. Clusters keep their smallest id
+        # (near_dedup_minhash), then the representative faces the
+        # index. Without this, a kill-restart that coalesced two files
+        # let a near-copy of a same-batch survivor through.
+        batch = near_dedup_minhash(
+            batch,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+        )
         corpus_bands, corpus_grams = read_near_dedup_index(
             spark, index_path, exclude_epoch=epoch_id
         )

@@ -969,3 +969,70 @@ def test_compact_refuses_uncommitted_epochs(spark, tmp_path):
     # overwrite; the folded epoch's is gone
     assert os.path.isdir(os.path.join(idx, "delta", "epoch=1"))
     assert not os.path.isdir(os.path.join(idx, "delta", "epoch=0"))
+
+
+def test_streaming_near_dedup_ingest_intra_batch_pair(spark, tmp_path):
+    """A near-dup pair arriving in the SAME micro-batch must still be
+    deduplicated (cluster keeps its smallest id). Rate limits like
+    maxFilesPerTrigger are best-effort — a restart can coalesce several
+    pending files into one epoch, which is exactly how the kill-restart
+    test intermittently caught doc 14 slipping past doc 13: the index
+    gate only sees EARLIER epochs, so the intra-batch pass is the only
+    thing standing between same-epoch near-dups."""
+    import json
+    import os
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        write_near_dedup_index,
+    )
+    from mission_data_pipeline_spark.streaming.ingest import (
+        near_dedup_ingest_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near river")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    write_near_dedup_index(corpus, idx, n=2, num_hashes=8, bands=4)
+
+    fresh = "unrelated fresh content with tokens nobody used before today"
+    other = "another brand new document mentioning satellites weather and maps"
+    src = tmp_path / "src"
+    src.mkdir()
+    # ONE file -> ONE batch: 21 is a near-copy of 20 (same epoch), 22 is
+    # a near-copy of the corpus, 23 is novel
+    (src / "f0.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": d, "text": t})
+            for d, t in [
+                (20, fresh),
+                (21, fresh + " extra"),
+                (22, corpus.collect()[0]["text"] + " extra"),
+                (23, other),
+            ]
+        )
+        + "\n"
+    )
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = near_dedup_ingest_stream(
+        stream,
+        idx,
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+        n=2,
+        num_hashes=8,
+        bands=4,
+        threshold=0.6,
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [20, 23]
+    # the epoch delta carries ONLY the true survivors
+    assert {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(idx, "delta", "*", "grams")
+        ).collect()
+    } == {20, 23}
