@@ -634,6 +634,10 @@ def unimax_sample(
     counts = [
         (r[lang_col], r["count"])
         for r in docs.groupBy(lang_col).count().collect()
+        # NULL is not a language: drop it here, BEFORE the allocation
+        # sort (a None key would TypeError against the string groups)
+        # — matching the equi-join exclusion documented above.
+        if r[lang_col] is not None
     ]  # bounded: one row per language
     alloc = unimax_allocate(
         counts, budget, epochs_num=epochs_num, epochs_den=epochs_den

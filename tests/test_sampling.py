@@ -572,3 +572,16 @@ def test_unimax_sample_saturates_small_langs_and_is_layout_invariant(spark):
 
     with _pytest.raises(ValueError, match="budget"):
         unimax_sample(df, budget=-1)
+
+
+def test_unimax_sample_null_lang_rows_are_excluded(spark):
+    """NULL lang must not crash the allocation sort (None vs str) and
+    must be excluded from the mixture, as documented."""
+    from mission_data_pipeline_spark.operators.sampling import unimax_sample
+
+    rows = [(i, "en") for i in range(30)] + [(100 + i, None) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = unimax_sample(df, budget=10, seed=1)
+    got = out.select("lang").distinct().collect()
+    assert [r["lang"] for r in got] == ["en"]
+    assert out.count() == 10
