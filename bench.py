@@ -391,12 +391,21 @@ def main() -> None:
     for name in EXTENDED:
         q = QUERIES[name]
         dts = []
-        for _ in range(samples):
+        for i in range(samples):
+            # Shuffle-BYTES tripwire covers EXTENDED too (VERDICT r10
+            # item 4): the scale-critical operators (dedup,
+            # decontaminate, substring) live here, and bytes are the
+            # layout-deterministic signal wall-time noise can't fake.
+            snap = _shuffle_snapshot(spark) if i == samples - 1 else None
             t0 = time.time()
             q.spark(spark, sf_dir).write.mode("overwrite").format(
                 "noop"
             ).save()
             dts.append(time.time() - t0)
+            if i == samples - 1:
+                shuffle_bytes[name] = _shuffle_delta(
+                    snap, _shuffle_snapshot(spark)
+                )
         ext[name] = round(min(dts), 3)
         if name == "q5_bucketed_broadcast_dims":
             # Staging the bucketed fact copies is a one-time deployment
@@ -426,7 +435,37 @@ def main() -> None:
     }
 
     out["regressions"] = _regressions(out)
-    print(json.dumps(out))
+
+    # The driver captures only the LAST ~2000 chars of stdout and
+    # json-parses them — the full record (queries_noop, extended map,
+    # shuffle bytes, methodology) blew that window every round since
+    # r05 ("parsed": null). So: the FULL record goes to a file next to
+    # this script, and stdout gets ONE COMPACT line that carries the
+    # contract fields ({"metric","value","unit","queries","sf"}) plus
+    # the headline totals and a pointer to the full file.
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_name = f"BENCH_FULL_sf{sf_label}.json"
+    with open(os.path.join(here, full_name), "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "value_noop": out["value_noop"],
+        "unit": "sec",
+        "sf": sf_label,
+        "samples_per_query": samples,
+        "layout": layout["mode"],
+        "queries": out["queries"],
+        "extended_total": out["extended_total"],
+        "etl_rows_per_sec": out["etl_rows_per_sec"],
+        "n_regressions": len(out["regressions"]),
+        "full": full_name,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never regress back into the unparseable state
+        del compact["queries"]
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
@@ -442,18 +481,53 @@ def _regressions(out: dict) -> list[dict]:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    prior = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+
+    def _round_of(p: str) -> int:
+        m = re.search(r"_r(\d+)", p)
+        return int(m.group(1)) if m else 0
+
+    # Baseline sources, most-authoritative first: committed per-round
+    # full snapshots (BENCH_FULL_r{N}_sf*.json, newest round first),
+    # then the rolling BENCH_FULL_sf*.json (the previous completed run
+    # at this sf — read BEFORE this run overwrites it), then the legacy
+    # committed sf10 anchors, then driver-captured BENCH_r*.json (whose
+    # "parsed" payload is full-format only for pre-r05 rounds).
+    prior = (
+        sorted(
+            glob.glob(os.path.join(here, "BENCH_FULL_r*_sf*.json")),
+            key=_round_of,
+            reverse=True,
+        )
+        + sorted(glob.glob(os.path.join(here, "BENCH_FULL_sf*.json")))
+        + sorted(
+            glob.glob(os.path.join(here, "BENCH_r*_sf10.json")),
+            key=_round_of,
+            reverse=True,
+        )
+        + sorted(
+            glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")),
+            key=_round_of,
+            reverse=True,
+        )
     )
-    for path in reversed(prior):
+    for path in prior:
         try:
             ref = json.load(open(path))
         except (OSError, json.JSONDecodeError):
             continue
+        if "parsed" in ref and "queries" not in ref:
+            ref = ref["parsed"]
+            if not ref or "queries_noop" not in ref:
+                continue  # driver capture was truncated or compact-only
         if str(ref.get("sf")) != str(out["sf"]):
             continue
-        if ref.get("layout", {}).get("mode") != out["layout"]["mode"]:
+        ref_layout = ref.get("layout")
+        ref_mode = (
+            ref_layout.get("mode")
+            if isinstance(ref_layout, dict)
+            else ref_layout
+        )
+        if ref_mode != out["layout"]["mode"]:
             continue
         flags = []
         for series in ("queries_noop", "extended_queries"):

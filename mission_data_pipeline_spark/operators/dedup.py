@@ -121,7 +121,16 @@ def lsh_candidate_pairs(
     Docs agreeing on ALL rows of any band collide. The join key is
     (band, band_hash) — shuffle is proportional to collisions, never n².
     """
-    banded = band_signatures(signatures, bands=bands)
+    return lsh_pairs_from_bands(band_signatures(signatures, bands=bands))
+
+
+def lsh_pairs_from_bands(banded: DataFrame) -> DataFrame:
+    """Candidate pairs from an ALREADY-banded signature table
+    (:func:`band_signatures` layout) — the shared building block for
+    callers that reuse one featurization across several passes (e.g.
+    the streaming ingest gate runs intra-batch dedup AND the stored-
+    index probe on the same batch; featurizing twice doubles the
+    per-batch cost for identical results)."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -1065,6 +1074,8 @@ def incremental_near_dedup(
     id_col: str = "doc_id",
     corpus_bands: DataFrame | None = None,
     corpus_grams: DataFrame | None = None,
+    batch_grams: DataFrame | None = None,
+    batch_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingest near-dedup: keep only the rows of ``batch``
     that are NOT near-duplicates of the existing ``corpus`` — the
@@ -1101,7 +1112,21 @@ def incremental_near_dedup(
             "pass exactly one corpus side: corpus= (recompute) or "
             "corpus_bands=/corpus_grams= (stored index)"
         )
-    gb = shingles(batch, n=n, text_col=text_col, id_col=id_col)
+    if batch_bands is not None and batch_grams is None:
+        raise ValueError(
+            "batch_bands without batch_grams cannot gate a batch "
+            "(bands generate candidates, grams verify them)"
+        )
+    # batch features may be supplied precomputed (batch_grams, and
+    # optionally batch_bands) so a caller that already featurized the
+    # batch — e.g. the streaming gate's intra-batch dedup pass — does
+    # not pay the shingle/minhash work twice. They MUST cover exactly
+    # the rows of ``batch``.
+    gb = (
+        batch_grams.select("doc_id", "gram")
+        if batch_grams is not None
+        else shingles(batch, n=n, text_col=text_col, id_col=id_col)
+    )
     if corpus_bands is None:
         gc = shingles(corpus, n=n, text_col=text_col, id_col=id_col)
         sc = minhash_signatures(gc, num_hashes=num_hashes)
@@ -1109,8 +1134,11 @@ def incremental_near_dedup(
     else:
         gc = corpus_grams.select("doc_id", "gram")
         bc = corpus_bands.select("doc_id", "band", "band_hash")
-    sb = minhash_signatures(gb, num_hashes=num_hashes)
-    bb = band_signatures(sb, bands=bands)
+    if batch_bands is not None:
+        bb = batch_bands.select("doc_id", "band", "band_hash")
+    else:
+        sb = minhash_signatures(gb, num_hashes=num_hashes)
+        bb = band_signatures(sb, bands=bands)
     cand = (
         bb.alias("b")
         .join(

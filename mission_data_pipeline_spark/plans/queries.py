@@ -45,7 +45,11 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mission_data_pipeline_spark.sources.tables import TABLES, load_table
+from mission_data_pipeline_spark.sources.tables import (
+    TABLES,
+    load_table,
+    parquet_row_count,
+)
 
 
 #: process-private scratch root, created lazily and reaped at exit.
@@ -4394,9 +4398,13 @@ def _pq_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enc = pq_encode(nemb, books, vec_col="v")
     q = nemb.filter(F.col("vec_id") < 5)
+    # corpus size from the parquet footer, not emb.count(): an eager
+    # count inside the plan constructor would run a full scan per
+    # invocation (flagged VERDICT r10 item 8)
+    n_corpus = parquet_row_count(f"{sf_dir}/embeddings.parquet")
     approx = pq_topk_rerank(
         enc, nemb, q, books, k=10,
-        shortlist=max(50, emb.count() // 10), vec_col="v",
+        shortlist=max(50, n_corpus // 10), vec_col="v",
     )
     exact = cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, vec_col="v", round_digits=6
@@ -14173,9 +14181,16 @@ _q(
         _unimax_sample_spark,
         """
         WITH n AS (
-          SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+          -- NULL is not a language: the engine drops unlabeled rows
+          -- BEFORE allocation (unimax_sample's equi-join exclusion), so
+          -- the NULL group must not participate in the water-filling.
+          SELECT lang, COUNT(*) AS cnt FROM documents
+          WHERE lang IS NOT NULL GROUP BY lang
         ),
-        tot AS (SELECT (SUM(cnt) * 4) // 5 AS b FROM n),
+        -- budget matches the Spark query's docs.count() * 4 // 5, which
+        -- counts ALL rows (including NULL-lang) — only the allocation
+        -- excludes them.
+        tot AS (SELECT (COUNT(*) * 4) // 5 AS b FROM documents),
         ord AS (
           SELECT lang, cnt AS cap,
                  ROW_NUMBER() OVER (ORDER BY cnt, lang) AS i,

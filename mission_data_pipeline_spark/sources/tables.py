@@ -59,3 +59,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def parquet_row_count(path: str) -> int:
+    """Exact row count from parquet FOOTER metadata — no Spark job.
+
+    For sizing decisions made while *constructing* a plan (e.g. an ANN
+    shortlist proportional to corpus size), a ``df.count()`` would run
+    an eager full scan inside the query builder — double-counted by any
+    timing of the returned plan and a pointless job at 100 TB. The
+    footer's ``num_rows`` is the same number for free. Handles a single
+    file or a directory of part files.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows

@@ -57,8 +57,9 @@ from pyspark.sql.streaming import StreamingQuery
 from mission_data_pipeline_spark.operators.dedup import (
     band_signatures,
     incremental_near_dedup,
+    jaccard_verify,
+    lsh_pairs_from_bands,
     minhash_signatures,
-    near_dedup_minhash,
     read_index_manifest,
     read_near_dedup_index,
     shingles,
@@ -252,38 +253,66 @@ def near_dedup_ingest_stream(
     )
 
     def gate(batch: DataFrame, epoch_id: int) -> None:
-        # Intra-batch near-dedup FIRST: a micro-batch may span several
-        # source files (rate limits like maxFilesPerTrigger are
-        # best-effort, and a restart can merge all pending files into
-        # one epoch), so a near-dup pair can arrive INSIDE one batch,
-        # where the index gate cannot see it — the index only knows
-        # docs from EARLIER epochs. Clusters keep their smallest id
-        # (near_dedup_minhash), then the representative faces the
-        # index. Without this, a kill-restart that coalesced two files
-        # let a near-copy of a same-batch survivor through.
-        batch = near_dedup_minhash(
-            batch,
-            n=n,
-            num_hashes=num_hashes,
-            bands=bands,
-            threshold=threshold,
-            text_col=text_col,
-            id_col=id_col,
+        from pyspark.sql import functions as F
+
+        # The batch is featurized ONCE (shingles → minhash → bands,
+        # persisted for the duration of the epoch) and the features are
+        # shared by BOTH passes below — featurizing per-pass would
+        # roughly double the dominant per-batch cost for identical
+        # results (ADVICE r10).
+        g = shingles(batch, n=n, text_col=text_col, id_col=id_col)
+        bnd = band_signatures(
+            minhash_signatures(g, num_hashes=num_hashes), bands=bands
         )
-        corpus_bands, corpus_grams = read_near_dedup_index(
-            spark, index_path, exclude_epoch=epoch_id
-        )
-        survivors = incremental_near_dedup(
-            batch,
-            n=n,
-            num_hashes=num_hashes,
-            bands=bands,
-            threshold=threshold,
-            text_col=text_col,
-            id_col=id_col,
-            corpus_bands=corpus_bands,
-            corpus_grams=corpus_grams,
-        )
+        g = g.persist()
+        bnd = bnd.persist()
+        try:
+            # Intra-batch near-dedup FIRST: a micro-batch may span
+            # several source files (rate limits like maxFilesPerTrigger
+            # are best-effort, and a restart can merge all pending files
+            # into one epoch), so a near-dup pair can arrive INSIDE one
+            # batch, where the index gate cannot see it — the index only
+            # knows docs from EARLIER epochs. Clusters keep their
+            # smallest id (near_dedup_minhash semantics), then the
+            # representative faces the index. Without this, a
+            # kill-restart that coalesced two files let a near-copy of a
+            # same-batch survivor through.
+            intra_dups = (
+                jaccard_verify(
+                    lsh_pairs_from_bands(bnd), g, threshold=threshold
+                )
+                .select(F.col("doc_b").alias("doc_id"))
+                .distinct()
+            )
+            batch = batch.join(
+                intra_dups.withColumnRenamed("doc_id", id_col),
+                on=id_col,
+                how="left_anti",
+            )
+            g_kept = g.join(intra_dups, on="doc_id", how="left_anti")
+            bnd_kept = bnd.join(intra_dups, on="doc_id", how="left_anti")
+            corpus_bands, corpus_grams = read_near_dedup_index(
+                spark, index_path, exclude_epoch=epoch_id
+            )
+            survivors = incremental_near_dedup(
+                batch,
+                n=n,
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=threshold,
+                text_col=text_col,
+                id_col=id_col,
+                corpus_bands=corpus_bands,
+                corpus_grams=corpus_grams,
+                batch_grams=g_kept,
+                batch_bands=bnd_kept,
+            )
+            _land(survivors, epoch_id)
+        finally:
+            g.unpersist()
+            bnd.unpersist()
+
+    def _land(survivors: DataFrame, epoch_id: int) -> None:
         epoch_dir = os.path.join(out_path, f"epoch={epoch_id}")
         survivors.write.mode("overwrite").parquet(epoch_dir)
         if not update_index:

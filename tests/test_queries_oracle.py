@@ -134,3 +134,34 @@ def test_every_query_mapped_in_coverage_doc():
     ).read_text()
     missing = [n for n in QUERIES if f"`{n}`" not in cov]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_unimax_oracle_matches_engine_under_null_langs(spark, sf0001, tmp_path):
+    """ADVICE r10 (medium): the unimax oracle must exclude NULL-lang rows
+    from the water-filling — the engine drops unlabeled rows before
+    allocation — while still budgeting over ALL rows (docs.count()*4//5).
+    The driver fixtures carry no NULL langs, so the old oracle's
+    divergence (NULL group water-filled as a language) passed silently;
+    this synthesizes NULL langs and replays both sides."""
+    import shutil
+
+    import pandas as pd
+
+    d = tmp_path / "sfnull"
+    d.mkdir()
+    for t in TABLES:
+        shutil.copyfile(f"{sf0001}/{t}.parquet", d / f"{t}.parquet")
+    docs = pd.read_parquet(d / "documents.parquet")
+    docs.loc[docs.doc_id % 7 == 3, "lang"] = None
+    assert docs["lang"].isna().sum() > 0
+    docs.to_parquet(d / "documents.parquet", index=False)
+
+    q = QUERIES["curation_unimax_sample"]
+    sdf = q.spark(spark, str(d)).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    ddf = con.execute(q.oracle).fetchdf()
+    assert compare("curation_unimax_sample", sdf, ddf) == []
+    # NULL-lang rows are excluded from the mixture entirely
+    assert sdf["lang"].notna().all()
