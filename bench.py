@@ -139,6 +139,9 @@ EXTENDED = [
     # language-balanced water-filling sampling
     "curation_bloom_decontaminate",
     "curation_unimax_sample",
+    # round 11: HTML→text extraction (pure per-row JVM regexp work —
+    # the per-doc codec-style cost the WARC path pays before any gate)
+    "curation_html_extract",
 ]
 
 N_ETL_PACKETS = 200_000

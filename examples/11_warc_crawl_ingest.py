@@ -10,7 +10,10 @@ the way a pre-training data team runs it:
      archive out to typed records (Arrow-batched, one archive per
      task — Common Crawl granularity).
   3. In-stream curation: ``warc_to_documents`` bridges records to the
-     documents shape, the Gopher word-level rules gate quality as ONE
+     documents shape, ``extract_html_text`` strips the pages' markup
+     and boilerplate (nav/footer link rows, scripts — the crawled
+     payloads are real HTML, so every downstream gate must see TEXT,
+     not tags), the Gopher word-level rules gate quality as ONE
      streaming-safe projection (``keep_text=True``), and
      ``near_dedup_ingest_stream`` gates the survivors against the
      stored index — near-dups of the corpus AND of docs accepted in
@@ -43,6 +46,7 @@ from mission_data_pipeline_spark.operators.dedup import (
     read_near_dedup_index,
     write_near_dedup_index,
 )
+from mission_data_pipeline_spark.operators.html import extract_html_text
 from mission_data_pipeline_spark.operators.text import gopher_quality_signals
 from mission_data_pipeline_spark.sources.warc import (
     build_warc_record,
@@ -67,6 +71,19 @@ FRESH_E = (
 JUNK_C = "### 123 ### 456 ### 789 ### 000 ### 111 ### 222 ### 333 ###"
 
 
+def page(body_text: str, title: str) -> bytes:
+    """Render a payload as a real HTML page: nav + footer link rows and
+    an inline script that extract_html_text must strip, the body text
+    in a single <p> so extraction recovers it byte-identically."""
+    return (
+        f"<html><head><title>{title}</title><style>a{{color:blue}}</style>"
+        '</head><body><nav><a href="/">Home</a> <a href="/crawl">Crawl</a>'
+        f'</nav><p>{body_text}</p><script>track("{title}");</script>'
+        '<footer><a href="/terms">Terms of use link row</a></footer>'
+        "</body></html>"
+    ).encode()
+
+
 def main() -> None:
     spark = get_spark(master="local[4]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
@@ -87,24 +104,24 @@ def main() -> None:
         warc_dir = Path(work) / "warc"
         warc_dir.mkdir()
         wave1 = build_warc_record(
-            (corpus_text + " extra").encode(),
+            page(corpus_text + " extra", "near-corpus"),
             record_id="<urn:rec:near-corpus>",
             target_uri="http://crawl/near-corpus",
         ) + build_warc_record(
-            FRESH_B.encode(),
+            page(FRESH_B, "fresh-b"),
             record_id="<urn:rec:fresh-b>",
             target_uri="http://crawl/fresh-b",
         ) + build_warc_record(
-            JUNK_C.encode(),
+            page(JUNK_C, "junk-c"),
             record_id="<urn:rec:junk-c>",
             target_uri="http://crawl/junk-c",
         )
         wave2 = build_warc_record(
-            (FRESH_B + " extra").encode(),
+            page(FRESH_B + " extra", "near-b"),
             record_id="<urn:rec:near-b>",
             target_uri="http://crawl/near-b",
         ) + build_warc_record(
-            FRESH_E.encode(),
+            page(FRESH_E, "fresh-e"),
             record_id="<urn:rec:fresh-e>",
             target_uri="http://crawl/fresh-e",
         )
@@ -120,14 +137,17 @@ def main() -> None:
         _os.utime(warc_dir / "wave2.warc", (now - 50, now - 50))
 
         # 3. The streaming curation pipeline: records → documents →
-        # Gopher gate (one projection, keep_text threads the payload
-        # through) → stored-index near-dedup gate.
+        # HTML→text extraction (the crawled payloads are pages; the
+        # boilerplate link rows and scripts must not reach the quality
+        # or dedup gates) → Gopher gate (one projection, keep_text
+        # threads the payload through) → stored-index near-dedup gate.
         records = read_warc_stream(
             spark, str(warc_dir), max_files_per_trigger=1
         )
         staged = warc_to_documents(records).withColumnRenamed(
             "source", "url"
         )
+        staged = extract_html_text(staged, "text", out_col="text")
         gated = (
             gopher_quality_signals(
                 staged.select("doc_id", "text"),

@@ -14248,6 +14248,102 @@ _q(
 
 
 # ---------------------------------------------------------------------------
+# Round 11: HTML→text extraction (the missing WARC-path stage)
+# ---------------------------------------------------------------------------
+
+
+def _html_extract_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text boilerplate removal (operators/html.py
+    extract_html_text, VERDICT r10 item 1): each document is rendered
+    into a full synthetic page — nav bar, heading, its text as
+    paragraphs, a metadata table, an inline script, a link-only
+    footer — and the jusText-lite extractor must recover exactly the
+    content lines (>=5 words, link density <= 0.33), dropping the nav/
+    footer/script/table boilerplate. The synthesis happens IN-QUERY on
+    both engines so the oracle replays byte-identical inputs; the
+    extraction is the shared Java∩RE2 rule table, zero Python UDFs."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.html import extract_html_text
+
+    register_views(spark, sf_dir)
+    html = F.concat(
+        F.lit(_HTML_PREFIX),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.replace(F.col("text"), F.lit(". "), F.lit(".</p><p>")),
+        F.lit("</p><table><tr><th>lang</th><th>source</th></tr><tr><td>"),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.lit("</td><td>"),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.lit('</td></tr></table><script>var a = 1 < 2; track("x");</script>'),
+        F.lit(_HTML_SUFFIX),
+    )
+    doc = spark.table("documents").select("doc_id", html.alias("html"))
+    out = extract_html_text(doc, "html", out_col="text", diagnostics=True)
+    return out.select(
+        "doc_id", "text", "n_lines_kept", "n_lines_total"
+    ).orderBy("doc_id")
+
+
+_HTML_PREFIX = (
+    "<html><head><title>Synthetic</title><style>p{margin:0}</style></head>"
+    '<body><nav><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact</a></nav><h1>Document '
+)
+_HTML_SUFFIX = (
+    '<footer><a href="/terms">Terms &amp; conditions apply to all '
+    "visitors</a></footer></body></html>"
+)
+
+
+def _html_extract_oracle() -> str:
+    from mission_data_pipeline_spark.operators.html import duckdb_extract_sql
+
+    p = duckdb_extract_sql("html")
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    synth = (
+        f"{q(_HTML_PREFIX)} || CAST(doc_id AS VARCHAR) || '</h1><p>' || "
+        "replace(text, '. ', '.</p><p>') || "
+        "'</p><table><tr><th>lang</th><th>source</th></tr><tr><td>' || "
+        "coalesce(lang, '') || '</td><td>' || coalesce(source, '') || "
+        "'</td></tr></table><script>var a = 1 < 2; track(\"x\");</script>' || "
+        f"{q(_HTML_SUFFIX)}"
+    )
+    return f"""
+        WITH src AS (
+          SELECT doc_id, {synth} AS html FROM documents
+        ),
+        st AS (SELECT doc_id, {p["structs"]} AS s FROM src)
+        SELECT doc_id,
+               {p["text"].format(col="s")} AS text,
+               {p["n_lines_kept"].format(col="s")} AS n_lines_kept,
+               {p["n_lines_total"].format(col="s")} AS n_lines_total
+        FROM st
+        ORDER BY doc_id
+        """
+
+
+_q(
+    "curation_html_extract",
+    Query(
+        _html_extract_spark,
+        _html_extract_oracle(),
+        "X-curation,X4",
+        "HTML→text extraction with jusText-lite boilerplate removal "
+        "(comment/script/style strip, anchor-sentinel link density, "
+        "block-tag line segmentation, bounded entity decode, per-line "
+        "word-count + link-density gates) — the WARC crawl path's "
+        "missing stage, as one shared Java∩RE2 rule table both engines "
+        "replay; pure per-row JVM expressions, zero shuffles",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-check ordering (STALEST-FIRST, regenerated per round from the
 # CORRECTNESS_r0*.json history). The driver verifies the first ~50
 # QUERIES entries per round. Round 10: slots 1-6 are the round-10
