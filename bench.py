@@ -141,7 +141,10 @@ EXTENDED = [
     "curation_unimax_sample",
     # round 11: HTML→text extraction (pure per-row JVM regexp work —
     # the per-doc codec-style cost the WARC path pays before any gate)
+    # and the text→vector bridge feeding ANN (sparse TF-IDF shuffles +
+    # dense fold + broadcast-queries cosine scan)
     "curation_html_extract",
+    "x3_text_embed_ann",
 ]
 
 N_ETL_PACKETS = 200_000

@@ -419,6 +419,7 @@ def tfidf_sparse(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 0,
+    signed: bool = False,
 ) -> DataFrame:
     """Hashed TF-IDF document vectors in sparse form: ``(doc_id, bucket,
     weight)`` — the text→vector bridge into the ANN/similarity path
@@ -459,7 +460,36 @@ def tfidf_sparse(
         F.lit(dim),
     )
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
-    w = F.round(F.col("tf").cast("double") * idf, 9).cast("decimal(20,9)")
+    w = F.round(F.col("tf").cast("double") * idf, 9)
+    if signed:
+        # sign-hash (feature hashing, Weinberger et al. 2009): a second
+        # seeded hash flips each TERM's sign so bucket collisions cancel
+        # in expectation instead of accumulating — the standard trick
+        # that makes the folded vector an unbiased dot-product sketch.
+        # ±1 times an already-rounded double is exact, so the DECIMAL
+        # collision-sum determinism is unchanged.
+        sign = F.when(
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.lit("s"), F.lit(str(seed)), F.col("term")
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2),
+            )
+            == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        w = w * sign
+    w = w.cast("decimal(20,9)")
     return (
         tf.join(dfreq, "term")
         .crossJoin(broadcast(n_docs))
@@ -467,6 +497,86 @@ def tfidf_sparse(
         .groupBy("doc_id", "bucket")
         .agg(F.round(F.sum(w).cast("double"), 6).alias("weight"))
     )
+
+
+def embed_text_hashed(
+    docs: DataFrame,
+    *,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "v",
+    normalize: bool = True,
+) -> DataFrame:
+    """Dense document vectors derived IN-ENGINE from text — the
+    text→vector bridge that lets semantic_dedup / cosine_topk /
+    ivf_topk run on real corpora with zero model dependencies
+    (VERDICT r10 item 3): :func:`tfidf_sparse` with the sign-hash
+    (``signed=True``) folded to a fixed ``dim``-length ``array<double>``
+    and L2-normalized. Deterministic (md5 bucket/sign hashes, DECIMAL
+    collision sums, staged norm) and fully SQL-replayable.
+
+    Docs with no tokens produce no vector (no rows) — same convention
+    as the sparse form. Normalized components are rounded to 9 digits
+    so downstream cosine arithmetic is engine-reproducible.
+
+    Scale shape: the sparse stage's shuffles (token tf, term-keyed idf
+    join, (doc,bucket) collision sum) plus ONE (doc)-keyed map-fold —
+    nothing quadratic, nothing driver-side; the dense array is dim
+    doubles per doc regardless of corpus size.
+    """
+    sparse = tfidf_sparse(
+        docs,
+        dim=dim,
+        text_col=text_col,
+        id_col=id_col,
+        seed=seed,
+        signed=True,
+    )
+    dense = (
+        sparse.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
+            ).alias("__m")
+        )
+        .withColumn(
+            out_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.try_element_at(F.col("__m"), i.cast("long")),
+                    F.lit(0.0),
+                ),
+            ),
+        )
+    )
+    if normalize:
+        # stage the norm as its OWN column: a captured aggregate inside
+        # the transform lambda would re-evaluate per element (the
+        # interpreted-HOF pitfall — see BASELINE.md round 4)
+        dense = (
+            dense.withColumn(
+                "__norm",
+                F.sqrt(
+                    F.aggregate(
+                        F.col(out_col), F.lit(0.0), lambda a, x: a + x * x
+                    )
+                ),
+            )
+            .withColumn(
+                out_col,
+                F.when(
+                    F.col("__norm") > 0,
+                    F.transform(
+                        F.col(out_col),
+                        lambda x: F.round(x / F.col("__norm"), 9),
+                    ),
+                ).otherwise(F.col(out_col)),
+            )
+        )
+    return dense.select(F.col("doc_id").alias(id_col), out_col)
 
 
 def _heavy_tail_join(

@@ -14344,6 +14344,141 @@ _q(
 
 
 # ---------------------------------------------------------------------------
+# Round 11: text→vector bridge + ANN over derived vectors
+# ---------------------------------------------------------------------------
+
+
+def _text_embed_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic retrieval with NO external embedding model
+    (operators/text.py embed_text_hashed, VERDICT r10 item 3):
+    documents → signed hashed TF-IDF folded to dense dim-64 unit
+    vectors (md5 bucket/sign hashes, DECIMAL collision sums — fully
+    SQL-replayable) → brute-force cosine top-10 for the first five
+    docs as queries. One plan: the vector derivation composes straight
+    into the broadcast-queries cosine scan (same at-scale shape as
+    x3_cosine_topk_bruteforce — the corpus is scanned once, map-side,
+    only scored rows reach the per-query top-k window)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from mission_data_pipeline_spark.functions.vectors import cosine_similarity
+    from mission_data_pipeline_spark.operators.text import embed_text_hashed
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 200)
+    vecs = embed_text_hashed(docs, dim=64, seed=0)
+    q = vecs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        vecs.crossJoin(broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "doc_id", "cosine", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+_q(
+    "x3_text_embed_ann",
+    Query(
+        _text_embed_ann_spark,
+        r"""
+        WITH toks AS (
+          SELECT doc_id, t AS term
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+                FROM documents WHERE doc_id < 200),
+               UNNEST(ts) AS u(t)
+          WHERE length(t) > 0
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ),
+        nd AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+          WHERE doc_id < 200
+        ),
+        dfreq AS (
+          SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+          FROM tf GROUP BY term
+        ),
+        sparse AS (
+          SELECT tf.doc_id,
+                 CAST(('0x' || substr(md5('0|' || tf.term), 1, 12)) AS BIGINT)
+                   % 64 AS bucket,
+                 ROUND(CAST(CAST(SUM(CAST(
+                   (CASE WHEN CAST(('0x' || substr(md5('s|0|' || tf.term), 1, 12))
+                              AS BIGINT) % 2 = 0
+                         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)
+                   * ROUND(CAST(tf.tf AS DOUBLE)
+                     * (ln((n_docs + CAST(1.0 AS DOUBLE))
+                           / (df + CAST(1.0 AS DOUBLE))) + CAST(1.0 AS DOUBLE)),
+                     9) AS DECIMAL(20,9))) AS STRING) AS DOUBLE), 6) AS weight
+          FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+          GROUP BY tf.doc_id, bucket
+        ),
+        entries AS (
+          SELECT doc_id, list(struct_pack(b := bucket, w := weight)) AS es
+          FROM sparse GROUP BY doc_id
+        ),
+        dense0 AS (
+          SELECT doc_id,
+                 list_transform(range(0, 64), i ->
+                   coalesce(list_sum(list_transform(
+                     list_filter(es, e -> e.b = i), e -> e.w)),
+                     CAST(0.0 AS DOUBLE))) AS v0
+          FROM entries
+        ),
+        dense AS (
+          SELECT doc_id,
+                 CASE WHEN sqrt(list_sum(list_transform(v0, x -> x*x))) > 0
+                      THEN list_transform(v0, x -> ROUND(
+                        x / sqrt(list_sum(list_transform(v0, y -> y*y))), 9))
+                      ELSE v0 END AS v
+          FROM dense0
+        ),
+        q AS (SELECT doc_id AS query_id, v AS qv FROM dense WHERE doc_id < 5),
+        scored AS (
+          SELECT q.query_id, d.doc_id,
+                 ROUND(list_cosine_similarity(q.qv, d.v), 6) AS cosine
+          FROM dense d CROSS JOIN q
+          WHERE d.doc_id != q.query_id
+        ),
+        ranked AS (
+          SELECT query_id, doc_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, doc_id) AS rnk
+          FROM scored
+        )
+        SELECT query_id, doc_id, cosine, rnk FROM ranked
+        WHERE rnk <= 10
+        ORDER BY query_id, rnk
+        """,
+        "X3,X4",
+        "text→vector bridge + ANN: signed hashed TF-IDF folded to dense "
+        "dim-64 unit vectors entirely in-engine (md5 bucket/sign hashes, "
+        "DECIMAL collision sums, staged L2 norm — zero model deps), then "
+        "brute-force cosine top-10 with broadcast queries; the full "
+        "documents→vectors→retrieval path as ONE declarative plan",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-check ordering (STALEST-FIRST, regenerated per round from the
 # CORRECTNESS_r0*.json history). The driver verifies the first ~50
 # QUERIES entries per round. Round 10: slots 1-6 are the round-10

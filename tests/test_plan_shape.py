@@ -47,6 +47,9 @@ ALLOW: dict[str, set[str]] = {
     # bounded probe-side similarity: the broadcast side is a fixed id
     # slice (LINEAR in corpus, see VERIFY notes), never corpus x corpus
     "x3_cosine_topk_bruteforce": {"nested-loop-join"},
+    # same bounded probe-side shape, PLUS the one-row corpus-total
+    # broadcast inside the embed_text_hashed idf stage
+    "x3_text_embed_ann": {"nested-loop-join"},
     "x3_knn_label_vote": {"nested-loop-join"},
     "x3_hard_negative_mining": {"nested-loop-join"},
     "x3_matryoshka_recall": {"nested-loop-join"},

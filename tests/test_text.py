@@ -767,3 +767,62 @@ def test_bloom_decontaminate_layout_invariant_and_validated(spark):
         bloom_decontaminate(docs, bench, m_bits=100)
     with _pytest.raises(ValueError, match="k must be"):
         bloom_decontaminate(docs, bench, k=0)
+
+
+def test_embed_text_hashed_properties(spark):
+    """Dense text→vector bridge: unit norm, layout invariance, and the
+    no-tokens convention (doc produces no row)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.text import embed_text_hashed
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # identical text
+            (3, "completely different words entirely here now"),
+            (4, ""),  # no tokens -> no vector
+            (5, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: list(r["v"]) for r in embed_text_hashed(df, dim=32).collect()}
+    assert set(out) == {1, 2, 3}
+    for vid, v in out.items():
+        assert len(v) == 32
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-6, vid
+    assert out[1] == out[2]  # identical text -> identical vector
+    assert out[1] != out[3]
+    # layout invariance: same vectors under an adversarial repartition
+    out13 = {
+        r["doc_id"]: list(r["v"])
+        for r in embed_text_hashed(df.repartition(13), dim=32).collect()
+    }
+    assert out13 == out
+
+
+def test_tfidf_sparse_signed_flag_only_flips_signs(spark):
+    """signed=True must change nothing but per-term signs: the absolute
+    collision-free weights match the unsigned form."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.text import tfidf_sparse
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "two three four")],
+        "doc_id long, text string",
+    )
+    # dim large enough that these few terms never collide
+    plain = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in tfidf_sparse(df, dim=4096).collect()
+    }
+    signed = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in tfidf_sparse(df, dim=4096, signed=True).collect()
+    }
+    assert set(plain) == set(signed)
+    assert all(abs(signed[k]) == abs(plain[k]) for k in plain)
+    assert any(signed[k] < 0 for k in plain)  # some signs actually flip
