@@ -145,6 +145,10 @@ EXTENDED = [
     # dense fold + broadcast-queries cosine scan)
     "curation_html_extract",
     "x3_text_embed_ann",
+    # round 11, second batch: the shard-build capstone — the whole
+    # production path (extract → gate → near-dedup → UniMax → pack →
+    # JSONL shards) timed as one number, stage barriers included
+    "curation_shard_build_e2e",
 ]
 
 N_ETL_PACKETS = 200_000

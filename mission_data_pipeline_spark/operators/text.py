@@ -1203,6 +1203,7 @@ def gopher_quality_signals(
     min_alpha_frac: float = 0.8,
     min_stopwords: int = 2,
     keep_text: bool = False,
+    keep_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Gopher/MassiveText repetition-free quality rules (Rae et al.
     2021, Appendix A "quality filtering"): the word-level half of the
@@ -1223,8 +1224,15 @@ def gopher_quality_signals(
     toks = F.filter(
         F.split(F.trim(F.lower(text)), r"\s+"), lambda x: F.length(x) > 0
     )
+    # keep_cols threads extra columns (e.g. lang, source) through the
+    # gate so callers don't need a corpus self-join to recover them —
+    # the gate stays ONE map-side projection at any scale.
+    extra = list(keep_cols or [])
     staged = docs.select(
-        F.col(id_col).alias("doc_id"), text.alias("__text"), toks.alias("__t")
+        F.col(id_col).alias("doc_id"),
+        text.alias("__text"),
+        toks.alias("__t"),
+        *extra,
     )
     n_words = F.size("__t").cast("long")
     char_mass = F.aggregate(
@@ -1263,9 +1271,10 @@ def gopher_quality_signals(
     # without a stream-stream self-join to recover the text.
     sig = (
         staged.filter(F.size("__t") > 0)
-        .select("doc_id", "__text", "__t", n_words.alias("n_words"))
+        .select("doc_id", "__text", "__t", n_words.alias("n_words"), *extra)
         .select(
             "doc_id",
+            *extra,
             *([F.col("__text").alias(text_col)] if keep_text else []),
             "n_words",
             mean_wl.alias("mean_word_len"),

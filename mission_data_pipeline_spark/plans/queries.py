@@ -110,11 +110,48 @@ _REGISTERED: "weakref.WeakKeyDictionary[SparkSession, tuple]" = (
 #: sum does not, which is exactly the defect class this exposes.
 _INPUT_REPARTITION: int | None = None
 
+#: Sampled-oracle knob (scripts/check_correctness.py --oracle-sample N):
+#: when set, the ``documents`` view keeps only rows whose seeded md5
+#: bucket is 0 mod N — a deterministic, content-keyed 1/N subset both
+#: engines compute identically (the DuckDB views get the same
+#: predicate). This keeps the heaviest document-table oracles (exact
+#: n-gram decontamination, substring dedup) verifiable at probe scales
+#: where the full DuckDB replay exceeds the box (the sfx100 bloom twin
+#: overran the 63 GB disk, NOTES r10). Documents-only by design: the
+#: box-bound twins all read ``documents``; sampling other tables would
+#: break join consistency (orders↔lineitem) for no verification gain.
+_INPUT_SAMPLE_MOD: int | None = None
+
+#: seed for the sampling hash — fixed, so a sampled run is reproducible
+#: across engines and sessions by construction.
+_INPUT_SAMPLE_SEED = 11
+
 
 def set_input_repartition(n: "int | None") -> None:
     """Set (or clear with None) the adversarial input repartitioning."""
     global _INPUT_REPARTITION
     _INPUT_REPARTITION = n
+
+
+def set_input_sample(mod: "int | None") -> None:
+    """Set (or clear with None) deterministic 1/mod documents sampling."""
+    global _INPUT_SAMPLE_MOD
+    if mod is not None and mod < 1:
+        raise ValueError(f"sample modulus must be >= 1, got {mod}")
+    _INPUT_SAMPLE_MOD = mod
+
+
+def input_sample_predicate_duckdb() -> "str | None":
+    """The DuckDB WHERE predicate matching the current sampling knob
+    (None when sampling is off) — check_correctness applies it to its
+    ``documents`` view so both engines see the identical subset."""
+    if _INPUT_SAMPLE_MOD is None:
+        return None
+    return (
+        f"CAST(('0x' || substr(md5('{_INPUT_SAMPLE_SEED}|' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+        f"% {_INPUT_SAMPLE_MOD} = 0"
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str, *, force: bool = False) -> None:
@@ -130,11 +167,33 @@ def register_views(spark: SparkSession, sf_dir: str, *, force: bool = False) -> 
     results. Pass ``force=True`` after externally replacing the files
     in place.
     """
-    key = (sf_dir, _INPUT_REPARTITION)
+    key = (sf_dir, _INPUT_REPARTITION, _INPUT_SAMPLE_MOD)
     if not force and _REGISTERED.get(spark) == key:
         return
     for name in TABLES:
         df = load_table(spark, sf_dir, name)
+        if name == "documents" and _INPUT_SAMPLE_MOD is not None:
+            from pyspark.sql import functions as F
+
+            df = df.filter(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.lit(str(_INPUT_SAMPLE_SEED)),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _INPUT_SAMPLE_MOD
+                == 0
+            )
         if _INPUT_REPARTITION is not None:
             df = df.repartition(_INPUT_REPARTITION)
         df.createOrReplaceTempView(name)
@@ -14267,19 +14326,9 @@ def _html_extract_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mission_data_pipeline_spark.operators.html import extract_html_text
 
     register_views(spark, sf_dir)
-    html = F.concat(
-        F.lit(_HTML_PREFIX),
-        F.col("doc_id").cast("string"),
-        F.lit("</h1><p>"),
-        F.replace(F.col("text"), F.lit(". "), F.lit(".</p><p>")),
-        F.lit("</p><table><tr><th>lang</th><th>source</th></tr><tr><td>"),
-        F.coalesce(F.col("lang"), F.lit("")),
-        F.lit("</td><td>"),
-        F.coalesce(F.col("source"), F.lit("")),
-        F.lit('</td></tr></table><script>var a = 1 < 2; track("x");</script>'),
-        F.lit(_HTML_SUFFIX),
+    doc = spark.table("documents").select(
+        "doc_id", _synth_html_col().alias("html")
     )
-    doc = spark.table("documents").select("doc_id", html.alias("html"))
     out = extract_html_text(doc, "html", out_col="text", diagnostics=True)
     return out.select(
         "doc_id", "text", "n_lines_kept", "n_lines_total"
@@ -14297,15 +14346,34 @@ _HTML_SUFFIX = (
 )
 
 
-def _html_extract_oracle() -> str:
-    from mission_data_pipeline_spark.operators.html import duckdb_extract_sql
+def _synth_html_col():
+    """Synthetic full-page HTML Column over ``documents`` rows (nav bar,
+    heading, the text as ``. ``-split paragraphs, a metadata table, an
+    inline script, a link-only footer) — shared by curation_html_extract
+    and the shard-build capstone so both replay byte-identical pages."""
+    from pyspark.sql import functions as F
 
-    p = duckdb_extract_sql("html")
+    return F.concat(
+        F.lit(_HTML_PREFIX),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.replace(F.col("text"), F.lit(". "), F.lit(".</p><p>")),
+        F.lit("</p><table><tr><th>lang</th><th>source</th></tr><tr><td>"),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.lit("</td><td>"),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.lit('</td></tr></table><script>var a = 1 < 2; track("x");</script>'),
+        F.lit(_HTML_SUFFIX),
+    )
+
+
+def _synth_html_sql() -> str:
+    """DuckDB twin of :func:`_synth_html_col` (same byte output)."""
 
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
 
-    synth = (
+    return (
         f"{q(_HTML_PREFIX)} || CAST(doc_id AS VARCHAR) || '</h1><p>' || "
         "replace(text, '. ', '.</p><p>') || "
         "'</p><table><tr><th>lang</th><th>source</th></tr><tr><td>' || "
@@ -14313,6 +14381,13 @@ def _html_extract_oracle() -> str:
         "'</td></tr></table><script>var a = 1 < 2; track(\"x\");</script>' || "
         f"{q(_HTML_SUFFIX)}"
     )
+
+
+def _html_extract_oracle() -> str:
+    from mission_data_pipeline_spark.operators.html import duckdb_extract_sql
+
+    p = duckdb_extract_sql("html")
+    synth = _synth_html_sql()
     return f"""
         WITH src AS (
           SELECT doc_id, {synth} AS html FROM documents
@@ -14479,67 +14554,391 @@ _q(
 
 
 # ---------------------------------------------------------------------------
+# Round 11: curation capstone — the full shard-build production path as
+# ONE driver-checked query (VERDICT r10 item 5)
+# ---------------------------------------------------------------------------
+
+
+def _shard_build_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-shard build the examples compose, as one
+    oracle-checked query: synthetic crawl pages (the shared
+    curation_html_extract synthesis) → HTML→text boilerplate removal
+    (operators/html.py) → Gopher word-level quality gate
+    (operators/text.py) → MinHash-LSH near-dedup (operators/dedup.py)
+    → UniMax language-balanced budget selection (operators/sampling.py)
+    → per-language token-budget packing (operators/packing.py) → JSONL
+    shards partitioned by (lang, pack_id) + a per-language manifest.
+
+    The returned accounting is computed FROM THE EMITTED SHARD FILES
+    (read back, grouped per shard) — doc counts, token totals, and an
+    md5 membership digest per pack — while the DuckDB oracle derives
+    the same table from the SOURCE ``documents`` rows by replaying
+    every stage in SQL, so a drop/dup/misroute anywhere in the path
+    (including the sink) breaks the match.
+
+    Scale shape: extraction + gate are zero-shuffle map-side column
+    chains; dedup shuffles band keys (never pairs); UniMax is one
+    bounded per-language collect + broadcast + lang-keyed window;
+    packing is a per-shard window (no global sort); the survivor
+    materialization is the natural stage barrier a real shard build
+    checkpoints anyway, and its footer row count sizes the budget with
+    no extra job."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dedup import near_dedup_minhash
+    from mission_data_pipeline_spark.operators.html import extract_html_text
+    from mission_data_pipeline_spark.operators.packing import pack_token_budget
+    from mission_data_pipeline_spark.operators.sampling import unimax_sample
+    from mission_data_pipeline_spark.operators.text import (
+        gopher_quality_signals,
+    )
+
+    register_views(spark, sf_dir)
+    page = spark.table("documents").select(
+        "doc_id", "lang", _synth_html_col().alias("html")
+    )
+    ext = extract_html_text(page, "html", out_col="text").select(
+        "doc_id", "lang", "text"
+    )
+    sig = gopher_quality_signals(
+        ext,
+        min_words=10,
+        min_mean_word_len=3.0,
+        max_mean_word_len=10.0,
+        max_symbol_ratio=0.1,
+        min_alpha_frac=0.8,
+        min_stopwords=1,
+        keep_text=True,
+        keep_cols=["lang"],
+    )
+    kept = sig.filter(F.col("gopher_pass")).select(
+        "doc_id", "lang", "text", F.col("n_words").alias("n_tokens")
+    )
+
+    # Stage barriers: materialize after the gate and after dedup — the
+    # extraction/gate column chain is expensive per row and feeds MANY
+    # downstream jobs (shingle + verify branches, the budget count, the
+    # pack write); without the checkpoint Spark recomputes it per job.
+    # A production shard build checkpoints exactly here too (restart
+    # points), and the parquet footer then sizes the UniMax budget for
+    # free.
+    base = _scratch_dir("shard_build_e2e")
+    kept_path = os.path.join(base, "gated")
+    kept.write.parquet(kept_path)
+    keptd = spark.read.parquet(kept_path)
+    surv = near_dedup_minhash(
+        keptd, n=2, num_hashes=8, bands=4, threshold=0.6
+    )
+    surv_path = os.path.join(base, "survivors")
+    surv.write.parquet(surv_path)
+    budget = parquet_row_count(surv_path) * 4 // 5
+    survd = spark.read.parquet(surv_path)
+
+    sel = unimax_sample(
+        survd.select("doc_id", "lang"), budget=budget, seed=5
+    )
+    chosen = survd.join(sel.select("doc_id"), "doc_id")
+    packed = pack_token_budget(
+        chosen, 400, order_cols=["doc_id"], shard_cols=["lang"]
+    )
+    shards = os.path.join(base, "shards")
+    (
+        packed.select("doc_id", "n_tokens", "text", "lang", "pack_id")
+        .write.partitionBy("lang", "pack_id")
+        .json(shards)
+    )
+
+    back = spark.read.json(shards)
+    acct = (
+        back.groupBy("lang", F.col("pack_id").cast("long").alias("pack_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                ).cast("binary")
+            ).alias("ids_digest"),
+        )
+    )
+    # Manifest from the emitted shards: one row per language (bounded
+    # collect — #languages, not #packs), written next to the shard tree.
+    per_lang = (
+        acct.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_packs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+        )
+        .collect()
+    )
+    manifest = {
+        "format": "jsonl-shards/v1",
+        "shards_dir": "shards",
+        "partitioning": ["lang", "pack_id"],
+        "pack_budget_tokens": 400,
+        "unimax_budget_docs": budget,
+        "languages": {
+            r["lang"]: {
+                "n_packs": int(r["n_packs"]),
+                "n_docs": int(r["n_docs"]),
+                "total_tokens": int(r["total_tokens"]),
+            }
+            for r in per_lang
+        },
+        "n_docs": int(sum(r["n_docs"] for r in per_lang)),
+        "total_tokens": int(sum(r["total_tokens"] for r in per_lang)),
+    }
+    with open(os.path.join(base, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+
+    return acct.select(
+        "lang", "pack_id", "n_docs", "total_tokens", "ids_digest"
+    ).orderBy("lang", "pack_id")
+
+
+def _shard_build_oracle() -> str:
+    from mission_data_pipeline_spark.operators.html import duckdb_extract_sql
+
+    p = duckdb_extract_sql("html")
+    synth = _synth_html_sql()
+    return f"""
+        WITH src AS (
+          SELECT doc_id, lang, {synth} AS html FROM documents
+        ),
+        st AS (SELECT doc_id, lang, {p["structs"]} AS s FROM src),
+        ext AS (
+          SELECT doc_id, lang, {p["text"].format(col="s")} AS text FROM st
+        ),
+        t AS (
+          SELECT doc_id, lang, text,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> length(x) > 0) AS toks
+          FROM ext
+        ),
+        sig AS (
+          SELECT doc_id, lang, text, toks,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 ROUND(CAST(list_sum(list_transform(toks, x -> length(x)))
+                            AS DOUBLE) / len(toks), 6) AS mean_word_len,
+                 ROUND((CAST(length(text)
+                        - length(replace(text, '#', '')) AS DOUBLE)
+                        + (length(text)
+                           - length(replace(text, '...', ''))) / 3.0)
+                       / len(toks), 6) AS symbol_ratio,
+                 ROUND(CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                       / len(toks), 6) AS alpha_frac,
+                 CAST(len(list_intersect(toks,
+                      ['the','be','to','of','and','that','have','with']))
+                   AS BIGINT) AS n_stopwords
+          FROM t WHERE len(toks) > 0
+        ),
+        kept AS (
+          SELECT doc_id, lang, text, toks, n_tokens FROM sig
+          WHERE n_tokens >= 10 AND n_tokens <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1
+            AND alpha_frac >= 0.8
+            AND n_stopwords >= 1
+        ),
+        grams0 AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(toks, CAST(i AS INT) + 1,
+                                            CAST(i AS INT) + 2), ' ') AS gram
+          FROM kept,
+               UNNEST(range(0, greatest(len(toks) - 2, 0) + 1)) AS tt(i)
+        ),
+        g AS (SELECT * FROM grams0 WHERE length(gram) > 0),
+        hashes AS (
+          SELECT g.doc_id, s.seed,
+                 MIN(CAST(('0x' || SUBSTR(MD5(CAST(s.seed AS VARCHAR) || ':'
+                       || g.gram), 1, 12)) AS BIGINT)) AS minhash
+          FROM g CROSS JOIN (SELECT UNNEST(range(0, 8)) AS seed) s
+          GROUP BY g.doc_id, s.seed
+        ),
+        banded AS (
+          SELECT doc_id, seed % 4 AS band,
+                 array_to_string(list_sort(list(CAST(minhash AS VARCHAR))),
+                                 ',') AS bsig
+          FROM hashes GROUP BY doc_id, seed % 4
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+          FROM pairs p
+          JOIN g ga ON ga.doc_id = p.doc_a
+          JOIN g gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+          GROUP BY p.doc_a, p.doc_b
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        dups AS (
+          SELECT DISTINCT i.doc_b AS doc_id
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.6
+        ),
+        surv AS (
+          SELECT doc_id, lang, n_tokens FROM kept
+          WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+        ),
+        tot AS (SELECT (COUNT(*) * 4) // 5 AS b FROM surv),
+        n AS (
+          SELECT lang, COUNT(*) AS cnt FROM surv
+          WHERE lang IS NOT NULL GROUP BY lang
+        ),
+        ord AS (
+          SELECT lang, cnt AS cap,
+                 ROW_NUMBER() OVER (ORDER BY cnt, lang) AS i,
+                 SUM(cnt) OVER (ORDER BY cnt, lang
+                                ROWS UNBOUNDED PRECEDING) AS pfx,
+                 COUNT(*) OVER () AS nl
+          FROM n
+        ),
+        sat AS (
+          SELECT *,
+                 (cap * (nl - i + 1) <= (SELECT b FROM tot) - (pfx - cap))
+                   AS saturated
+          FROM ord
+        ),
+        agg AS (
+          SELECT COALESCE(SUM(CASE WHEN saturated THEN cap ELSE 0 END), 0)
+                   AS ps,
+                 COUNT(*) FILTER (WHERE saturated) AS s,
+                 MAX(nl) AS nl
+          FROM sat
+        ),
+        alloc AS (
+          SELECT o.lang,
+                 CASE WHEN o.saturated THEN o.cap
+                      ELSE ((SELECT b FROM tot) - a.ps) // (a.nl - a.s)
+                 END AS lang_alloc
+          FROM sat o, agg a
+        ),
+        ranked AS (
+          SELECT doc_id, lang, n_tokens,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || substr(
+                       md5('5|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT), doc_id
+                 ) AS lang_rank
+          FROM surv
+        ),
+        chosen AS (
+          SELECT r.doc_id, r.lang, r.n_tokens
+          FROM ranked r JOIN alloc al ON r.lang = al.lang
+          WHERE r.lang_rank <= al.lang_alloc
+        ),
+        cum AS (
+          SELECT doc_id, lang, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS before
+          FROM chosen
+        )
+        SELECT lang, CAST(FLOOR(before / 400) AS BIGINT) AS pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id)) AS ids_digest
+        FROM cum
+        GROUP BY lang, FLOOR(before / 400)
+        ORDER BY lang, pack_id
+        """
+
+
+_q(
+    "curation_shard_build_e2e",
+    Query(
+        _shard_build_spark,
+        _shard_build_oracle(),
+        "X-curation,X1,X2,X4,L",
+        "the curation capstone: crawl pages → HTML→text extraction → "
+        "Gopher gate → MinHash-LSH near-dedup → UniMax budget selection "
+        "→ per-language token packing → partitioned JSONL shards + "
+        "manifest, accounted FROM THE EMITTED FILES (per-pack doc "
+        "counts, token totals, md5 membership digests) against a "
+        "source-derived SQL replay of the whole path — the one query "
+        "that breaks if any stage or the sink drops, dups, or misroutes "
+        "a document",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-check ordering (STALEST-FIRST, regenerated per round from the
 # CORRECTNESS_r0*.json history). The driver verifies the first ~50
-# QUERIES entries per round. Round 10: slots 1-6 are the round-10
-# additions (transactional compacted index, domain cap, token-budget
-# select, string-id quality dedup, Bloom decontamination, UniMax
-# sampling); slots 7-50 are the complete r04+r05 staleness tail
-# (VERDICT r09 item 3) — after the r10 driver window no query's most
-# recent driver check predates r06.
+# QUERIES entries per round. Round 11: slots 1-5 are the round-11
+# additions/changes (the shard-build capstone, HTML→text extraction,
+# the text→vector ANN bridge, the NULL-lang-fixed UniMax oracle, the
+# single-featurize streaming-ingest compacted index); slots 6-50 are
+# the complete r06 staleness tail — after the r11 driver window no
+# query's most recent driver check predates r07.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    "x2_near_dedup_compacted_index",
-    "curation_domain_cap",
-    "curation_token_budget_select",
-    "curation_quality_dedup_url",
-    "curation_bloom_decontaminate",
+    "curation_shard_build_e2e",
+    "curation_html_extract",
+    "x3_text_embed_ann",
     "curation_unimax_sample",
-    "w_funnel_depth_histogram",
-    "w_retention_cohorts",
-    "w_scd2_intervals",
-    "w_streaming_static_enrich",
-    "w_streaming_stream_join",
-    "w_top_user_journeys",
-    "w_zscore_anomaly",
-    "x1_dedup_exact_hash",
-    "x3_ann_recall",
-    "x3_ivf_topk_ann",
-    "x3_kmeans_ivf_topk",
-    "x3_lsh_topk_ann",
-    "x4_winnow_fingerprint",
-    "x6_table_profile",
-    "agg_global_stats",
-    "agg_having",
-    "agg_salted_avg",
-    "asof_join_latest_purchase",
-    "case_bucketing",
-    "cube_priority_status",
-    "etl_binary_decom_calibrate_e2e",
-    "j1_broadcast_dim_join",
-    "j_hinted_shuffle_hash",
-    "j_salted_skew_join",
-    "l_csv_roundtrip",
-    "l_jsonl_roundtrip",
-    "l_merge_upsert_roundtrip",
-    "l_orc_roundtrip",
-    "l_parquet_roundtrip",
-    "q10_returned_items",
-    "q11_important_stock",
-    "s2_csv_source_e2e",
-    "s_jsonl_corrupt_quarantine",
-    "s_warc_ingest",
-    "udaf_grouped_median",
-    "w3_streaming_stateful_cumulative",
-    "w_streaming_foreachbatch_upsert",
-    "w_streaming_stream_join_restart",
-    "x2_minhash_bands",
-    "x2_ngram_jaccard_pairs",
-    "x2_simhash_fingerprint",
-    "x2_simhash_near_pairs",
-    "x3_pq_rerank_topk",
-    "x6_constraint_report",
+    "x2_near_dedup_compacted_index",
+    "curation_c4_signals",
+    "curation_decontaminate",
+    "curation_leakage_safe_split",
+    "curation_quality_tiers",
+    "curation_token_packing",
+    "g_pagerank",
+    "j_aqe_skew_split",
+    "j_dynamic_partition_pruning",
+    "j_runtime_bloom_filter",
+    "l_compact_roundtrip",
+    "l_schema_evolution_merge",
+    "q3_bucketed_colocated",
+    "q5_nation_revenue",
+    "s1_ccsds_datasource_scan",
+    "s1_ccsds_streaming_tail",
+    "s_corrupt_file_skip",
+    "w4_sessionization",
+    "w_lttb_downsample",
+    "w_resample_grid_gapfill",
+    "x2_canonical_per_cluster",
+    "x2_duplicate_components",
+    "x2_duplicate_span_fraction",
+    "x2_lsh_near_dedup_survivors",
+    "x2_semantic_dedup",
+    "x3_ivf_disk_index_topk",
+    "x4_bigram_logprob",
+    "x4_bm25_relevance",
+    "x4_bpe_corpus_budget",
+    "x4_bpe_token_stats",
+    "x4_bpe_vocab_freq",
+    "x4_heldout_backoff_logprob",
+    "x4_lang_id_confusion",
+    "x4_linear_probe_fit",
+    "x4_repetition_signals",
+    "x4_tfidf_sparse",
+    "x4_top_terms",
+    "x4_unigram_logprob",
+    "x4_zipf_slope",
+    "x5_avi_meta_decode",
+    "x5_image_pixel_stats",
+    "x5_image_resize",
+    "x5_jpeg_pixel_stats",
+    "x5_multimodal_features",
+    "x5_video_frame_stats",
+    "x6_variant_json_shred",
 ]
 
 QUERIES = {

@@ -7,6 +7,17 @@ if this passes, any reasonable hash normalization matches too.
 
 Usage: python scripts/check_correctness.py [name ...] [--sf DIR] [--lint]
        [--perturb [--perturb-shuffle N] [--perturb-repartition M]]
+       [--oracle-sample N]
+
+``--oracle-sample N`` runs BOTH engines over a deterministic 1/N subset
+of the ``documents`` table (seeded md5 bucket of doc_id — identical
+membership in Spark and DuckDB by construction). This keeps the
+heaviest document oracles (exact n-gram decontamination joins,
+substring dedup) verifiable at probe scales where the full DuckDB
+replay exceeds the box (the sfx100 bloom twin overran the 63 GB disk,
+NOTES r10). The Spark side is still exercised shape-for-shape — only
+the verified row population shrinks. Documents-only: other tables keep
+their join consistency.
 
 ``--lint`` additionally runs the plan-shape linter (plans/lint.py) on
 each query's executed plan and reports non-allowlisted anti-pattern
@@ -151,6 +162,7 @@ def main() -> int:
     ap.add_argument("--perturb", action="store_true")
     ap.add_argument("--perturb-shuffle", type=int, default=7)
     ap.add_argument("--perturb-repartition", type=int, default=13)
+    ap.add_argument("--oracle-sample", type=int, default=None)
     args = ap.parse_args()
     lint_allow: dict[str, set[str]] = {}
     if args.lint:
@@ -165,9 +177,24 @@ def main() -> int:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    if args.oracle_sample is not None:
+        from mission_data_pipeline_spark.plans import queries as qmod
+
+        qmod.set_input_sample(args.oracle_sample)
+        print(
+            f"oracle-sample: documents restricted to deterministic "
+            f"1/{args.oracle_sample} subset in BOTH engines"
+        )
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+        pred = ""
+        if t == "documents" and args.oracle_sample is not None:
+            from mission_data_pipeline_spark.plans import queries as qmod
+
+            pred = f" WHERE {qmod.input_sample_predicate_duckdb()}"
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'{pred}"
+        )
 
     n_pass = n_fail = n_noracle = 0
     failures: dict[str, list[str]] = {}

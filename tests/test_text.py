@@ -826,3 +826,37 @@ def test_tfidf_sparse_signed_flag_only_flips_signs(spark):
     assert set(plain) == set(signed)
     assert all(abs(signed[k]) == abs(plain[k]) for k in plain)
     assert any(signed[k] < 0 for k in plain)  # some signs actually flip
+
+
+def test_gopher_keep_cols_passthrough(spark):
+    """keep_cols threads extra columns through the gate unchanged (no
+    corpus self-join needed to recover them) without altering any
+    signal value."""
+    from mission_data_pipeline_spark.operators.text import (
+        gopher_quality_signals,
+    )
+
+    rows = [
+        (1, "en", "web", "the quick brown fox and the lazy dog have gone "
+                         "to rest beside that quiet river today"),
+        (2, "de", "book", "too few words here"),
+        (3, None, "web", ""),  # empty text still excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                     "source string, text string")
+    plain = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_signals(df, min_words=10).collect()
+    }
+    kept = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_signals(
+            df, min_words=10, keep_cols=["lang", "source"]
+        ).collect()
+    }
+    assert set(kept) == set(plain) == {1, 2}
+    assert kept[1]["lang"] == "en" and kept[1]["source"] == "web"
+    assert kept[2]["lang"] == "de" and kept[2]["source"] == "book"
+    for doc_id, sig in plain.items():
+        for col, v in sig.items():
+            assert kept[doc_id][col] == v, (doc_id, col)
