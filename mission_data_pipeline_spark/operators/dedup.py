@@ -114,37 +114,77 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, *, bands: int = 4
+    signatures: DataFrame, *, bands: int = 4, max_bucket: "int | None" = None
 ) -> DataFrame:
     """Band the signature and bucket-join: (doc_a, doc_b) candidates.
 
     Docs agreeing on ALL rows of any band collide. The join key is
     (band, band_hash) — shuffle is proportional to collisions, never n².
+    ``max_bucket`` caps per-bucket pair generation (see
+    :func:`lsh_pairs_from_bands`).
     """
-    return lsh_pairs_from_bands(band_signatures(signatures, bands=bands))
+    return lsh_pairs_from_bands(
+        band_signatures(signatures, bands=bands), max_bucket=max_bucket
+    )
 
 
-def lsh_pairs_from_bands(banded: DataFrame) -> DataFrame:
+def _all_pairs(banded: DataFrame) -> DataFrame:
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+
+
+def lsh_pairs_from_bands(
+    banded: DataFrame, *, max_bucket: "int | None" = None
+) -> DataFrame:
     """Candidate pairs from an ALREADY-banded signature table
     (:func:`band_signatures` layout) — the shared building block for
     callers that reuse one featurization across several passes (e.g.
     the streaming ingest gate runs intra-batch dedup AND the stored-
     index probe on the same batch; featurizing twice doubles the
-    per-batch cost for identical results)."""
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    per-batch cost for identical results).
+
+    ``max_bucket`` is the at-scale guard against GIANT buckets: one
+    boilerplate band signature shared by m documents yields m(m-1)/2
+    candidates (m = 1M → 5·10^11 pair rows) under the all-pairs
+    bucket join — the classic production near-dedup blowup, and the
+    one shape where "shuffle ∝ collisions" stops being a comfort.
+    With ``max_bucket = k``, buckets larger than k switch to STAR
+    topology: each member pairs only with the bucket's min-id
+    representative, O(m) rows. Candidates are always confirmed by
+    exact Jaccard downstream and dedup links through the min-id
+    representative anyway, so for a true duplicate group (what a
+    giant bucket is by construction — members agree on an entire
+    band of minima) the resulting clusters are identical; the only
+    forgone candidates are non-representative pairs of UNRELATED
+    docs that happened to share an oversized bucket. Per-bucket cost
+    becomes min(m², m·k)/2 pair rows; total output is linear in the
+    corpus for any fixed cap."""
+    if max_bucket is None:
+        return _all_pairs(banded).distinct()
+    if max_bucket < 2:
+        raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+    sized = banded.groupBy("band", "band_hash").agg(
+        F.count("*").alias("_n"), F.min("doc_id").alias("_rep")
     )
+    keyed = banded.join(sized, ["band", "band_hash"])
+    small = keyed.filter(F.col("_n") <= max_bucket).select(
+        "doc_id", "band", "band_hash"
+    )
+    star = (
+        keyed.filter(
+            (F.col("_n") > max_bucket) & (F.col("doc_id") != F.col("_rep"))
+        )
+        .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return _all_pairs(small).unionByName(star).distinct()
 
 
 def jaccard_verify(
@@ -183,6 +223,7 @@ def near_dedup_minhash(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: "int | None" = None,
 ) -> DataFrame:
     """End-to-end near-dup removal: keep docs minus verified duplicates.
 
@@ -191,10 +232,16 @@ def near_dedup_minhash(
     one iteration is the standard approximation; full connected
     components would iterate to a fixpoint, unnecessary for dedup where
     transitive over-merging only drops a few extra near-dups).
+
+    ``max_bucket`` bounds per-bucket candidate generation against
+    boilerplate-driven giant LSH buckets (star topology above the cap
+    — see :func:`lsh_pairs_from_bands`); at production corpus sizes
+    pass a cap (e.g. 1000) so one viral page can never quadratic the
+    shuffle.
     """
     g = shingles(docs, n=n, text_col=text_col, id_col=id_col)
     sig = minhash_signatures(g, num_hashes=num_hashes)
-    cand = lsh_candidate_pairs(sig, bands=bands)
+    cand = lsh_candidate_pairs(sig, bands=bands, max_bucket=max_bucket)
     dups = (
         jaccard_verify(cand, g, threshold=threshold)
         .select(F.col("doc_b").alias(id_col))

@@ -61,6 +61,7 @@ def __getattr__(name):
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "x2_lsh_bucket_cap",
     "curation_shard_build_e2e",
     "curation_html_extract",
     "x3_text_embed_ann",

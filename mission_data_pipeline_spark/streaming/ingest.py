@@ -235,8 +235,14 @@ def near_dedup_ingest_stream(
     id_col: str = "doc_id",
     update_index: bool = True,
     available_now: bool = True,
+    max_bucket: "int | None" = None,
 ) -> StreamingQuery:
     """Start the ingest gate on a streaming DataFrame of documents.
+
+    ``max_bucket`` caps intra-batch LSH bucket pairing (star topology
+    above the cap, :func:`~mission_data_pipeline_spark.operators.dedup.
+    lsh_pairs_from_bands`) — a restart-coalesced batch containing one
+    viral page many times must not quadratic the epoch.
 
     ``index_path`` must hold a :func:`write_near_dedup_index` layout;
     the probe parameters are validated against its ``params.json``
@@ -279,7 +285,9 @@ def near_dedup_ingest_stream(
             # same-batch survivor through.
             intra_dups = (
                 jaccard_verify(
-                    lsh_pairs_from_bands(bnd), g, threshold=threshold
+                    lsh_pairs_from_bands(bnd, max_bucket=max_bucket),
+                    g,
+                    threshold=threshold,
                 )
                 .select(F.col("doc_b").alias("doc_id"))
                 .distinct()

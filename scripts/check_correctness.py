@@ -163,6 +163,12 @@ def main() -> int:
     ap.add_argument("--perturb-shuffle", type=int, default=7)
     ap.add_argument("--perturb-repartition", type=int, default=13)
     ap.add_argument("--oracle-sample", type=int, default=None)
+    ap.add_argument(
+        "--exclude",
+        default="",
+        help="comma-separated query names to skip (the round gate runs "
+        "oracle-replay-heavy queries separately under --oracle-sample)",
+    )
     args = ap.parse_args()
     lint_allow: dict[str, set[str]] = {}
     if args.lint:
@@ -174,6 +180,14 @@ def main() -> int:
     qs = queries()
     oracles = oracle_sql()
     names = args.names or list(qs)
+    if args.exclude:
+        excluded = {n.strip() for n in args.exclude.split(",") if n.strip()}
+        unknown = excluded - set(qs)
+        if unknown:
+            print(f"--exclude names not in the library: {sorted(unknown)}")
+            return 2
+        names = [n for n in names if n not in excluded]
+        print(f"excluded {len(excluded)}: {sorted(excluded)}")
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")

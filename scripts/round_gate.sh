@@ -47,10 +47,19 @@ run() {
     fi
 }
 
+# Oracle-replay-heavy queries at sf1: the shard-build capstone's DuckDB
+# twin replays the full MinHash construction over every gram — 320 s at
+# sf0.1, ~1 h at sfx1. The main sfx1 sweep excludes it; a dedicated gate
+# re-runs it under --oracle-sample 10 (both engines on the identical
+# seeded 1/10 documents subset → DuckDB cost back to the sf0.1 point
+# while Spark still runs the sampled plan at sfx1 layout).
+HEAVY_SF1="curation_shard_build_e2e"
+
 run pytest           python -m pytest tests/ -q
 run sweep_sf001_lint python scripts/check_correctness.py --lint
 run perturb_sf001    python scripts/check_correctness.py --perturb
-run sweep_sfx1_lint  python scripts/check_correctness.py --lint --sf /tmp/sfx1
+run sweep_sfx1_lint  python scripts/check_correctness.py --lint --sf /tmp/sfx1 --exclude "$HEAVY_SF1"
+run sweep_sfx1_heavy python scripts/check_correctness.py --lint --sf /tmp/sfx1 --oracle-sample 10 $(echo "$HEAVY_SF1" | tr ',' ' ')
 
 run perturb_sfx1_full python scripts/check_correctness.py --perturb --sf /tmp/sfx1
 

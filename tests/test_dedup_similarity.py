@@ -67,6 +67,47 @@ def test_near_dedup_end_to_end(docs):
     assert 2 not in ids  # exact dup removed
 
 
+def test_bucket_cap_identity_when_under_cap(docs):
+    """A cap no bucket exceeds must produce exactly the uncapped pairs."""
+    g = shingles(docs, n=2)
+    sig = minhash_signatures(g, num_hashes=16)
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sig, bands=8).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sig, bands=8, max_bucket=100).collect()
+    }
+    assert capped == uncapped
+
+
+def test_bucket_cap_star_topology_on_giant_bucket(spark):
+    """A planted giant bucket (30 identical docs) pairs star-wise above
+    the cap — O(m) candidates anchored at the min id, never m(m-1)/2 —
+    and end-to-end dedup still keeps exactly the representative."""
+    boiler = [(100 + i, "all rights reserved contact us about cookies") for i in range(30)]
+    other = [(1, "completely different content about spacecraft telemetry")]
+    docs = spark.createDataFrame(boiler + other, "doc_id long, text string")
+    g = shingles(docs, n=2)
+    sig = minhash_signatures(g, num_hashes=8)
+    pairs = lsh_candidate_pairs(sig, bands=4, max_bucket=10).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # star: every candidate pair is anchored at the bucket min (100)
+    assert got == {(100, 100 + i) for i in range(1, 30)}
+    out = near_dedup_minhash(
+        docs, n=2, num_hashes=8, bands=4, threshold=0.9, max_bucket=10
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 100]
+
+
+def test_bucket_cap_rejects_degenerate_cap(docs):
+    g = shingles(docs, n=2)
+    sig = minhash_signatures(g, num_hashes=8)
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(sig, bands=4, max_bucket=1)
+
+
 def test_simhash_equal_for_identical(docs):
     out = {r["doc_id"]: r["simhash"] for r in simhash(docs, n=2).collect()}
     assert out[1] == out[2]

@@ -57,6 +57,10 @@ ALLOW: dict[str, set[str]] = {
     "x2_minhash_bands": {"nested-loop-join"},
     "x2_simhash_fingerprint": {"nested-loop-join"},
     "x2_simhash_near_pairs": {"nested-loop-join"},
+    # three ONE-ROW accounting aggregates (candidate count, drop count,
+    # survivor stats) cross-joined into the single output row — the
+    # corpus side never crosses anything
+    "x2_lsh_bucket_cap": {"nested-loop-join"},
     # Zipf rank needs a total order over the DISTINCT-TERM table — the
     # single partition carries the vocabulary (sublinear in corpus), not
     # the corpus. At 100 TB replace with a range-partitioned two-pass
