@@ -737,7 +737,11 @@ def _bloom_filter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         # user-specified Repartition is not one — so only the VALUES
         # are checked in that mode (the sweep's job).
         if "might_contain" not in plan.lower():
-            if _INPUT_REPARTITION is None:
+            # read the knob off query_core (module attribute, not an
+            # import-time snapshot — the perturb sweep mutates it)
+            from mission_data_pipeline_spark.plans import query_core
+
+            if query_core._INPUT_REPARTITION is None:
                 raise RuntimeError(
                     "runtime bloom filter was not injected below the fact "
                     "shuffle:\n" + plan[:3000]
