@@ -120,6 +120,12 @@ def main() -> None:
             num_hashes=8,
             bands=4,
             threshold=0.6,
+            # Production guard: a restart-coalesced batch containing one
+            # viral page many times must not quadratic the intra-batch
+            # LSH join — buckets above the cap pair star-wise against
+            # their min-id representative (identical clusters for true
+            # duplicate groups; see lsh_pairs_from_bands).
+            max_bucket=64,
         )
         q.awaitTermination(120)
         survivors = sorted(

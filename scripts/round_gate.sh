@@ -61,7 +61,11 @@ run perturb_sf001    python scripts/check_correctness.py --perturb
 run sweep_sfx1_lint  python scripts/check_correctness.py --lint --sf /tmp/sfx1 --exclude "$HEAVY_SF1"
 run sweep_sfx1_heavy python scripts/check_correctness.py --lint --sf /tmp/sfx1 --oracle-sample 10 $(echo "$HEAVY_SF1" | tr ',' ' ')
 
-run perturb_sfx1_full python scripts/check_correctness.py --perturb --sf /tmp/sfx1
+# perturb also replays the DuckDB oracle (the layout check is ON TOP of
+# the oracle compare), so the heavy split applies here too — the full
+# sfx1 shard-build twin OOM'd DuckDB while Spark held the box's memory.
+run perturb_sfx1_full python scripts/check_correctness.py --perturb --sf /tmp/sfx1 --exclude "$HEAVY_SF1"
+run perturb_sfx1_heavy python scripts/check_correctness.py --perturb --sf /tmp/sfx1 --oracle-sample 10 $(echo "$HEAVY_SF1" | tr ',' ' ')
 
 if [ "$overall" -eq 0 ]; then echo "ROUND GATE: GREEN"; else echo "ROUND GATE: RED"; fi
 exit $overall
