@@ -1803,8 +1803,15 @@ def _shard_build_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_path = os.path.join(base, "gated")
     kept.write.parquet(kept_path)
     keptd = spark.read.parquet(kept_path)
+    # max_bucket: the production giant-bucket guard, and at probe
+    # scales a NECESSITY — make_scaled_data's replicas are near-copies
+    # of each other by construction, so at sfx10 every LSH bucket holds
+    # ~100 members and the uncapped all-pairs join explodes to ~10^11
+    # verify rows (observed: a 32-task stage pinned >10 min with zero
+    # completions). Star topology keeps the clusters identical (replica
+    # groups are true duplicate groups) at O(m) candidates per bucket.
     surv = near_dedup_minhash(
-        keptd, n=2, num_hashes=8, bands=4, threshold=0.6
+        keptd, n=2, num_hashes=8, bands=4, threshold=0.6, max_bucket=50
     )
     surv_path = os.path.join(base, "survivors")
     surv.write.parquet(surv_path)
@@ -1944,10 +1951,23 @@ def _shard_build_oracle() -> str:
                                  ',') AS bsig
           FROM hashes GROUP BY doc_id, seed % 4
         ),
+        sized AS (
+          SELECT doc_id, band, bsig,
+                 COUNT(*) OVER (PARTITION BY band, bsig) AS bn,
+                 MIN(doc_id) OVER (PARTITION BY band, bsig) AS brep
+          FROM banded
+        ),
         pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+          SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sized a JOIN sized b
+              ON a.band = b.band AND a.bsig = b.bsig
+             AND a.doc_id < b.doc_id
+            WHERE a.bn <= 50
+            UNION ALL
+            SELECT brep AS doc_a, doc_id AS doc_b
+            FROM sized WHERE bn > 50 AND doc_id != brep
+          )
         ),
         inter AS (
           SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
