@@ -52,12 +52,13 @@ def __getattr__(name):
 
 # Driver-check ordering (STALEST-FIRST, regenerated per round from the
 # CORRECTNESS_r0*.json history). The driver verifies the first ~50
-# QUERIES entries per round. Round 11: slots 1-5 are the round-11
-# additions/changes (the shard-build capstone, HTML→text extraction,
-# the text→vector ANN bridge, the NULL-lang-fixed UniMax oracle, the
-# single-featurize streaming-ingest compacted index); slots 6-50 are
-# the complete r06 staleness tail — after the r11 driver window no
-# query's most recent driver check predates r07.
+# QUERIES entries per round. Round 11: slots 1-6 are the round-11
+# additions/changes (the giant-LSH-bucket cap, the shard-build
+# capstone — now itself capped via max_bucket=50, HTML→text
+# extraction, the text→vector ANN bridge, the NULL-lang-fixed UniMax
+# oracle, the single-featurize streaming-ingest compacted index);
+# the rest is the complete r06 staleness tail — after the r11 driver
+# window no query's most recent driver check predates r07.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
