@@ -115,8 +115,16 @@ _CHECK_FIRST = [
     "x6_variant_json_shred",
 ]
 
-QUERIES = {
+# Reorder IN PLACE (ADVICE r11): rebinding this module's QUERIES to a
+# shallow copy would desync it from query_core.QUERIES — any later
+# registration via the re-exported ``_q`` would land only in query_core's
+# dict and be invisible to every consumer of the facade. clear()+update()
+# keeps the two names aliased to one dict forever.
+_ordered = {
     **{name: QUERIES[name] for name in _CHECK_FIRST},
     **{name: q for name, q in QUERIES.items() if name not in _CHECK_FIRST},
 }
+QUERIES.clear()
+QUERIES.update(_ordered)
+del _ordered
 

@@ -122,6 +122,13 @@ _INPUT_REPARTITION: int | None = None
 #: break join consistency (orders↔lineitem) for no verification gain.
 _INPUT_SAMPLE_MOD: int | None = None
 
+#: Which residue class mod ``_INPUT_SAMPLE_MOD`` the sample keeps.
+#: Rotating this per round (scripts/round_gate.sh derives it from the
+#: commit count) makes successive sampled gates cover DIFFERENT 1/N
+#: subsets, so a defect confined to the fixed excluded 9/10 of a single
+#: residue class cannot hide forever (ADVICE r11).
+_INPUT_SAMPLE_RESIDUE = 0
+
 #: seed for the sampling hash — fixed, so a sampled run is reproducible
 #: across engines and sessions by construction.
 _INPUT_SAMPLE_SEED = 11
@@ -133,12 +140,22 @@ def set_input_repartition(n: "int | None") -> None:
     _INPUT_REPARTITION = n
 
 
-def set_input_sample(mod: "int | None") -> None:
-    """Set (or clear with None) deterministic 1/mod documents sampling."""
-    global _INPUT_SAMPLE_MOD
+def set_input_sample(mod: "int | None", residue: int = 0) -> None:
+    """Set (or clear with None) deterministic 1/mod documents sampling.
+
+    ``residue`` selects which residue class of the seeded hash bucket is
+    kept (default 0, the historical subset); any 0 <= residue < mod
+    yields an equally deterministic, disjoint subset.
+    """
+    global _INPUT_SAMPLE_MOD, _INPUT_SAMPLE_RESIDUE
     if mod is not None and mod < 1:
         raise ValueError(f"sample modulus must be >= 1, got {mod}")
+    if mod is not None and not (0 <= residue < mod):
+        raise ValueError(
+            f"sample residue must be in [0, {mod}), got {residue}"
+        )
     _INPUT_SAMPLE_MOD = mod
+    _INPUT_SAMPLE_RESIDUE = residue if mod is not None else 0
 
 
 def input_sample_predicate_duckdb() -> "str | None":
@@ -150,7 +167,7 @@ def input_sample_predicate_duckdb() -> "str | None":
     return (
         f"CAST(('0x' || substr(md5('{_INPUT_SAMPLE_SEED}|' || "
         f"CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
-        f"% {_INPUT_SAMPLE_MOD} = 0"
+        f"% {_INPUT_SAMPLE_MOD} = {_INPUT_SAMPLE_RESIDUE}"
     )
 
 
@@ -167,7 +184,7 @@ def register_views(spark: SparkSession, sf_dir: str, *, force: bool = False) -> 
     results. Pass ``force=True`` after externally replacing the files
     in place.
     """
-    key = (sf_dir, _INPUT_REPARTITION, _INPUT_SAMPLE_MOD)
+    key = (sf_dir, _INPUT_REPARTITION, _INPUT_SAMPLE_MOD, _INPUT_SAMPLE_RESIDUE)
     if not force and _REGISTERED.get(spark) == key:
         return
     for name in TABLES:
@@ -192,7 +209,7 @@ def register_views(spark: SparkSession, sf_dir: str, *, force: bool = False) -> 
                     10,
                 ).cast("long")
                 % _INPUT_SAMPLE_MOD
-                == 0
+                == _INPUT_SAMPLE_RESIDUE
             )
         if _INPUT_REPARTITION is not None:
             df = df.repartition(_INPUT_REPARTITION)

@@ -164,6 +164,14 @@ def main() -> int:
     ap.add_argument("--perturb-repartition", type=int, default=13)
     ap.add_argument("--oracle-sample", type=int, default=None)
     ap.add_argument(
+        "--oracle-sample-residue",
+        type=int,
+        default=0,
+        help="which residue class mod --oracle-sample the subset keeps "
+        "(round_gate.sh rotates this per round so successive sampled "
+        "gates cover different 1/N document subsets)",
+    )
+    ap.add_argument(
         "--exclude",
         default="",
         help="comma-separated query names to skip (the round gate runs "
@@ -194,10 +202,13 @@ def main() -> int:
     if args.oracle_sample is not None:
         from mission_data_pipeline_spark.plans import queries as qmod
 
-        qmod.set_input_sample(args.oracle_sample)
+        qmod.set_input_sample(
+            args.oracle_sample, residue=args.oracle_sample_residue
+        )
         print(
             f"oracle-sample: documents restricted to deterministic "
-            f"1/{args.oracle_sample} subset in BOTH engines"
+            f"1/{args.oracle_sample} subset (residue "
+            f"{args.oracle_sample_residue}) in BOTH engines"
         )
     con = duckdb.connect()
     for t in TABLES:

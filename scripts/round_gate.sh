@@ -55,17 +55,25 @@ run() {
 # while Spark still runs the sampled plan at sfx1 layout).
 HEAVY_SF1="curation_shard_build_e2e"
 
+# Rotate WHICH 1/10 subset the heavy gates verify (ADVICE r11): the
+# residue class is derived from the commit count, so successive rounds'
+# sampled gates cover different deterministic document subsets instead
+# of re-checking the same fixed 1/10 forever. Full-population runs at
+# sf0.01 and sf0.1 still cover every document each round.
+SAMPLE_RESIDUE=$(( $(git rev-list --count HEAD 2>/dev/null || echo 0) % 10 ))
+echo "== heavy-gate oracle-sample residue this round: $SAMPLE_RESIDUE"
+
 run pytest           python -m pytest tests/ -q
 run sweep_sf001_lint python scripts/check_correctness.py --lint
 run perturb_sf001    python scripts/check_correctness.py --perturb
 run sweep_sfx1_lint  python scripts/check_correctness.py --lint --sf /tmp/sfx1 --exclude "$HEAVY_SF1"
-run sweep_sfx1_heavy python scripts/check_correctness.py --lint --sf /tmp/sfx1 --oracle-sample 10 $(echo "$HEAVY_SF1" | tr ',' ' ')
+run sweep_sfx1_heavy python scripts/check_correctness.py --lint --sf /tmp/sfx1 --oracle-sample 10 --oracle-sample-residue "$SAMPLE_RESIDUE" $(echo "$HEAVY_SF1" | tr ',' ' ')
 
 # perturb also replays the DuckDB oracle (the layout check is ON TOP of
 # the oracle compare), so the heavy split applies here too — the full
 # sfx1 shard-build twin OOM'd DuckDB while Spark held the box's memory.
 run perturb_sfx1_full python scripts/check_correctness.py --perturb --sf /tmp/sfx1 --exclude "$HEAVY_SF1"
-run perturb_sfx1_heavy python scripts/check_correctness.py --perturb --sf /tmp/sfx1 --oracle-sample 10 $(echo "$HEAVY_SF1" | tr ',' ' ')
+run perturb_sfx1_heavy python scripts/check_correctness.py --perturb --sf /tmp/sfx1 --oracle-sample 10 --oracle-sample-residue "$SAMPLE_RESIDUE" $(echo "$HEAVY_SF1" | tr ',' ' ')
 
 if [ "$overall" -eq 0 ]; then echo "ROUND GATE: GREEN"; else echo "ROUND GATE: RED"; fi
 exit $overall

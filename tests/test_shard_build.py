@@ -60,29 +60,60 @@ def test_shard_build_artifacts_match_accounting(spark, sf0001):
 
 def test_oracle_sample_subsets_identical(spark, sf0001):
     """set_input_sample presents the SAME documents subset to Spark and
-    DuckDB (membership is a pure seeded-hash function of doc_id)."""
-    qmod.set_input_sample(3)
+    DuckDB (membership is a pure seeded-hash function of doc_id), for
+    EVERY residue class — and the residue classes partition the table
+    (disjoint, union = all docs), so the round gate's per-round residue
+    rotation (scripts/round_gate.sh, ADVICE r11) covers disjoint subsets
+    that jointly exhaust the corpus."""
+    by_residue: dict[int, list] = {}
     try:
-        register_views(spark, sf0001, force=True)
-        spark_ids = sorted(
-            r["doc_id"]
-            for r in spark.table("documents").select("doc_id").collect()
-        )
-        pred = qmod.input_sample_predicate_duckdb()
-        duck_ids = [
-            r[0]
-            for r in duckdb.sql(
-                f"SELECT doc_id FROM '{sf0001}/documents.parquet' "
-                f"WHERE {pred} ORDER BY doc_id"
-            ).fetchall()
-        ]
+        for residue in range(3):
+            qmod.set_input_sample(3, residue=residue)
+            register_views(spark, sf0001, force=True)
+            spark_ids = sorted(
+                r["doc_id"]
+                for r in spark.table("documents").select("doc_id").collect()
+            )
+            pred = qmod.input_sample_predicate_duckdb()
+            duck_ids = [
+                r[0]
+                for r in duckdb.sql(
+                    f"SELECT doc_id FROM '{sf0001}/documents.parquet' "
+                    f"WHERE {pred} ORDER BY doc_id"
+                ).fetchall()
+            ]
+            assert spark_ids == duck_ids, f"residue {residue} diverged"
+            by_residue[residue] = spark_ids
     finally:
         qmod.set_input_sample(None)
         register_views(spark, sf0001, force=True)
     total = duckdb.sql(
         f"SELECT COUNT(*) FROM '{sf0001}/documents.parquet'"
     ).fetchone()[0]
-    assert spark_ids == duck_ids
-    # a real subset, and roughly the requested 1/3
-    assert 0 < len(spark_ids) < total
-    assert abs(len(spark_ids) / total - 1 / 3) < 0.15
+    # each residue is a real subset, roughly the requested 1/3
+    for residue, ids in by_residue.items():
+        assert 0 < len(ids) < total
+        assert abs(len(ids) / total - 1 / 3) < 0.15
+    # disjoint and exhaustive across residues
+    all_ids = [i for ids in by_residue.values() for i in ids]
+    assert len(all_ids) == len(set(all_ids)) == total
+
+
+def test_set_input_sample_validates_residue():
+    import pytest
+
+    with pytest.raises(ValueError):
+        qmod.set_input_sample(10, residue=10)
+    with pytest.raises(ValueError):
+        qmod.set_input_sample(10, residue=-1)
+    assert qmod.input_sample_predicate_duckdb() is None  # knob untouched
+
+
+def test_queries_facade_aliases_registry_dict():
+    """The facade's QUERIES must BE query_core.QUERIES (ADVICE r11):
+    a shallow-copy rebind would make any post-import registration via
+    the re-exported _q land in query_core's dict and be invisible to
+    every consumer of the facade."""
+    from mission_data_pipeline_spark.plans import query_core
+
+    assert qmod.QUERIES is query_core.QUERIES
