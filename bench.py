@@ -145,6 +145,16 @@ EXTENDED = [
     # dense fold + broadcast-queries cosine scan)
     "curation_html_extract",
     "x3_text_embed_ann",
+]
+
+# Timed as their OWN series (VERDICT r11 item 4): the shard-build
+# capstone is a whole corpus build (236 s at sfx10 — 60% of the r11
+# extended anchor), so folding it into extended_total made the
+# longitudinal extended comparison one-query-dominated. capstone_total
+# is reported separately; extended_total stays comparable round-over-
+# round (r12+ extended totals exclude it — compare r11's by subtracting
+# its curation_shard_build_e2e entry).
+CAPSTONE = [
     # round 11, second batch: the shard-build capstone — the whole
     # production path (extract → gate → near-dedup → UniMax → pack →
     # JSONL shards) timed as one number, stage barriers included
@@ -154,15 +164,14 @@ EXTENDED = [
 N_ETL_PACKETS = 200_000
 
 
-def _shuffle_snapshot(spark) -> dict | None:
+def _stage_shuffle_bytes(spark) -> dict | None:
     """(stageId, attemptId) -> (shuffleReadBytes, shuffleWriteBytes) of
     COMPLETED stages, from the JVM AppStatusStore (the UI-less listener
     store — this sandbox runs with the web UI off, so the REST API is
     unavailable). Wall-time at bench scale is noise-dominated (0.1 s
     swings), but a plan regression that matters at 100 TB shows first
-    in shuffle BYTES, which are layout-deterministic; the per-query
-    delta of this snapshot is that tripwire. Returns None if the
-    private JVM surface moves (metrics then degrade gracefully to
+    in shuffle BYTES, which are layout-deterministic. Returns None if
+    the private JVM surface moves (metrics then degrade gracefully to
     absent, never crash the bench)."""
     try:
         sc = spark.sparkContext
@@ -189,12 +198,32 @@ def _shuffle_snapshot(spark) -> dict | None:
         return None
 
 
-def _shuffle_delta(before: dict | None, after: dict | None) -> dict | None:
-    if before is None or after is None:
+def _job_group_shuffle_bytes(spark, group: str) -> dict | None:
+    """Shuffle read/write bytes of exactly the jobs submitted under
+    ``group`` (sc.setJobGroup around the measured run). JOB-SCOPED, not
+    time-window-scoped (VERDICT r11 item 1): the previous implementation
+    summed stages that COMPLETED between two snapshots, so under
+    co-tenant load a straggler stage from an EARLIER sample completing
+    inside the final run's window double-counted — the r11 capstone
+    7.2→12.7 MB byte flag was exactly this artifact. Job ids are read
+    from the public StatusTracker; per-stage bytes from the
+    AppStatusStore. Stages skipped via exchange reuse have no completed
+    attempt and correctly contribute 0."""
+    try:
+        tracker = spark.sparkContext.statusTracker()
+        stage_ids: set = set()
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            if info is not None:
+                stage_ids.update(info.stageIds)
+        stages = _stage_shuffle_bytes(spark)
+        if stages is None:
+            return None
+        read = sum(v[0] for (sid, _a), v in stages.items() if sid in stage_ids)
+        write = sum(v[1] for (sid, _a), v in stages.items() if sid in stage_ids)
+        return {"read": read, "write": write}
+    except Exception:
         return None
-    read = sum(v[0] for k, v in after.items() if k not in before)
-    write = sum(v[1] for k, v in after.items() if k not in before)
-    return {"read": read, "write": write}
 
 
 def bench_etl(spark, out: dict) -> None:
@@ -353,6 +382,31 @@ def main() -> None:
     }
     total = 0.0
     shuffle_bytes: dict = {}
+    sc = spark.sparkContext
+
+    def _noop_run(q, name: str, i: int) -> float:
+        """One noop-sink materialization; the FINAL sample runs under a
+        per-query job group so its shuffle bytes are attributed to
+        exactly its own jobs (plan construction included — some query
+        callables run bounded driver-side jobs)."""
+        final = i == samples - 1
+        if final:
+            sc.setJobGroup(f"bench:{name}", f"bench final noop run: {name}")
+        try:
+            t0 = time.time()
+            q.spark(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            dt = time.time() - t0
+            if final:
+                shuffle_bytes[name] = _job_group_shuffle_bytes(
+                    spark, f"bench:{name}"
+                )
+            return dt
+        finally:
+            if final:
+                sc._jsc.clearJobGroup()
+
     for name in HEADLINE:
         q = QUERIES[name]
         # Best-of-2: this host has noisy neighbors (observed 0.5 s -> 9 s
@@ -373,16 +427,7 @@ def main() -> None:
             # comparability with the recorded baseline (same
             # methodology); "queries_noop"/"value_noop" are the
             # corrected series going forward. See BASELINE.md round 5.
-            snap = _shuffle_snapshot(spark) if i == samples - 1 else None
-            t0 = time.time()
-            q.spark(spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            dts_noop.append(time.time() - t0)
-            if i == samples - 1:
-                shuffle_bytes[name] = _shuffle_delta(
-                    snap, _shuffle_snapshot(spark)
-                )
+            dts_noop.append(_noop_run(q, name, i))
         dt = min(dts)
         out["queries"][name] = round(dt, 3)
         out["queries_noop"][name] = round(min(dts_noop), 3)
@@ -406,16 +451,7 @@ def main() -> None:
             # item 4): the scale-critical operators (dedup,
             # decontaminate, substring) live here, and bytes are the
             # layout-deterministic signal wall-time noise can't fake.
-            snap = _shuffle_snapshot(spark) if i == samples - 1 else None
-            t0 = time.time()
-            q.spark(spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            dts.append(time.time() - t0)
-            if i == samples - 1:
-                shuffle_bytes[name] = _shuffle_delta(
-                    snap, _shuffle_snapshot(spark)
-                )
+            dts.append(_noop_run(q, name, i))
         ext[name] = round(min(dts), 3)
         if name == "q5_bucketed_broadcast_dims":
             # Staging the bucketed fact copies is a one-time deployment
@@ -425,6 +461,14 @@ def main() -> None:
             out["q5_bucketed_first_run_incl_staging_s"] = round(dts[0], 3)
     out["extended_queries"] = ext
     out["extended_total"] = round(sum(ext.values()), 3)
+
+    cap: dict = {}
+    for name in CAPSTONE:
+        q = QUERIES[name]
+        dts = [_noop_run(q, name, i) for i in range(samples)]
+        cap[name] = round(min(dts), 3)
+    out["capstone_queries"] = cap
+    out["capstone_total"] = round(sum(cap.values()), 3)
     # Self-describing methodology per series: round-over-round consumers
     # must not compare across methods (extended_* switched from count()
     # to the noop sink in round 5 — r04 and earlier extended numbers are
@@ -436,12 +480,20 @@ def main() -> None:
         "evaluated (honest series, since r05)",
         "extended_queries": "noop-sink since r05; count() in r04 and "
         "earlier — do not compare across that boundary",
-        "shuffle_bytes": "per-headline-query shuffle read/write BYTES "
-        "from the JVM AppStatusStore, delta of completed stages around "
-        "the final noop run (since r10). Bytes are layout-deterministic "
-        "where wall-time is noise-dominated; a >=1.5x write-bytes "
-        "growth vs the previous round is the scale-regression tripwire "
-        "(see regressions[])",
+        "capstone_queries": "noop-sink; the shard-build capstone as its "
+        "OWN series since r12 (it was 60% of the r11 extended anchor — "
+        "folding it in made extended_total one-query-dominated). r11 "
+        "and earlier record it inside extended_queries",
+        "shuffle_bytes": "per-query shuffle read/write BYTES from the "
+        "JVM AppStatusStore. JOB-GROUP-SCOPED since r12: only stages of "
+        "jobs submitted under the final noop run's sc.setJobGroup are "
+        "summed, so a co-tenant-delayed straggler stage from an earlier "
+        "sample can no longer double-count into the delta (the r11 "
+        "capstone 7.2->12.7 MB flag was that artifact; r10-r11 used a "
+        "completed-stages time-window delta). Bytes are layout-"
+        "deterministic where wall-time is noise-dominated; a >=1.5x "
+        "write-bytes growth vs the previous round is the scale-"
+        "regression tripwire (see regressions[])",
     }
 
     out["regressions"] = _regressions(out)
@@ -467,6 +519,7 @@ def main() -> None:
         "layout": layout["mode"],
         "queries": out["queries"],
         "extended_total": out["extended_total"],
+        "capstone_total": out["capstone_total"],
         "etl_rows_per_sec": out["etl_rows_per_sec"],
         "n_regressions": len(out["regressions"]),
         "full": full_name,
@@ -540,9 +593,13 @@ def _regressions(out: dict) -> list[dict]:
         if ref_mode != out["layout"]["mode"]:
             continue
         flags = []
-        for series in ("queries_noop", "extended_queries"):
+        for series in ("queries_noop", "extended_queries", "capstone_queries"):
             for name, sec in out.get(series, {}).items():
                 base = ref.get(series, {}).get(name)
+                if base is None and series == "capstone_queries":
+                    # capstone entries lived inside extended_queries
+                    # through r11 — compare across the series split
+                    base = ref.get("extended_queries", {}).get(name)
                 if base is not None and base >= 0.1 and sec > 2 * base:
                     flags.append(
                         {

@@ -31,7 +31,12 @@ def merge(paths: list[str]) -> dict:
         ):
             raise SystemExit("layout mode mismatch between windows")
     out = dict(base)
-    for series in ("queries", "queries_noop", "extended_queries"):
+    for series in (
+        "queries",
+        "queries_noop",
+        "extended_queries",
+        "capstone_queries",
+    ):
         # union of keys across ALL windows (ADVICE r09): a query present
         # only in a later window (added between anchor windows) must not
         # be silently dropped, and a query missing from some window is a
@@ -61,6 +66,10 @@ def merge(paths: list[str]) -> dict:
         3,
     )
     out["extended_total"] = round(sum(out["extended_queries"].values()), 3)
+    if out.get("capstone_queries"):
+        out["capstone_total"] = round(
+            sum(out["capstone_queries"].values()), 3
+        )
     out["etl_rows_per_sec"] = max(
         r.get("etl_rows_per_sec", 0) for r in runs
     )
