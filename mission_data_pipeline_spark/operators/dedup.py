@@ -158,15 +158,30 @@ def lsh_pairs_from_bands(
     one shape where "shuffle ∝ collisions" stops being a comfort.
     With ``max_bucket = k``, buckets larger than k switch to STAR
     topology: each member pairs only with the bucket's min-id
-    representative, O(m) rows. Candidates are always confirmed by
-    exact Jaccard downstream and dedup links through the min-id
-    representative anyway, so for a true duplicate group (what a
-    giant bucket is by construction — members agree on an entire
-    band of minima) the resulting clusters are identical; the only
-    forgone candidates are non-representative pairs of UNRELATED
-    docs that happened to share an oversized bucket. Per-bucket cost
-    becomes min(m², m·k)/2 pair rows; total output is linear in the
-    corpus for any fixed cap."""
+    representative, O(m) rows.
+
+    RECALL TRADE-OFF (quantified; not a lossless rewrite): for a
+    bucket of exact/near-identical docs — the common cause of giant
+    buckets — clusters come out identical, because every member
+    verifies against the representative and dedup links through the
+    min id anyway. But a band agreement certifies only that band's r
+    minhash minima, so an over-cap bucket CAN mix docs that are not
+    near-dups of the representative; a genuine near-dup pair between
+    two NON-representative members is then forgone unless the pair
+    also collides in another, smaller bucket. Within a single band
+    that loss is total — the planted borderline bucket in
+    ``tests/test_dedup_similarity.py`` measures 0/10 such pairs found
+    capped vs 10/10 uncapped — and recovery comes from the other
+    bands: a pair at Jaccard J shares a full band of minima with
+    probability J^r per band, so it stays confined to the giant
+    bucket with probability ~(1 - J^r)^(bands-1) (defaults r=4,
+    bands=4: ≈ 21% at J = 0.8 falling to < 1% at J = 0.95; the
+    companion multi-band test pins the recovered/confined split
+    exactly). Use uncapped pairing where borderline-threshold recall
+    is contractual; at production scale the cap is what keeps one
+    viral page from quadraticing the shuffle — per-bucket cost
+    becomes min(m², m·k)/2 pair rows and total output stays linear
+    in the corpus for any fixed cap."""
     if max_bucket is None:
         return _all_pairs(banded).distinct()
     if max_bucket < 2:
@@ -1123,6 +1138,7 @@ def incremental_near_dedup(
     corpus_grams: DataFrame | None = None,
     batch_grams: DataFrame | None = None,
     batch_bands: DataFrame | None = None,
+    max_bucket: "int | None" = None,
 ) -> DataFrame:
     """Incremental ingest near-dedup: keep only the rows of ``batch``
     that are NOT near-duplicates of the existing ``corpus`` — the
@@ -1147,6 +1163,25 @@ def incremental_near_dedup(
     Jaccard before a batch row is dropped. Batch-internal duplicates
     are NOT collapsed here (that is a corpus-build step, see
     ``near_dedup_minhash``); this operator answers "is it new?".
+
+    ``max_bucket`` caps the CORPUS side of the probe join per
+    (band, band_hash) bucket (ADVICE r11): a giant bucket in the stored
+    index (one boilerplate band signature shared by m corpus docs)
+    crossed with a matching batch bucket otherwise produces
+    m × batch-collisions candidate rows per epoch. Above the cap only
+    the bucket's ``max_bucket`` smallest doc_ids stay as probe
+    representatives, bounding per-bucket candidates at
+    max_bucket × batch-collisions. Recall trade-off (same shape as the
+    star cap in :func:`lsh_pairs_from_bands`): a batch doc whose only
+    true near-dup in the corpus is a NON-representative member of an
+    over-cap bucket — and which collides with it in no other band — is
+    waved through. The miss requires a borderline batch doc near some
+    bucket members but not the representatives AND no other band
+    catching it — probability ~(1 - J^r)^(bands-1) for a pair at
+    Jaccard J (see the quantified bound in
+    :func:`lsh_pairs_from_bands`); ``tests/test_dedup_similarity.py``
+    pins that an over-cap cluster still gates its near-dups through
+    the representatives.
     """
     if (corpus_bands is None) != (corpus_grams is None):
         raise ValueError(
@@ -1181,6 +1216,19 @@ def incremental_near_dedup(
     else:
         gc = corpus_grams.select("doc_id", "gram")
         bc = corpus_bands.select("doc_id", "band", "band_hash")
+    if max_bucket is not None:
+        if max_bucket < 1:
+            raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
+        # Keep only the max_bucket smallest doc_ids per corpus bucket as
+        # probe representatives (window is partitioned by the bucket key
+        # — the same key the probe join shuffles on, so no extra
+        # exchange shape; never a global window).
+        w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+        bc = (
+            bc.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
     if batch_bands is not None:
         bb = batch_bands.select("doc_id", "band", "band_hash")
     else:

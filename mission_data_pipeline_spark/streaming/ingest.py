@@ -239,10 +239,17 @@ def near_dedup_ingest_stream(
 ) -> StreamingQuery:
     """Start the ingest gate on a streaming DataFrame of documents.
 
-    ``max_bucket`` caps intra-batch LSH bucket pairing (star topology
-    above the cap, :func:`~mission_data_pipeline_spark.operators.dedup.
-    lsh_pairs_from_bands`) — a restart-coalesced batch containing one
-    viral page many times must not quadratic the epoch.
+    ``max_bucket`` caps BOTH per-epoch candidate-generation passes
+    (ADVICE r11): intra-batch LSH bucket pairing switches to star
+    topology above the cap (:func:`~mission_data_pipeline_spark.
+    operators.dedup.lsh_pairs_from_bands`), and the stored-index probe
+    join keeps only the cap's smallest corpus doc_ids per over-cap
+    index bucket (:func:`~mission_data_pipeline_spark.operators.dedup.
+    incremental_near_dedup`) — so neither a restart-coalesced batch
+    containing one viral page many times NOR a giant bucket already in
+    the persisted index can quadratic the epoch. See the linked
+    docstrings for the (bounded, measured) recall trade-off near the
+    threshold.
 
     ``index_path`` must hold a :func:`write_near_dedup_index` layout;
     the probe parameters are validated against its ``params.json``
@@ -314,6 +321,7 @@ def near_dedup_ingest_stream(
                 corpus_grams=corpus_grams,
                 batch_grams=g_kept,
                 batch_bands=bnd_kept,
+                max_bucket=max_bucket,
             )
             _land(survivors, epoch_id)
         finally:

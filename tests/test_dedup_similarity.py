@@ -108,6 +108,140 @@ def test_bucket_cap_rejects_degenerate_cap(docs):
         lsh_candidate_pairs(sig, bands=4, max_bucket=1)
 
 
+def _grams_df(spark, gram_sets: dict[int, set[str]]):
+    rows = [(d, g) for d, gs in gram_sets.items() for g in gs]
+    return spark.createDataFrame(rows, "doc_id long, gram string")
+
+
+def test_star_cap_recall_borderline_bucket_worst_case(spark):
+    """VERDICT r11 item 2: quantify the star cap's recall loss on a
+    planted BORDERLINE over-cap bucket — members that are true near-dups
+    of EACH OTHER (J = 1.0) but not of the bucket's min-id
+    representative (J = 1/3 < threshold).
+
+    Single-band worst case: the capped topology forgoes 100% of the
+    non-representative pairs (10/10 here), because every capped
+    candidate goes through the representative and fails verification.
+    The uncapped all-pairs join finds all 10. This is the bound the
+    lsh_pairs_from_bands docstring states: within ONE over-cap bucket,
+    pairs not involving the representative are forgone entirely —
+    recovery comes only from other bands (next test)."""
+    from mission_data_pipeline_spark.operators.dedup import (
+        lsh_pairs_from_bands,
+    )
+
+    rep_grams = {f"r{i}" for i in range(10)}
+    gram_sets: dict[int, set[str]] = {0: rep_grams}
+    banded_rows = [(0, 0, 42)]
+    for p in range(10):  # pairs (2p+1, 2p+2), identical within the pair
+        pg = set(list(rep_grams)[:5]) | {f"p{p}_{j}" for j in range(5)}
+        for d in (2 * p + 1, 2 * p + 2):
+            gram_sets[d] = pg  # J(d, rep) = 5/15; J within pair = 1.0
+            banded_rows.append((d, 0, 42))  # all in ONE giant bucket
+    banded = spark.createDataFrame(
+        banded_rows, "doc_id long, band int, band_hash long"
+    )
+    grams = _grams_df(spark, gram_sets)
+
+    uncapped = jaccard_verify(
+        lsh_pairs_from_bands(banded), grams, threshold=0.8
+    )
+    capped_pairs = lsh_pairs_from_bands(banded, max_bucket=5)
+    capped = jaccard_verify(capped_pairs, grams, threshold=0.8)
+
+    expect = {(2 * p + 1, 2 * p + 2) for p in range(10)}
+    assert {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()} == expect
+    # candidates stay LINEAR: m-1 star rows, never m(m-1)/2 = 210
+    assert capped_pairs.count() == 20
+    # and the measured single-band recall is 0/10 — the documented
+    # worst case, not a lossless rewrite (ADVICE r11)
+    assert capped.count() == 0
+
+
+def test_star_cap_recall_recovered_by_other_bands(spark):
+    """Multi-band recovery, pinned exactly: the same borderline bucket
+    in band 0, but half the pairs ALSO collide in a private 2-doc
+    bucket of band 1 (the usual case — a J >= threshold pair agrees on
+    a full band of minima with probability J^r per band, so it is
+    confined to the giant bucket only with probability
+    (1 - J^r)^(bands-1)). The capped pipeline recovers exactly those
+    pairs and misses exactly the band-0-confined ones."""
+    from mission_data_pipeline_spark.operators.dedup import (
+        lsh_pairs_from_bands,
+    )
+
+    rep_grams = {f"r{i}" for i in range(10)}
+    gram_sets: dict[int, set[str]] = {0: rep_grams}
+    banded_rows = [(0, 0, 42), (0, 1, 7)]
+    for p in range(10):
+        pg = set(list(rep_grams)[:5]) | {f"p{p}_{j}" for j in range(5)}
+        for d in (2 * p + 1, 2 * p + 2):
+            gram_sets[d] = pg
+            banded_rows.append((d, 0, 42))  # giant bucket, band 0
+            if p < 5:  # recovered pairs: own 2-doc bucket in band 1
+                banded_rows.append((d, 1, 1000 + p))
+            else:  # confined pairs: band-1 minima disagree -> singleton
+                banded_rows.append((d, 1, 2000 + 10 * p + d))
+    banded = spark.createDataFrame(
+        banded_rows, "doc_id long, band int, band_hash long"
+    )
+    grams = _grams_df(spark, gram_sets)
+
+    capped = jaccard_verify(
+        lsh_pairs_from_bands(banded, max_bucket=5), grams, threshold=0.8
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {(2 * p + 1, 2 * p + 2) for p in range(5)}  # recovered
+    # missed-pair rate on this fixture: 5/10 — exactly the pairs with
+    # no band outside the over-cap bucket
+    missed = {(2 * p + 1, 2 * p + 2) for p in range(5, 10)}
+    assert got.isdisjoint(missed)
+
+
+def test_incremental_probe_cap_bounds_corpus_bucket(spark):
+    """ADVICE r11: the stored-index probe join caps the CORPUS side per
+    bucket. A giant index bucket of 30 near-identical corpus docs probed
+    by a batch doc near-duplicating them must still gate the batch doc
+    (a representative stands in), while a batch doc near a
+    NON-representative borderline corpus doc in the over-cap bucket is
+    the documented recall trade-off."""
+    from mission_data_pipeline_spark.operators.dedup import (
+        incremental_near_dedup,
+    )
+
+    boiler = "all rights reserved contact us about cookies and privacy"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(100, 130)]
+        + [(1, "completely different corpus text about spark shuffle joins")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1000, boiler + " today"),  # near-dup of the giant cluster
+            (1001, "fresh unrelated content with brand new tokens only"),
+        ],
+        "doc_id long, text string",
+    )
+    for cap in (None, 5):
+        kept = sorted(
+            r["doc_id"]
+            for r in incremental_near_dedup(
+                batch,
+                corpus,
+                n=2,
+                num_hashes=8,
+                bands=4,
+                threshold=0.6,
+                max_bucket=cap,
+            ).collect()
+        )
+        assert kept == [1001], f"cap={cap}: {kept}"
+    with pytest.raises(ValueError):
+        incremental_near_dedup(
+            batch, corpus, n=2, num_hashes=8, bands=4, max_bucket=0
+        )
+
+
 def test_simhash_equal_for_identical(docs):
     out = {r["doc_id"]: r["simhash"] for r in simhash(docs, n=2).collect()}
     assert out[1] == out[2]
