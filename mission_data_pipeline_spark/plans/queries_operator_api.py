@@ -1519,34 +1519,84 @@ _q(
     ),
 )
 
+def _zipf_slope_spark(spark, sf_dir):
+    """Zipf rank-frequency fit WITHOUT a global window (VERDICT r11
+    item 5): the vocabulary's total order (cf DESC, term ASC) is
+    realized as a RANGE-PARTITIONED TWO-PASS RANK —
+
+    1. ``repartitionByRange`` on the sort key spreads the vocabulary
+       over ordered, non-overlapping ranges (32 tasks, not 1), and an
+       in-partition sort + ``monotonically_increasing_id`` gives each
+       row its partition id and LOCAL position;
+    2. per-partition row counts (ONE row per partition — a bounded
+       collect by construction) become global offsets via a driver-side
+       prefix sum, attached back as a LITERAL pid→offset map: global
+       rank = offset[pid] + local position + 1, pure map-side.
+
+    The rank is identical to ROW_NUMBER() OVER (ORDER BY cf DESC, term)
+    for ANY range boundaries (ranges are ordered and disjoint; the key
+    is unique), so the result is layout-invariant — the perturb gate
+    checks that. The DuckDB oracle keeps the window form. The
+    localCheckpoint pins the nondeterministic mid assignment so both
+    passes see one materialization."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    freq = (
+        spark.table("documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+    )
+    ordered = (
+        freq.repartitionByRange(32, F.col("cf").desc(), F.col("term").asc())
+        .sortWithinPartitions(F.col("cf").desc(), F.col("term").asc())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    pid = F.shiftright("_mid", 33).cast("int")
+    counts = sorted(
+        ordered.groupBy(pid.alias("pid")).count().collect(),
+        key=lambda r: r["pid"],
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets += [F.lit(r["pid"]), F.lit(acc).cast("long")]
+        acc += r["count"]
+    rank = (
+        F.element_at(F.create_map(*offsets), pid)
+        + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+        + 1
+    )
+    xy = ordered.select(
+        F.round(F.log(rank), 9).cast("decimal(12,9)").alias("x"),
+        F.round(F.log("cf"), 9).cast("decimal(12,9)").alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
 _q(
     "x4_zipf_slope",
-    _dialect(
-        r"""
-        WITH freq AS (
-          SELECT term, COUNT(*) AS cf FROM (
-            SELECT EXPLODE(SPLIT(LOWER(text), '\\s+')) AS term FROM documents
-          ) t WHERE LENGTH(term) > 0 GROUP BY term
-        ), ranked AS (
-          SELECT CAST(ROUND(LN(ROW_NUMBER() OVER (ORDER BY cf DESC, term)), 9)
-                      AS DECIMAL(12,9)) AS x,
-                 CAST(ROUND(LN(cf), 9) AS DECIMAL(12,9)) AS y
-          FROM freq
-        ), sums AS (
-          SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
-          FROM ranked
-        )
-        SELECT n AS n_terms,
-               ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-                     6) AS zipf_slope,
-               ROUND((CAST(sy AS DOUBLE)
-                      - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                        * CAST(sx AS DOUBLE)) / n, 6) AS intercept
-        FROM sums
-        """,
+    Query(
+        _zipf_slope_spark,
         r"""
         WITH freq AS (
           SELECT t AS term, COUNT(*) AS cf FROM (
@@ -1576,8 +1626,9 @@ _q(
         "X4,A*+",
         "Zipf rank-frequency fit (least-squares slope of ln-freq vs "
         "ln-rank): the corpus-health diagnostic for vocabulary "
-        "degeneration; the rank window runs over the vocabulary-sized "
-        "aggregate (never the token table), and the regression sums are "
+        "degeneration; the vocabulary rank is a range-partitioned "
+        "two-pass rank (no global window, no single-partition funnel — "
+        "scales with the vocabulary), and the regression sums are "
         "exact decimals so the fit is bit-reproducible cross-engine",
     ),
 )

@@ -61,11 +61,6 @@ ALLOW: dict[str, set[str]] = {
     # survivor stats) cross-joined into the single output row — the
     # corpus side never crosses anything
     "x2_lsh_bucket_cap": {"nested-loop-join"},
-    # Zipf rank needs a total order over the DISTINCT-TERM table — the
-    # single partition carries the vocabulary (sublinear in corpus), not
-    # the corpus. At 100 TB replace with a range-partitioned two-pass
-    # rank if the vocabulary itself outgrows one task.
-    "x4_zipf_slope": {"global-window", "single-partition-exchange"},
 }
 
 
