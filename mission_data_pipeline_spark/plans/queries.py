@@ -52,67 +52,68 @@ def __getattr__(name):
 
 # Driver-check ordering (STALEST-FIRST, regenerated per round from the
 # CORRECTNESS_r0*.json history). The driver verifies the first ~50
-# QUERIES entries per round. Round 11: slots 1-6 are the round-11
-# additions/changes (the giant-LSH-bucket cap, the shard-build
-# capstone — now itself capped via max_bucket=50, HTML→text
-# extraction, the text→vector ANN bridge, the NULL-lang-fixed UniMax
-# oracle, the single-featurize streaming-ingest compacted index);
-# the rest is the complete r06 staleness tail — after the r11 driver
-# window no query's most recent driver check predates r07.
+# QUERIES entries per round. Round 12: slot 1 is the round-12 plan
+# change (the zipf two-pass rank); slot 2 is x6_variant_json_shred
+# (slot 51 of the r11 list — it missed the 50-query window, so its
+# latest check is still r06); the rest is the complete r07 staleness
+# tail in alphabetical order, with the two pure-SQL dialect joins
+# (static since r07, partition-invariance-swept locally every round)
+# last as the lowest-risk roll-over if the window again cuts at 50.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    "x2_lsh_bucket_cap",
-    "curation_shard_build_e2e",
-    "curation_html_extract",
-    "x3_text_embed_ann",
-    "curation_unimax_sample",
-    "x2_near_dedup_compacted_index",
-    "curation_c4_signals",
-    "curation_decontaminate",
-    "curation_leakage_safe_split",
-    "curation_quality_tiers",
-    "curation_token_packing",
-    "g_pagerank",
-    "j_aqe_skew_split",
-    "j_dynamic_partition_pruning",
-    "j_runtime_bloom_filter",
-    "l_compact_roundtrip",
-    "l_schema_evolution_merge",
-    "q3_bucketed_colocated",
-    "q5_nation_revenue",
-    "s1_ccsds_datasource_scan",
-    "s1_ccsds_streaming_tail",
-    "s_corrupt_file_skip",
-    "w4_sessionization",
-    "w_lttb_downsample",
-    "w_resample_grid_gapfill",
-    "x2_canonical_per_cluster",
-    "x2_duplicate_components",
-    "x2_duplicate_span_fraction",
-    "x2_lsh_near_dedup_survivors",
-    "x2_semantic_dedup",
-    "x3_ivf_disk_index_topk",
-    "x4_bigram_logprob",
-    "x4_bm25_relevance",
-    "x4_bpe_corpus_budget",
-    "x4_bpe_token_stats",
-    "x4_bpe_vocab_freq",
-    "x4_heldout_backoff_logprob",
-    "x4_lang_id_confusion",
-    "x4_linear_probe_fit",
-    "x4_repetition_signals",
-    "x4_tfidf_sparse",
-    "x4_top_terms",
-    "x4_unigram_logprob",
     "x4_zipf_slope",
-    "x5_avi_meta_decode",
-    "x5_image_pixel_stats",
-    "x5_image_resize",
-    "x5_jpeg_pixel_stats",
-    "x5_multimodal_features",
-    "x5_video_frame_stats",
     "x6_variant_json_shred",
+    "agg_cms_heavy_hitters",
+    "correlated_scalar_subquery",
+    "curation_segment_dedup",
+    "curation_url_canonical_dedup",
+    "d3_pivot_wide",
+    "d4_union_all",
+    "d8_top_n_preview",
+    "date_extract_parts",
+    "filter_between_range",
+    "g_label_propagation",
+    "g_triangle_count",
+    "j2_left_join_config",
+    "join_cross_small",
+    "join_semi_exists",
+    "l_hdf5_roundtrip",
+    "l_zorder_roundtrip",
+    "q3_shipping_priority",
+    "q5_bucketed_broadcast_dims",
+    "s2_unpivot_melt",
+    "s_gzip_jsonl_ingest",
+    "s_rs_frame_correction",
+    "s_rs_frames_decom_e2e",
+    "s_zip_archive_ingest",
+    "set_intersect",
+    "set_union_distinct",
+    "t10_piecewise_clamp",
+    "t5_string_functions",
+    "t7_coalesce_fallback",
+    "t8_filter_exclude",
+    "t9_polynomial_calibration",
+    "udtf_token_spans",
+    "w1_tumbling_window",
+    "w3_streaming_ewma",
+    "w_ewma_sharded",
+    "w_ewma_smoothing",
+    "w_holt_trend",
+    "w_holt_winters_seasonal",
+    "w_lag_delta_gap",
+    "x3_kmeans_lloyd",
+    "x5_adpcm_sample_stats",
+    "x5_audio_sample_stats",
+    "x5_avi_audio_stats",
+    "x5_bmp_gif_pixel_stats",
+    "x5_flac_sample_stats",
+    "x5_g711_sample_stats",
+    "x5_image_dhash_near_dup",
+    "x5_media_stats",
+    "x5_tiff_pixel_stats",
+    "join_full_outer",
+    "join_right",
 ]
 
 # Reorder IN PLACE (ADVICE r11): rebinding this module's QUERIES to a

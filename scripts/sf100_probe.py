@@ -29,7 +29,47 @@ DEFAULT = [
     "curation_token_budget_select",
     "curation_domain_cap",
     "x2_near_dedup_compacted_index",
+    "near_dedup_cap_probe",  # custom probe, see _near_dedup_cap_probe
 ]
+
+
+def _near_dedup_cap_probe(spark, sf_dir: str) -> None:
+    """Capped near-dedup growth probe (VERDICT r11 item 3): candidate-
+    row count + e2e wall for near_dedup_minhash(max_bucket=50) over the
+    documents table, the way r10 probed ExactSubstr. Sub-quadratic
+    growth shows up as candidate rows ~linear in corpus docs (the cap
+    bounds per-bucket pairs at min(m², m·50)/2); a quadratic regression
+    would blow the candidate count long before the wall."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        band_signatures,
+        lsh_pairs_from_bands,
+        minhash_signatures,
+        near_dedup_minhash,
+        shingles,
+    )
+
+    docs = spark.table("documents").select("doc_id", "text")
+    n_docs = docs.count()
+    t0 = time.monotonic()
+    banded = band_signatures(
+        minhash_signatures(shingles(docs, n=3), num_hashes=16), bands=4
+    )
+    cand = lsh_pairs_from_bands(banded, max_bucket=50).count()
+    t_cand = time.monotonic() - t0
+    t0 = time.monotonic()
+    survivors = near_dedup_minhash(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.8, max_bucket=50
+    ).count()
+    t_e2e = time.monotonic() - t0
+    print(
+        f"near_dedup_cap_probe: docs={n_docs} candidates={cand} "
+        f"cand_per_doc={cand / max(n_docs, 1):.2f} "
+        f"candidates_wall={t_cand:.1f}s e2e_wall={t_e2e:.1f}s "
+        f"survivors={survivors}",
+        flush=True,
+    )
 
 
 def main() -> int:
@@ -52,6 +92,9 @@ def main() -> int:
     spark.table("lineitem").groupBy("l_returnflag").count().count()  # warm
 
     for name in names:
+        if name == "near_dedup_cap_probe":
+            _near_dedup_cap_probe(spark, args.sf)
+            continue
         t0 = time.monotonic()
         QUERIES[name].spark(spark, args.sf).write.mode("overwrite").format(
             "noop"

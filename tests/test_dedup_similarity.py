@@ -157,6 +157,29 @@ def test_star_cap_recall_borderline_bucket_worst_case(spark):
     # worst case, not a lossless rewrite (ADVICE r11)
     assert capped.count() == 0
 
+    # max_bucket_reps recall dial (the two-hop-closure option VERDICT
+    # r11 suggested): p representatives recover every borderline pair
+    # with a member among the bucket's p smallest ids, at ~m*p
+    # candidate cost. reps=5 -> docs 0..4 are reps -> pairs (1,2) and
+    # (3,4) found; reps covering the bucket -> all-pairs recall.
+    found5 = jaccard_verify(
+        lsh_pairs_from_bands(banded, max_bucket=5, max_bucket_reps=5),
+        grams,
+        threshold=0.8,
+    )
+    assert {(r["doc_a"], r["doc_b"]) for r in found5.collect()} == {
+        (1, 2),
+        (3, 4),
+    }
+    found_all = jaccard_verify(
+        lsh_pairs_from_bands(banded, max_bucket=5, max_bucket_reps=21),
+        grams,
+        threshold=0.8,
+    )
+    assert {(r["doc_a"], r["doc_b"]) for r in found_all.collect()} == expect
+    with pytest.raises(ValueError):
+        lsh_pairs_from_bands(banded, max_bucket=5, max_bucket_reps=0)
+
 
 def test_star_cap_recall_recovered_by_other_bands(spark):
     """Multi-band recovery, pinned exactly: the same borderline bucket
