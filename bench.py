@@ -145,6 +145,9 @@ EXTENDED = [
     # dense fold + broadcast-queries cosine scan)
     "curation_html_extract",
     "x3_text_embed_ann",
+    # round 12: multi-representative over-cap pairing (the recall dial
+    # on the planted giant bucket — candidate topology is the cost)
+    "x2_lsh_bucket_cap_reps",
 ]
 
 # Timed as their OWN series (VERDICT r11 item 4): the shard-build

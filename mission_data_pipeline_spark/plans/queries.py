@@ -52,16 +52,19 @@ def __getattr__(name):
 
 # Driver-check ordering (STALEST-FIRST, regenerated per round from the
 # CORRECTNESS_r0*.json history). The driver verifies the first ~50
-# QUERIES entries per round. Round 12: slot 1 is the round-12 plan
-# change (the zipf two-pass rank); slot 2 is x6_variant_json_shred
-# (slot 51 of the r11 list — it missed the 50-query window, so its
-# latest check is still r06); the rest is the complete r07 staleness
-# tail in alphabetical order, with the two pure-SQL dialect joins
-# (static since r07, partition-invariance-swept locally every round)
-# last as the lowest-risk roll-over if the window again cuts at 50.
+# QUERIES entries per round. Round 12: slots 1-2 are the round-12
+# additions/changes (the multi-rep bucket-cap query is NEW; the zipf
+# rank was re-planned); slot 3 is x6_variant_json_shred (slot 51 of
+# the r11 list — it missed the 50-query window, so its latest check is
+# still r06); the rest is the complete r07 staleness tail in
+# alphabetical order, with three pure-SQL dialect queries (static
+# since r07, oracle+lint+perturb-swept locally at sf0.01 AND sfx1
+# every round by scripts/round_gate.sh) last as the lowest-risk
+# roll-over if the window again cuts at 50 — they lead the r13 list.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    "x2_lsh_bucket_cap_reps",
     "x4_zipf_slope",
     "x6_variant_json_shred",
     "agg_cms_heavy_hitters",
@@ -87,7 +90,6 @@ _CHECK_FIRST = [
     "s_rs_frame_correction",
     "s_rs_frames_decom_e2e",
     "s_zip_archive_ingest",
-    "set_intersect",
     "set_union_distinct",
     "t10_piecewise_clamp",
     "t5_string_functions",
@@ -112,6 +114,7 @@ _CHECK_FIRST = [
     "x5_image_dhash_near_dup",
     "x5_media_stats",
     "x5_tiff_pixel_stats",
+    "set_intersect",
     "join_full_outer",
     "join_right",
 ]

@@ -2261,4 +2261,175 @@ _q(
 )
 
 
+def _lsh_bucket_cap_reps_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-representative recall dial over the same planted giant
+    bucket (round 12): ``max_bucket_reps=3`` pairs each over-cap bucket
+    member with the bucket's THREE smallest ids (plus all pairs among
+    those reps) — ~m·p candidates instead of the star's m-1, recovering
+    borderline pairs whose member ranks among the p smallest
+    (quantified in operators/dedup.py lsh_pairs_from_bands). On a true
+    duplicate bucket the survivors are identical to the p=1 star; what
+    this query pins cross-engine is the TOPOLOGY — the exact candidate
+    count of the p-rep pairing — plus the unchanged survivor digest."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        band_signatures,
+        jaccard_verify,
+        lsh_pairs_from_bands,
+        minhash_signatures,
+        shingles,
+    )
+
+    register_views(spark, sf_dir)
+    base = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    boiler = spark.range(60).select(
+        (F.lit(10000) + F.col("id")).alias("doc_id"),
+        F.lit(_BOILER_TEXT).alias("text"),
+    )
+    docs = base.unionByName(boiler)
+    scratch = _scratch_dir("lsh_bucket_cap_reps")
+    g_path = os.path.join(scratch, "grams")
+    shingles(docs, n=2).write.parquet(g_path)
+    g = spark.read.parquet(g_path)
+    sig = minhash_signatures(g, num_hashes=8)
+    bnd = band_signatures(sig, bands=4)
+    cand_path = os.path.join(scratch, "cand")
+    lsh_pairs_from_bands(
+        bnd, max_bucket=20, max_bucket_reps=3
+    ).write.parquet(cand_path)
+    cand = spark.read.parquet(cand_path)
+    dups = (
+        jaccard_verify(cand, g, threshold=0.6)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    surv = docs.join(dups, "doc_id", "left_anti")
+    return (
+        cand.agg(F.count("*").cast("long").alias("n_candidates"))
+        .crossJoin(dups.agg(F.count("*").cast("long").alias("n_dropped")))
+        .crossJoin(
+            surv.agg(
+                F.count("*").cast("long").alias("n_survivors"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.array_sort(F.collect_list("doc_id")),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).cast("binary")
+                ).alias("survivors_digest"),
+            )
+        )
+    )
+
+
+_q(
+    "x2_lsh_bucket_cap_reps",
+    Query(
+        _lsh_bucket_cap_reps_spark,
+        f"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 300
+        ),
+        boiler AS (
+          SELECT 10000 + CAST(i AS BIGINT) AS doc_id,
+                 '{_BOILER_TEXT}' AS text
+          FROM UNNEST(range(0, 60)) AS t(i)
+        ),
+        docs AS (
+          SELECT * FROM base UNION ALL SELECT * FROM boiler
+        ),
+        t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> length(x) > 0) AS toks
+          FROM docs
+        ),
+        grams0 AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(toks, CAST(i AS INT) + 1,
+                                            CAST(i AS INT) + 2), ' ') AS gram
+          FROM t,
+               UNNEST(range(0, greatest(len(toks) - 2, 0) + 1)) AS tt(i)
+        ),
+        g AS (SELECT * FROM grams0 WHERE length(gram) > 0),
+        hashes AS (
+          SELECT g.doc_id, s.seed,
+                 MIN(CAST(('0x' || SUBSTR(MD5(CAST(s.seed AS VARCHAR) || ':'
+                       || g.gram), 1, 12)) AS BIGINT)) AS minhash
+          FROM g CROSS JOIN (SELECT UNNEST(range(0, 8)) AS seed) s
+          GROUP BY g.doc_id, s.seed
+        ),
+        banded AS (
+          SELECT doc_id, seed % 4 AS band,
+                 array_to_string(list_sort(list(CAST(minhash AS VARCHAR))),
+                                 ',') AS bsig
+          FROM hashes GROUP BY doc_id, seed % 4
+        ),
+        sized AS (
+          SELECT doc_id, band, bsig,
+                 COUNT(*) OVER (PARTITION BY band, bsig) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY band, bsig
+                                    ORDER BY doc_id) AS rn
+          FROM banded
+        ),
+        cand AS (
+          SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sized a JOIN sized b
+              ON a.band = b.band AND a.bsig = b.bsig
+             AND a.doc_id < b.doc_id
+            WHERE a.n <= 20
+            UNION ALL
+            SELECT r.doc_id AS doc_a, m.doc_id AS doc_b
+            FROM sized r JOIN sized m
+              ON r.band = m.band AND r.bsig = m.bsig
+             AND r.doc_id < m.doc_id
+            WHERE r.n > 20 AND r.rn <= 3
+          )
+        ),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+          FROM cand p
+          JOIN g ga ON ga.doc_id = p.doc_a
+          JOIN g gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+          GROUP BY p.doc_a, p.doc_b
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+        dups AS (
+          SELECT DISTINCT i.doc_b AS doc_id
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE CAST(i.n_inter AS DOUBLE)
+                / (sa.sz + sb.sz - i.n_inter) >= 0.6
+        ),
+        surv AS (
+          SELECT doc_id FROM docs
+          WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM dups) AS n_dropped,
+               CAST(COUNT(*) AS BIGINT) AS n_survivors,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id)) AS survivors_digest
+        FROM surv
+        """,
+        "X2",
+        "multi-representative over-cap pairing (max_bucket_reps=3 on "
+        "the planted 60-copy bucket): every member pairs with the "
+        "bucket's 3 smallest ids (~m·p candidates, linear for fixed p) "
+        "— the recall dial between the min-id star and quadratic "
+        "all-pairs; pins the p-rep candidate topology cross-engine and "
+        "the survivor digest unchanged vs the p=1 star",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------

@@ -61,6 +61,7 @@ ALLOW: dict[str, set[str]] = {
     # survivor stats) cross-joined into the single output row — the
     # corpus side never crosses anything
     "x2_lsh_bucket_cap": {"nested-loop-join"},
+    "x2_lsh_bucket_cap_reps": {"nested-loop-join"},
 }
 
 
