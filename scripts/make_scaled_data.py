@@ -44,6 +44,15 @@ def main() -> None:
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
+    # Stream the COPY instead of buffering the whole cross join to
+    # preserve input order: at --n 1000 (the sfx100 probe fixture,
+    # 600M lineitem rows) insertion-order buffering peaked >100 GB RSS
+    # and stalled the box. Row order in these derivatives is
+    # deliberately meaningless — every query is layout-invariance-swept
+    # (check_correctness --perturb re-keys all views through
+    # repartition(13)), so no result may depend on file order.
+    con.sql("SET preserve_insertion_order = false")
+    con.sql("SET memory_limit = '24GB'")
 
     def src(t: str) -> str:
         return f"read_parquet('{args.src}/{t}.parquet')"
