@@ -76,14 +76,37 @@ def word_ngrams(text_col: "F.Column | str", n: int) -> "F.Column":
 
 
 def shingles(docs: DataFrame, *, n: int = 3, text_col: str = "text",
-             id_col: str = "doc_id") -> DataFrame:
-    """Word n-gram shingle set per doc: (id, gram), distinct."""
+             id_col: str = "doc_id", hash_grams: bool = False) -> DataFrame:
+    """Word n-gram shingle set per doc: (id, gram), distinct.
+
+    ``hash_grams=True`` replaces the gram STRING with its xxhash64
+    (a long) BEFORE the distinct — the production MinHash shape: every
+    downstream shuffle (the distinct here, the Jaccard-verify gram
+    joins) then moves 8-byte keys instead of ~n-word strings, a 3-5×
+    byte cut on the dominant near-dedup exchanges at corpus scale.
+    Jaccard over hashed shingles equals Jaccard over shingles up to
+    64-bit collisions (expected extra intersections ~ |grams|²/2^65 —
+    immaterial below ~10^9 distinct grams). Minhash values differ from
+    the string-gram construction (they hash the hash), so the two
+    modes are internally consistent but not mixable within one index;
+    stored-index params must record the mode."""
     grams = word_ngrams(text_col, n)
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
-        .filter(F.length("gram") > 0)
-        .distinct()
-    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    ).filter(F.length("gram") > 0)
+    if hash_grams:
+        exploded = exploded.select("doc_id", F.xxhash64("gram").alias("gram"))
+    # Partition by doc_id BEFORE the distinct — the one exchange the
+    # whole featurization needs. A bare .distinct() would hash-partition
+    # on (doc_id, gram), scattering every doc across all partitions; the
+    # downstream minhash partial aggregate (groupBy doc_id[, seed]) then
+    # emits ~docs×seeds rows PER PARTITION (measured as a 2.5B-row /
+    # ~60 GB shuffle at 5M docs, sfx100 probe r12). Hash-partitioning on
+    # doc_id satisfies ClusteredDistribution for BOTH the (doc_id, gram)
+    # dedup and every doc-keyed aggregate after it, so dedup and minhash
+    # run doc-local with zero further exchanges. Per-partition skew is
+    # bounded by the largest single document's gram set.
+    return exploded.repartition(F.col("doc_id")).distinct()
 
 
 def minhash_signatures(
@@ -100,7 +123,15 @@ def minhash_signatures(
         "seed",
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("gram"))),
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("seed").cast("string"),
+                        # explicit cast: grams may be hashed longs
+                        # (shingles(hash_grams=True)) or strings
+                        F.col("gram").cast("string"),
+                    )
+                ),
                 1,
                 12,
             ),
@@ -295,6 +326,7 @@ def near_dedup_minhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: "int | None" = None,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """End-to-end near-dup removal: keep docs minus verified duplicates.
 
@@ -308,9 +340,14 @@ def near_dedup_minhash(
     boilerplate-driven giant LSH buckets (star topology above the cap
     — see :func:`lsh_pairs_from_bands`); at production corpus sizes
     pass a cap (e.g. 1000) so one viral page can never quadratic the
-    shuffle.
+    shuffle. ``hash_grams=True`` shuffles 8-byte gram hashes instead
+    of gram strings (see :func:`shingles` — the at-scale byte cut on
+    the distinct + verify exchanges; Jaccard unchanged up to 64-bit
+    collisions).
     """
-    g = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    g = shingles(
+        docs, n=n, text_col=text_col, id_col=id_col, hash_grams=hash_grams
+    )
     sig = minhash_signatures(g, num_hashes=num_hashes)
     cand = lsh_candidate_pairs(sig, bands=bands, max_bucket=max_bucket)
     dups = (

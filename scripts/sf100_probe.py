@@ -39,7 +39,13 @@ def _near_dedup_cap_probe(spark, sf_dir: str) -> None:
     documents table, the way r10 probed ExactSubstr. Sub-quadratic
     growth shows up as candidate rows ~linear in corpus docs (the cap
     bounds per-bucket pairs at min(m², m·50)/2); a quadratic regression
-    would blow the candidate count long before the wall."""
+    would blow the candidate count long before the wall.
+
+    Runs with hash_grams=True — the production shape: at sfx100 (5M
+    docs, ~590M distinct grams) the string-gram distinct+verify
+    shuffles overran this box's disk; 8-byte gram hashes are the
+    documented at-scale fix (operators/dedup.py shingles), with
+    Jaccard unchanged up to 64-bit collisions."""
     from pyspark.sql import functions as F
 
     from mission_data_pipeline_spark.operators.dedup import (
@@ -54,13 +60,22 @@ def _near_dedup_cap_probe(spark, sf_dir: str) -> None:
     n_docs = docs.count()
     t0 = time.monotonic()
     banded = band_signatures(
-        minhash_signatures(shingles(docs, n=3), num_hashes=16), bands=4
+        minhash_signatures(
+            shingles(docs, n=3, hash_grams=True), num_hashes=16
+        ),
+        bands=4,
     )
     cand = lsh_pairs_from_bands(banded, max_bucket=50).count()
     t_cand = time.monotonic() - t0
     t0 = time.monotonic()
     survivors = near_dedup_minhash(
-        docs, n=3, num_hashes=16, bands=4, threshold=0.8, max_bucket=50
+        docs,
+        n=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.8,
+        max_bucket=50,
+        hash_grams=True,
     ).count()
     t_e2e = time.monotonic() - t0
     print(

@@ -101,6 +101,34 @@ def test_bucket_cap_star_topology_on_giant_bucket(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 100]
 
 
+def test_hashed_grams_match_string_grams(spark, docs):
+    """hash_grams=True must produce the same shingle SETS up to the
+    hash bijection (no collisions at fixture scale) and the same
+    end-to-end survivors: Jaccard is a set statistic, so hashing gram
+    identities changes nothing but the shuffle width."""
+    g_str = shingles(docs, n=2)
+    g_hash = shingles(docs, n=2, hash_grams=True)
+    # per-doc set sizes identical (injective at this scale)
+    a = {r["doc_id"]: r["n"] for r in
+         g_str.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    b = {r["doc_id"]: r["n"] for r in
+         g_hash.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    assert a == b
+    kept_str = sorted(
+        r["doc_id"]
+        for r in near_dedup_minhash(
+            docs, n=2, num_hashes=16, bands=8, threshold=0.5
+        ).collect()
+    )
+    kept_hash = sorted(
+        r["doc_id"]
+        for r in near_dedup_minhash(
+            docs, n=2, num_hashes=16, bands=8, threshold=0.5, hash_grams=True
+        ).collect()
+    )
+    assert kept_str == kept_hash
+
+
 def test_bucket_cap_rejects_degenerate_cap(docs):
     g = shingles(docs, n=2)
     sig = minhash_signatures(g, num_hashes=8)
@@ -275,12 +303,13 @@ def test_simhash_equal_for_identical(docs):
 
 
 def test_simhash_single_exchange(docs):
-    """Packed-vote SimHash: one shuffle (groupBy doc_id), no per-bit
-    explode — the naive construction has an extra Exchange on
-    (doc_id, bit) over a 64x-amplified row set. Two exchanges remain:
-    the shingle distinct() and the vote groupBy(doc_id)."""
+    """Packed-vote SimHash: ONE shuffle total. No per-bit explode (the
+    naive construction has an extra Exchange on (doc_id, bit) over a
+    64x-amplified row set), and since shingles() partitions by doc_id
+    before its distinct (round 12), the dedup AND the vote
+    groupBy(doc_id) both run doc-local on that single exchange."""
     plan = simhash(docs, n=2)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_connected_components_transitive_chain(spark):
