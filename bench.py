@@ -222,11 +222,24 @@ def _job_group_shuffle_bytes(spark, group: str) -> dict | None:
         stages = _stage_shuffle_bytes(spark)
         if stages is None:
             return None
-        read = sum(v[0] for (sid, _a), v in stages.items() if sid in stage_ids)
-        write = sum(v[1] for (sid, _a), v in stages.items() if sid in stage_ids)
-        return {"read": read, "write": write}
+        return _latest_attempt_bytes(stages, stage_ids)
     except Exception:
         return None
+
+
+def _latest_attempt_bytes(stages: dict, stage_ids: set) -> dict:
+    """Sum (read, write) bytes with ONE contribution per stageId — the
+    LATEST completed attempt (ADVICE r12): summing every
+    (stageId, attemptId) entry counts a retried stage's bytes once per
+    attempt, the same inflation-artifact class the job-group scoping
+    was meant to eliminate."""
+    latest: dict = {}
+    for (sid, att), v in stages.items():
+        if sid in stage_ids and (sid not in latest or att > latest[sid][0]):
+            latest[sid] = (att, v)
+    read = sum(v[0] for _a, v in latest.values())
+    write = sum(v[1] for _a, v in latest.values())
+    return {"read": read, "write": write}
 
 
 def bench_etl(spark, out: dict) -> None:

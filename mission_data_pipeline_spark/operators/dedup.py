@@ -91,8 +91,16 @@ def shingles(docs: DataFrame, *, n: int = 3, text_col: str = "text",
     modes are internally consistent but not mixable within one index;
     stored-index params must record the mode."""
     grams = word_ngrams(text_col, n)
+    # array_distinct BEFORE the explode (ADVICE r12): a doc's grams all
+    # live in its one pre-explode row, so deduping the gram ARRAY in a
+    # codegen'd expression removes every duplicate occurrence doc-locally
+    # — repeated boilerplate in repetition-heavy docs never materializes
+    # as rows, and never crosses the doc_id exchange below. The trailing
+    # .distinct() is then only folding duplicate doc_id rows / 64-bit
+    # gram-hash collisions, not per-doc repetition.
     exploded = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams)).alias("gram"),
     ).filter(F.length("gram") > 0)
     if hash_grams:
         exploded = exploded.select("doc_id", F.xxhash64("gram").alias("gram"))
@@ -1102,6 +1110,7 @@ def write_near_dedup_index(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_grams: bool = False,
 ) -> dict:
     """Materialize the production LSH ingest-gate index for ``corpus``:
 
@@ -1110,9 +1119,12 @@ def write_near_dedup_index(
     - ``{path}/grams-v0`` — the distinct ``(doc_id, gram)`` shingle sets
       the exact-Jaccard verification step joins (only candidate docs'
       rows are ever touched at probe time);
-    - ``{path}/params.json`` — the featurization parameters, so a probe
-      with mismatched n/num_hashes/bands fails loudly instead of
-      silently missing every near-dup;
+    - ``{path}/params.json`` — the featurization parameters INCLUDING
+      ``hash_grams`` (ADVICE r12), so a probe with mismatched
+      n/num_hashes/bands — or one that featurizes strings against an
+      index of 8-byte hashed grams, which would join bigint against
+      string and silently match nothing — fails loudly instead of
+      waving every near-dup through;
     - ``{path}/manifest.json`` — the atomic version pointer
       (:func:`read_index_manifest`): base dirs are versioned and
       written-once, streaming deltas register here per epoch, and
@@ -1129,7 +1141,9 @@ def write_near_dedup_index(
     import os
 
     _require_local_index_path(path)
-    g = shingles(corpus, n=n, text_col=text_col, id_col=id_col)
+    g = shingles(
+        corpus, n=n, text_col=text_col, id_col=id_col, hash_grams=hash_grams
+    )
     sig = minhash_signatures(g, num_hashes=num_hashes)
     bands_path = os.path.join(path, "bands-v0")
     grams_path = os.path.join(path, "grams-v0")
@@ -1139,7 +1153,15 @@ def write_near_dedup_index(
     g.write.mode("overwrite").parquet(grams_path)
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "params.json"), "w") as f:
-        json.dump({"n": n, "num_hashes": num_hashes, "bands": bands}, f)
+        json.dump(
+            {
+                "n": n,
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "hash_grams": hash_grams,
+            },
+            f,
+        )
     # publish LAST: until the manifest lands the index does not exist
     # to readers, so a crash mid-build leaves no torn state behind
     write_index_manifest(
@@ -1165,6 +1187,7 @@ def read_near_dedup_index(
     n: int | None = None,
     num_hashes: int | None = None,
     bands: int | None = None,
+    hash_grams: bool | None = None,
     exclude_epoch: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Load a stored :func:`write_near_dedup_index` →
@@ -1189,7 +1212,15 @@ def read_near_dedup_index(
     _require_local_index_path(path)
     with open(os.path.join(path, "params.json")) as f:
         params = json.load(f)
-    for name, want in (("n", n), ("num_hashes", num_hashes), ("bands", bands)):
+    # hash_grams defaults to False for pre-r13 indexes that did not
+    # record it — those were always built with string grams.
+    params.setdefault("hash_grams", False)
+    for name, want in (
+        ("n", n),
+        ("num_hashes", num_hashes),
+        ("bands", bands),
+        ("hash_grams", hash_grams),
+    ):
         if want is not None and params[name] != want:
             raise ValueError(
                 f"index at {path} was built with {name}={params[name]}, "
@@ -1232,6 +1263,7 @@ def incremental_near_dedup(
     batch_grams: DataFrame | None = None,
     batch_bands: DataFrame | None = None,
     max_bucket: "int | None" = None,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Incremental ingest near-dedup: keep only the rows of ``batch``
     that are NOT near-duplicates of the existing ``corpus`` — the
@@ -1275,6 +1307,15 @@ def incremental_near_dedup(
     :func:`lsh_pairs_from_bands`); ``tests/test_dedup_similarity.py``
     pins that an over-cap cluster still gates its near-dups through
     the representatives.
+
+    ``hash_grams`` selects the 8-byte hashed-gram featurization
+    (:func:`shingles`) for every side this operator computes itself —
+    it MUST match the mode the corpus index was built with
+    (:func:`write_near_dedup_index` records it in ``params.json``,
+    :func:`read_near_dedup_index` validates it). Whatever the supply
+    path, the gram dtypes of the two sides are cross-checked here: a
+    bigint-vs-string join would silently match nothing and wave every
+    near-dup through (ADVICE r12).
     """
     if (corpus_bands is None) != (corpus_grams is None):
         raise ValueError(
@@ -1300,15 +1341,33 @@ def incremental_near_dedup(
     gb = (
         batch_grams.select("doc_id", "gram")
         if batch_grams is not None
-        else shingles(batch, n=n, text_col=text_col, id_col=id_col)
+        else shingles(
+            batch, n=n, text_col=text_col, id_col=id_col,
+            hash_grams=hash_grams,
+        )
     )
     if corpus_bands is None:
-        gc = shingles(corpus, n=n, text_col=text_col, id_col=id_col)
+        gc = shingles(
+            corpus, n=n, text_col=text_col, id_col=id_col,
+            hash_grams=hash_grams,
+        )
         sc = minhash_signatures(gc, num_hashes=num_hashes)
         bc = band_signatures(sc, bands=bands)
     else:
         gc = corpus_grams.select("doc_id", "gram")
         bc = corpus_bands.select("doc_id", "band", "band_hash")
+    # Fail loudly on a featurization-mode mismatch whatever the supply
+    # path (stored index, precomputed frames, or recompute): joining
+    # bigint hashed grams against string grams silently intersects as
+    # empty, so every batch doc would gate through as "new".
+    bt, ct = dict(gb.dtypes)["gram"], dict(gc.dtypes)["gram"]
+    if bt != ct:
+        raise ValueError(
+            f"gram dtype mismatch: batch grams are {bt} but corpus grams "
+            f"are {ct} — one side was featurized with "
+            "shingles(hash_grams=True) and the other without; rebuild or "
+            "re-featurize with a consistent hash_grams mode"
+        )
     if max_bucket is not None:
         if max_bucket < 1:
             raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")

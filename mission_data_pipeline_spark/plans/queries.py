@@ -52,71 +52,86 @@ def __getattr__(name):
 
 # Driver-check ordering (STALEST-FIRST, regenerated per round from the
 # CORRECTNESS_r0*.json history). The driver verifies the first ~50
-# QUERIES entries per round. Round 12: slots 1-2 are the round-12
-# additions/changes (the multi-rep bucket-cap query is NEW; the zipf
-# rank was re-planned); slot 3 is x6_variant_json_shred (slot 51 of
-# the r11 list — it missed the 50-query window, so its latest check is
-# still r06); the rest is the complete r07 staleness tail in
-# alphabetical order, with three pure-SQL dialect queries (static
-# since r07, oracle+lint+perturb-swept locally at sf0.01 AND sfx1
-# every round by scripts/round_gate.sh) last as the lowest-risk
-# roll-over if the window again cuts at 50 — they lead the r13 list.
+# QUERIES entries per round. Round 13: slots 1-3 are the three r07
+# pure-SQL roll-overs (set_intersect, join_full_outer, join_right) per
+# VERDICT r12 item 2; slots 4-5 are the two r08-stale queries whose
+# plans changed this round (the shingles() array_distinct pre-explode
+# dedup touches every featurization consumer); then the remaining r08
+# staleness tail in alphabetical order, with three static pure-SQL
+# window-function queries (w_analytic_functions, w_ranking_functions,
+# w_running_sum — oracle+lint+perturb-swept locally at sf0.01 AND sfx1
+# every round by scripts/round_gate.sh) as the designated roll-overs
+# if the window again cuts at 50. After them: the REMAINING
+# featurization-changed queries (r09-r11 latest checks), so a window
+# wider than 53 re-verifies this round's plan change breadth too.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    "x2_lsh_bucket_cap_reps",
-    "x4_zipf_slope",
-    "x6_variant_json_shred",
-    "agg_cms_heavy_hitters",
-    "correlated_scalar_subquery",
-    "curation_segment_dedup",
-    "curation_url_canonical_dedup",
-    "d3_pivot_wide",
-    "d4_union_all",
-    "d8_top_n_preview",
-    "date_extract_parts",
-    "filter_between_range",
-    "g_label_propagation",
-    "g_triangle_count",
-    "j2_left_join_config",
-    "join_cross_small",
-    "join_semi_exists",
-    "l_hdf5_roundtrip",
-    "l_zorder_roundtrip",
-    "q3_shipping_priority",
-    "q5_bucketed_broadcast_dims",
-    "s2_unpivot_melt",
-    "s_gzip_jsonl_ingest",
-    "s_rs_frame_correction",
-    "s_rs_frames_decom_e2e",
-    "s_zip_archive_ingest",
-    "set_union_distinct",
-    "t10_piecewise_clamp",
-    "t5_string_functions",
-    "t7_coalesce_fallback",
-    "t8_filter_exclude",
-    "t9_polynomial_calibration",
-    "udtf_token_spans",
-    "w1_tumbling_window",
-    "w3_streaming_ewma",
-    "w_ewma_sharded",
-    "w_ewma_smoothing",
-    "w_holt_trend",
-    "w_holt_winters_seasonal",
-    "w_lag_delta_gap",
-    "x3_kmeans_lloyd",
-    "x5_adpcm_sample_stats",
-    "x5_audio_sample_stats",
-    "x5_avi_audio_stats",
-    "x5_bmp_gif_pixel_stats",
-    "x5_flac_sample_stats",
-    "x5_g711_sample_stats",
-    "x5_image_dhash_near_dup",
-    "x5_media_stats",
-    "x5_tiff_pixel_stats",
     "set_intersect",
     "join_full_outer",
     "join_right",
+    "x2_incremental_near_dedup",
+    "x2_substring_dedup",
+    "agg_conditional_bool",
+    "agg_percentiles",
+    "agg_stats_corr",
+    "curation_dsir_select",
+    "curation_e2e_pipeline",
+    "curation_gopher_rules",
+    "curation_hash_sample",
+    "curation_mixture_sample",
+    "curation_pii_scrub",
+    "curation_stratified_sample",
+    "d2_tidy_projection_sorted",
+    "d6_per_name_time_range",
+    "frames_to_packets_roundtrip",
+    "q14_promo_effect",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "range_join_event_pairs",
+    "time_bucket_rollup",
+    "w2_sliding_window",
+    "w4_last_wins_dedup",
+    "w_forward_fill_hold",
+    "w_interpolate_linear",
+    "w_moving_average",
+    "w_rank_orders_by_priority",
+    "w_row_number_first_events",
+    "x1_distinct_dedup",
+    "x3_cosine_topk_bruteforce",
+    "x3_hard_negative_mining",
+    "x3_knn_label_vote",
+    "x3_matryoshka_recall",
+    "x3_quantize_embeddings",
+    "x3_vector_array_stats",
+    "x4_fingerprint",
+    "x4_lang_signal",
+    "x4_quality_score",
+    "x4_token_stats",
+    "x5_audio_meta_decode",
+    "x5_image_meta_decode",
+    "x5_multimodal_payload_meta",
+    "x5_video_meta_decode",
+    "x6_json_extract_agg",
+    "w_analytic_functions",
+    "w_ranking_functions",
+    "w_running_sum",
+    "x2_incremental_near_dedup_stored",
+    "x2_substring_dedup_bpe",
+    "x2_minhash_bands",
+    "x2_ngram_jaccard_pairs",
+    "x2_simhash_fingerprint",
+    "x2_simhash_near_pairs",
+    "curation_shard_build_e2e",
+    "x2_duplicate_components",
+    "x2_duplicate_span_fraction",
+    "x2_lsh_bucket_cap",
+    "x2_lsh_near_dedup_survivors",
+    "x2_near_dedup_compacted_index",
 ]
 
 # Reorder IN PLACE (ADVICE r11): rebinding this module's QUERIES to a

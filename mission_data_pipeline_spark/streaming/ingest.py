@@ -236,6 +236,7 @@ def near_dedup_ingest_stream(
     update_index: bool = True,
     available_now: bool = True,
     max_bucket: "int | None" = None,
+    hash_grams: bool = False,
 ) -> StreamingQuery:
     """Start the ingest gate on a streaming DataFrame of documents.
 
@@ -252,17 +253,33 @@ def near_dedup_ingest_stream(
     threshold.
 
     ``index_path`` must hold a :func:`write_near_dedup_index` layout;
-    the probe parameters are validated against its ``params.json``
-    (mismatched shingle width would silently wave every near-dup
-    through). Survivor rows (original schema) land under
+    the probe parameters — including ``hash_grams``, the featurization
+    mode (ADVICE r12) — are validated against its ``params.json`` at
+    stream START (mismatched shingle width, or string grams probed
+    against an 8-byte hashed-gram index, would silently wave every
+    near-dup through). Every per-epoch featurization (gate probe AND
+    the landed-survivor delta) runs in the index's recorded mode. Survivor rows (original schema) land under
     ``{out_path}/epoch=N/``; read the result with
     ``spark.read.parquet(out_path)`` (``epoch`` becomes a partition
     column). Returns the started :class:`StreamingQuery`.
     """
     spark = stream.sparkSession
-    # fail at start(), not mid-stream, on a mismatched index
+    # fail at start(), not mid-stream: a bad max_bucket would otherwise
+    # only raise inside the first epoch's foreachBatch
+    # (lsh_pairs_from_bands requires >= 2), killing the stream mid-run
+    # (ADVICE r12)
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError(
+            f"max_bucket must be None or >= 2, got {max_bucket} "
+            "(the intra-batch star-cap pairing needs at least a "
+            "representative plus one member per bucket)"
+        )
+    # fail at start(), not mid-stream, on a mismatched index — including
+    # the featurization mode: probing a hashed-gram index with string
+    # grams would silently match nothing (ADVICE r12)
     read_near_dedup_index(
-        spark, index_path, n=n, num_hashes=num_hashes, bands=bands
+        spark, index_path, n=n, num_hashes=num_hashes, bands=bands,
+        hash_grams=hash_grams,
     )
 
     def gate(batch: DataFrame, epoch_id: int) -> None:
@@ -273,7 +290,10 @@ def near_dedup_ingest_stream(
         # shared by BOTH passes below — featurizing per-pass would
         # roughly double the dominant per-batch cost for identical
         # results (ADVICE r10).
-        g = shingles(batch, n=n, text_col=text_col, id_col=id_col)
+        g = shingles(
+            batch, n=n, text_col=text_col, id_col=id_col,
+            hash_grams=hash_grams,
+        )
         bnd = band_signatures(
             minhash_signatures(g, num_hashes=num_hashes), bands=bands
         )
@@ -322,6 +342,7 @@ def near_dedup_ingest_stream(
                 batch_grams=g_kept,
                 batch_bands=bnd_kept,
                 max_bucket=max_bucket,
+                hash_grams=hash_grams,
             )
             _land(survivors, epoch_id)
         finally:
@@ -336,7 +357,10 @@ def near_dedup_ingest_stream(
         # derive the delta from the WRITTEN files, so the index update
         # is consistent with what the sink actually committed
         landed = spark.read.parquet(epoch_dir)
-        g = shingles(landed, n=n, text_col=text_col, id_col=id_col)
+        g = shingles(
+            landed, n=n, text_col=text_col, id_col=id_col,
+            hash_grams=hash_grams,
+        )
         sig = minhash_signatures(g, num_hashes=num_hashes)
         ddir = os.path.join(index_path, "delta", f"epoch={epoch_id}")
         band_signatures(sig, bands=bands).write.mode("overwrite").parquet(

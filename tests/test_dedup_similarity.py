@@ -1583,3 +1583,129 @@ def test_giant_component_power_law_graph(spark):
     )
     # one representative per component: giant + n_small/2 pairs
     assert kept.count() == 1 + n_small // 2
+
+
+def test_stored_index_records_and_validates_hash_grams(spark, tmp_path):
+    """ADVICE r12 (medium): the stored index records its featurization
+    MODE (hash_grams) in params.json, read validates it, and every
+    probe path fails loudly on a mismatch — a hashed-gram (bigint)
+    corpus joined against string batch grams silently intersects as
+    empty, waving every near-dup through the gate."""
+    import json
+    import os
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        incremental_near_dedup,
+        read_near_dedup_index,
+        write_near_dedup_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near river"),
+            (2, "completely different corpus text about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near river extra"),
+            (11, "unrelated fresh content with tokens nobody used before today"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idxh")
+    write_near_dedup_index(
+        corpus, idx, n=2, num_hashes=8, bands=4, hash_grams=True
+    )
+    with open(os.path.join(idx, "params.json")) as f:
+        assert json.load(f)["hash_grams"] is True
+    # read validates the mode both ways
+    with pytest.raises(ValueError, match="hash_grams"):
+        read_near_dedup_index(spark, idx, hash_grams=False)
+    bands_df, grams_df = read_near_dedup_index(spark, idx, hash_grams=True)
+    assert dict(grams_df.dtypes)["gram"] == "bigint"
+    # matched-mode probe gates exactly like the string-mode index path
+    kept = incremental_near_dedup(
+        batch,
+        n=2,
+        num_hashes=8,
+        bands=4,
+        threshold=0.6,
+        corpus_bands=bands_df,
+        corpus_grams=grams_df,
+        hash_grams=True,
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11]
+    # mismatched internal featurization vs stored hashed grams raises
+    # EAGERLY (dtype cross-check at plan-build, not an empty result)
+    with pytest.raises(ValueError, match="gram dtype mismatch"):
+        incremental_near_dedup(
+            batch,
+            n=2,
+            num_hashes=8,
+            bands=4,
+            threshold=0.6,
+            corpus_bands=bands_df,
+            corpus_grams=grams_df,
+        )
+    # and the recompute path honors the mode end-to-end
+    kept2 = incremental_near_dedup(
+        batch, corpus, n=2, num_hashes=8, bands=4, threshold=0.6,
+        hash_grams=True,
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [11]
+
+
+def test_stored_index_pre_r13_params_default_string_mode(spark, tmp_path):
+    """Indexes written before hash_grams was recorded (pre-r13
+    params.json without the key) were always string-gram builds: read
+    must default the missing key to False, accept hash_grams=False
+    probes, and reject hash_grams=True ones."""
+    import json
+    import os
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        read_near_dedup_index,
+        write_near_dedup_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some corpus text with enough tokens to shingle")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx_old")
+    write_near_dedup_index(df, idx, n=2, num_hashes=8, bands=4)
+    pj = os.path.join(idx, "params.json")
+    with open(pj) as f:
+        params = json.load(f)
+    params.pop("hash_grams")
+    with open(pj, "w") as f:
+        json.dump(params, f)
+    bands_df, grams_df = read_near_dedup_index(spark, idx, hash_grams=False)
+    assert dict(grams_df.dtypes)["gram"] == "string"
+    with pytest.raises(ValueError, match="hash_grams"):
+        read_near_dedup_index(spark, idx, hash_grams=True)
+
+
+def test_shingles_dedupe_repetition_doc_locally(spark):
+    """ADVICE r12 (low): duplicate gram OCCURRENCES in repetition-heavy
+    docs are removed doc-locally (array_distinct before the explode, in
+    a codegen'd expression) — they never materialize as rows, so they
+    never cross the featurization exchange. Output sets are unchanged
+    and the whole shingle->minhash featurization still runs on exactly
+    ONE exchange (the r12 doc_id repartition)."""
+    boiler = "click here to subscribe now "
+    docs = spark.createDataFrame(
+        [(1, boiler * 50), (2, boiler * 3 + "plus unique tail words here")],
+        "doc_id long, text string",
+    )
+    g = shingles(docs, n=3)
+    rows = [(r["doc_id"], r["gram"]) for r in g.collect()]
+    assert len(rows) == len(set(rows))
+    # doc 1 is one 5-word sentence repeated: exactly 5 distinct 3-grams
+    # survive out of ~248 occurrences
+    assert sum(1 for d, _ in rows if d == 1) == 5
+    sig = minhash_signatures(g, num_hashes=8)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

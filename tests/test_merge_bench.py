@@ -66,3 +66,26 @@ def test_merge_rejects_mixed_sf(tmp_path):
     )
     assert proc.returncode != 0
     assert "sf mismatch" in proc.stderr
+
+
+def test_bench_latest_attempt_bytes_dedupes_stage_retries():
+    """ADVICE r12: a retried stage must contribute ONE attempt's bytes
+    (the latest), not the sum across attempts — summing per
+    (stageId, attemptId) re-creates the inflation-artifact class the
+    job-group scoping removed."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", str(ROOT / "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    stages = {
+        (7, 0): (100, 50),   # failed attempt of stage 7
+        (7, 1): (120, 60),   # retry — only this one counts
+        (8, 0): (10, 5),
+        (9, 0): (999, 999),  # not in the job group
+    }
+    got = bench._latest_attempt_bytes(stages, {7, 8})
+    assert got == {"read": 130, "write": 65}

@@ -1036,3 +1036,80 @@ def test_streaming_near_dedup_ingest_intra_batch_pair(spark, tmp_path):
             os.path.join(idx, "delta", "*", "grams")
         ).collect()
     } == {20, 23}
+
+
+def test_near_dedup_ingest_stream_start_validation_and_hashed_mode(
+    spark, tmp_path
+):
+    """ADVICE r12: the ingest gate validates max_bucket AND the
+    featurization mode at stream START — a bad value must raise from
+    near_dedup_ingest_stream() itself, never inside the first epoch's
+    foreachBatch (which fails the stream mid-run). A matched
+    hash_grams=True gate then runs end-to-end against a hashed index."""
+    import json
+    import os
+    import pytest as _pytest
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        write_near_dedup_index,
+    )
+    from mission_data_pipeline_spark.streaming.ingest import (
+        near_dedup_ingest_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near river")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    write_near_dedup_index(
+        corpus, idx, n=2, num_hashes=8, bands=4, hash_grams=True
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f0.json").write_text(
+        json.dumps(
+            {
+                "doc_id": 10,
+                "text": "the quick brown fox jumps over the lazy dog near river extra",
+            }
+        )
+        + "\n"
+        + json.dumps(
+            {
+                "doc_id": 11,
+                "text": "unrelated fresh content with tokens nobody used before today",
+            }
+        )
+        + "\n"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    out = str(tmp_path / "out")
+    # max_bucket=1 passes incremental_near_dedup's >=1 check but
+    # lsh_pairs_from_bands needs >=2: must fail at start
+    with _pytest.raises(ValueError, match="max_bucket"):
+        near_dedup_ingest_stream(
+            stream, idx, out, checkpoint=str(tmp_path / "c1"),
+            n=2, num_hashes=8, bands=4, max_bucket=1, hash_grams=True,
+        )
+    # default string-gram probe against a hashed index: fail at start
+    with _pytest.raises(ValueError, match="hash_grams"):
+        near_dedup_ingest_stream(
+            stream, idx, out, checkpoint=str(tmp_path / "c2"),
+            n=2, num_hashes=8, bands=4,
+        )
+    # matched mode: near-copy of corpus doc gated, fresh doc survives,
+    # and the landed delta is hashed-gram (bigint) like the base index
+    q = near_dedup_ingest_stream(
+        stream, idx, out, checkpoint=str(tmp_path / "c3"),
+        n=2, num_hashes=8, bands=4, threshold=0.6, hash_grams=True,
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [11]
+    delta_grams = spark.read.parquet(
+        os.path.join(idx, "delta", "*", "grams")
+    )
+    assert dict(delta_grams.dtypes)["gram"] == "bigint"
+    assert {r["doc_id"] for r in delta_grams.collect()} == {11}
