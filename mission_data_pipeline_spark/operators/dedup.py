@@ -89,7 +89,15 @@ def shingles(docs: DataFrame, *, n: int = 3, text_col: str = "text",
     immaterial below ~10^9 distinct grams). Minhash values differ from
     the string-gram construction (they hash the hash), so the two
     modes are internally consistent but not mixable within one index;
-    stored-index params must record the mode."""
+    the stored-index layer records and validates the mode
+    (``params.json``, ADVICE r12). This low-level function keeps the
+    string default because it is the SQL-replayable construction every
+    DuckDB oracle twin mirrors; the production index/ingest entry
+    points (:func:`write_near_dedup_index`,
+    :func:`incremental_near_dedup`, streaming
+    ``near_dedup_ingest_stream``) default to hashed — the r13 A/B at
+    500k docs measured 2.1× faster candidates and half the shuffle
+    read at equal survivors."""
     grams = word_ngrams(text_col, n)
     # array_distinct BEFORE the explode (ADVICE r12): a doc's grams all
     # live in its one pre-explode row, so deduping the gram ARRAY in a
@@ -1110,7 +1118,7 @@ def write_near_dedup_index(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
-    hash_grams: bool = False,
+    hash_grams: bool = True,
 ) -> dict:
     """Materialize the production LSH ingest-gate index for ``corpus``:
 
@@ -1263,7 +1271,7 @@ def incremental_near_dedup(
     batch_grams: DataFrame | None = None,
     batch_bands: DataFrame | None = None,
     max_bucket: "int | None" = None,
-    hash_grams: bool = False,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Incremental ingest near-dedup: keep only the rows of ``batch``
     that are NOT near-duplicates of the existing ``corpus`` — the
@@ -1315,7 +1323,11 @@ def incremental_near_dedup(
     :func:`read_near_dedup_index` validates it). Whatever the supply
     path, the gram dtypes of the two sides are cross-checked here: a
     bigint-vs-string join would silently match nothing and wave every
-    near-dup through (ADVICE r12).
+    near-dup through (ADVICE r12). The default is True — the measured
+    production choice (r13 A/B at 500k docs: candidates wall 41.7 s vs
+    89.1 s, shuffle read 1.0 GB vs 2.1 GB, survivors equal) — pass
+    ``hash_grams=False`` only for SQL-replayable string-gram
+    constructions (xxhash64 has no ANSI-SQL twin) or pre-r13 indexes.
     """
     if (corpus_bands is None) != (corpus_grams is None):
         raise ValueError(

@@ -571,7 +571,11 @@ def _incremental_near_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     out = incremental_near_dedup(
-        batch, corpus, n=2, num_hashes=8, bands=4, threshold=0.6
+        batch, corpus, n=2, num_hashes=8, bands=4, threshold=0.6,
+        # string grams: the DuckDB twin replays the md5 minhash over the
+        # literal n-gram strings (xxhash64 is not replayable in ANSI
+        # SQL); production callers take the hashed default (A/B r13)
+        hash_grams=False,
     )
     return out.select("doc_id").orderBy("doc_id")
 
@@ -709,7 +713,11 @@ def _incremental_near_dedup_stored_spark(
         )
     )
     d = _scratch_dir("near_dedup_idx_q")
-    write_near_dedup_index(corpus, d, n=2, num_hashes=8, bands=4)
+    # string mode end-to-end (hash_grams=False): oracle replayability,
+    # see x2_incremental_near_dedup's pin
+    write_near_dedup_index(
+        corpus, d, n=2, num_hashes=8, bands=4, hash_grams=False
+    )
     idx_bands, idx_grams = read_near_dedup_index(
         spark, d, n=2, num_hashes=8, bands=4
     )
@@ -721,6 +729,7 @@ def _incremental_near_dedup_stored_spark(
         threshold=0.6,
         corpus_bands=idx_bands,
         corpus_grams=idx_grams,
+        hash_grams=False,
     )
     return out.select("doc_id").orderBy("doc_id")
 
@@ -1007,7 +1016,11 @@ def _near_dedup_compacted_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     d = _scratch_dir("near_dedup_idx_compacted_q")
-    write_near_dedup_index(corpus1, d, n=2, num_hashes=8, bands=4)
+    # string mode (matches the string-gram delta built below + the
+    # DuckDB replay); production defaults to hashed grams (A/B r13)
+    write_near_dedup_index(
+        corpus1, d, n=2, num_hashes=8, bands=4, hash_grams=False
+    )
     g2 = shingles(corpus2, n=2)
     ddir = os.path.join(d, "delta", "epoch=0")
     band_signatures(
@@ -1035,6 +1048,7 @@ def _near_dedup_compacted_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.6,
         corpus_bands=bands_df,
         corpus_grams=grams_df,
+        hash_grams=False,
     )
     return out.select("doc_id").orderBy("doc_id")
 

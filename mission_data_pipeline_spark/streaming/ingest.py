@@ -236,7 +236,7 @@ def near_dedup_ingest_stream(
     update_index: bool = True,
     available_now: bool = True,
     max_bucket: "int | None" = None,
-    hash_grams: bool = False,
+    hash_grams: bool = True,
 ) -> StreamingQuery:
     """Start the ingest gate on a streaming DataFrame of documents.
 

@@ -1648,6 +1648,7 @@ def test_stored_index_records_and_validates_hash_grams(spark, tmp_path):
             threshold=0.6,
             corpus_bands=bands_df,
             corpus_grams=grams_df,
+            hash_grams=False,
         )
     # and the recompute path honors the mode end-to-end
     kept2 = incremental_near_dedup(
@@ -1675,7 +1676,10 @@ def test_stored_index_pre_r13_params_default_string_mode(spark, tmp_path):
         "doc_id long, text string",
     )
     idx = str(tmp_path / "idx_old")
-    write_near_dedup_index(df, idx, n=2, num_hashes=8, bands=4)
+    # pre-r13 indexes were always string-gram builds (the old default)
+    write_near_dedup_index(
+        df, idx, n=2, num_hashes=8, bands=4, hash_grams=False
+    )
     pj = os.path.join(idx, "params.json")
     with open(pj) as f:
         params = json.load(f)

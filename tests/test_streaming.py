@@ -942,7 +942,9 @@ def test_compact_refuses_uncommitted_epochs(spark, tmp_path):
         "doc_id long, text string",
     )
     for epoch in (0, 1):
-        g = shingles(batch, n=2)
+        # fabricated deltas must match the index's featurization mode
+        # (hashed grams — the production default since r13)
+        g = shingles(batch, n=2, hash_grams=True)
         sig = minhash_signatures(g, num_hashes=8)
         ddir = os.path.join(idx, "delta", f"epoch={epoch}")
         band_signatures(sig, bands=4).write.mode("overwrite").parquet(
@@ -1092,11 +1094,11 @@ def test_near_dedup_ingest_stream_start_validation_and_hashed_mode(
             stream, idx, out, checkpoint=str(tmp_path / "c1"),
             n=2, num_hashes=8, bands=4, max_bucket=1, hash_grams=True,
         )
-    # default string-gram probe against a hashed index: fail at start
+    # string-gram probe against a hashed index: fail at start
     with _pytest.raises(ValueError, match="hash_grams"):
         near_dedup_ingest_stream(
             stream, idx, out, checkpoint=str(tmp_path / "c2"),
-            n=2, num_hashes=8, bands=4,
+            n=2, num_hashes=8, bands=4, hash_grams=False,
         )
     # matched mode: near-copy of corpus doc gated, fresh doc survives,
     # and the landed delta is hashed-gram (bigint) like the base index
