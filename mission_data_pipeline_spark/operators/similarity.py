@@ -1136,7 +1136,17 @@ def pq_topk_rerank(
     the vector fetch, so the full-precision vectors of non-candidates
     are never read past the scan, and the exact re-rank touches
     shortlist-sized data only. Returns (query_id, neighbor_id, d2,
-    rank) by exact squared L2, ascending."""
+    rank) by exact squared L2, ascending.
+
+    KNOB RULE (measured, r13 sfx10 probe): ``shortlist`` must exceed
+    the corpus's largest NEAR-DUPLICATE cluster. Quantization collapses
+    near-identical vectors to identical codes, so ADC ties across the
+    whole cluster and a shortlist smaller than it drops true neighbors
+    arbitrarily — recall@10 read 0.505 at shortlist=50 on a corpus with
+    ~100-clone clusters and 1.000 at shortlist=150, at the SAME wall
+    (the re-rank is broadcast-sized either way). On deduped corpora the
+    default is fine; on raw crawl data run near-dedup first or size the
+    shortlist to the duplication ceiling."""
     cand = pq_topk(
         encoded,
         queries,
