@@ -1115,3 +1115,73 @@ def test_near_dedup_ingest_stream_start_validation_and_hashed_mode(
     )
     assert dict(delta_grams.dtypes)["gram"] == "bigint"
     assert {r["doc_id"] for r in delta_grams.collect()} == {11}
+
+
+def test_near_dedup_ingest_stream_pre_r13_index_migration(
+    spark, tmp_path
+):
+    """Migration path: an index written BEFORE the mode was recorded
+    (params.json without the hash_grams key — always a string-gram
+    build) must reject the post-r13 hashed default at stream START
+    with the mode named, and gate correctly once the caller passes
+    hash_grams=False."""
+    import json
+    import os
+    import pytest as _pytest
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        write_near_dedup_index,
+    )
+    from mission_data_pipeline_spark.streaming.ingest import (
+        near_dedup_ingest_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near river")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    write_near_dedup_index(
+        corpus, idx, n=2, num_hashes=8, bands=4, hash_grams=False
+    )
+    pj = os.path.join(idx, "params.json")
+    with open(pj) as f:
+        params = json.load(f)
+    params.pop("hash_grams")  # simulate a pre-r13 index
+    with open(pj, "w") as f:
+        json.dump(params, f)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f0.json").write_text(
+        json.dumps(
+            {
+                "doc_id": 10,
+                "text": "the quick brown fox jumps over the lazy dog near river extra",
+            }
+        )
+        + "\n"
+        + json.dumps(
+            {
+                "doc_id": 11,
+                "text": "unrelated fresh content with tokens nobody used before today",
+            }
+        )
+        + "\n"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    out = str(tmp_path / "out")
+    # post-r13 hashed default vs the legacy string index: loud at start
+    with _pytest.raises(ValueError, match="hash_grams"):
+        near_dedup_ingest_stream(
+            stream, idx, out, checkpoint=str(tmp_path / "c1"),
+            n=2, num_hashes=8, bands=4,
+        )
+    # explicit string mode: the gate runs and near-dups are caught
+    q = near_dedup_ingest_stream(
+        stream, idx, out, checkpoint=str(tmp_path / "c2"),
+        n=2, num_hashes=8, bands=4, threshold=0.6, hash_grams=False,
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [11]
