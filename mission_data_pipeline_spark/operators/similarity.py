@@ -50,6 +50,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = None,
+    include_ties: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, neighbor_id, cosine, rank).
 
@@ -65,6 +66,15 @@ def cosine_topk(
     ``round_digits`` rounds the cosine BEFORE ranking — ground-truth
     passes (ann_recall callers) use it so ties order identically in an
     ANSI-SQL oracle reproduction.
+
+    ``include_ties=True`` ranks with RANK() semantics instead of
+    ROW_NUMBER(): every neighbor whose cosine ties a row inside the
+    top-k is kept, so the result is the TIE-EXTENDED admissible set —
+    the correct ground truth for :func:`ann_recall(tie_aware=True)` on
+    corpora with duplicate/near-clone clusters, where "the" top-k is
+    ambiguous and an ANN method returning a different-but-equal
+    neighbor is not a miss (r13 sfx10 probe: PQ read recall 0.505
+    under row-number ground truth purely from ~100-clone ADC ties).
     """
     id_type = queries.schema[id_col].dataType.simpleString()
     qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
@@ -110,11 +120,20 @@ def cosine_topk(
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
+    if include_ties:
+        # RANK(): a tie group straddling position k shares the group's
+        # first position, so rank <= k keeps the whole group. The
+        # neighbor_id tie-break is dropped from the ordering — it is
+        # exactly what ties must NOT be split on here.
+        w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc())
+        rank_fn = F.rank()
+    else:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        rank_fn = F.row_number()
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", rank_fn.over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -798,7 +817,8 @@ def prototype_prune(
 
 
 def ann_recall(
-    approx: DataFrame, exact: DataFrame, *, k: int = 10
+    approx: DataFrame, exact: DataFrame, *, k: int = 10,
+    tie_aware: bool = False,
 ) -> DataFrame:
     """Recall@k of an approximate top-k result against the exact one.
 
@@ -808,16 +828,32 @@ def ann_recall(
     per query — the standard ANN quality gauge for tuning
     ``bits``/``tables``/``n_probe`` against a ground-truth sample.
 
+    ``tie_aware=True`` treats ``exact`` as the TIE-EXTENDED admissible
+    set (:func:`cosine_topk(include_ties=True)`): a hit is any approx
+    top-k neighbor inside it, and the denominator is the approx top-k
+    size (= k against any corpus with >= k neighbors) rather than the
+    admissible-set size. On corpora with duplicate/near-clone clusters
+    "the" top-k is ambiguous — an ANN method returning a
+    different-but-cosine-equal neighbor is not a miss, and row-number
+    ground truth under-reads recall by exactly the tie loss (r13 sfx10
+    probe: PQ 0.505 plain vs the tie loss being the whole deficit).
+    Comparing plain vs tie-aware recall SEPARATES quantization error
+    from tie ambiguity.
+
     Scale shape: ground truth is computed on a *sample* of queries
     (exact top-k is the expensive part), so both inputs are small;
-    the joins are on (query_id, neighbor_id) pairs — k rows per query.
+    the joins are on (query_id, neighbor_id) pairs — k rows per query
+    (tie-aware: k + tie-group overhang on the exact side).
     """
     a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
     e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
     hits = a.join(e, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
         F.count("*").alias("n_hit")
     )
-    denom = e.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    denom_side = a if tie_aware else e
+    denom = denom_side.groupBy("query_id").agg(
+        F.count("*").alias("n_exact")
+    )
     return denom.join(hits, "query_id", "left").select(
         "query_id",
         "n_exact",

@@ -70,6 +70,7 @@ _CHECK_FIRST = [
     "set_intersect",
     "join_full_outer",
     "join_right",
+    "x3_ann_recall_tie_aware",  # NEW this round (251st query)
     "x2_incremental_near_dedup",
     "x2_substring_dedup",
     "agg_conditional_bool",

@@ -1559,3 +1559,138 @@ _q(
 )
 
 
+
+
+def _ann_recall_tie_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain vs TIE-AWARE recall on a planted clone cluster (r13: the
+    sfx10 ANN probe read PQ recall 0.505 purely from ADC ties on
+    ~100-clone clusters — the gauge itself must be able to separate
+    tie ambiguity from real error). Each query vector gets 6 exact
+    clones appended to the corpus; the "ANN method" under test is the
+    worst-case admissible answer — the SAME tie group ranked with the
+    OPPOSITE id tie-break — so plain recall reads 4/5 (one clone
+    swapped) while tie-aware recall reads 5/5, deterministically in
+    both engines."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+    )
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    base = emb.filter(F.col("vec_id") < 2)
+    clones = base.select(
+        "vec_id", "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("j"),
+    ).select(
+        (F.lit(100000) + F.col("vec_id") * 10 + F.col("j")).alias("vec_id"),
+        "embedding",
+    )
+    corpus = emb.unionByName(clones)
+    plain = cosine_topk(corpus, base, k=5, round_digits=6)
+    tied = cosine_topk(
+        corpus, base, k=5, round_digits=6, include_ties=True
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").desc()
+    )
+    approx = (
+        tied.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "neighbor_id", F.col("_rn").alias("rank"))
+    )
+    pr = ann_recall(approx, plain, k=5).select(
+        "query_id",
+        F.col("n_hit").alias("plain_hit"),
+        F.round("recall", 6).alias("plain_recall"),
+    )
+    tr = ann_recall(approx, tied, k=5, tie_aware=True).select(
+        "query_id",
+        F.col("n_hit").alias("tie_hit"),
+        F.round("recall", 6).alias("tie_recall"),
+    )
+    return pr.join(tr, "query_id").orderBy("query_id")
+
+
+_q(
+    "x3_ann_recall_tie_aware",
+    Query(
+        _ann_recall_tie_spark,
+        """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        base AS (SELECT vec_id, v FROM e WHERE vec_id < 2),
+        clones AS (
+          SELECT 100000 + b.vec_id * 10 + j.j AS vec_id, b.v
+          FROM base b CROSS JOIN (SELECT UNNEST(range(0, 6)) AS j) j
+        ),
+        corpus AS (
+          SELECT vec_id, v FROM e
+          UNION ALL SELECT vec_id, v FROM clones
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM base),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(q.qv, c.v), 6) AS cosine
+          FROM corpus c CROSS JOIN q WHERE c.vec_id != q.query_id
+        ),
+        plain AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored) t WHERE rank <= 5
+        ),
+        tied AS (
+          SELECT query_id, neighbor_id, cosine FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   RANK() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC) AS rank
+            FROM scored) t WHERE rank <= 5
+        ),
+        approx AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id DESC) AS rank
+            FROM tied) t WHERE rank <= 5
+        ),
+        ph AS (
+          SELECT a.query_id, COUNT(*) AS n
+          FROM approx a JOIN plain e USING (query_id, neighbor_id)
+          GROUP BY a.query_id
+        ),
+        th AS (
+          SELECT a.query_id, COUNT(*) AS n
+          FROM approx a JOIN tied e USING (query_id, neighbor_id)
+          GROUP BY a.query_id
+        ),
+        pd AS (SELECT query_id, COUNT(*) AS n_e FROM plain GROUP BY query_id),
+        ad AS (SELECT query_id, COUNT(*) AS n_a FROM approx GROUP BY query_id)
+        SELECT pd.query_id,
+               CAST(COALESCE(ph.n, 0) AS BIGINT) AS plain_hit,
+               ROUND(CAST(COALESCE(ph.n, 0) AS DOUBLE) / pd.n_e, 6)
+                 AS plain_recall,
+               CAST(COALESCE(th.n, 0) AS BIGINT) AS tie_hit,
+               ROUND(CAST(COALESCE(th.n, 0) AS DOUBLE) / ad.n_a, 6)
+                 AS tie_recall
+        FROM pd
+        JOIN ad ON ad.query_id = pd.query_id
+        LEFT JOIN ph ON ph.query_id = pd.query_id
+        LEFT JOIN th ON th.query_id = pd.query_id
+        ORDER BY pd.query_id
+        """,
+        "X3",
+        "plain vs tie-aware recall@5 on a planted 6-clone cluster: the "
+        "admissible-but-differently-tie-broken answer reads 0.8 plain and "
+        "1.0 tie-aware — the gauge separates tie ambiguity from real "
+        "quantization/bucketing error (RANK()-extended ground truth)",
+    ),
+)

@@ -1713,3 +1713,48 @@ def test_shingles_dedupe_repetition_doc_locally(spark):
     sig = minhash_signatures(g, num_hashes=8)
     plan = sig._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cosine_topk_include_ties_and_tie_aware_recall(spark):
+    """Tie-aware ANN gauge (r13 sfx10 probe finding): on a corpus with
+    a clone cluster larger than k, row-number ground truth makes "the"
+    top-k ambiguous and an ANN method returning different-but-equal
+    neighbors reads as a miss. include_ties=True keeps the whole tie
+    group; ann_recall(tie_aware=True) then scores any admissible
+    neighbor as a hit — separating tie ambiguity from real error."""
+    from mission_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+    )
+
+    clone = [1.0, 0.0, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    rows = [(0, clone)]  # the query vector
+    rows += [(i, clone) for i in range(1, 6)]  # 5 exact clones
+    rows += [(i, far) for i in range(6, 9)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = corpus.filter("vec_id = 0")
+    k = 3
+    plain = cosine_topk(corpus, queries, k=k, round_digits=6)
+    assert plain.count() == k  # row_number: exactly k rows
+    assert sorted(r["neighbor_id"] for r in plain.collect()) == [1, 2, 3]
+    tied = cosine_topk(
+        corpus, queries, k=k, round_digits=6, include_ties=True
+    )
+    got = sorted(r["neighbor_id"] for r in tied.collect())
+    assert got == [1, 2, 3, 4, 5]  # the whole tie group survives
+    assert {r["rank"] for r in tied.collect()} == {1}
+    # an ANN method that returns clones {3, 4, 5}: all cosine-equal to
+    # the row-number pick {1, 2, 3} — 1/3 plain overlap, perfect
+    # tie-aware recall
+    approx = spark.createDataFrame(
+        [(0, 3, 1), (0, 4, 2), (0, 5, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    plain_r = ann_recall(approx, plain, k=k).collect()[0]
+    assert plain_r["n_hit"] == 1 and plain_r["recall"] < 0.5
+    tie_r = ann_recall(approx, tied, k=k, tie_aware=True).collect()[0]
+    assert tie_r["n_hit"] == 3 and tie_r["recall"] == 1.0
+    assert tie_r["n_exact"] == 3  # denominator = approx top-k size
