@@ -166,6 +166,13 @@ CAPSTONE = [
 
 N_ETL_PACKETS = 200_000
 
+# VERDICT r13 item 6: the two sfx10 watch items are graph closures whose
+# first execution pays heavy one-time JIT/codegen on iterated join
+# stages — an untimed warm-up run before the timed samples (anchor mode
+# only) separates steady-state cost from compile cost, the same way the
+# ETL slice records its cold run separately.
+_JIT_WARMUP = {"g_triangle_count", "x2_duplicate_components"}
+
 
 def _stage_shuffle_bytes(spark) -> dict | None:
     """(stageId, attemptId) -> (shuffleReadBytes, shuffleWriteBytes) of
@@ -222,24 +229,35 @@ def _job_group_shuffle_bytes(spark, group: str) -> dict | None:
         stages = _stage_shuffle_bytes(spark)
         if stages is None:
             return None
-        return _latest_attempt_bytes(stages, stage_ids)
+        return _per_stage_max_attempt_bytes(stages, stage_ids)
     except Exception:
         return None
 
 
-def _latest_attempt_bytes(stages: dict, stage_ids: set) -> dict:
+def _per_stage_max_attempt_bytes(stages: dict, stage_ids: set) -> dict:
     """Sum (read, write) bytes with ONE contribution per stageId — the
-    LATEST completed attempt (ADVICE r12): summing every
-    (stageId, attemptId) entry counts a retried stage's bytes once per
-    attempt, the same inflation-artifact class the job-group scoping
-    was meant to eliminate."""
-    latest: dict = {}
-    for (sid, att), v in stages.items():
-        if sid in stage_ids and (sid not in latest or att > latest[sid][0]):
-            latest[sid] = (att, v)
-    read = sum(v[0] for _a, v in latest.values())
-    write = sum(v[1] for _a, v in latest.values())
-    return {"read": read, "write": write}
+    elementwise MAX across that stage's completed attempts (ADVICE
+    r13). Summing every (stageId, attemptId) entry counts a retried
+    stage once per attempt (over-count, fixed in r12); taking only the
+    LATEST attempt swapped the bias — a stage retry re-runs only the
+    lost/missing tasks, so the retry attempt's task-summed bytes can
+    substantially UNDER-count the stage. The per-stage max is closest
+    to the true bytes for partial retries: the first (full) attempt
+    dominates unless the retry redid more work than the original.
+    Residual bias: if BOTH attempts are partial (first attempt died
+    early AND the retry only re-ran a subset) the max still
+    under-counts — retries are rare enough on this single-JVM bench
+    that cross-round byte deltas should simply be re-measured when a
+    retry is suspected."""
+    best: dict = {}
+    for (sid, att), (r, w) in stages.items():
+        if sid in stage_ids:
+            pr, pw = best.get(sid, (0, 0))
+            best[sid] = (max(pr, r), max(pw, w))
+    return {
+        "read": sum(r for r, _w in best.values()),
+        "write": sum(w for _r, w in best.values()),
+    }
 
 
 def bench_etl(spark, out: dict) -> None:
@@ -459,8 +477,15 @@ def main() -> None:
     )
 
     ext: dict = {}
+    warmed = []
     for name in EXTENDED:
         q = QUERIES[name]
+        if name in _JIT_WARMUP and samples >= 3:
+            # anchor protocol: one untimed warm-up (JIT/codegen absorb)
+            q.spark(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            warmed.append(name)
         dts = []
         for i in range(samples):
             # Shuffle-BYTES tripwire covers EXTENDED too (VERDICT r10
@@ -477,6 +502,8 @@ def main() -> None:
             out["q5_bucketed_first_run_incl_staging_s"] = round(dts[0], 3)
     out["extended_queries"] = ext
     out["extended_total"] = round(sum(ext.values()), 3)
+    if warmed:
+        out["jit_warmup_queries"] = warmed
 
     cap: dict = {}
     for name in CAPSTONE:

@@ -1109,6 +1109,56 @@ def write_index_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, _index_manifest_path(path))
 
 
+def manifest_base_dirs(manifest: dict) -> "tuple[str, str]":
+    """Resolve the base ``(bands_dir, grams_dir)`` across manifest
+    formats. Format 1 (string grams, pre-r14 shape) stores them under
+    ``bands``/``grams``; format 2 (8-byte hashed grams) stores them
+    under ``bands_h64``/``grams_h64`` WITH a ``format_version`` key.
+
+    The key rename is deliberate (ADVICE r13): a pre-r13 reader given a
+    hashed-gram index would ignore the unknown ``hash_grams`` params
+    key, featurize its probe as strings, join string against bigint,
+    silently match nothing and wave every near-dup through. With the
+    format-2 keys such a reader dies on ``KeyError: 'bands'`` at open
+    time instead — loud, not silent. New readers handle both formats.
+    """
+    fmt = manifest.get("format_version", 1)
+    if fmt == 1:
+        return manifest["bands"], manifest["grams"]
+    if fmt == 2:
+        return manifest["bands_h64"], manifest["grams_h64"]
+    raise ValueError(
+        f"near-dedup index manifest format_version={fmt} is newer than "
+        "this reader understands (max 2) — refusing to guess at the "
+        "index layout"
+    )
+
+
+def _build_manifest(
+    fmt: int, version: int, bands_dir: str, grams_dir: str,
+    delta_epochs: list,
+) -> dict:
+    """Manifest dict for the given format (inverse of
+    :func:`manifest_base_dirs`); compaction uses it to preserve the
+    index's format across base-version rewrites."""
+    if fmt == 1:
+        return {
+            "version": version,
+            "bands": bands_dir,
+            "grams": grams_dir,
+            "delta_epochs": delta_epochs,
+        }
+    if fmt == 2:
+        return {
+            "format_version": 2,
+            "version": version,
+            "bands_h64": bands_dir,
+            "grams_h64": grams_dir,
+            "delta_epochs": delta_epochs,
+        }
+    raise ValueError(f"unknown near-dedup index format_version={fmt}")
+
+
 def write_near_dedup_index(
     corpus: DataFrame,
     path: str,
@@ -1171,15 +1221,16 @@ def write_near_dedup_index(
             f,
         )
     # publish LAST: until the manifest lands the index does not exist
-    # to readers, so a crash mid-build leaves no torn state behind
+    # to readers, so a crash mid-build leaves no torn state behind.
+    # Hashed-gram indexes publish as manifest FORMAT 2 (base dirs under
+    # bands_h64/grams_h64 + required format_version) so a pre-r13
+    # reader rejects them with a KeyError instead of silently joining
+    # string probes against bigint grams (ADVICE r13).
     write_index_manifest(
         path,
-        {
-            "version": 0,
-            "bands": "bands-v0",
-            "grams": "grams-v0",
-            "delta_epochs": [],
-        },
+        _build_manifest(
+            2 if hash_grams else 1, 0, "bands-v0", "grams-v0", []
+        ),
     )
     return {
         "bands": bands_path,
@@ -1235,8 +1286,15 @@ def read_near_dedup_index(
                 f"probe requested {name}={want}"
             )
     m = read_index_manifest(path)
-    bands_df = spark.read.parquet(os.path.join(path, m["bands"]))
-    grams_df = spark.read.parquet(os.path.join(path, m["grams"]))
+    fmt = m.get("format_version", 1)
+    if fmt == 2 and not params["hash_grams"]:
+        raise ValueError(
+            f"index at {path} has a format-2 (hashed-gram) manifest but "
+            "params.json says hash_grams=false — torn index; rebuild it"
+        )
+    bands_dir, grams_dir = manifest_base_dirs(m)
+    bands_df = spark.read.parquet(os.path.join(path, bands_dir))
+    grams_df = spark.read.parquet(os.path.join(path, grams_dir))
     epochs = [e for e in m.get("delta_epochs", []) if e != exclude_epoch]
     if epochs:
         dbp = [

@@ -830,15 +830,22 @@ def ann_recall(
 
     ``tie_aware=True`` treats ``exact`` as the TIE-EXTENDED admissible
     set (:func:`cosine_topk(include_ties=True)`): a hit is any approx
-    top-k neighbor inside it, and the denominator is the approx top-k
-    size (= k against any corpus with >= k neighbors) rather than the
-    admissible-set size. On corpora with duplicate/near-clone clusters
-    "the" top-k is ambiguous — an ANN method returning a
-    different-but-cosine-equal neighbor is not a miss, and row-number
-    ground truth under-reads recall by exactly the tie loss (r13 sfx10
-    probe: PQ 0.505 plain vs the tie loss being the whole deficit).
-    Comparing plain vs tie-aware recall SEPARATES quantization error
-    from tie ambiguity.
+    top-k neighbor inside it, and the denominator is
+    ``min(k, approx top-k size)`` (= k against any corpus with >= k
+    neighbors) rather than the admissible-set size. On corpora with
+    duplicate/near-clone clusters "the" top-k is ambiguous — an ANN
+    method returning a different-but-cosine-equal neighbor is not a
+    miss, and row-number ground truth under-reads recall by exactly the
+    tie loss (r13 sfx10 probe: PQ 0.505 plain vs the tie loss being
+    the whole deficit). Comparing plain vs tie-aware recall SEPARATES
+    quantization error from tie ambiguity.
+
+    The per-query key set is the UNION of both sides (r14, ADVICE r13):
+    a query the ANN method missed entirely (zero approx rows) scores
+    recall 0 over ``min(k, admissible-set size)`` instead of vanishing
+    from the output — averaging recall over the result no longer
+    overstates quality for methods that drop whole queries. Plain mode
+    already reported 0 for such queries and is unchanged.
 
     Scale shape: ground truth is computed on a *sample* of queries
     (exact top-k is the expensive part), so both inputs are small;
@@ -850,10 +857,21 @@ def ann_recall(
     hits = a.join(e, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
         F.count("*").alias("n_hit")
     )
-    denom_side = a if tie_aware else e
-    denom = denom_side.groupBy("query_id").agg(
-        F.count("*").alias("n_exact")
-    )
+    if tie_aware:
+        a_cnt = a.groupBy("query_id").agg(F.count("*").alias("_n_a"))
+        e_cnt = e.groupBy("query_id").agg(F.count("*").alias("_n_e"))
+        denom = e_cnt.join(a_cnt, "query_id", "full").select(
+            "query_id",
+            F.when(
+                F.coalesce("_n_a", F.lit(0)) > 0,
+                F.least(F.lit(k), F.col("_n_a")),
+            )
+            .otherwise(F.least(F.lit(k), F.col("_n_e")))
+            .cast("long")
+            .alias("n_exact"),
+        )
+    else:
+        denom = e.groupBy("query_id").agg(F.count("*").alias("n_exact"))
     return denom.join(hits, "query_id", "left").select(
         "query_id",
         "n_exact",
@@ -1069,6 +1087,7 @@ def pq_topk(
     codes_col: str = "pq_codes",
     query_vec_col: str = "embedding",
     round_digits: int = 6,
+    include_ties: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus:
     per query, a lookup table of squared distances from each query
@@ -1078,7 +1097,15 @@ def pq_topk(
     only the scored candidate rows reach the per-query top-k window —
     the :func:`cosine_topk`/:func:`lsh_topk` scale shape with a 64x
     smaller corpus operand. Returns (query_id, neighbor_id, approx_d2,
-    rank), rank ascending by (rounded) approximate distance."""
+    rank), rank ascending by (rounded) approximate distance.
+
+    ``include_ties=True`` ranks with RANK() semantics over the ADC
+    distance alone: an ADC tie group straddling the ``k`` cutoff is
+    kept WHOLE instead of being cut arbitrarily by neighbor id. PQ
+    collapses near-identical vectors to identical codes, so on corpora
+    with clone clusters the boundary tie group is the rule, not the
+    edge case (the r13 sfx10 finding behind the
+    :func:`pq_topk_rerank` tie guard)."""
     books = np.asarray(codebooks, dtype=np.float64)
     m, kk, dsub = books.shape
     id_type = queries.schema[id_col].dataType.simpleString()
@@ -1137,13 +1164,15 @@ def pq_topk(
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    if include_ties:
+        w = Window.partitionBy("query_id").orderBy(F.col("approx_d2").asc())
+        ranked = scored.withColumn("rank", F.rank().over(w))
+    else:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+        )
+        ranked = scored.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(F.col("rank") <= k)
 
 
 def pq_topk_rerank(
@@ -1158,6 +1187,8 @@ def pq_topk_rerank(
     codes_col: str = "pq_codes",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    tie_extend: bool = True,
+    max_shortlist: "int | None" = None,
 ) -> DataFrame:
     """Production PQ shape: ADC over the compressed codes SHORTLISTS
     ``shortlist`` candidates per query, then the original vectors of
@@ -1174,15 +1205,24 @@ def pq_topk_rerank(
     shortlist-sized data only. Returns (query_id, neighbor_id, d2,
     rank) by exact squared L2, ascending.
 
-    KNOB RULE (measured, r13 sfx10 probe): ``shortlist`` must exceed
-    the corpus's largest NEAR-DUPLICATE cluster. Quantization collapses
-    near-identical vectors to identical codes, so ADC ties across the
-    whole cluster and a shortlist smaller than it drops true neighbors
-    arbitrarily — recall@10 read 0.505 at shortlist=50 on a corpus with
-    ~100-clone clusters and 1.000 at shortlist=150, at the SAME wall
-    (the re-rank is broadcast-sized either way). On deduped corpora the
-    default is fine; on raw crawl data run near-dedup first or size the
-    shortlist to the duplication ceiling."""
+    KNOB RULE, NOW ENFORCED IN-PLAN (r13 measured, r14 guard):
+    ``shortlist`` must exceed the corpus's largest NEAR-DUPLICATE
+    cluster. Quantization collapses near-identical vectors to identical
+    codes, so ADC ties across the whole cluster and a row-number
+    shortlist smaller than it drops true neighbors arbitrarily —
+    recall@10 read 0.505 at shortlist=50 on a corpus with ~100-clone
+    clusters and 1.000 at shortlist=150, at the SAME wall (the re-rank
+    is broadcast-sized either way). With ``tie_extend=True`` (default)
+    the shortlist is cut with RANK() over the ADC distance, so a tie
+    group straddling the cutoff is kept whole and the clone-cluster
+    case AUTO-RECOVERS with no knob turn. The extension is bounded by
+    ``max_shortlist`` (default ``8 * shortlist``): if ADC ties would
+    grow any query's shortlist past it, the plan FAILS LOUDLY
+    (``assert_true`` inside the candidate filter — Catalyst cannot
+    prune it) instead of silently truncating — that corpus has a clone
+    cluster larger than the bound, and the right fix is near-dedup
+    first or an explicitly larger ``shortlist``/``max_shortlist``.
+    ``tie_extend=False`` restores the bare row-number cut."""
     cand = pq_topk(
         encoded,
         queries,
@@ -1192,7 +1232,33 @@ def pq_topk_rerank(
         codes_col=codes_col,
         query_vec_col=vec_col,
         round_digits=round_digits,
+        include_ties=tie_extend,
     ).select("query_id", "neighbor_id")
+    if tie_extend:
+        if max_shortlist is None:
+            max_shortlist = 8 * shortlist
+        wq = Window.partitionBy("query_id")
+        overflow_msg = F.concat(
+            F.lit("pq_topk_rerank: ADC ties extended query "),
+            F.col("query_id").cast("string"),
+            F.lit("'s shortlist to "),
+            F.col("__n_cand").cast("string"),
+            F.lit(
+                f" candidates (> max_shortlist={max_shortlist}): the "
+                "corpus has a near-duplicate cluster larger than the "
+                "bound — near-dedup it first, or raise shortlist/"
+                "max_shortlist (see the knob rule in pq_topk_rerank)"
+            ),
+        )
+        cand = (
+            cand.withColumn("__n_cand", F.count("*").over(wq))
+            .filter(
+                F.assert_true(
+                    F.col("__n_cand") <= F.lit(max_shortlist), overflow_msg
+                ).isNull()
+            )
+            .drop("__n_cand")
+        )
     fetched = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
     ).join(broadcast(cand), "neighbor_id")

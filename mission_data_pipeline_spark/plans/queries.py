@@ -52,86 +52,81 @@ def __getattr__(name):
 
 # Driver-check ordering (STALEST-FIRST, regenerated per round from the
 # CORRECTNESS_r0*.json history). The driver verifies the first ~50
-# QUERIES entries per round. Round 13: slots 1-3 are the three r07
-# pure-SQL roll-overs (set_intersect, join_full_outer, join_right) per
-# VERDICT r12 item 2; slots 4-5 are the two r08-stale queries whose
-# plans changed this round (the shingles() array_distinct pre-explode
-# dedup touches every featurization consumer); then the remaining r08
-# staleness tail in alphabetical order, with three static pure-SQL
-# window-function queries (w_analytic_functions, w_ranking_functions,
-# w_running_sum — oracle+lint+perturb-swept locally at sf0.01 AND sfx1
-# every round by scripts/round_gate.sh) as the designated roll-overs
-# if the window again cuts at 50. After them: the REMAINING
-# featurization-changed queries (r09-r11 latest checks), so a window
-# wider than 53 re-verifies this round's plan change breadth too.
+# QUERIES entries per round. Round 14 (VERDICT r13 item 3 + ADVICE r13):
+# slots 1-5 are the four r08-stale queries plus the plan-changed-but-
+# r09-stale x2_incremental_near_dedup_stored (the manifest format bump
+# touches its read path); slot 6 is the NEW x3_pq_tie_guard_recall
+# (252nd query — never driver-checked); slots 7-50 are 44 of the 49
+# remaining r09-stale queries in alphabetical order. The cut at 50
+# falls on slots 51-55: FIVE designated STATIC PURE-SQL roll-overs
+# (set_except, set_bag_semantics_all, join_anti, join_null_safe_eq,
+# rollup_flag_status — oracle+lint+perturb-swept locally at sf0.01 AND
+# sfx1 every round by scripts/round_gate.sh), placed AT the cut this
+# time so the r13 slot-51 staleness failure (a non-roll-over rolled
+# past the window while the designated ones absorbed nothing) cannot
+# recur. Slots 56-58: this round's plan-changed-but-r13-fresh queries
+# (tie-aware recall denominator, PQ tie_extend default, compaction
+# format preservation) for any window wider than 55.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    "set_intersect",
-    "join_full_outer",
-    "join_right",
-    "x3_ann_recall_tie_aware",  # NEW this round (251st query)
-    "x2_incremental_near_dedup",
-    "x2_substring_dedup",
-    "agg_conditional_bool",
-    "agg_percentiles",
-    "agg_stats_corr",
-    "curation_dsir_select",
-    "curation_e2e_pipeline",
-    "curation_gopher_rules",
-    "curation_hash_sample",
-    "curation_mixture_sample",
-    "curation_pii_scrub",
-    "curation_stratified_sample",
-    "d2_tidy_projection_sorted",
-    "d6_per_name_time_range",
-    "frames_to_packets_roundtrip",
-    "q14_promo_effect",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q20_volume_suppliers",
-    "q21_waiting_suppliers",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "range_join_event_pairs",
-    "time_bucket_rollup",
-    "w2_sliding_window",
-    "w4_last_wins_dedup",
-    "w_forward_fill_hold",
-    "w_interpolate_linear",
-    "w_moving_average",
-    "w_rank_orders_by_priority",
-    "w_row_number_first_events",
-    "x1_distinct_dedup",
-    "x3_cosine_topk_bruteforce",
-    "x3_hard_negative_mining",
-    "x3_knn_label_vote",
-    "x3_matryoshka_recall",
-    "x3_quantize_embeddings",
-    "x3_vector_array_stats",
-    "x4_fingerprint",
-    "x4_lang_signal",
-    "x4_quality_score",
-    "x4_token_stats",
-    "x5_audio_meta_decode",
-    "x5_image_meta_decode",
-    "x5_multimodal_payload_meta",
-    "x5_video_meta_decode",
+    "x2_incremental_near_dedup_stored",
     "x6_json_extract_agg",
     "w_analytic_functions",
     "w_ranking_functions",
     "w_running_sum",
-    "x2_incremental_near_dedup_stored",
+    "x3_pq_tie_guard_recall",  # NEW this round (252nd query)
+    "agg_approx_percentile_bound",
+    "agg_distinct_by_group",
+    "agg_hll_distinct_bound",
+    "agg_kll_quantile_bound",
+    "agg_theta_distinct_bound",
+    "agg_two_phase_distinct",
+    "agg_value_histogram",
+    "agg_variance_manual",
+    "curation_chunk_tokens",
+    "curation_content_filter",
+    "curation_filter_threshold_sweep",
+    "curation_normalize_text",
+    "curation_quality_dedup",
+    "curation_split_assign",
+    "curation_temperature_sample",
+    "curation_weighted_sample",
+    "decode_golden_matrix",
+    "grouping_sets_mixed",
+    "j_fuzzy_match_join",
+    "limit_check_alarm",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "s2_native_unpivot",
+    "s3_filter_pushdown_in",
+    "w1_native_tumbling_window",
+    "w1_streaming_tumbling",
+    "w4_native_session_window",
+    "w4_streaming_dedup",
+    "w_ewma_smooth",
+    "x1_incremental_dedup",
+    "x2_embedding_near_dup",
     "x2_substring_dedup_bpe",
-    "x2_minhash_bands",
-    "x2_ngram_jaccard_pairs",
-    "x2_simhash_fingerprint",
-    "x2_simhash_near_pairs",
-    "curation_shard_build_e2e",
-    "x2_duplicate_components",
-    "x2_duplicate_span_fraction",
-    "x2_lsh_bucket_cap",
-    "x2_lsh_near_dedup_survivors",
+    "x3_prototype_prune",
+    "x4_token_count_bpe",
+    "x5_frame_sample",
+    "set_except",
+    "set_bag_semantics_all",
+    "join_anti",
+    "join_null_safe_eq",
+    "rollup_flag_status",
+    "x3_ann_recall_tie_aware",
+    "x3_pq_rerank_topk",
     "x2_near_dedup_compacted_index",
 ]
 

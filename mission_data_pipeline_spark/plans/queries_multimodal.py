@@ -383,6 +383,116 @@ _q(
 )
 
 
+def _pq_tie_guard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14 in-plan tie guard (VERDICT r13 item 1) under the exact
+    failure geometry of the r13 sfx10 probe: each query vector gets 12
+    exact clones planted in the corpus, and the ADC shortlist (8) is
+    SMALLER than the clone cluster (13 code-identical members). A
+    row-number shortlist cuts inside the tie group; the default
+    RANK()-cut (tie_extend=True) keeps it whole, so:
+
+    - ``tie_extended_ok``: the tie-aware ADC candidate list must
+      exceed the nominal shortlist (>= 13 > 8) — deterministic
+      regardless of the learned codebooks, because exact clones always
+      encode to identical codes and therefore ADC-tie at distance 0;
+    - ``recall``: tie-aware recall@5 vs RANK()-extended ground truth
+      must be exactly 1.0 (every re-ranked clone is admissible).
+
+    The codebooks themselves are not SQL-expressible, so the oracle
+    asserts the data-independent bound columns and replays the
+    SQL-computable ground-truth denominator."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        pq_topk_rerank,
+        pq_train_codebooks,
+    )
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        )
+    )
+    nemb = emb.select(
+        "vec_id", F.transform("v", lambda x: x / norm).alias("v")
+    )
+    base = nemb.filter(F.col("vec_id") < 3)
+    clones = base.select(
+        "vec_id", "v",
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("j"),
+    ).select(
+        (F.lit(300000) + F.col("vec_id") * 100 + F.col("j")).alias(
+            "vec_id"
+        ),
+        "v",
+    )
+    corpus = nemb.unionByName(clones)
+    books = pq_train_codebooks(
+        corpus, m=8, k=16, vec_col="v", sample_n=1024, n_iter=8
+    )
+    enc = pq_encode(corpus, books, vec_col="v")
+    shortlist = 8
+    # tie-extended ADC candidates: >= 13 per query iff the RANK() cut
+    # is live (a row-number cut reads exactly 8)
+    n_cand = (
+        pq_topk(
+            enc, base, books, k=shortlist, query_vec_col="v",
+            include_ties=True,
+        )
+        .groupBy("query_id")
+        .agg((F.count("*") > shortlist).alias("tie_extended_ok"))
+    )
+    approx = pq_topk_rerank(
+        enc, corpus, base, books, k=5, shortlist=shortlist, vec_col="v"
+    )
+    tied = cosine_topk(
+        corpus, base, k=5, round_digits=6, include_ties=True, vec_col="v"
+    )
+    rec = ann_recall(approx, tied, k=5, tie_aware=True)
+    return (
+        rec.join(n_cand, "query_id")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_denom"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round("recall", 6).alias("recall"),
+            "tie_extended_ok",
+        )
+        .orderBy("query_id")
+    )
+
+
+_q(
+    "x3_pq_tie_guard_recall",
+    Query(
+        _pq_tie_guard_spark,
+        """
+        SELECT CAST(vec_id AS BIGINT) AS query_id,
+               CAST(5 AS BIGINT) AS n_denom,
+               CAST(5 AS BIGINT) AS n_hit,
+               CAST(1.0 AS DOUBLE) AS recall,
+               TRUE AS tie_extended_ok
+        FROM embeddings WHERE vec_id < 3 ORDER BY vec_id
+        """,
+        "X3",
+        "in-plan PQ shortlist tie guard: 12 exact clones per query "
+        "(cluster > shortlist) must auto-extend the ADC candidate list "
+        "past the nominal cut (tie_extended_ok) and re-rank to perfect "
+        "tie-aware recall@5 — the r13 sfx10 0.505-recall geometry, now "
+        "auto-recovering with no knob turn",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Telemetry-shaped relational parity queries (D2, D6)
 # ---------------------------------------------------------------------------

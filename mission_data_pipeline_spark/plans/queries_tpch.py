@@ -1673,16 +1673,24 @@ _q(
           GROUP BY a.query_id
         ),
         pd AS (SELECT query_id, COUNT(*) AS n_e FROM plain GROUP BY query_id),
-        ad AS (SELECT query_id, COUNT(*) AS n_a FROM approx GROUP BY query_id)
+        ad AS (SELECT query_id, COUNT(*) AS n_a FROM approx GROUP BY query_id),
+        td AS (SELECT query_id, COUNT(*) AS n_t FROM tied GROUP BY query_id)
         SELECT pd.query_id,
                CAST(COALESCE(ph.n, 0) AS BIGINT) AS plain_hit,
                ROUND(CAST(COALESCE(ph.n, 0) AS DOUBLE) / pd.n_e, 6)
                  AS plain_recall,
                CAST(COALESCE(th.n, 0) AS BIGINT) AS tie_hit,
-               ROUND(CAST(COALESCE(th.n, 0) AS DOUBLE) / ad.n_a, 6)
+               -- tie-aware denominator (r14): min(k, approx size), falling
+               -- back to min(k, admissible size) for queries the ANN
+               -- method missed entirely — mirrors operators/similarity.py
+               ROUND(CAST(COALESCE(th.n, 0) AS DOUBLE) /
+                     (CASE WHEN COALESCE(ad.n_a, 0) > 0
+                           THEN LEAST(5, ad.n_a)
+                           ELSE LEAST(5, td.n_t) END), 6)
                  AS tie_recall
         FROM pd
-        JOIN ad ON ad.query_id = pd.query_id
+        JOIN td ON td.query_id = pd.query_id
+        LEFT JOIN ad ON ad.query_id = pd.query_id
         LEFT JOIN ph ON ph.query_id = pd.query_id
         LEFT JOIN th ON th.query_id = pd.query_id
         ORDER BY pd.query_id

@@ -57,8 +57,10 @@ from pyspark.sql.streaming import StreamingQuery
 from mission_data_pipeline_spark.operators.dedup import (
     band_signatures,
     incremental_near_dedup,
+    _build_manifest,
     jaccard_verify,
     lsh_pairs_from_bands,
+    manifest_base_dirs,
     minhash_signatures,
     read_index_manifest,
     read_near_dedup_index,
@@ -100,7 +102,7 @@ def gc_near_dedup_index(index_path: str) -> dict:
     import shutil
 
     m = read_index_manifest(index_path)
-    keep = {m["bands"], m["grams"]}
+    keep = set(manifest_base_dirs(m))
     removed = []
     for name in sorted(os.listdir(index_path)):
         if (
@@ -178,8 +180,13 @@ def compact_near_dedup_index(
             "epochs_skipped_uncommitted": skipped,
             "version": m["version"],
         }
-    base_bands = spark.read.parquet(os.path.join(index_path, m["bands"]))
-    base_grams = spark.read.parquet(os.path.join(index_path, m["grams"]))
+    base_bands_dir, base_grams_dir = manifest_base_dirs(m)
+    base_bands = spark.read.parquet(
+        os.path.join(index_path, base_bands_dir)
+    )
+    base_grams = spark.read.parquet(
+        os.path.join(index_path, base_grams_dir)
+    )
     dbp = [
         os.path.join(index_path, "delta", f"epoch={e}", "bands")
         for e in fold
@@ -203,14 +210,14 @@ def compact_near_dedup_index(
     all_grams.write.mode("overwrite").parquet(
         os.path.join(index_path, grams_new)
     )
+    # preserve the index's manifest format across the base rewrite: a
+    # hashed-gram (format-2) index stays format 2 so pre-r13 readers
+    # keep rejecting it loudly after compaction too
     write_index_manifest(
         index_path,
-        {
-            "version": v,
-            "bands": bands_new,
-            "grams": grams_new,
-            "delta_epochs": skipped,
-        },
+        _build_manifest(
+            m.get("format_version", 1), v, bands_new, grams_new, skipped
+        ),
     )
     if gc:
         gc_near_dedup_index(index_path)

@@ -363,12 +363,471 @@ def _capstone_probe(spark, sf_dir: str) -> None:
     )
 
 
+def _ivf_disk_probe(spark, sf_dir: str) -> None:
+    """On-disk IVF index + ANN serving path at probe scale (VERDICT r13
+    item 2): the stored-index lifecycle measurement the dedup index got
+    in r13, for the ANN side. Records k-means wall, index build wall +
+    size, probe wall (50-query batch), the fraction of centroid
+    partitions PRUNED by the static probe predicate, and tie-aware
+    recall@10 vs exact ground truth on the same query sample."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        ivf_probe_index,
+        ivf_write_index,
+        kmeans_centroids,
+    )
+
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    n_vec = emb.count()
+    n_centroids = 64
+    work = tempfile.mkdtemp(prefix="mdps_ivf_disk_probe_")
+    idx = os.path.join(work, "ivf")
+    try:
+        t0 = time.monotonic()
+        cents = kmeans_centroids(
+            emb, n_centroids=n_centroids, max_iter=8
+        )
+        t_kmeans = time.monotonic() - t0
+        t0 = time.monotonic()
+        ivf_write_index(emb, idx, cents)
+        t_build = time.monotonic() - t0
+        idx_mb = _du_mb(idx)
+        n_parts = sum(
+            1 for d in os.listdir(idx) if d.startswith("centroid_id=")
+        )
+        stride = max(n_vec // 50, 1)
+        queries = (
+            emb.filter(F.col("vec_id") % stride == 0).limit(50).persist()
+        )
+        nq = queries.count()
+        n_probe = 8
+        t0 = time.monotonic()
+        probed = ivf_probe_index(
+            spark, idx, queries, cents, k=10, n_probe=n_probe
+        ).persist()
+        probed.count()
+        t_probe = time.monotonic() - t0
+        # partitions the batch predicate admits — everything else is
+        # directory-pruned before a byte is read (same probe-selection
+        # expression ivf_probe_index builds its static IN filter from)
+        from mission_data_pipeline_spark.functions.vectors import l2_norm
+        from mission_data_pipeline_spark.operators.similarity import (
+            _centroid_literals,
+            _centroid_sim_array,
+        )
+
+        probe_arr = _centroid_sim_array("__qv", _centroid_literals(cents))
+        touched = (
+            queries.select(F.col("embedding").alias("__qv"))
+            .withColumn("__vnorm", l2_norm(F.col("__qv")))
+            .withColumn(
+                "centroid_id",
+                F.explode(
+                    F.expr(
+                        f"transform(slice(array_sort({probe_arr}),"
+                        f" -{n_probe}, {n_probe}), s -> -s.negcid)"
+                    )
+                ),
+            )
+            .select("centroid_id")
+            .distinct()
+            .count()
+        )
+        t0 = time.monotonic()
+        exact = cosine_topk(
+            emb, queries, k=10, round_digits=6, include_ties=True
+        )
+        rec = (
+            ann_recall(probed, exact, k=10, tie_aware=True)
+            .agg(F.avg("recall").alias("r"))
+            .first()["r"]
+        )
+        t_exact = time.monotonic() - t0
+        print(
+            f"ivf_disk_probe: vecs={n_vec} centroids={n_parts} "
+            f"kmeans_wall={t_kmeans:.1f}s build_wall={t_build:.1f}s "
+            f"index_mb={idx_mb:.1f} queries={nq} n_probe={n_probe} "
+            f"probe_wall={t_probe:.1f}s "
+            f"partitions_touched={touched}/{n_parts} "
+            f"pruned_frac={1 - touched / max(n_parts, 1):.3f} "
+            f"tie_recall@10={rec:.3f} "
+            f"(exact_ground_truth_wall={t_exact:.1f}s)",
+            flush=True,
+        )
+        queries.unpersist()
+        probed.unpersist()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _streaming_state_probe(spark, sf_dir: str) -> None:
+    """Streaming at anchor scale (VERDICT r13 item 4): the real-run
+    stream-stream interval join and the applyInPandasWithState EWMA,
+    driven over the probe-scale events table instead of the sf0.01
+    fixture. Records per-micro-batch walls, state-store rows/bytes,
+    watermark lag at the end of each batch, and the restart-replay
+    wall (second run from the same checkpoint with no new files must
+    be a metadata-only no-op)."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window, functions as F
+
+    from mission_data_pipeline_spark.streaming.stateful import ewma_stream
+
+    ev = spark.sql(
+        "SELECT event_id, user_id, event_type, ts_ns DIV 1000 AS ts_us, "
+        "value FROM events"
+    )
+    n_events = ev.count()
+    work = tempfile.mkdtemp(prefix="mdps_stream_probe_")
+
+    def stage_slices(df, cols_schema: str, n_slices: int, sub: str) -> str:
+        """Write df as n time-contiguous files with ascending mtimes."""
+        stream_dir = os.path.join(work, sub)
+        os.makedirs(stream_dir)
+        sliced = df.withColumn(
+            "__slice",
+            F.ntile(n_slices).over(Window.orderBy("ts_us", "event_id")),
+        )
+        for i in range(1, n_slices + 1):
+            d = os.path.join(work, f"{sub}_stage{i}")
+            sliced.filter(F.col("__slice") == i).drop(
+                "__slice"
+            ).coalesce(1).write.mode("overwrite").parquet(d)
+            src = _glob.glob(os.path.join(d, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"{i:02d}.parquet")
+            shutil.move(src, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        return stream_dir
+
+    def batch_report(tag: str, q, wall: float) -> None:
+        rows = []
+        for p in q.recentProgress:
+            if p["numInputRows"] == 0:
+                continue
+            so = p.get("stateOperators") or []
+            wm = (p.get("eventTime") or {}).get("watermark", "-")
+            rows.append(
+                (
+                    p["numInputRows"],
+                    p["durationMs"]["triggerExecution"] / 1000.0,
+                    sum(s.get("numRowsTotal", 0) for s in so),
+                    sum(s.get("memoryUsedBytes", 0) for s in so) / 1e6,
+                    wm,
+                )
+            )
+        per_batch = " ".join(
+            f"[rows={r} wall={w:.1f}s state_rows={sr} state_mb={sm:.1f}"
+            f" wm={wm}]"
+            for r, w, sr, sm, wm in rows
+        )
+        print(
+            f"streaming_state_probe[{tag}]: events={n_events} "
+            f"batches={len(rows)} total_wall={wall:.1f}s {per_batch}",
+            flush=True,
+        )
+
+    try:
+        # --- stream-stream interval join (clicks x purchases, 30 min) ---
+        join_dir = stage_slices(ev, "", 4, "join_src")
+        ckpt = os.path.join(work, "join_ckpt")
+        out = os.path.join(work, "join_out")
+        schema = (
+            "event_id long, user_id long, event_type string, "
+            "ts_us long, value double"
+        )
+
+        def run_join() -> object:
+            def side(event_type: str, prefix: str):
+                return (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(join_dir)
+                    .filter(F.col("event_type") == event_type)
+                    .select(
+                        F.col("event_id").alias(f"{prefix}_event_id"),
+                        F.col("user_id").alias(f"{prefix}_user_id"),
+                        F.timestamp_micros("ts_us").alias(f"{prefix}_time"),
+                    )
+                    .withWatermark(f"{prefix}_time", "1 hour")
+                )
+
+            joined = side("click", "click").join(
+                side("purchase", "purchase"),
+                F.expr(
+                    "click_user_id = purchase_user_id AND "
+                    "purchase_time >= click_time AND "
+                    "purchase_time <= click_time + INTERVAL 30 MINUTES"
+                ),
+            )
+            return (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        t0 = time.monotonic()
+        q = run_join()
+        q.awaitTermination()
+        t_join = time.monotonic() - t0
+        batch_report("stream_join", q, t_join)
+        matches = spark.read.parquet(out).count()
+        # restart from the same checkpoint, no new files: the seen-files
+        # log must skip everything — replay wall is pure recovery cost
+        t0 = time.monotonic()
+        q2 = run_join()
+        q2.awaitTermination()
+        t_replay = time.monotonic() - t0
+        replay_rows = sum(p["numInputRows"] for p in q2.recentProgress)
+        print(
+            f"streaming_state_probe[join_restart]: matches={matches} "
+            f"replay_wall={t_replay:.1f}s replayed_rows={replay_rows}",
+            flush=True,
+        )
+
+        # --- stateful EWMA (applyInPandasWithState) ---
+        ewma_src = stage_slices(
+            ev.select(
+                F.col("user_id").alias("key"),
+                "event_id",
+                F.col("ts_us").alias("t_us"),
+                "value",
+            ).withColumn("ts_us", F.col("t_us")),
+            "",
+            4,
+            "ewma_src",
+        )
+        stream = (
+            spark.readStream.schema(
+                "key long, event_id long, t_us long, value double, ts_us long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ewma_src)
+            .drop("ts_us")
+        )
+        ewma_out = os.path.join(work, "ewma_out")
+        t0 = time.monotonic()
+        q3 = (
+            ewma_stream(stream, alpha=0.25)
+            .writeStream.format("parquet")
+            .option("path", ewma_out)
+            .option(
+                "checkpointLocation", os.path.join(work, "ewma_ckpt")
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q3.awaitTermination()
+        t_ewma = time.monotonic() - t0
+        batch_report("ewma", q3, t_ewma)
+        emitted = spark.read.parquet(ewma_out).count()
+        print(
+            f"streaming_state_probe[ewma_emitted]: rows={emitted} "
+            f"(must equal events={n_events})",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _media_decode_probe(spark, sf_dir: str) -> None:
+    """Multimodal decode throughput + Arrow batch memory at probe
+    payload volume (VERDICT r13 item 5). Builds a real PNG corpus
+    sized off the documents table (distributed encode — width scales
+    with doc_id so the size distribution is skewed like real crawls),
+    then measures:
+
+    - peak single-batch payload bytes UNGUARDED (default 10k-record
+      Arrow batches — the worker-OOM vector at real image sizes) vs
+      under :class:`media_arrow_batch_guard` (64 MiB target);
+    - real JPEG-pipeline-shaped decode throughput (image_pixel_stats
+      rows/s) under the guard;
+    - WAV sample-stats throughput at the same scale."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.functions.multimodal import (
+        audio_sample_stats,
+        image_pixel_stats,
+        media_arrow_batch_guard,
+        peak_batch_bytes,
+    )
+
+    n_items = min(
+        int(spark.table("documents").count()), 20_000
+    )
+    work = tempfile.mkdtemp(prefix="mdps_media_probe_")
+    img_path = os.path.join(work, "imgs")
+    wav_path = os.path.join(work, "wavs")
+    try:
+        ids = spark.range(n_items).select(
+            F.col("id").alias("item_id")
+        )
+
+        def gen_png(batches):
+            from mission_data_pipeline_spark.functions.multimodal import (
+                encode_png,
+            )
+
+            for pdf in batches:
+                payloads = []
+                for i in pdf["item_id"]:
+                    # 64..320 px wide, deterministic gradient + noise-ish
+                    # pattern (compresses poorly enough to keep real bytes)
+                    w = 64 + (int(i) % 9) * 32
+                    h = w
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    px = (
+                        (xx * 3 + yy * 7 + int(i)) % 256
+                    ).astype("uint8")[..., None].repeat(3, axis=2)
+                    payloads.append(encode_png(px))
+                yield pd.DataFrame(
+                    {"item_id": pdf["item_id"], "payload": payloads}
+                )
+
+        def gen_wav(batches):
+            from mission_data_pipeline_spark.functions.multimodal import (
+                encode_wav,
+            )
+
+            for pdf in batches:
+                payloads = []
+                for i in pdf["item_id"]:
+                    n = 8000 + (int(i) % 17) * 2000  # 0.5-2.6 s @ 16 kHz
+                    t = np.arange(n)
+                    s = (
+                        3000 * np.sin(0.03 * t * (1 + (int(i) % 5)))
+                    ).astype("int16")
+                    payloads.append(encode_wav(s))
+                yield pd.DataFrame(
+                    {"item_id": pdf["item_id"], "payload": payloads}
+                )
+
+        t0 = time.monotonic()
+        ids.repartition(32).mapInPandas(
+            gen_png, schema="item_id long, payload binary"
+        ).write.mode("overwrite").parquet(img_path)
+        t_gen = time.monotonic() - t0
+        imgs = spark.read.parquet(img_path)
+        total_mb = _du_mb(img_path)
+
+        unguarded = peak_batch_bytes(imgs).agg(
+            F.max("batch_bytes").alias("b"), F.max("batch_rows").alias("r")
+        ).first()
+        with media_arrow_batch_guard(spark, imgs) as g:
+            guarded = peak_batch_bytes(imgs).agg(
+                F.max("batch_bytes").alias("b"),
+                F.max("batch_rows").alias("r"),
+            ).first()
+            t0 = time.monotonic()
+            n_dec = image_pixel_stats(imgs).filter(
+                F.col("px_mean").isNotNull()
+            ).count()
+            t_dec = time.monotonic() - t0
+        print(
+            f"media_decode_probe[image]: items={n_items} "
+            f"corpus_mb={total_mb:.1f} gen_wall={t_gen:.1f}s "
+            f"max_payload_kb={g.max_payload_bytes / 1e3:.0f} "
+            f"peak_batch_mb_unguarded={unguarded['b'] / 1e6:.1f} "
+            f"(rows={unguarded['r']}) "
+            f"peak_batch_mb_guarded={guarded['b'] / 1e6:.1f} "
+            f"(cap={g.records_per_batch}) "
+            f"decode_wall={t_dec:.1f}s decoded={n_dec} "
+            f"rows_per_sec={n_dec / max(t_dec, 1e-9):.0f}",
+            flush=True,
+        )
+
+        ids.repartition(32).mapInPandas(
+            gen_wav, schema="item_id long, payload binary"
+        ).write.mode("overwrite").parquet(wav_path)
+        wavs = spark.read.parquet(wav_path)
+        wav_mb = _du_mb(wav_path)
+        with media_arrow_batch_guard(spark, wavs) as g2:
+            t0 = time.monotonic()
+            n_dec = audio_sample_stats(wavs).filter(
+                F.col("n_frames").isNotNull()
+            ).count()
+            t_dec = time.monotonic() - t0
+        print(
+            f"media_decode_probe[audio]: items={n_items} "
+            f"corpus_mb={wav_mb:.1f} cap={g2.records_per_batch} "
+            f"decode_wall={t_dec:.1f}s decoded={n_dec} "
+            f"rows_per_sec={n_dec / max(t_dec, 1e-9):.0f}",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _hdf5_ceiling_probe(spark, sf_dir: str) -> None:
+    """L5 practical-ceiling measurement (VERDICT r13 item 7): the HDF5
+    sink is a DRIVER-SIDE export by design (SURVEY §4.2 — one POSIX
+    file, no parallel writer without MPI h5py). Measure wall + driver
+    RSS growth for exporting a tidy params frame derived from the
+    probe-scale events table, so the sink docstring's "use parquet
+    beyond N rows" line is a number, not a guess."""
+    import os
+    import resource
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.sinks.hdf5 import write_hdf5
+
+    params = spark.sql(
+        "SELECT concat('param_', CAST(user_id % 50 AS STRING)) AS name, "
+        "'V' AS unit, CAST(NULL AS STRING) AS eng_value_str, "
+        "ts_ns DIV 1000 AS t_us, value AS eng_value, "
+        "CAST(event_id AS INT) AS raw_value, TRUE AS validity "
+        "FROM events"
+    )
+    n = params.count()
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="mdps_hdf5_probe_"), "export.h5"
+    )
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    t0 = time.monotonic()
+    write_hdf5(params, out, mode="w")
+    wall = time.monotonic() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    mb = os.path.getsize(out) / 1e6
+    print(
+        f"hdf5_ceiling_probe: rows={n} wall={wall:.1f}s "
+        f"rows_per_sec={n / max(wall, 1e-9):.0f} file_mb={mb:.1f} "
+        f"driver_rss_mb_before={rss0:.0f} after={rss1:.0f}",
+        flush=True,
+    )
+    os.remove(out)
+
+
 _CUSTOM = {
     "near_dedup_cap_probe": _near_dedup_cap_probe,
     "hash_grams_ab_probe": _hash_grams_ab_probe,
     "ingest_gate_probe": _ingest_gate_probe,
     "ann_quality_probe": _ann_quality_probe,
     "capstone_probe": _capstone_probe,
+    "ivf_disk_probe": _ivf_disk_probe,
+    "streaming_state_probe": _streaming_state_probe,
+    "media_decode_probe": _media_decode_probe,
+    "hdf5_ceiling_probe": _hdf5_ceiling_probe,
 }
 
 

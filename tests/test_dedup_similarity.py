@@ -777,6 +777,69 @@ def test_pq_encode_and_rerank_properties(spark):
         pq_train_codebooks(emb, m=5, k=8, vec_col="v")  # 5 does not divide 16
 
 
+def test_pq_rerank_tie_guard_auto_recovers_clone_cluster(spark):
+    """VERDICT r13 item 1: the shortlist knob rule as an in-plan guard.
+    A clone cluster LARGER than the shortlist collapses to identical PQ
+    codes, so every member is ADC-tied at the cutoff; the r13 sfx10
+    probe read recall 0.505 from exactly this. With tie_extend=True
+    (default) the RANK()-cut shortlist keeps the boundary tie group
+    whole and recall auto-recovers to 1.0 at shortlist=8 against a
+    30-clone cluster; with a max_shortlist smaller than the tie group
+    the plan fails LOUDLY instead of silently truncating."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        pq_encode,
+        pq_topk_rerank,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(60, 16))
+    # vectors 30..59: a 30-clone cluster of vector 0 — bigger than the
+    # shortlist below, so the whole cluster ADC-ties across the cut
+    for i in range(30, 60):
+        base[i] = base[0]
+    base = base / np.linalg.norm(base, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id long, v array<double>",
+    )
+    books = pq_train_codebooks(
+        emb, m=4, k=8, vec_col="v", sample_n=60, n_iter=6
+    )
+    enc = pq_encode(emb, books, vec_col="v")
+    q = emb.filter(F.col("vec_id") == 0)
+    # tie-extended ground truth: any clone is an admissible answer
+    tied = cosine_topk(
+        emb, q, k=5, vec_col="v", round_digits=6, include_ties=True
+    )
+    rer = pq_topk_rerank(
+        enc, emb, q, books, k=5, shortlist=8, vec_col="v"
+    )
+    r = ann_recall(rer, tied, k=5, tie_aware=True).first()
+    assert r["recall"] == 1.0  # auto-recovered, no knob turn
+    # legacy row-number cut at the same shortlist: the guard is what
+    # makes the difference (cut lands inside the 30-way tie group)
+    legacy = pq_topk_rerank(
+        enc, emb, q, books, k=5, shortlist=8, vec_col="v",
+        tie_extend=False,
+    )
+    rl = ann_recall(legacy, tied, k=5, tie_aware=True).first()
+    assert rl["recall"] <= 1.0  # may luck into admissible picks
+    # a bound smaller than the tie group fails LOUDLY, never truncates
+    with _pytest.raises(SparkRuntimeException, match="near-duplicate cluster"):
+        pq_topk_rerank(
+            enc, emb, q, books, k=5, shortlist=8, vec_col="v",
+            max_shortlist=10,
+        ).collect()
+
+
 def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
     """Reliable checkpoint_dir path: identical labels, files on disk."""
     import os
@@ -1316,6 +1379,104 @@ def test_near_dedup_stored_index_roundtrip_and_plan(spark, tmp_path):
     assert any("gram" in ln and "band_hash" not in ln for ln in scans), scans
 
 
+def test_near_dedup_index_format_version_gates_old_readers(
+    spark, tmp_path
+):
+    """ADVICE r13: flipping the default to hash_grams=True changed the
+    on-disk gram payload (bigint), but a pre-r13 reader ignores the
+    unknown params.json key and has no dtype cross-check — it would
+    join string probes against bigint grams and silently match
+    nothing. r14: hashed-gram indexes publish a FORMAT-2 manifest
+    whose base dirs live under bands_h64/grams_h64, so an old
+    reader's m["bands"] lookup raises KeyError at open time."""
+    import pytest as _pytest
+
+    from mission_data_pipeline_spark.operators.dedup import (
+        manifest_base_dirs,
+        read_index_manifest,
+        read_near_dedup_index,
+        write_index_manifest,
+        write_near_dedup_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some corpus text with enough tokens to shingle cleanly")],
+        "doc_id long, text string",
+    )
+    hashed = str(tmp_path / "idx_hashed")
+    write_near_dedup_index(df, hashed, n=2, num_hashes=8, bands=4)
+    m = read_index_manifest(hashed)
+    assert m["format_version"] == 2
+    # the exact lookup a pre-r13 reader performs must fail LOUDLY
+    with _pytest.raises(KeyError):
+        m["bands"]
+    assert manifest_base_dirs(m) == ("bands-v0", "grams-v0")
+    bands_df, grams_df = read_near_dedup_index(spark, hashed)
+    assert dict(grams_df.dtypes)["gram"] == "bigint"
+    # string-gram indexes keep the legacy format-1 shape: a pre-r13
+    # reader can still open them (the payload it expects is unchanged)
+    legacy = str(tmp_path / "idx_legacy")
+    write_near_dedup_index(
+        df, legacy, n=2, num_hashes=8, bands=4, hash_grams=False
+    )
+    ml = read_index_manifest(legacy)
+    assert "format_version" not in ml and ml["bands"] == "bands-v0"
+    _, gl = read_near_dedup_index(spark, legacy)
+    assert dict(gl.dtypes)["gram"] == "string"
+    # a manifest from the future is refused, not guessed at
+    write_index_manifest(hashed, {"format_version": 3, "version": 0})
+    with _pytest.raises(ValueError, match="format_version=3"):
+        read_near_dedup_index(spark, hashed)
+    # torn state (format-2 manifest, hash_grams=false params) is loud
+    import json as _json
+    import os as _os
+
+    write_index_manifest(
+        hashed,
+        {
+            "format_version": 2,
+            "version": 0,
+            "bands_h64": "bands-v0",
+            "grams_h64": "grams-v0",
+            "delta_epochs": [],
+        },
+    )
+    with open(_os.path.join(hashed, "params.json")) as f:
+        p = _json.load(f)
+    p["hash_grams"] = False
+    with open(_os.path.join(hashed, "params.json"), "w") as f:
+        _json.dump(p, f)
+    with _pytest.raises(ValueError, match="torn index"):
+        read_near_dedup_index(spark, hashed)
+
+
+def test_near_dedup_index_compaction_preserves_format(spark, tmp_path):
+    """Compaction rewrites the base dirs and republishes the manifest —
+    it must carry the format through, or a compacted hashed-gram index
+    would become openable (and silently wrong) for pre-r13 readers."""
+    from mission_data_pipeline_spark.operators.dedup import (
+        read_index_manifest,
+        write_near_dedup_index,
+    )
+    from mission_data_pipeline_spark.streaming.ingest import (
+        compact_near_dedup_index,
+        gc_near_dedup_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "corpus text with enough tokens to shingle and index")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx_fmt")
+    write_near_dedup_index(df, idx, n=2, num_hashes=8, bands=4)
+    # no deltas: compaction is a no-op but still exercises gc resolve
+    out = compact_near_dedup_index(spark, idx)
+    assert out["epochs_folded"] == 0
+    m = read_index_manifest(idx)
+    assert m["format_version"] == 2 and m["bands_h64"] == "bands-v0"
+    assert gc_near_dedup_index(idx)["removed"] == []
+
+
 def test_near_dedup_stored_index_validation(spark, tmp_path):
     """Mismatched probe parameters and half-supplied corpus sides fail
     loudly — a probe built with a different shingle width would
@@ -1758,3 +1919,47 @@ def test_cosine_topk_include_ties_and_tie_aware_recall(spark):
     tie_r = ann_recall(approx, tied, k=k, tie_aware=True).collect()[0]
     assert tie_r["n_hit"] == 3 and tie_r["recall"] == 1.0
     assert tie_r["n_exact"] == 3  # denominator = approx top-k size
+
+
+def test_tie_aware_recall_scores_missed_queries_zero(spark):
+    """ADVICE r13: with tie_aware=True the denominator used to come
+    from the approx side only, so a query the ANN method missed
+    ENTIRELY (zero approx rows) vanished from the output and a mean
+    over recall overstated quality. r14: the per-query key set is the
+    union of both sides — a missed query now scores recall 0 over
+    min(k, admissible-set size), matching plain mode's behavior."""
+    from mission_data_pipeline_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (1, 20, 1), (1, 21, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    # approx covers query 0 only; query 1 is dropped entirely
+    approx = spark.createDataFrame(
+        [(0, 10, 1), (0, 99, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    out = {
+        r["query_id"]: r
+        for r in ann_recall(approx, exact, k=2, tie_aware=True).collect()
+    }
+    assert set(out) == {0, 1}  # missed query present, not vanished
+    assert out[0]["n_hit"] == 1 and out[0]["n_exact"] == 2
+    assert out[0]["recall"] == 0.5
+    assert out[1]["n_hit"] == 0 and out[1]["n_exact"] == 2
+    assert out[1]["recall"] == 0.0
+    # plain mode: identical verdict for the missed query (unchanged)
+    plain = {
+        r["query_id"]: r for r in ann_recall(approx, exact, k=2).collect()
+    }
+    assert plain[1]["recall"] == 0.0
+    # approx-only query (no ground truth): tie-aware keeps it at 0
+    # rather than crediting unverifiable hits
+    extra = approx.union(
+        spark.createDataFrame([(2, 30, 1)], approx.schema)
+    )
+    out2 = {
+        r["query_id"]: r
+        for r in ann_recall(extra, exact, k=2, tie_aware=True).collect()
+    }
+    assert out2[2]["n_hit"] == 0 and out2[2]["recall"] == 0.0

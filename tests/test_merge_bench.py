@@ -68,11 +68,12 @@ def test_merge_rejects_mixed_sf(tmp_path):
     assert "sf mismatch" in proc.stderr
 
 
-def test_bench_latest_attempt_bytes_dedupes_stage_retries():
-    """ADVICE r12: a retried stage must contribute ONE attempt's bytes
-    (the latest), not the sum across attempts — summing per
-    (stageId, attemptId) re-creates the inflation-artifact class the
-    job-group scoping removed."""
+def test_bench_stage_retry_bytes_one_contribution_per_stage():
+    """ADVICE r12 + r13: a retried stage must contribute ONE value per
+    stageId (not the sum across attempts — inflation), and that value
+    is the per-stage MAX across attempts (not the latest — a retry
+    re-runs only the lost tasks, so the latest attempt's task-summed
+    bytes can under-count the stage)."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -82,10 +83,15 @@ def test_bench_latest_attempt_bytes_dedupes_stage_retries():
     spec.loader.exec_module(bench)
 
     stages = {
-        (7, 0): (100, 50),   # failed attempt of stage 7
-        (7, 1): (120, 60),   # retry — only this one counts
+        (7, 0): (100, 50),   # full first attempt of stage 7
+        (7, 1): (20, 10),    # partial retry — max keeps attempt 0
         (8, 0): (10, 5),
         (9, 0): (999, 999),  # not in the job group
     }
-    got = bench._latest_attempt_bytes(stages, {7, 8})
-    assert got == {"read": 130, "write": 65}
+    got = bench._per_stage_max_attempt_bytes(stages, {7, 8})
+    assert got == {"read": 110, "write": 55}
+    # a retry that genuinely did MORE work than the original wins
+    got2 = bench._per_stage_max_attempt_bytes(
+        {(7, 0): (100, 50), (7, 1): (120, 60)}, {7}
+    )
+    assert got2 == {"read": 120, "write": 60}
