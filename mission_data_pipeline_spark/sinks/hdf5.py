@@ -80,6 +80,17 @@ def write_hdf5(
     carried the value in ``eng_value_str``) land in a parallel
     ``eng_value_str`` string dataset (``hdf5.py:94-99,128-134``).
 
+    PRACTICAL CEILING (measured, r14 ``hdf5_ceiling_probe``): this is
+    a DRIVER-SIDE export by design — one POSIX file, no parallel
+    writer without MPI-enabled h5py — streaming rows through
+    ``toLocalIterator`` at ~6.1k rows/s (1M rows = 164 s; driver RSS
+    +230 MB at the default 500k-row chunk; sf0.01 fixture scale runs
+    at ~1.4k rows/s because session fixed costs dominate). Rule of
+    thumb: HDF5 is the analyst-extract sink — fine to ~1M rows
+    (minutes), use the parquet sink beyond ~10M rows (half an hour of
+    single-threaded driver time and climbing linearly). Lower
+    ``chunk_rows`` to trade wall for a smaller driver RSS envelope.
+
     ``_h5`` injects an alternate h5py-compatible backend (tests);
     production resolution is h5py when importable, else the pure-Python
     spec-subset writer (``sinks/hdf5_pure.py``).

@@ -672,7 +672,7 @@ def _media_decode_probe(spark, sf_dir: str) -> None:
     )
 
     n_items = min(
-        int(spark.table("documents").count()), 20_000
+        int(spark.table("documents").count()), 6_000
     )
     work = tempfile.mkdtemp(prefix="mdps_media_probe_")
     img_path = os.path.join(work, "imgs")
@@ -690,14 +690,17 @@ def _media_decode_probe(spark, sf_dir: str) -> None:
             for pdf in batches:
                 payloads = []
                 for i in pdf["item_id"]:
-                    # 64..320 px wide, deterministic gradient + noise-ish
-                    # pattern (compresses poorly enough to keep real bytes)
-                    w = 64 + (int(i) % 9) * 32
-                    h = w
-                    yy, xx = np.mgrid[0:h, 0:w]
-                    px = (
-                        (xx * 3 + yy * 7 + int(i)) % 256
-                    ).astype("uint8")[..., None].repeat(3, axis=2)
+                    # 64..576 px square of seeded PRNG noise —
+                    # incompressible, so the PNG carries ~raw bytes
+                    # (12 kB .. ~1 MB) and the size distribution is
+                    # skewed the way real crawls are; a gradient
+                    # fixture deflates to ~4 kB and proves nothing
+                    # about batch memory
+                    w = 64 + (int(i) % 9) * 64
+                    rng = np.random.default_rng(int(i))
+                    px = rng.integers(
+                        0, 256, size=(w, w, 3), dtype=np.uint8
+                    )
                     payloads.append(encode_png(px))
                 yield pd.DataFrame(
                     {"item_id": pdf["item_id"], "payload": payloads}
@@ -751,7 +754,8 @@ def _media_decode_probe(spark, sf_dir: str) -> None:
             f"peak_batch_mb_guarded={guarded['b'] / 1e6:.1f} "
             f"(cap={g.records_per_batch}) "
             f"decode_wall={t_dec:.1f}s decoded={n_dec} "
-            f"rows_per_sec={n_dec / max(t_dec, 1e-9):.0f}",
+            f"rows_per_sec={n_dec / max(t_dec, 1e-9):.0f} "
+            f"mb_per_sec={total_mb / max(t_dec, 1e-9):.0f}",
             flush=True,
         )
 
@@ -770,7 +774,8 @@ def _media_decode_probe(spark, sf_dir: str) -> None:
             f"media_decode_probe[audio]: items={n_items} "
             f"corpus_mb={wav_mb:.1f} cap={g2.records_per_batch} "
             f"decode_wall={t_dec:.1f}s decoded={n_dec} "
-            f"rows_per_sec={n_dec / max(t_dec, 1e-9):.0f}",
+            f"rows_per_sec={n_dec / max(t_dec, 1e-9):.0f} "
+            f"mb_per_sec={wav_mb / max(t_dec, 1e-9):.0f}",
             flush=True,
         )
     finally:
