@@ -174,7 +174,12 @@ def cooccurrence_edges(
 
 
 def triangle_count(
-    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact triangle enumeration over an undirected simple graph.
     Returns one row per triangle ``(a, b, c)``; aggregate downstream for
@@ -193,7 +198,21 @@ def triangle_count(
     through its low-degree endpoints. Two hash-shuffle joins total:
     wedges on the pivot node, closure on the ``(b, c)`` edge key. Each
     triangle is produced exactly once.
+
+    Lineage is truncated at the canonicalized edge set and at the
+    oriented table (``checkpoint``; reliable ``checkpoint_dir`` on a
+    cluster, same contract as :func:`pagerank`): ``oriented`` is
+    referenced three times (both wedge sides and the closure probe) and
+    ``e`` three more underneath it, so an untruncated plan re-expands
+    the whole upstream subtree per reference — with a non-trivial edge
+    producer (e.g. ``cooccurrence_edges``) that multiplied into a
+    3,335-operator / 480-scan physical plan at bench scale where the
+    truncated one is ~50 operators with the edge pipeline executed
+    once. ``checkpoint=False`` keeps full lineage (tests only).
     """
+    from mission_data_pipeline_spark.operators.lineage import make_truncator
+
+    trunc = make_truncator(checkpoint_dir) if checkpoint else (lambda df: df)
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -202,6 +221,7 @@ def triangle_count(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    e = trunc(e)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -219,6 +239,7 @@ def triangle_count(
         F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("hi"),
         F.when(lower_is_u, F.col("dv")).otherwise(F.col("du")).alias("dhi"),
     )
+    oriented = trunc(oriented)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # wedges pivoting at `lo`: unordered pair of out-neighbors, ordered
     # by the same (deg, id) key so each wedge is generated once

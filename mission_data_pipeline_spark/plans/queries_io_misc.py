@@ -803,17 +803,28 @@ def _triangle_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_items_per_group=500,
     )
     tri = triangle_count(edges, src_col="u", dst_col="v")
-    pernode = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
+    # One pass over the triangle rows: explode the three corners instead
+    # of a 3-way union (1 read instead of 3), aggregate per node ONCE,
+    # and truncate — the tiny per-node table then feeds both the top-10
+    # branch and the total row, so the wedge join runs exactly once.
+    # The total is sum(n_tri) DIV 3 (every triangle contributes exactly
+    # 3 corner rows — integer-exact), replacing a second pass over tri.
+    node_counts = (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
         .groupBy("node")
         .agg(F.count("*").alias("n_tri"))
-        .orderBy(F.desc("n_tri"), "node")
-        .limit(10)
+        .localCheckpoint(eager=True)
     )
-    total = tri.agg(
-        F.lit(-1).cast("long").alias("node"), F.count("*").alias("n_tri")
+    pernode = node_counts.orderBy(F.desc("n_tri"), "node").limit(10)
+    total = node_counts.agg(
+        F.lit(-1).cast("long").alias("node"),
+        F.coalesce(
+            F.expr("sum(n_tri) div 3").cast("long"), F.lit(0).cast("long")
+        ).alias("n_tri"),
     )
     return pernode.unionByName(total).orderBy(F.desc("n_tri"), "node")
 
