@@ -837,6 +837,8 @@ def exact_substring_dedup_tokens(
     k: int = 12,
     tokens_col: str = "toks",
     id_col: str = "doc_id",
+    checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Core ExactSubstr span surgery over pre-tokenized documents
     (``tokens_col``: ``array<string>``). Every ``k``-token span that
@@ -874,7 +876,19 @@ def exact_substring_dedup_tokens(
     paper's own implementation, "keep one occurrence" is best-effort
     under overlap: the kept occurrence's tokens may still be removed
     if a *different* duplicated gram covers them.
+
+    The gram table (posexplode + k-wide lead window — the expensive
+    featurization) is materialized once (``checkpoint``; reliable
+    ``checkpoint_dir`` on a cluster): it feeds both the occurrence
+    aggregate and the join back that tags removable occurrences, and
+    the two consumers shuffle it on ``__gh`` through DIFFERENT subtrees
+    (one has a partial agg below the exchange), so exchange reuse
+    cannot deduplicate them — unmaterialized, the token explode and
+    the per-doc sort/lead window run twice. ``checkpoint=False`` keeps
+    full lineage (tests only).
     """
+    from mission_data_pipeline_spark.operators.lineage import make_truncator
+
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     staged = docs.select(
@@ -895,6 +909,8 @@ def exact_substring_dedup_tokens(
         .filter(F.col("__end").isNotNull())  # full-length grams only
         .drop("__end")
     )
+    if checkpoint:
+        grams = make_truncator(checkpoint_dir)(grams)
     # One gram-keyed partial-agg shuffle yields both the corpus count
     # and the canonical first occurrence (min struct = lexicographic
     # (doc_id, pos) — the survivor Lee et al. keep).
