@@ -64,6 +64,13 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    if checkpoint:
+        # The edge list joins against ranks in EVERY iteration (and
+        # feeds nodes/deg): without truncation each of the n_iter
+        # actions re-executes the caller's whole edge-derivation
+        # pipeline — the same per-round re-derivation
+        # connected_components already truncates away. Edge-list-sized.
+        e = trunc(e)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

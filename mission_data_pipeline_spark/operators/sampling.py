@@ -353,6 +353,8 @@ def dsir_select(
     id_col: str = "doc_id",
     seed: int = 0,
     hash_fn: str = "md5",
+    checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
     pick the ``n`` raw-corpus documents whose hashed-ngram distribution
@@ -380,6 +382,13 @@ def dsir_select(
     via STRING (the repo's exact decimal→double convention). At 100 TB
     everything that touches the corpus is map-side expression work plus
     two gram-keyed partial aggs; only the O(buckets) model broadcasts.
+
+    ``checkpoint`` (default) materializes the raw-corpus gram table and
+    the O(buckets) count table once (``localCheckpoint``; reliable
+    ``checkpoint_dir`` on a cluster): each feeds two consumer subtrees
+    that exchange reuse cannot deduplicate, so unmaterialized the raw
+    featurization runs twice and the target featurization re-runs per
+    consumer. ``checkpoint=False`` keeps full lineage (tests only).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -390,6 +399,19 @@ def dsir_select(
     )
     raw_grams = _hashed_gram_buckets(raw, **kw)
     tgt_grams = _hashed_gram_buckets(target, **kw)
+    if checkpoint:
+        # raw_grams feeds BOTH the q̂_raw bucket counts and the per-doc
+        # scoring join through different subtrees (one has a partial agg
+        # below its exchange), so exchange reuse cannot deduplicate them
+        # — unmaterialized, the regex tokenize + explode + hash
+        # featurization of the RAW CORPUS runs twice per action.
+        # Truncate lineage at the gram table (make_truncator contract:
+        # localCheckpoint, or reliable checkpoint_dir on a cluster).
+        from mission_data_pipeline_spark.operators.lineage import (
+            make_truncator,
+        )
+
+        raw_grams = make_truncator(checkpoint_dir)(raw_grams)
     rc = raw_grams.groupBy("bucket").agg(F.count("*").alias("cr"))
     tc = tgt_grams.groupBy("bucket").agg(F.count("*").alias("ct"))
     counts = (
@@ -400,6 +422,11 @@ def dsir_select(
             F.coalesce("ct", F.lit(0)).alias("ct"),
         )
     )
+    if checkpoint:
+        # counts (≤ buckets rows) feeds both the corpus totals and the
+        # log-ratio model; truncating it stops the TARGET featurization
+        # + both bucket aggs from re-running in each consumer subtree.
+        counts = make_truncator(checkpoint_dir)(counts)
     tot = counts.agg(
         F.sum("cr").alias("totr"), F.sum("ct").alias("tott")
     )

@@ -307,6 +307,8 @@ def ewma_sharded(
     series_cols: list[str],
     shard_col: str,
     order_cols: list[str] | None = None,
+    checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """EWMA for the one series too big for one task: the input is cut
     into time shards (``shard_col`` — e.g. a day bucket, monotone in
@@ -329,11 +331,17 @@ def ewma_sharded(
     map-side join. Null values are skipped exactly like :func:`ewma`
     (NULL out, state carries).
 
-    Cost note: the chain subtree re-derives stage 1 (the classic
-    linear-scan trade — read twice or cache); the recomputation is one
-    extra shard pass of cheap arithmetic, chosen here over pinning the
-    full row set in memory. Callers iterating over the result many
-    times can ``.persist()`` it like any DataFrame.
+    Stage 1 feeds TWO consumers — the per-series chain (via the
+    flagged-last-row summary) and the recombination join's probe side —
+    through different subtrees, so exchange reuse cannot deduplicate
+    them: unmaterialized, the scan + (series, shard) shuffle + Python
+    recurrence pass run twice per action. ``checkpoint`` (default)
+    truncates lineage at the stage-1 output (``localCheckpoint``;
+    reliable ``checkpoint_dir`` on a cluster — the make_truncator
+    contract shared with pagerank and connected_components), so the
+    expensive pass runs once and both consumers read materialized
+    blocks. ``checkpoint=False`` restores the read-twice full-lineage
+    form (tests only).
 
     The result is the textbook parallel-prefix EWMA: algebraically
     identical to :func:`ewma`, floating-point-wise within an ULP-level
@@ -390,6 +398,12 @@ def ewma_sharded(
     staged = cols.groupBy(*series_cols, "__shard").applyInPandas(
         shard_pass, schema=stage1_schema
     )
+    if checkpoint:
+        from mission_data_pipeline_spark.operators.lineage import (
+            make_truncator,
+        )
+
+        staged = make_truncator(checkpoint_dir)(staged)
     # shard summaries: the flagged LAST row per (series, shard)
     summary = staged.filter("__last").select(
         *series_cols,
