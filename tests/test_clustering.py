@@ -90,3 +90,57 @@ def test_kmeans_assignment_is_mapside(spark):
     assigned, _ = kmeans_lloyd(df, k=2, n_iter=1)
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_assign_vectorized_matches_expression_twin(spark):
+    """The Arrow-native argmin (_assign) must be bit-identical to its
+    Catalyst-expression spec (_assign_expr) — same sequential-fold IEEE
+    op order for distances, same struct-min ordering at the edges:
+    NULL dist (null/ragged/null-element vectors) sorts FIRST, NaN
+    sorts LAST, ties fall to the smaller cluster id."""
+    import math
+
+    from mission_data_pipeline_spark.operators.clustering import (
+        _assign,
+        _assign_expr,
+    )
+
+    cents = {0: [0.0, 0.0, 0.0], 1: [1.0, 1.0, 1.0], 2: [5.0, 5.0, 5.0]}
+    rows = [
+        (0, [0.1, 0.2, 0.3]),          # clean
+        (1, [4.9, 5.2, 4.8]),          # clean, other cluster
+        (2, None),                     # null vector -> NULL dist, cid 0
+        (3, [1.0, 2.0]),               # short: zip_with null-pad -> NULL
+        (4, [1.0, 2.0, 3.0, 4.0]),     # long: same
+        (5, [math.nan, 0.0, 0.0]),     # NaN -> NaN dist ranks LAST
+        (6, [None, 1.0, 1.0]),         # null element -> NULL dist
+        (7, [0.5, 0.5, 0.5]),          # equidistant tie -> smaller cid
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {
+        r["id"]: (r["cluster"], r["dist"])
+        for r in _assign_expr(df, "vec_id", "embedding", cents).collect()
+    }
+    got = {
+        r["id"]: (r["cluster"], r["dist"])
+        for r in _assign(df, "vec_id", "embedding", cents).collect()
+    }
+    assert set(want) == set(got)
+    for i in want:
+        wc, wd = want[i]
+        gc, gd = got[i]
+        assert wc == gc, i
+        if wd is None or gd is None:
+            assert wd is None and gd is None, i
+        elif math.isnan(wd) or math.isnan(gd):
+            assert math.isnan(wd) and math.isnan(gd), i
+        else:
+            assert wd == gd, i  # bit-exact
+    # and the vectorized path really is the map-side Arrow node
+    plan = (
+        _assign(df, "vec_id", "embedding", cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan and "Exchange" not in plan
