@@ -20,8 +20,10 @@ into many LSH bands by construction).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
+
+from mission_data_pipeline_spark.core.observe import _row_or_none
 
 # -- exact --------------------------------------------------------------
 
@@ -500,8 +502,30 @@ def connected_components(
                 ).alias("__ch"),
             )
         )
-        new_labels = trunc(new_labels)
-        changed = new_labels.filter(F.col("__ch")).limit(1).count()
+        # The changed flag is harvested from the SAME action that
+        # materializes the round (observe + non-blocking getRowOrEmpty
+        # bridge), so convergence costs one job per round, not two.
+        # The count fallback covers a runtime whose checkpoint action
+        # bypasses the SQL-execution listener.
+        obs = Observation()
+        new_labels = trunc(
+            new_labels.observe(
+                obs, F.sum(F.col("__ch").cast("long")).alias("changed")
+            )
+        )
+        row = _row_or_none(obs)
+        if row is None:  # listener delivery is async-in-principle;
+            import time as _time  # measured synchronous in practice
+
+            for _ in range(50):
+                _time.sleep(0.01)
+                row = _row_or_none(obs)
+                if row is not None:
+                    break
+        if row is not None:
+            changed = int(row["changed"] or 0)
+        else:  # pragma: no cover - listener did not fire at all
+            changed = new_labels.filter(F.col("__ch")).limit(1).count()
         labels = new_labels.drop("__ch")
         if changed == 0:
             break
