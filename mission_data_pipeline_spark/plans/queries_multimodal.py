@@ -326,8 +326,15 @@ def _pq_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
         )
     )
-    nemb = emb.select(
-        "vec_id", F.transform("v", lambda x: x / norm).alias("v")
+    # stage the norm as its OWN column: a captured aggregate inside the
+    # transform lambda re-evaluates per element (the interpreted-HOF
+    # pitfall — O(dim^2) folds per row; same fix as text.py tfidf)
+    nemb = (
+        emb.withColumn("__norm", norm)
+        .select(
+            "vec_id",
+            F.transform("v", lambda x: x / F.col("__norm")).alias("v"),
+        )
     )
     books = pq_train_codebooks(
         nemb, m=8, k=16, vec_col="v", sample_n=1024, n_iter=8
@@ -422,8 +429,14 @@ def _pq_tie_guard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
         )
     )
-    nemb = emb.select(
-        "vec_id", F.transform("v", lambda x: x / norm).alias("v")
+    # staged __norm column: see _pq_rerank_spark (captured aggregates
+    # re-evaluate per transform element)
+    nemb = (
+        emb.withColumn("__norm", norm)
+        .select(
+            "vec_id",
+            F.transform("v", lambda x: x / F.col("__norm")).alias("v"),
+        )
     )
     base = nemb.filter(F.col("vec_id") < 3)
     clones = base.select(
