@@ -30,6 +30,13 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 
 def normalize(a: Column) -> Column:
-    """Unit-norm copy of the vector (double elements)."""
-    n = l2_norm(a)
-    return F.transform(a, lambda v: v / n)
+    """Unit-norm copy of the vector (double elements).
+
+    The norm is bound ONCE through a one-element ``transform`` before
+    the per-element division: higher-order-function lambdas evaluate
+    interpreted, and a captured aggregate re-evaluates per element
+    (O(dim^2) folds per row — the gram-operator trap)."""
+    return F.transform(
+        F.array(l2_norm(a)),
+        lambda n: F.transform(a, lambda v: v / n),
+    )[0]

@@ -1387,6 +1387,8 @@ def incremental_near_dedup(
     batch_bands: DataFrame | None = None,
     max_bucket: "int | None" = None,
     hash_grams: bool = True,
+    checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Incremental ingest near-dedup: keep only the rows of ``batch``
     that are NOT near-duplicates of the existing ``corpus`` — the
@@ -1465,18 +1467,34 @@ def incremental_near_dedup(
     # batch — e.g. the streaming gate's intra-batch dedup pass — does
     # not pay the shingle/minhash work twice. They MUST cover exactly
     # the rows of ``batch``.
+    # A gram table this operator computes ITSELF feeds three consumer
+    # subtrees (band signatures, the intersection join, the size agg)
+    # that exchange reuse cannot deduplicate — unmaterialized, the
+    # regex/shingle featurization runs three times per action.
+    # ``checkpoint`` (default) truncates lineage at each self-computed
+    # gram table (make_truncator contract; reliable ``checkpoint_dir``
+    # on a cluster). SUPPLIED frames (batch_grams / the stored index)
+    # are the caller's to materialize — the streaming gate persists its
+    # batch features, the stored index IS parquet.
+    from mission_data_pipeline_spark.operators.lineage import make_truncator
+
+    trunc = make_truncator(checkpoint_dir) if checkpoint else (lambda d: d)
     gb = (
         batch_grams.select("doc_id", "gram")
         if batch_grams is not None
-        else shingles(
-            batch, n=n, text_col=text_col, id_col=id_col,
-            hash_grams=hash_grams,
+        else trunc(
+            shingles(
+                batch, n=n, text_col=text_col, id_col=id_col,
+                hash_grams=hash_grams,
+            )
         )
     )
     if corpus_bands is None:
-        gc = shingles(
-            corpus, n=n, text_col=text_col, id_col=id_col,
-            hash_grams=hash_grams,
+        gc = trunc(
+            shingles(
+                corpus, n=n, text_col=text_col, id_col=id_col,
+                hash_grams=hash_grams,
+            )
         )
         sc = minhash_signatures(gc, num_hashes=num_hashes)
         bc = band_signatures(sc, bands=bands)
