@@ -52,21 +52,26 @@ def __getattr__(name):
 
 # Driver-check ordering (STALEST-FIRST, regenerated per round from the
 # CORRECTNESS_r0*.json history). The driver verifies the first ~50
-# QUERIES entries per round. Round 14 (VERDICT r13 item 3 + ADVICE r13):
-# slots 1-5 are the four r08-stale queries plus the plan-changed-but-
-# r09-stale x2_incremental_near_dedup_stored (the manifest format bump
-# touches its read path); slot 6 is the NEW x3_pq_tie_guard_recall
-# (252nd query — never driver-checked); slots 7-50 are 44 of the 49
-# remaining r09-stale queries in alphabetical order. The cut at 50
-# falls on slots 51-55: FIVE designated STATIC PURE-SQL roll-overs
+# QUERIES entries per round. Round 14 = the OPTIMIZATION round: the
+# overriding risk is a plan-changed query regressing, so every query
+# whose PHYSICAL PLAN this round's optimization commits touched sits
+# inside the 50-query window. Slots 1-5 keep the staleness-retirement
+# head (the four r08-stale queries + plan-changed-and-r09-stale
+# x2_incremental_near_dedup_stored); slot 6 is the NEW
+# x3_pq_tie_guard_recall (252nd query — never driver-checked, plan
+# also touched by the norm-staging fix); slots 7-26 are the remaining
+# twenty r14-plan-changed queries (materialize-once commits, the
+# Arrow-native k-means assignment, the observe()-based components
+# convergence, the PQ norm staging — see OPTIMIZATION_r14.md); slots
+# 27-45 are the stalest (r09) queries alphabetically. The cut at 50
+# falls on slots 46-50: FIVE designated STATIC PURE-SQL roll-overs
 # (set_except, set_bag_semantics_all, join_anti, join_null_safe_eq,
 # rollup_flag_status — oracle+lint+perturb-swept locally at sf0.01 AND
-# sfx1 every round by scripts/round_gate.sh), placed AT the cut this
-# time so the r13 slot-51 staleness failure (a non-roll-over rolled
-# past the window while the designated ones absorbed nothing) cannot
-# recur. Slots 56-58: this round's plan-changed-but-r13-fresh queries
-# (tie-aware recall denominator, PQ tie_extend default, compaction
-# format preservation) for any window wider than 55.
+# sfx1 every round by scripts/round_gate.sh), placed AT the cut so the
+# r13 slot-51 staleness failure mode cannot recur. The r09-stale
+# queries displaced past the cut (q1/q7/q8/... pure-SQL TPC-H family)
+# roll to r15 — an untouched-for-5-rounds SQL-both-sides query is the
+# lowest-risk thing in the library; a plan-changed one is the highest.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
@@ -76,6 +81,28 @@ _CHECK_FIRST = [
     "w_ranking_functions",
     "w_running_sum",
     "x3_pq_tie_guard_recall",  # NEW this round (252nd query)
+    # --- r14 plan-changed (optimization commits; slots 7-26) ---
+    "x3_pq_rerank_topk",
+    "x3_ann_recall_tie_aware",
+    "x3_ann_recall",
+    "x2_near_dedup_compacted_index",
+    "x2_incremental_near_dedup",
+    "g_triangle_count",
+    "x2_lsh_near_dedup_survivors",
+    "curation_shard_build_e2e",
+    "x2_substring_dedup",
+    "x2_substring_dedup_bpe",
+    "w_ewma_sharded",
+    "curation_dsir_select",
+    "g_pagerank",
+    "x3_kmeans_lloyd",
+    "x2_duplicate_components",
+    "x2_canonical_per_cluster",
+    "curation_quality_dedup",
+    "curation_quality_dedup_url",
+    "curation_leakage_safe_split",
+    "x2_semantic_dedup",
+    # --- stalest (r09) queries, alphabetical (slots 27-45) ---
     "agg_approx_percentile_bound",
     "agg_distinct_by_group",
     "agg_hll_distinct_bound",
@@ -88,7 +115,6 @@ _CHECK_FIRST = [
     "curation_content_filter",
     "curation_filter_threshold_sweep",
     "curation_normalize_text",
-    "curation_quality_dedup",
     "curation_split_assign",
     "curation_temperature_sample",
     "curation_weighted_sample",
@@ -96,6 +122,13 @@ _CHECK_FIRST = [
     "grouping_sets_mixed",
     "j_fuzzy_match_join",
     "limit_check_alarm",
+    # --- the designated static pure-SQL roll-overs AT the cut ---
+    "set_except",
+    "set_bag_semantics_all",
+    "join_anti",
+    "join_null_safe_eq",
+    "rollup_flag_status",
+    # --- r09-stale overflow for any window wider than 50 ---
     "q12_shipmode_priority",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -116,18 +149,9 @@ _CHECK_FIRST = [
     "w_ewma_smooth",
     "x1_incremental_dedup",
     "x2_embedding_near_dup",
-    "x2_substring_dedup_bpe",
     "x3_prototype_prune",
     "x4_token_count_bpe",
     "x5_frame_sample",
-    "set_except",
-    "set_bag_semantics_all",
-    "join_anti",
-    "join_null_safe_eq",
-    "rollup_flag_status",
-    "x3_ann_recall_tie_aware",
-    "x3_pq_rerank_topk",
-    "x2_near_dedup_compacted_index",
 ]
 
 # Reorder IN PLACE (ADVICE r11): rebinding this module's QUERIES to a
