@@ -95,18 +95,39 @@ class _BitReader:
         return self.bitpos // 8
 
     def read(self, nbits: int) -> int:
-        out = 0
-        for _ in range(nbits):
-            byte = self.data[self.bitpos >> 3]
-            out = (out << 1) | ((byte >> (7 - (self.bitpos & 7))) & 1)
-            self.bitpos += 1
+        # Bulk read: one bytes-slice + int.from_bytes instead of a
+        # per-bit loop (the per-bit path dominated decode wall under
+        # cProfile). Raises IndexError at exactly the old boundary —
+        # the old loop raised iff it needed a bit past the last byte,
+        # i.e. iff end > len(data) * 8.
+        if nbits == 0:
+            return 0
+        bp = self.bitpos
+        end = bp + nbits
+        d = self.data
+        if end > len(d) * 8:
+            raise IndexError("bit read past end of data")
+        out = int.from_bytes(d[bp >> 3 : (end + 7) >> 3], "big")
+        out >>= (-end) & 7
+        out &= (1 << nbits) - 1
+        self.bitpos = end
         return out
 
     def read_unary(self) -> int:
-        q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        # Byte-wise scan to the next set bit (Rice quotients are long
+        # zero runs — the old one-bit-at-a-time walk was quadratic in
+        # the run length). IndexError surfaces at the same boundary as
+        # the old reader: when every remaining bit is zero.
+        d = self.data
+        bp = self.bitpos
+        i = bp >> 3
+        b = d[i] & (0xFF >> (bp & 7))
+        while b == 0:
+            i += 1
+            b = d[i]
+        set_pos = i * 8 + (8 - b.bit_length())
+        self.bitpos = set_pos + 1
+        return set_pos - bp
 
     def align(self) -> None:
         self.bitpos = (self.bitpos + 7) & ~7
@@ -310,30 +331,55 @@ def _read_subframe(br: _BitReader, bs: int, bits: int) -> list[int] | None:
         kbits = 4 if method == 0 else 5
         porder = br.read(4)
         nparts = 1 << porder
-        coefs = _FIXED_COEFS[o]
-        idx = o
+        # Decode ALL residuals first (tight loops over the fast bulk
+        # reader), then integrate the fixed difference predictor in one
+        # order-specialized pass — the old per-sample
+        # ``sum(coefs[j] * x[...] for j ...)`` genexpr was a measured
+        # hotspot. Python-int arithmetic throughout: exact on
+        # adversarial residuals where int64 would wrap.
+        res: list[int] = []
         for p in range(nparts):
             cnt = (bs >> porder) - (o if p == 0 else 0)
             k = br.read(kbits)
             if k == (1 << kbits) - 1:  # escape: raw nbits residuals
                 raw = br.read(5)
-                for _ in range(cnt):
-                    v = br.read(raw) if raw else 0
-                    if raw and v & (1 << (raw - 1)):
-                        v -= 1 << raw
-                    x.append(
-                        v + sum(coefs[j] * x[idx - 1 - j] for j in range(o))
-                    )
-                    idx += 1
+                if raw:
+                    rsign = 1 << (raw - 1)
+                    rfull = 1 << raw
+                    for _ in range(cnt):
+                        v = br.read(raw)
+                        res.append(v - rfull if v & rsign else v)
+                else:
+                    res.extend([0] * cnt)
             else:
                 for _ in range(cnt):
-                    q = br.read_unary()
-                    u = (q << k) | (br.read(k) if k else 0)
-                    r = _unzigzag(u)
-                    x.append(
-                        r + sum(coefs[j] * x[idx - 1 - j] for j in range(o))
-                    )
-                    idx += 1
+                    u = (br.read_unary() << k) | (br.read(k) if k else 0)
+                    res.append((u >> 1) if (u & 1) == 0 else -((u + 1) >> 1))
+        if o == 0:
+            x = res
+        elif o == 1:
+            p1 = x[0]
+            for r in res:
+                p1 = r + p1
+                x.append(p1)
+        elif o == 2:
+            p2, p1 = x[0], x[1]
+            for r in res:
+                v = r + 2 * p1 - p2
+                x.append(v)
+                p2, p1 = p1, v
+        elif o == 3:
+            p3, p2, p1 = x[0], x[1], x[2]
+            for r in res:
+                v = r + 3 * p1 - 3 * p2 + p3
+                x.append(v)
+                p3, p2, p1 = p2, p1, v
+        else:  # o == 4
+            p4, p3, p2, p1 = x[0], x[1], x[2], x[3]
+            for r in res:
+                v = r + 4 * p1 - 6 * p2 + 4 * p3 - p4
+                x.append(v)
+                p4, p3, p2, p1 = p3, p2, p1, v
     else:  # LPC (32+) not in the honest subset
         return None
     return [v << wasted for v in x]

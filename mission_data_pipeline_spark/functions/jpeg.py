@@ -201,13 +201,26 @@ class _BitWriter:
 
 
 class _BitReader:
-    """Entropy-segment bit reader: un-stuffs FF00, stops at markers."""
+    """Entropy-segment bit reader: un-stuffs FF00, stops at markers.
+
+    Optimization-round shape: the accumulator holds MULTIPLE bytes so
+    Huffman symbols resolve with one 16-bit ``peek16`` + one table
+    lookup + one ``take`` instead of a per-bit loop (the pure-Python
+    per-bit path was 90% of decode wall under cProfile). Semantics are
+    unchanged: ``_fill`` still stops (without advancing) at any real
+    marker, ``peek16`` pads the window with 1-bits PAST the real data
+    but ``take`` refuses to consume virtual bits (EOFError — exactly
+    where the old per-bit reader raised), so valid streams decode
+    bit-identically and truncated/corrupt streams still abort into the
+    decoder's None sentinel."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
         self._acc = 0
         self._n = 0
+        self._ended = False  # hit a real marker / end of data
+        self._fw: list[int] = []  # input widths of recent fills (1|2)
 
     def _fill(self) -> None:
         d = self.data
@@ -218,12 +231,50 @@ class _BitReader:
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
             if nxt == 0x00:
                 self.pos += 2  # stuffed FF
+                self._fw.append(2)
             else:
                 raise EOFError  # a real marker terminates entropy data
         else:
             self.pos += 1
-        self._acc = (self._acc << 8) | b
+            self._fw.append(1)
+        if len(self._fw) > 8:
+            del self._fw[:-8]
+        # Mask away already-consumed top bits BEFORE shifting: without
+        # the trim the accumulator grows one byte per fill and every
+        # shift/mask is an O(stream) bignum op (a quadratic the old
+        # per-bit reader also had).
+        self._acc = ((self._acc & ((1 << self._n) - 1)) << 8) | b
         self._n += 8
+
+    def _ensure(self, n: int) -> None:
+        """Buffer at least ``n`` bits if that much real data exists;
+        sets ``_ended`` (without raising) at a marker/EOF boundary."""
+        while self._n < n and not self._ended:
+            try:
+                self._fill()
+            except EOFError:
+                self._ended = True
+
+    def peek16(self) -> int:
+        """Next 16 bits without consuming; 1-padded past end-of-data
+        (padding is only ever *peeked* — ``take`` guards consumption)."""
+        self._ensure(16)
+        n = self._n
+        if n >= 16:
+            return (self._acc >> (n - 16)) & 0xFFFF
+        pad = 16 - n
+        return ((self._acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+
+    def take(self, n: int) -> int:
+        """Consume ``n`` already-buffered REAL bits (EOFError if fewer
+        remain — the old reader's per-bit fill raised at the same
+        boundary)."""
+        if n > self._n:
+            self._ensure(n)
+            if n > self._n:
+                raise EOFError
+        self._n -= n
+        return (self._acc >> self._n) & ((1 << n) - 1)
 
     def bit(self) -> int:
         if self._n == 0:
@@ -232,15 +283,27 @@ class _BitReader:
         return (self._acc >> self._n) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if n == 0:
+            return 0
+        return self.take(n)
 
     def sync_restart(self, m: int) -> None:
-        """Byte-align and consume the expected RSTm marker."""
+        """Byte-align and consume the expected RSTm marker.
+
+        Prefetch compensation: the multi-byte accumulator may hold whole
+        input bytes no bit was ever consumed from; the pre-LUT reader
+        checked for the marker right after the last byte it actually
+        touched, so rewind over the untouched fills (each 1 input byte,
+        or 2 for a stuffed FF00) to keep accept/reject behavior on
+        corrupt streams byte-identical."""
+        untouched = self._n >> 3
+        if untouched:
+            for w in self._fw[-untouched:]:
+                self.pos -= w
+        self._fw.clear()
         self._acc = 0
         self._n = 0
+        self._ended = False
         d = self.data
         if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
             raise ValueError("expected restart marker")
@@ -280,14 +343,34 @@ def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], 
     return out
 
 
-def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _huff_lut(bits: list[int], vals: list[int]) -> list[int]:
+    """16-bit-prefix decode table: ``lut[peek16] = (symbol << 5) | len``
+    (0 = no code owns that prefix → invalid stream). A canonical JPEG
+    Huffman code of length ``ln`` owns the ``2**(16-ln)`` window
+    prefixes that start with it, so one peek + one list index replaces
+    the per-bit tree walk; the prefix property makes the lookup result
+    identical to the old first-match bit-by-bit scan. Slice-assignment
+    build is ~C-speed (65k entries, < 1 ms per table)."""
+    lut = [0] * 65536
     code = 0
+    k = 0
     for ln in range(1, 17):
-        code = (code << 1) | r.bit()
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+        span = 1 << (16 - ln)
+        for _ in range(bits[ln - 1]):
+            base = code << (16 - ln)
+            lut[base : base + span] = [(vals[k] << 5) | ln] * span
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+def _read_symbol(r: _BitReader, lut: list[int]) -> int:
+    packed = lut[r.peek16()]
+    if packed == 0:
+        raise ValueError("invalid Huffman code")
+    r.take(packed & 31)
+    return packed >> 5
 
 
 def _category(v: int) -> int:
@@ -547,7 +630,7 @@ def _decode(payload: bytes | None):
                 vals = list(body[i + 17 : i + 17 + n])
                 if len(bits) != 16 or len(vals) != n:
                     return None
-                huff[(cls, tid)] = _huff_decode_map(bits, vals)
+                huff[(cls, tid)] = _huff_lut(bits, vals)
                 i += 17 + n
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
             sof = body
@@ -604,6 +687,7 @@ def _decode_scan(d, pos, sos, sof, qtabs, huff, restart_interval):
             (n_mcuy * c["v"] * 8, n_mcux * c["h"] * 8), dtype=np.float64
         )
         c["pred"] = 0
+        c["qf"] = c["q"].astype(np.float64)  # hoisted out of the MCU loop
 
     r = _BitReader(d, pos)
     mcu_count = 0
@@ -616,7 +700,7 @@ def _decode_scan(d, pos, sos, sof, qtabs, huff, restart_interval):
                 for c in comps:
                     c["pred"] = 0
             for c in order:
-                q = c["q"].astype(np.float64)
+                q = c["qf"]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.float64)
