@@ -1141,6 +1141,15 @@ def _budget_select_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_stopwords"),
         F.size("__t").cast("long").alias("n_words"),
     )
+    # The tokenize + stopword-intersect pass otherwise executes TWICE —
+    # once for this budget action and again when budget_select
+    # materializes its range partitioning. Truncating the (3 narrow
+    # columns) signal table here makes the corpus pass run once and
+    # both consumers read the materialized rows (guide §2.4/§5, the
+    # round-14 duplicate-subtree pattern).
+    from mission_data_pipeline_spark.operators.lineage import make_truncator
+
+    sig = make_truncator(None)(sig)
     budget = sig.agg(F.sum("n_words")).first()[0] // 5
     out = budget_select(
         sig,
