@@ -14,7 +14,7 @@ results are exactly reproducible across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -35,42 +35,55 @@ def funnel_depths(
     Returns ``(user_id, funnel_depth)`` for every user present in
     ``events`` — depth 0 means the user never hit ``stages[0]``.
 
-    Implementation: stage 1 is a filtered min-ts groupBy; each later
-    stage joins the previous stage's per-user frontier time and takes
-    the min qualifying ts. All joins are equi-joins on the user key;
-    with u users and k stages the cost is k filtered scans + k
-    user-keyed shuffles, independent of per-user event counts beyond
-    the scan itself.
+    Implementation (round-14 single-pass shape): ONE scan and ONE
+    user-keyed shuffle. The per-stage frontier chain ("min qualifying
+    ts of stage i+1 strictly after the earliest qualifying stage-i
+    event") is equivalent to a cumulative-window formulation — an event
+    of stage i+1 qualifies iff SOME qualifying stage-i event happened
+    strictly before it (the earliest one is then ≤ that witness), so a
+    strict-past ``RANGE`` frame (``rangeBetween(unboundedPreceding,
+    -1)`` on the numeric ts — equal timestamps are excluded, preserving
+    the strictly-after tie rule the pytest pins) carries each stage's
+    qualification forward. All k window mins share one partitioning +
+    sort; the final per-user aggregate reuses the same partitioning, so
+    the whole funnel is scan → one exchange → sort → k stacked Window
+    ops → map-side-preserved aggregate. The previous shape was k
+    filtered scans + k user-keyed join shuffles (7 parquet scans in the
+    executed plan at k=3); this one never reads the input twice.
     """
     if len(stages) < 2:
         raise ValueError("funnel needs at least two stages")
     if len(set(stages)) != len(stages):
         raise ValueError(f"stages must be distinct, got {stages}")
-    uid = F.col(user_col)
-    frontier = (
-        events.filter(F.col(type_col) == stages[0])
-        .groupBy(uid.alias("user_id"))
-        .agg(F.min(ts_col).alias("t"))
+    cur = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__type"),
     )
-    reached = [frontier]
-    for stage in stages[1:]:
-        frontier = (
-            events.filter(F.col(type_col) == stage)
-            .select(uid.alias("user_id"), F.col(ts_col).alias("__ts"))
-            .join(frontier.select("user_id", "t"), "user_id")
-            .filter(F.col("__ts") > F.col("t"))
-            .groupBy("user_id")
-            .agg(F.min("__ts").alias("t"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__ts")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    cur = cur.withColumn(
+        "__q0", F.when(F.col("__type") == stages[0], F.col("__ts"))
+    )
+    for i, stage in enumerate(stages[1:], start=1):
+        cur = cur.withColumn(
+            f"__q{i}",
+            F.when(
+                (F.col("__type") == stage)
+                & F.min(f"__q{i - 1}").over(w).isNotNull(),
+                F.col("__ts"),
+            ),
         )
-        reached.append(frontier)
-    out = events.select(uid.alias("user_id")).distinct()
+    agg = cur.groupBy("user_id").agg(
+        *[F.max(f"__q{i}").alias(f"__q{i}") for i in range(len(stages))]
+    )
     depth = F.lit(0)
-    for i, r in enumerate(reached):
-        out = out.join(
-            r.select("user_id", F.lit(True).alias(f"__s{i}")), "user_id", "left"
-        )
-        depth = F.when(F.col(f"__s{i}"), i + 1).otherwise(depth)
-    return out.select("user_id", depth.alias("funnel_depth"))
+    for i in range(len(stages)):
+        depth = F.when(F.col(f"__q{i}").isNotNull(), i + 1).otherwise(depth)
+    return agg.select("user_id", depth.alias("funnel_depth"))
 
 
 def retention_cohorts(
