@@ -580,6 +580,8 @@ def duplicate_span_fraction(
     n: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact substring duplication per document (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): the
@@ -618,6 +620,18 @@ def duplicate_span_fraction(
     grams = staged.select(
         "doc_id", F.explode(gram_list).alias("gram")
     ).select("doc_id", F.xxhash64("gram").alias("__gh"))
+    if checkpoint:
+        # The hashed gram table feeds THREE subtrees (per-doc totals,
+        # cross-doc occurrence counts, the dup tag-back join); without
+        # truncation each consumer re-runs the n-token concat_ws
+        # explode — the most expensive projection in the operator
+        # (round-14 duplicate-subtree pattern, same as
+        # exact_substring_dedup's gram table).
+        from mission_data_pipeline_spark.operators.lineage import (
+            make_truncator,
+        )
+
+        grams = make_truncator(checkpoint_dir)(grams)
     per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     cross = grams.groupBy("__gh").agg(
         F.count_distinct("doc_id").alias("__nd")

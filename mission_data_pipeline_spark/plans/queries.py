@@ -102,7 +102,12 @@ _CHECK_FIRST = [
     "curation_quality_dedup_url",
     "curation_leakage_safe_split",
     "x2_semantic_dedup",
-    # --- stalest (r09) queries, alphabetical (slots 27-45) ---
+    # --- r14 session-3 plan-changed (slots 27-30) ---
+    "w_funnel_depth_histogram",
+    "x2_duplicate_span_fraction",
+    "x3_text_embed_ann",
+    "curation_token_budget_select",
+    # --- stalest (r09) queries, alphabetical (slots 31-45) ---
     "agg_approx_percentile_bound",
     "agg_distinct_by_group",
     "agg_hll_distinct_bound",
@@ -118,10 +123,6 @@ _CHECK_FIRST = [
     "curation_split_assign",
     "curation_temperature_sample",
     "curation_weighted_sample",
-    "decode_golden_matrix",
-    "grouping_sets_mixed",
-    "j_fuzzy_match_join",
-    "limit_check_alarm",
     # --- the designated static pure-SQL roll-overs AT the cut ---
     "set_except",
     "set_bag_semantics_all",
@@ -129,6 +130,10 @@ _CHECK_FIRST = [
     "join_null_safe_eq",
     "rollup_flag_status",
     # --- r09-stale overflow for any window wider than 50 ---
+    "decode_golden_matrix",
+    "grouping_sets_mixed",
+    "j_fuzzy_match_join",
+    "limit_check_alarm",
     "q12_shipmode_priority",
     "q13_customer_distribution",
     "q15_top_supplier",

@@ -1641,6 +1641,13 @@ def _text_embed_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = spark.table("documents").filter(F.col("doc_id") < 200)
     vecs = embed_text_hashed(docs, dim=64, seed=0)
+    # The full TF-IDF embed pipeline feeds BOTH join sides (corpus scan
+    # and the broadcast query batch) — truncate the tiny dense-vector
+    # table once so the featurization executes once (round-14
+    # duplicate-subtree pattern; 6 parquet scans -> 1 embed pass).
+    from mission_data_pipeline_spark.operators.lineage import make_truncator
+
+    vecs = make_truncator(None)(vecs)
     q = vecs.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
     )
