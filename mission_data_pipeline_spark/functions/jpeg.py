@@ -365,6 +365,27 @@ def _huff_lut(bits: list[int], vals: list[int]) -> list[int]:
     return lut
 
 
+#: (bits||vals bytes) -> prefix LUT. Building a 65k-entry LUT costs
+#: ~1 ms — more than decoding a tiny (sub-32px) frame outright — but
+#: MJPEG streams reuse one DHT across every frame and most encoders
+#: ship the standard Annex-K tables, so a keyed memo amortizes the
+#: build to once per table per Python worker (guide §4.5: heavyweight
+#: init once, cached in a module-level global).
+_LUT_CACHE: dict[bytes, list[int]] = {}
+_LUT_CACHE_MAX = 64
+
+
+def _huff_lut_cached(bits: list[int], vals: list[int]) -> list[int]:
+    key = bytes(bits) + bytes(vals)
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+            _LUT_CACHE.clear()
+        lut = _huff_lut(bits, vals)
+        _LUT_CACHE[key] = lut
+    return lut
+
+
 def _read_symbol(r: _BitReader, lut: list[int]) -> int:
     packed = lut[r.peek16()]
     if packed == 0:
@@ -630,7 +651,7 @@ def _decode(payload: bytes | None):
                 vals = list(body[i + 17 : i + 17 + n])
                 if len(bits) != 16 or len(vals) != n:
                     return None
-                huff[(cls, tid)] = _huff_lut(bits, vals)
+                huff[(cls, tid)] = _huff_lut_cached(bits, vals)
                 i += 17 + n
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
             sof = body
