@@ -336,6 +336,14 @@ def _pq_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("v", lambda x: x / F.col("__norm")).alias("v"),
         )
     )
+    # The normalized table feeds FIVE consumers (codebook sample
+    # collect, the encode pass, the rerank vector fetch, the query
+    # batch, plus ann_recall's approx side) — truncate it once so the
+    # cast + normalize HOF pass executes once (round-14 duplicate-
+    # subtree pattern; interleaved A/B median 3.26 -> 1.90 s).
+    from mission_data_pipeline_spark.operators.lineage import make_truncator
+
+    nemb = make_truncator(None)(nemb)
     books = pq_train_codebooks(
         nemb, m=8, k=16, vec_col="v", sample_n=1024, n_iter=8
     )
@@ -438,6 +446,12 @@ def _pq_tie_guard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("v", lambda x: x / F.col("__norm")).alias("v"),
         )
     )
+    # truncate once: the normalized table feeds the clone synthesis,
+    # the codebook sample, the encode pass, both rerank sides and the
+    # tie-extended ground truth (see _pq_rerank_spark)
+    from mission_data_pipeline_spark.operators.lineage import make_truncator
+
+    nemb = make_truncator(None)(nemb)
     base = nemb.filter(F.col("vec_id") < 3)
     clones = base.select(
         "vec_id", "v",
