@@ -378,6 +378,14 @@ def _ann_recall_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
+    # The cast table feeds ~8 consumers (query collect, exact, LSH and
+    # IVF corpus passes, centroid derivation); truncate the INPUT once
+    # (session 2 tried checkpointing the 25-row exact RESULT — a loss;
+    # the input-side barrier measures a consistent 6-9% win because it
+    # also dedups the scan+cast under LSH/IVF/centroids).
+    from mission_data_pipeline_spark.operators.lineage import make_truncator
+
+    emb = make_truncator(None)(emb)
     q = emb.filter(F.col("vec_id") < 5)
 
     exact = cosine_topk(emb, q, k=5, round_digits=6)
