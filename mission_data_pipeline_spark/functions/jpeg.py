@@ -276,12 +276,6 @@ class _BitReader:
         self._n -= n
         return (self._acc >> self._n) & ((1 << n) - 1)
 
-    def bit(self) -> int:
-        if self._n == 0:
-            self._fill()
-        self._n -= 1
-        return (self._acc >> self._n) & 1
-
     def bits(self, n: int) -> int:
         if n == 0:
             return 0
@@ -704,11 +698,18 @@ def _decode_scan(d, pos, sos, sof, qtabs, huff, restart_interval):
     n_mcux = -(-w // (8 * hmax))
     n_mcuy = -(-h // (8 * vmax))
     for c in comps:
-        c["plane"] = np.zeros(
-            (n_mcuy * c["v"] * 8, n_mcux * c["h"] * 8), dtype=np.float64
-        )
         c["pred"] = 0
-        c["qf"] = c["q"].astype(np.float64)  # hoisted out of the MCU loop
+        c["qf"] = c["q"].astype(np.float64)
+        # Sparse coefficient accumulation: the entropy loop appends
+        # (flat zigzag index, amplitude) pairs per component; dequantize,
+        # IDCT and plane placement happen ONCE per component as batched
+        # NumPy after the scan, not per 8x8 block (guide §4.2 — one
+        # broadcast matmul over (nb, 8, 8) is bit-identical to the
+        # per-block ``_A.T @ M @ _A``, verified, and removes the
+        # per-block zeros/reshape/matmul/placement Python overhead).
+        c["bi"] = 0  # running block index within this component
+        c["cidx"] = []  # flat index: block_index * 64 + zigzag position
+        c["cval"] = []  # signed amplitude (DC: the running predictor)
 
     r = _BitReader(d, pos)
     mcu_count = 0
@@ -721,39 +722,52 @@ def _decode_scan(d, pos, sos, sof, qtabs, huff, restart_interval):
                 for c in comps:
                     c["pred"] = 0
             for c in order:
-                q = c["qf"]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        size = _read_symbol(r, c["dc"])
-                        if size > 11:
+                idx, val = c["cidx"], c["cval"]
+                for _blk in range(c["v"] * c["h"]):
+                    base = c["bi"] << 6
+                    c["bi"] += 1
+                    size = _read_symbol(r, c["dc"])
+                    if size > 11:
+                        return None
+                    diff = _extend(r.bits(size), size) if size else 0
+                    c["pred"] += diff
+                    idx.append(base)
+                    val.append(c["pred"])
+                    k = 1
+                    while k < 64:
+                        sym = _read_symbol(r, c["ac"])
+                        run, size = sym >> 4, sym & 0xF
+                        if size == 0:
+                            if run == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
                             return None
-                        diff = _extend(r.bits(size), size) if size else 0
-                        c["pred"] += diff
-                        zz[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            sym = _read_symbol(r, c["ac"])
-                            run, size = sym >> 4, sym & 0xF
-                            if size == 0:
-                                if run == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                return None
-                            zz[k] = _extend(r.bits(size), size)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZIGZAG] = zz
-                        block = _A.T @ (coef.reshape(8, 8) * q) @ _A
-                        # determinism snap — see the encoder-side comment
-                        block = np.floor(block * 1000.0 + 0.5) / 1000.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
+                        idx.append(base + k)
+                        val.append(_extend(r.bits(size), size))
+                        k += 1
             mcu_count += 1
+
+    # batched dequantize + IDCT + placement, one pass per component
+    for c in comps:
+        nb = c["bi"]
+        zz = np.zeros(nb * 64, dtype=np.float64)
+        zz[np.array(c["cidx"], dtype=np.int64)] = np.array(
+            c["cval"], dtype=np.float64
+        )
+        coefs = np.zeros((nb, 64), dtype=np.float64)
+        coefs[:, _ZIGZAG] = zz.reshape(nb, 64)
+        blocks = _A.T @ (coefs.reshape(nb, 8, 8) * c["qf"]) @ _A
+        # determinism snap — see the encoder-side comment
+        blocks = np.floor(blocks * 1000.0 + 0.5) / 1000.0
+        cv, ch_ = c["v"], c["h"]
+        c["plane"] = (
+            blocks.reshape(n_mcuy, n_mcux, cv, ch_, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(n_mcuy * cv * 8, n_mcux * ch_ * 8)
+        )
 
     # reconstruct samples: +128 level shift, half-up round, clamp
     planes = []

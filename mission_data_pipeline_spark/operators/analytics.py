@@ -5,10 +5,11 @@ DataFrame aggregation chains (SURVEY §2.5 A*/W+ extensions — the
 reference aggregates single events; these measure ordered behavior
 across events).
 
-Scale shape: every stage is a (user-keyed) groupBy or join on the key
-the previous stage already hashed on — the event table is scanned once
-per funnel stage with a pushed-down event-type filter, and nothing is
-ever collected driver-side. Timestamps stay integer microseconds, so
+Scale shape: the funnel is ONE scan and ONE user-keyed shuffle (k
+stacked strict-past window mins sharing a single partitioning + sort,
+the per-user aggregate reusing it — see ``funnel_depths``); retention
+is one min-groupBy + one user-keyed join back. Nothing is ever
+collected driver-side. Timestamps stay integer microseconds, so
 results are exactly reproducible across engines.
 """
 
@@ -55,9 +56,18 @@ def funnel_depths(
         raise ValueError("funnel needs at least two stages")
     if len(set(stages)) != len(stages):
         raise ValueError(f"stages must be distinct, got {stages}")
+    # The strict-past RANGE frame needs a NUMERIC orderBy column; a
+    # TimestampType ts (supported by the pre-r14 join formulation) is
+    # mapped to epoch microseconds — full precision, same strictly-
+    # after tie rule. Numeric inputs pass through untouched.
+    from pyspark.sql.types import TimestampType
+
+    ts = F.col(ts_col)
+    if isinstance(events.schema[ts_col].dataType, TimestampType):
+        ts = F.unix_micros(ts)
     cur = events.select(
         F.col(user_col).alias("user_id"),
-        F.col(ts_col).alias("__ts"),
+        ts.alias("__ts"),
         F.col(type_col).alias("__type"),
     )
     w = (

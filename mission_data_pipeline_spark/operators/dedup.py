@@ -599,6 +599,14 @@ def duplicate_span_fraction(
     ~4x at 10x bench scale); a 64-bit collision could only overcount a
     span as duplicated, never lose one, and the oracle's exact
     string-grouped twin would surface it.
+
+    ``checkpoint=True`` (default) makes the call EAGER — the hashed gram
+    table materializes via ``localCheckpoint`` at call time (a Spark job
+    runs before any action on the result, and the blocks are executor-
+    local, not fault-tolerant). Library callers that need a fully lazy
+    plan pass ``checkpoint=False``; cluster runs that need executor-loss
+    safety pass a reliable ``checkpoint_dir`` — the same tradeoff as
+    ``exact_substring_dedup_tokens``.
     """
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")

@@ -26,11 +26,18 @@ is enabled; otherwise the caller owns the directory's lifecycle.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame
 
-__all__ = ["make_truncator"]
+__all__ = ["make_truncator", "query_truncator", "CHECKPOINT_DIR_ENV"]
+
+#: Environment knob for DECLARED QUERY paths (the library operators all
+#: take an explicit ``checkpoint_dir`` parameter; the query callables
+#: have a fixed signature, so cluster runs opt into reliable
+#: checkpoints via this env var instead of editing queries).
+CHECKPOINT_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
 
 
 def make_truncator(
@@ -51,3 +58,12 @@ def make_truncator(
         return df.checkpoint(eager=True)
 
     return reliable
+
+
+def query_truncator() -> Callable[[DataFrame], DataFrame]:
+    """Truncator for DECLARED QUERY call sites: reads the reliable
+    checkpoint directory from ``$SPARK_GRAFT_CHECKPOINT_DIR`` (unset or
+    empty → ``localCheckpoint``, the right local-mode default). Cluster
+    deployments set the env var once and every query-path truncation
+    becomes executor-loss-safe without editing query code."""
+    return make_truncator(os.environ.get(CHECKPOINT_DIR_ENV) or None)

@@ -1083,6 +1083,7 @@ def heldout_backoff_logprob(
     alpha: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    single_pass_train: bool = False,
 ) -> DataFrame:
     """Held-out LM scoring with stupid backoff (Brants et al. 2007) —
     the real shape of the CCNet/KenLM perplexity filter: the language
@@ -1108,6 +1109,19 @@ def heldout_backoff_logprob(
     shuffles/joins key on ``xxhash64`` of the gram/word, never strings;
     the train-side count tables are vocabulary-sized; DECIMAL-exact
     contribution sums for the oracle.
+
+    ``single_pass_train=True`` restructures the TRAIN side for corpus
+    scale: the default plan explodes the train corpus twice per action
+    per consumer (the gram explode feeds the cb and ch aggregates
+    through different subtrees, the token explode feeds cf and ctot),
+    while the single-pass form derives ``cb``/``ch`` from ONE
+    vocabulary-sized (gh, hh) pair-count table and ``ctot`` from ``cf``
+    — two full corpus explodes become one each, with only extra
+    vocabulary-sized shuffles in exchange. Results are identical
+    (pinned by a pytest); measured ~10-20% SLOWER at sf0.1 where the
+    explodes are cheap and the extra shuffle barrier dominates, which
+    is why it is opt-in rather than the default (r14 OPTIMIZATION log,
+    "LM scorers" entry; re-measured at sfx10 in r15).
     """
     from mission_data_pipeline_spark.operators.dedup import word_ngrams
 
@@ -1126,13 +1140,27 @@ def heldout_backoff_logprob(
         F.xxhash64("gram").alias("gh"),
         F.xxhash64(F.substring_index("gram", " ", 1)).alias("hh"),
     )
-    cb = tg.groupBy("gh").agg(F.count("*").cast("double").alias("cb"))
-    ch = tg.groupBy("hh").agg(F.count("*").cast("double").alias("ch"))
     tt = toks_of(docs_train)
     cf = tt.groupBy(F.xxhash64("w").alias("wh")).agg(
         F.count("*").cast("double").alias("cf")
     )
-    ctot = tt.agg(F.count("*").cast("double").alias("ctot"))
+    if single_pass_train:
+        # one (gh, hh) pair-count shuffle over the gram table; gh is a
+        # hash of the full bigram so it determines hh up to 64-bit
+        # collisions — cb still groups by gh alone so a collision
+        # cannot change the count vs the two-pass form
+        pc = tg.groupBy("gh", "hh").agg(F.count("*").alias("__n"))
+        cb = pc.groupBy("gh").agg(F.sum("__n").cast("double").alias("cb"))
+        ch = pc.groupBy("hh").agg(F.sum("__n").cast("double").alias("ch"))
+        # coalesce: sum over an EMPTY vocab is NULL where count(*) on
+        # the empty token table is 0 — keep the two forms identical
+        ctot = cf.agg(
+            F.coalesce(F.sum("cf"), F.lit(0.0)).cast("double").alias("ctot")
+        )
+    else:
+        cb = tg.groupBy("gh").agg(F.count("*").cast("double").alias("cb"))
+        ch = tg.groupBy("hh").agg(F.count("*").cast("double").alias("ch"))
+        ctot = tt.agg(F.count("*").cast("double").alias("ctot"))
 
     sg = grams_of(docs_score).select(
         "doc_id",

@@ -1147,9 +1147,9 @@ def _budget_select_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columns) signal table here makes the corpus pass run once and
     # both consumers read the materialized rows (guide §2.4/§5, the
     # round-14 duplicate-subtree pattern).
-    from mission_data_pipeline_spark.operators.lineage import make_truncator
+    from mission_data_pipeline_spark.operators.lineage import query_truncator
 
-    sig = make_truncator(None)(sig)
+    sig = query_truncator()(sig)
     budget = sig.agg(F.sum("n_words")).first()[0] // 5
     out = budget_select(
         sig,
@@ -1645,9 +1645,9 @@ def _text_embed_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the broadcast query batch) — truncate the tiny dense-vector
     # table once so the featurization executes once (round-14
     # duplicate-subtree pattern; 6 parquet scans -> 1 embed pass).
-    from mission_data_pipeline_spark.operators.lineage import make_truncator
+    from mission_data_pipeline_spark.operators.lineage import query_truncator
 
-    vecs = make_truncator(None)(vecs)
+    vecs = query_truncator()(vecs)
     q = vecs.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
     )

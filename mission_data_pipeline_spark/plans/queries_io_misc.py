@@ -809,7 +809,9 @@ def _triangle_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch and the total row, so the wedge join runs exactly once.
     # The total is sum(n_tri) DIV 3 (every triangle contributes exactly
     # 3 corner rows — integer-exact), replacing a second pass over tri.
-    node_counts = (
+    from mission_data_pipeline_spark.operators.lineage import query_truncator
+
+    node_counts = query_truncator()(
         tri.select(
             F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
                 "node"
@@ -817,7 +819,6 @@ def _triangle_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("node")
         .agg(F.count("*").alias("n_tri"))
-        .localCheckpoint(eager=True)
     )
     pernode = node_counts.orderBy(F.desc("n_tri"), "node").limit(10)
     total = node_counts.agg(

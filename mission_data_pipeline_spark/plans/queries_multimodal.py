@@ -341,9 +341,9 @@ def _pq_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch, plus ann_recall's approx side) — truncate it once so the
     # cast + normalize HOF pass executes once (round-14 duplicate-
     # subtree pattern; interleaved A/B median 3.26 -> 1.90 s).
-    from mission_data_pipeline_spark.operators.lineage import make_truncator
+    from mission_data_pipeline_spark.operators.lineage import query_truncator
 
-    nemb = make_truncator(None)(nemb)
+    nemb = query_truncator()(nemb)
     books = pq_train_codebooks(
         nemb, m=8, k=16, vec_col="v", sample_n=1024, n_iter=8
     )
@@ -449,9 +449,9 @@ def _pq_tie_guard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncate once: the normalized table feeds the clone synthesis,
     # the codebook sample, the encode pass, both rerank sides and the
     # tie-extended ground truth (see _pq_rerank_spark)
-    from mission_data_pipeline_spark.operators.lineage import make_truncator
+    from mission_data_pipeline_spark.operators.lineage import query_truncator
 
-    nemb = make_truncator(None)(nemb)
+    nemb = query_truncator()(nemb)
     base = nemb.filter(F.col("vec_id") < 3)
     clones = base.select(
         "vec_id", "v",

@@ -383,9 +383,9 @@ def _ann_recall_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (session 2 tried checkpointing the 25-row exact RESULT — a loss;
     # the input-side barrier measures a consistent 6-9% win because it
     # also dedups the scan+cast under LSH/IVF/centroids).
-    from mission_data_pipeline_spark.operators.lineage import make_truncator
+    from mission_data_pipeline_spark.operators.lineage import query_truncator
 
-    emb = make_truncator(None)(emb)
+    emb = query_truncator()(emb)
     q = emb.filter(F.col("vec_id") < 5)
 
     exact = cosine_topk(emb, q, k=5, round_digits=6)

@@ -1,8 +1,9 @@
-"""Dump .explain("formatted") for declared queries to plans/r14/.
+"""Dump .explain("formatted") for declared queries to plans/<round>/.
 
 Usage: python scripts/dump_plans.py SUFFIX [name ...]
 
-Writes /root/repo/plans/r14/<query>_<SUFFIX>.txt for each named query
+Writes /root/repo/plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<SUFFIX>.txt
+(default round: r15) for each named query
 (default: the optimization-round working set). The judge cannot run
 Spark; these files are the committed evidence for plan-shape claims
 (Exchange counts, join strategies, PushedFilters, Python-eval nodes).
@@ -26,7 +27,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="mdps-dump-plans")

@@ -155,6 +155,31 @@ def test_funnel_depths_strict_ordering(spark):
     assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1}
 
 
+def test_funnel_depths_timestamp_ts_col(spark):
+    """TimestampType ts (supported by the pre-r14 join formulation) must
+    keep working: mapped to epoch micros for the numeric RANGE frame,
+    full precision, same strictly-after rule for equal timestamps."""
+    from pyspark.sql import functions as F
+
+    from mission_data_pipeline_spark.operators.analytics import funnel_depths
+
+    rows = [
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        (2, "view", 10), (2, "purchase", 15), (2, "click", 20),
+        (5, "view", 10), (5, "click", 10),  # equal ts -> strictly-after
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, us long"
+    ).select("user_id", "event_type", F.timestamp_micros("us").alias("ts"))
+    got = {
+        r["user_id"]: r["funnel_depth"]
+        for r in funnel_depths(
+            df, ["view", "click", "purchase"], ts_col="ts"
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 5: 1}
+
+
 def test_funnel_depths_validates_stages(spark):
     import pytest as _pytest
 

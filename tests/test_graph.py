@@ -70,6 +70,33 @@ def test_pagerank_reliable_checkpoint_dir(spark, tmp_path):
     assert found, "no reliable checkpoint files written"
 
 
+def test_query_truncator_env_plumbing(spark, tmp_path, monkeypatch):
+    """query_truncator() (the declared-query truncation entrypoint)
+    must route through reliable RDD checkpointing when
+    $SPARK_GRAFT_CHECKPOINT_DIR is set, and localCheckpoint otherwise —
+    result-identical both ways, files landing in the reliable dir."""
+    import os
+
+    from mission_data_pipeline_spark.operators.lineage import (
+        CHECKPOINT_DIR_ENV,
+        query_truncator,
+    )
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    monkeypatch.delenv(CHECKPOINT_DIR_ENV, raising=False)
+    local = query_truncator()(df)
+    assert local.count() == 100
+
+    ckpt = str(tmp_path / "q_ckpt")
+    monkeypatch.setenv(CHECKPOINT_DIR_ENV, ckpt)
+    reliable = query_truncator()(df)
+    assert sorted(map(tuple, reliable.collect())) == sorted(
+        map(tuple, local.collect())
+    )
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no reliable checkpoint files written"
+
+
 def _brute_triangles(edges):
     adj = {}
     for u, v in edges:

@@ -604,6 +604,37 @@ def test_heldout_backoff_branches(spark):
     assert abs(r["neg_logprob"] - exp) < 1e-5
 
 
+def test_heldout_backoff_single_pass_train_identical(spark):
+    """single_pass_train=True (one (gh,hh) pair-count table deriving
+    cb/ch, ctot from cf — the corpus-scale shape) must produce exactly
+    the default two-pass form's rows, all three branches included."""
+    from mission_data_pipeline_spark.operators.text import (
+        heldout_backoff_logprob,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "c d e e e"), (3, "")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(10, "a b z a"), (11, "e e q"), (12, "solo")],
+        "doc_id long, text string",
+    )
+    two = sorted(
+        map(tuple, heldout_backoff_logprob(train, score).collect())
+    )
+    one = sorted(
+        map(
+            tuple,
+            heldout_backoff_logprob(
+                train, score, single_pass_train=True
+            ).collect(),
+        )
+    )
+    assert one == two
+    assert len(two) == 2  # doc 12 has no bigrams
+
+
 def test_canonicalize_url_variants(spark):
     from mission_data_pipeline_spark.operators.text import (
         canonicalize_url,
