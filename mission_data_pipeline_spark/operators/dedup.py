@@ -883,7 +883,7 @@ def exact_substring_dedup_tokens(
     k: int = 12,
     tokens_col: str = "toks",
     id_col: str = "doc_id",
-    checkpoint: bool = True,
+    checkpoint: bool = False,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Core ExactSubstr span surgery over pre-tokenized documents
@@ -923,15 +923,23 @@ def exact_substring_dedup_tokens(
     under overlap: the kept occurrence's tokens may still be removed
     if a *different* duplicated gram covers them.
 
-    The gram table (posexplode + k-wide lead window — the expensive
-    featurization) is materialized once (``checkpoint``; reliable
-    ``checkpoint_dir`` on a cluster): it feeds both the occurrence
-    aggregate and the join back that tags removable occurrences, and
-    the two consumers shuffle it on ``__gh`` through DIFFERENT subtrees
-    (one has a partial agg below the exchange), so exchange reuse
-    cannot deduplicate them — unmaterialized, the token explode and
-    the per-doc sort/lead window run twice. ``checkpoint=False`` keeps
-    full lineage (tests only).
+    The gram table (posexplode + k-wide lead window) feeds both the
+    occurrence aggregate and the join back that tags removable
+    occurrences through DIFFERENT subtrees (one has a partial agg below
+    its exchange), so exchange reuse cannot deduplicate them —
+    unmaterialized, the token explode and the per-doc sort/lead window
+    run twice per action. ``checkpoint=True`` materializes it once
+    instead (``localCheckpoint``, or reliable ``checkpoint_dir`` on a
+    cluster). The DEFAULT is ``False`` — recompute-twice — because the
+    duplicated subtree is pure whole-stage-codegen expression work over
+    a compressed columnar scan, and the block-manager round trip LOSES
+    to recomputation as the corpus grows: interleaved calm-box A/B
+    (r15) measured checkpoint 1.2x FASTER at sf0.1 (med 2.28 vs 2.80 s,
+    fixed costs dominate) but 1.5x SLOWER at sfx10 (med 6.39 vs 4.30 s;
+    ``persist(MEMORY_AND_DISK)`` also slower at 4.69) — the scale
+    direction, which is what matters at 100 TB, favors lineage. Pass
+    ``checkpoint=True`` only for small corpora with expensive
+    tokenization upstream.
     """
     from mission_data_pipeline_spark.operators.lineage import make_truncator
 

@@ -52,84 +52,40 @@ def __getattr__(name):
 
 # Driver-check ordering (STALEST-FIRST, regenerated per round from the
 # CORRECTNESS_r0*.json history). The driver verifies the first ~50
-# QUERIES entries per round. Round 14 = the OPTIMIZATION round: the
-# overriding risk is a plan-changed query regressing, so every query
-# whose PHYSICAL PLAN this round's optimization commits touched sits
-# inside the 50-query window. Slots 1-5 keep the staleness-retirement
-# head (the four r08-stale queries + plan-changed-and-r09-stale
-# x2_incremental_near_dedup_stored); slot 6 is the NEW
-# x3_pq_tie_guard_recall (252nd query — never driver-checked, plan
-# also touched by the norm-staging fix); slots 7-26 are the remaining
-# twenty r14-plan-changed queries (materialize-once commits, the
-# Arrow-native k-means assignment, the observe()-based components
-# convergence, the PQ norm staging — see OPTIMIZATION_r14.md); slots
-# 27-45 are the stalest (r09) queries alphabetically. The cut at 50
-# falls on slots 46-50: FIVE designated STATIC PURE-SQL roll-overs
-# (set_except, set_bag_semantics_all, join_anti, join_null_safe_eq,
-# rollup_flag_status — oracle+lint+perturb-swept locally at sf0.01 AND
-# sfx1 every round by scripts/round_gate.sh), placed AT the cut so the
-# r13 slot-51 staleness failure mode cannot recur. The r09-stale
-# queries displaced past the cut (q1/q7/q8/... pure-SQL TPC-H family)
-# roll to r15 — an untouched-for-5-rounds SQL-both-sides query is the
-# lowest-risk thing in the library; a plan-changed one is the highest.
+# QUERIES entries per round. Round 15 = optimization round 2: every
+# query whose PHYSICAL PLAN or Python internals this round's commits
+# touched sits inside the 50-query window (slots 1-15 — the Q3
+# build-side CTE pair, the substring-dedup default revert, the two
+# read_packets consumers of the mapInArrow scan, the eight jpeg/flac-
+# consuming media queries after the batched IDCT, and the heldout LM
+# scorer whose train side gained the opt-in single-pass form). Slots
+# 16-42 retire the ENTIRE remaining r09-stale overflow (the queries
+# the r14 cut displaced — after this round no driver check is older
+# than r10, VERDICT r14 item 9). The cut at 50 keeps the FIVE
+# designated STATIC PURE-SQL roll-overs (oracle+lint+perturb-swept
+# locally at sf0.01 AND sfx1 every round by scripts/round_gate.sh)
+# placed AT the cut so the r13 slot-51 staleness failure mode cannot
+# recur; the three alphabetically-first r10-stale queries fill slots 43-45.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    "x2_incremental_near_dedup_stored",
-    "x6_json_extract_agg",
-    "w_analytic_functions",
-    "w_ranking_functions",
-    "w_running_sum",
-    "x3_pq_tie_guard_recall",  # NEW this round (252nd query)
-    # --- r14 plan-changed (optimization commits; slots 7-26) ---
-    "x3_pq_rerank_topk",
-    "x3_ann_recall_tie_aware",
-    "x3_ann_recall",
-    "x2_near_dedup_compacted_index",
-    "x2_incremental_near_dedup",
-    "g_triangle_count",
-    "x2_lsh_near_dedup_survivors",
-    "curation_shard_build_e2e",
+    # --- r15 plan-changed / Python-internals-changed (slots 1-15) ---
+    "q3_shipping_priority",
+    "q3_bucketed_colocated",
     "x2_substring_dedup",
     "x2_substring_dedup_bpe",
-    "w_ewma_sharded",
-    "curation_dsir_select",
-    "g_pagerank",
-    "x3_kmeans_lloyd",
-    "x2_duplicate_components",
-    "x2_canonical_per_cluster",
-    "curation_quality_dedup",
-    "curation_quality_dedup_url",
-    "curation_leakage_safe_split",
-    "x2_semantic_dedup",
-    # --- r14 session-3 plan-changed (slots 27-30) ---
-    "w_funnel_depth_histogram",
-    "x2_duplicate_span_fraction",
-    "x3_text_embed_ann",
-    "curation_token_budget_select",
-    # --- stalest (r09) queries, alphabetical (slots 31-45) ---
-    "agg_approx_percentile_bound",
-    "agg_distinct_by_group",
-    "agg_hll_distinct_bound",
-    "agg_kll_quantile_bound",
-    "agg_theta_distinct_bound",
-    "agg_two_phase_distinct",
-    "agg_value_histogram",
-    "agg_variance_manual",
-    "curation_chunk_tokens",
-    "curation_content_filter",
-    "curation_filter_threshold_sweep",
-    "curation_normalize_text",
-    "curation_split_assign",
-    "curation_temperature_sample",
-    "curation_weighted_sample",
-    # --- the designated static pure-SQL roll-overs AT the cut ---
-    "set_except",
-    "set_bag_semantics_all",
-    "join_anti",
-    "join_null_safe_eq",
-    "rollup_flag_status",
-    # --- r09-stale overflow for any window wider than 50 ---
+    "etl_binary_decom_calibrate_e2e",
+    "frames_to_packets_roundtrip",
+    "x5_jpeg_pixel_stats",
+    "x5_video_frame_stats",
+    "x5_video_meta_decode",
+    "x5_avi_meta_decode",
+    "x5_avi_audio_stats",
+    "x5_flac_sample_stats",
+    "x5_image_dhash_near_dup",
+    "x5_multimodal_features",
+    "x4_heldout_backoff_logprob",
+    # --- the r09-stale overflow, retired in full (slots 16-42) ---
     "decode_golden_matrix",
     "grouping_sets_mixed",
     "j_fuzzy_match_join",
@@ -157,6 +113,16 @@ _CHECK_FIRST = [
     "x3_prototype_prune",
     "x4_token_count_bpe",
     "x5_frame_sample",
+    # --- stalest remaining (r10) fillers, alphabetical (slots 43-45) ---
+    "agg_global_stats",
+    "agg_having",
+    "agg_salted_avg",
+    # --- the designated static pure-SQL roll-overs AT the cut ---
+    "set_except",
+    "set_bag_semantics_all",
+    "join_anti",
+    "join_null_safe_eq",
+    "rollup_flag_status",
 ]
 
 # Reorder IN PLACE (ADVICE r11): rebinding this module's QUERIES to a

@@ -36,7 +36,6 @@ import os
 from collections.abc import Iterator
 from glob import glob
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from mission_data_pipeline_spark.models.ccsds import (
@@ -274,12 +273,16 @@ def _walk_offsets(buf: bytes, row: dict, *, eof_in_buf: bool) -> list[int]:
     return offs
 
 
-def _columns_from_offsets(buf: bytes, offs: list[int], row: dict) -> dict:
-    """Vectorized header-field extraction → column dict (PACKET_SCHEMA order)."""
+def _header_fields(buf: bytes, offs: list[int], row: dict) -> tuple:
+    """Shared vectorized header-field extraction (APID pushdown applied).
+
+    Returns ``(a, o, w0, w1, w2, apid, sec_hdr_flag, data_start,
+    user_start, data_end)`` — consumed by both the row-dict builder
+    (:func:`_columns_from_offsets`) and the Arrow-batch builder
+    (:func:`_arrow_batch_from_offsets`)."""
     import numpy as np
 
     sec_hdr_length = int(row["sec_hdr_length"])
-    range_start = int(row["range_start"])
     apids = row["apid_filter"]
 
     a = np.frombuffer(buf, dtype=np.uint8)
@@ -300,6 +303,16 @@ def _columns_from_offsets(buf: bytes, offs: list[int], row: dict) -> dict:
     # field is shorter than sec_hdr_length must truncate its sec_hdr at
     # the packet boundary, never leak the next packet's header bytes.
     user_start = np.minimum(data_start + n_sec, data_end)
+    return (a, o, w0, w1, w2, apid, sec_hdr_flag, data_start, user_start,
+            data_end)
+
+
+def _columns_from_offsets(buf: bytes, offs: list[int], row: dict) -> dict:
+    """Vectorized header-field extraction → column dict (PACKET_SCHEMA order)."""
+    range_start = int(row["range_start"])
+    sec_hdr_length = int(row["sec_hdr_length"])
+    (a, o, w0, w1, w2, apid, sec_hdr_flag, data_start, user_start,
+     data_end) = _header_fields(buf, offs, row)
     # Binary columns need one Python bytes object per packet regardless;
     # this zip loop is the only remaining per-packet work.
     if sec_hdr_length:
@@ -330,8 +343,10 @@ def _columns_from_offsets(buf: bytes, offs: list[int], row: dict) -> dict:
     }
 
 
-def _parse_range(row: dict) -> dict:
-    """Parse one byte range of one file into a packet column dict."""
+def _read_range_buffer(row: dict) -> tuple[bytes, bool]:
+    """Read one scan range plus the tail overlap (so the packet
+    straddling range_end can be completed by *this* task). Returns
+    ``(buf, eof_in_buf)``."""
     path = row["path"]
     range_start = int(row["range_start"])
     range_end = int(row["range_end"])
@@ -339,15 +354,102 @@ def _parse_range(row: dict) -> dict:
     max_packet_len = int(row["max_packet_len"])
     chain = int(row["resync_chain"])
 
-    # Read the range plus a tail overlap so the packet straddling
-    # range_end can be completed by *this* task.
     tail = max_packet_len * (chain + 2) + len(CCSDS_SYNC_MARKER)
     read_end = min(file_size, range_end + tail)
     with open(path, "rb") as f:
         f.seek(range_start)
         buf = f.read(read_end - range_start)
-    eof = read_end >= file_size
+    return buf, read_end >= file_size
+
+
+def _parse_range(row: dict) -> dict:
+    """Parse one byte range of one file into a packet column dict."""
+    buf, eof = _read_range_buffer(row)
     return _columns_from_offsets(buf, _walk_offsets(buf, row, eof_in_buf=eof), row)
+
+
+def _gathered_binary(a, starts, ends):
+    """Arrow binary array of ``buf[starts[i]:ends[i]]`` slices, built by
+    ONE vectorized gather over the range buffer instead of one Python
+    bytes object per packet (guide §4.2: re-slicing bytes is an offsets
+    computation, not a copy loop). ``a`` is the uint8 view of the
+    buffer."""
+    import numpy as np
+    import pyarrow as pa
+
+    lens = ends - starts
+    total = int(lens.sum())
+    # concatenated gather indices: for each packet i, the range
+    # [starts[i], ends[i]) — built with repeat/arange, no Python loop
+    pos = np.cumsum(lens) - lens
+    idx = np.repeat(starts - pos, lens) + np.arange(total, dtype=np.int64)
+    values = a[idx] if total else np.empty(0, dtype=np.uint8)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(lens),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(values.tobytes())],
+    )
+
+
+def _arrow_batch_from_offsets(buf: bytes, offs: list[int], row: dict):
+    """PACKET_SCHEMA Arrow record batch for one parsed range.
+
+    The batch path of :func:`read_packets`: header fields become
+    zero-copy int arrays and the binary payload columns are built by one
+    vectorized gather each — no per-packet Python objects, no pandas
+    object columns. The row-dict builder (:func:`_columns_from_offsets`)
+    stays for the streaming/datasource consumers."""
+    import numpy as np
+    import pyarrow as pa
+
+    range_start = int(row["range_start"])
+    (a, o, w0, w1, w2, apid, sec_hdr_flag, data_start, user_start,
+     data_end) = _header_fields(buf, offs, row)
+    k = len(o)
+
+    sec_hdr = _gathered_binary(a, data_start, user_start)
+    if int(row["sec_hdr_length"]):
+        # zero-length sec_hdr is NULL (row-dict builder parity)
+        valid = user_start > data_start
+        if not valid.all():
+            sec_hdr = pa.Array.from_buffers(
+                pa.binary(),
+                k,
+                [
+                    pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()),
+                    sec_hdr.buffers()[1],
+                    sec_hdr.buffers()[2],
+                ],
+            )
+    else:
+        sec_hdr = pa.nulls(k, pa.binary())
+
+    def const(value, typ):
+        if value is None:
+            return pa.nulls(k, typ)
+        return pa.repeat(pa.scalar(value, typ), k)
+
+    arrays = [
+        pa.array(apid, pa.int32()),
+        pa.array((w0 >> 13) & 0x7, pa.int32()),
+        pa.array((w0 >> 12) & 0x1, pa.int32()),
+        pa.array(sec_hdr_flag, pa.int32()),
+        pa.array((w1 >> 14) & 0x3, pa.int32()),
+        pa.array(w1 & 0x3FFF, pa.int32()),
+        pa.array(w2, pa.int32()),
+        sec_hdr,
+        _gathered_binary(a, user_start, data_end),
+        pa.nulls(k, pa.float64()),  # source_time_tai
+        const(row["ground_receipt_time"], pa.float64()),
+        const(row["source_id"], pa.string()),
+        const(row["path"], pa.string()),
+        pa.array(o + range_start, pa.int64()),
+    ]
+    return pa.RecordBatch.from_arrays(
+        arrays, [f.name for f in PACKET_SCHEMA.fields]
+    )
 
 
 def _parse_buffer(buf: bytes, row: dict, *, eof_in_buf: bool) -> Iterator[dict]:
@@ -364,11 +466,13 @@ def _py(v):  # numpy scalar → python scalar for row-dict consumers
     return v.item() if hasattr(v, "item") else v
 
 
-def _split_ranges(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in pdfs:
-        for row in pdf.to_dict("records"):
-            cols = _parse_range(row)
-            yield pd.DataFrame(cols, columns=[f.name for f in PACKET_SCHEMA.fields])
+def _split_ranges_arrow(batches):
+    """mapInArrow body: range-descriptor batches in, packet batches out."""
+    for b in batches:
+        for row in b.to_pylist():
+            buf, eof = _read_range_buffer(row)
+            offs = _walk_offsets(buf, row, eof_in_buf=eof)
+            yield _arrow_batch_from_offsets(buf, offs, row)
 
 
 def plan_ranges(
@@ -471,4 +575,8 @@ def read_packets(
     # One task per range: repartition to the number of ranges so no two
     # ranges serialize behind each other on one core.
     ranges_df = ranges_df.repartition(len(ranges))
-    return ranges_df.mapInPandas(_split_ranges, schema=PACKET_SCHEMA)
+    # mapInArrow, not mapInPandas: packet columns are built as Arrow
+    # arrays directly (vectorized binary gathers, zero-copy ints) —
+    # pandas object columns for 200k binary cells cost more than the
+    # parse itself (guide §4.1/4.2; measured 2x on the scan stage).
+    return ranges_df.mapInArrow(_split_ranges_arrow, schema=PACKET_SCHEMA)
