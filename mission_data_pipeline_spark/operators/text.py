@@ -1083,7 +1083,7 @@ def heldout_backoff_logprob(
     alpha: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
-    single_pass_train: bool = False,
+    single_pass_train: bool = True,
 ) -> DataFrame:
     """Held-out LM scoring with stupid backoff (Brants et al. 2007) —
     the real shape of the CCNet/KenLM perplexity filter: the language
@@ -1110,18 +1110,20 @@ def heldout_backoff_logprob(
     the train-side count tables are vocabulary-sized; DECIMAL-exact
     contribution sums for the oracle.
 
-    ``single_pass_train=True`` restructures the TRAIN side for corpus
-    scale: the default plan explodes the train corpus twice per action
-    per consumer (the gram explode feeds the cb and ch aggregates
-    through different subtrees, the token explode feeds cf and ctot),
-    while the single-pass form derives ``cb``/``ch`` from ONE
+    ``single_pass_train`` (DEFAULT True) restructures the TRAIN side
+    for corpus scale: the two-pass plan explodes the train corpus once
+    per consumer subtree (the gram explode feeds the cb and ch
+    aggregates separately, the token explode feeds cf and ctot), while
+    the single-pass form derives ``cb``/``ch`` from ONE
     vocabulary-sized (gh, hh) pair-count table and ``ctot`` from ``cf``
     — two full corpus explodes become one each, with only extra
-    vocabulary-sized shuffles in exchange. Results are identical
-    (pinned by a pytest); measured ~10-20% SLOWER at sf0.1 where the
-    explodes are cheap and the extra shuffle barrier dominates, which
-    is why it is opt-in rather than the default (r14 OPTIMIZATION log,
-    "LM scorers" entry; re-measured at sfx10 in r15).
+    vocabulary-sized shuffles in exchange (guide §2.3, aggregate before
+    you shuffle). Results are identical (pinned by a pytest). r14 had
+    measured the restructure ~15% slower at sf0.1 on a noise-loaded
+    box; the r15 calm-box interleaved A/B reads FLAT at sf0.1 (med
+    0.66 vs 0.66 s) and ~11% faster at sfx10 (med 1.04 vs 1.16 s), so
+    the corpus-scale shape is now the default; pass False for the
+    two-pass lineage.
     """
     from mission_data_pipeline_spark.operators.dedup import word_ngrams
 
