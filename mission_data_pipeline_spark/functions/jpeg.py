@@ -281,6 +281,32 @@ class _BitReader:
             return 0
         return self.take(n)
 
+    def read_coded(self, lut: list[int]) -> tuple[int, int]:
+        """Decode one Huffman symbol AND its EXTENDed amplitude in one
+        buffered read: the symbol's trailing ``size`` amplitude bits are
+        consumed by the SAME ``take`` as the code bits (for a 16-bit
+        code + 15 amplitude bits the accumulator holds at most 31 bits —
+        one extra fill at most), replacing the peek/take/take triple the
+        per-coefficient loop paid before. Returns ``(symbol, value)``
+        where ``size = symbol & 15`` (AC) / ``symbol`` (DC, caller
+        validates ≤ 11) and value is T.81 EXTEND of the raw ``size``
+        bits (0 when size is 0 — EOB/ZRL consume only the code bits).
+        On a symbol the caller will reject (DC size > 11, AC run past
+        63) the amplitude bits are consumed where the split reader
+        stopped short — indistinguishable, since every such stream
+        decodes to the None sentinel either way."""
+        packed = lut[self.peek16()]
+        if packed == 0:
+            raise ValueError("invalid Huffman code")
+        ln = packed & 31
+        sym = packed >> 5
+        size = sym & 15
+        if size == 0:
+            self.take(ln)
+            return sym, 0
+        v = self.take(ln + size) & ((1 << size) - 1)
+        return sym, (v if v >= (1 << (size - 1)) else v - (1 << size) + 1)
+
     def sync_restart(self, m: int) -> None:
         """Byte-align and consume the expected RSTm marker.
 
@@ -380,21 +406,8 @@ def _huff_lut_cached(bits: list[int], vals: list[int]) -> list[int]:
     return lut
 
 
-def _read_symbol(r: _BitReader, lut: list[int]) -> int:
-    packed = lut[r.peek16()]
-    if packed == 0:
-        raise ValueError("invalid Huffman code")
-    r.take(packed & 31)
-    return packed >> 5
-
-
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
-
-
-def _extend(v: int, size: int) -> int:
-    """T.81 EXTEND: map the raw 'size'-bit value to its signed amplitude."""
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
 # -- encoder ------------------------------------------------------------
@@ -723,30 +736,29 @@ def _decode_scan(d, pos, sos, sof, qtabs, huff, restart_interval):
                     c["pred"] = 0
             for c in order:
                 idx, val = c["cidx"], c["cval"]
+                dc_lut, ac_lut = c["dc"], c["ac"]
                 for _blk in range(c["v"] * c["h"]):
                     base = c["bi"] << 6
                     c["bi"] += 1
-                    size = _read_symbol(r, c["dc"])
+                    size, diff = r.read_coded(dc_lut)
                     if size > 11:
                         return None
-                    diff = _extend(r.bits(size), size) if size else 0
                     c["pred"] += diff
                     idx.append(base)
                     val.append(c["pred"])
                     k = 1
                     while k < 64:
-                        sym = _read_symbol(r, c["ac"])
-                        run, size = sym >> 4, sym & 0xF
-                        if size == 0:
-                            if run == 15:
+                        sym, v = r.read_coded(ac_lut)
+                        if sym & 0xF == 0:
+                            if sym == 0xF0:
                                 k += 16  # ZRL
                                 continue
                             break  # EOB
-                        k += run
+                        k += sym >> 4
                         if k > 63:
                             return None
                         idx.append(base + k)
-                        val.append(_extend(r.bits(size), size))
+                        val.append(v)
                         k += 1
             mcu_count += 1
 
