@@ -54,7 +54,7 @@ def __getattr__(name):
 # CORRECTNESS_r0*.json history). The driver verifies the first ~50
 # QUERIES entries per round. Round 15 = optimization round 2: every
 # query whose PHYSICAL PLAN or Python internals this round's commits
-# touched sits inside the 50-query window (slots 1-15 — the Q3
+# touched sits inside the 50-query window (slots 1-17 — the Q3
 # build-side CTE pair, the substring-dedup default revert, the two
 # read_packets consumers of the mapInArrow scan, the eight jpeg/flac-
 # consuming media queries after the batched IDCT, and the heldout LM
@@ -85,7 +85,9 @@ _CHECK_FIRST = [
     "x5_image_dhash_near_dup",
     "x5_multimodal_features",
     "x4_heldout_backoff_logprob",
-    # --- the r09-stale overflow, retired in full (slots 16-42) ---
+    "curation_shard_build_e2e",
+    "curation_html_extract",
+    # --- the r09-stale overflow, retired in full (slots 18-44) ---
     "decode_golden_matrix",
     "grouping_sets_mixed",
     "j_fuzzy_match_join",
@@ -113,10 +115,11 @@ _CHECK_FIRST = [
     "x3_prototype_prune",
     "x4_token_count_bpe",
     "x5_frame_sample",
-    # --- stalest remaining (r10) fillers, alphabetical (slots 43-45) ---
+    # --- stalest remaining (r10) filler, alphabetical (slot 45;
+    # agg_salted_avg and agg_having yielded their slots to the capstone
+    # and html_extract, whose plans changed this round and MUST be in
+    # the window) ---
     "agg_global_stats",
-    "agg_having",
-    "agg_salted_avg",
     # --- the designated static pure-SQL roll-overs AT the cut ---
     "set_except",
     "set_bag_semantics_all",

@@ -1509,6 +1509,26 @@ _q(
 # ---------------------------------------------------------------------------
 
 
+def _documents_floor(spark: SparkSession, *cols: str) -> DataFrame:
+    """``documents`` scan behind the scale-adaptive parallelism floor.
+
+    The driver's bench parquet is a single unsplittable row group at
+    small SFs, so a map-only consumer (the HTML synth + extraction
+    chains here) would otherwise run its whole per-row CPU cost in one
+    task with the rest of the box idle. Repartitions (deterministic
+    hash on doc_id, cluster-width partitions) ONLY when the scan
+    offers fewer splits than the cluster — a production-scale scan is
+    already wide and skips the exchange entirely (guide §2.2/§6.2).
+    """
+    from pyspark.sql import functions as F
+
+    doc = spark.table("documents").select(*cols)
+    par = spark.sparkContext.defaultParallelism
+    if doc.rdd.getNumPartitions() < par:
+        doc = doc.repartition(par, F.col("doc_id"))
+    return doc
+
+
 def _html_extract_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML→text boilerplate removal (operators/html.py
     extract_html_text, VERDICT r10 item 1): each document is rendered
@@ -1524,7 +1544,7 @@ def _html_extract_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mission_data_pipeline_spark.operators.html import extract_html_text
 
     register_views(spark, sf_dir)
-    doc = spark.table("documents").select(
+    doc = _documents_floor(spark, "doc_id", "lang", "text", "source").select(
         "doc_id", _synth_html_col().alias("html")
     )
     out = extract_html_text(doc, "html", out_col="text", diagnostics=True)
@@ -1781,13 +1801,19 @@ def _shard_build_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     every stage in SQL, so a drop/dup/misroute anywhere in the path
     (including the sink) breaks the match.
 
-    Scale shape: extraction + gate are zero-shuffle map-side column
-    chains; dedup shuffles band keys (never pairs); UniMax is one
-    bounded per-language collect + broadcast + lang-keyed window;
-    packing is a per-shard window (no global sort); the survivor
-    materialization is the natural stage barrier a real shard build
-    checkpoints anyway, and its footer row count sizes the budget with
-    no extra job."""
+    Scale shape: extraction + gate are map-side column chains behind a
+    parallelism floor (one deterministic hash exchange, applied only
+    when the scan offers fewer splits than the cluster — the bench's
+    single-row-group input would otherwise serialize the regex chain
+    into one task); dedup shuffles band keys (never pairs); UniMax is
+    one bounded per-language collect + broadcast + lang-keyed window;
+    packing is a per-shard window (no global sort) and the shard sink
+    is clustered by (lang, pack_id) so file creation parallelizes with
+    one file per shard dir; the survivor materialization is the
+    natural stage barrier a real shard build checkpoints anyway, and
+    its footer row count sizes the budget with no extra job (the
+    read-back pins the schema, so accounting does not pay a JSON
+    inference pass)."""
     import json
 
     from pyspark.sql import functions as F
@@ -1801,9 +1827,12 @@ def _shard_build_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_views(spark, sf_dir)
-    page = spark.table("documents").select(
-        "doc_id", "lang", _synth_html_col().alias("html")
-    )
+    # Parallelism floor for the synth + extraction + gate regex chain
+    # — the most expensive per-row CPU in the pipeline (see
+    # _documents_floor for the layout rationale).
+    doc = _documents_floor(spark, "doc_id", "lang", "text", "source")
+    par = spark.sparkContext.defaultParallelism
+    page = doc.select("doc_id", "lang", _synth_html_col().alias("html"))
     ext = extract_html_text(page, "html", out_col="text").select(
         "doc_id", "lang", "text"
     )
@@ -1856,13 +1885,29 @@ def _shard_build_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         chosen, 400, order_cols=["doc_id"], shard_cols=["lang"]
     )
     shards = os.path.join(base, "shards")
+    # Cluster the write by the partition key (guide §6.2): the packing
+    # window leaves the data in #lang partitions, so the partitionBy
+    # sink would create the hundreds of per-(lang, pack_id) shard files
+    # from a couple of tasks, serially (measured 6.6-7.2 s of the
+    # capstone wall at sf0.1). Hashing (lang, pack_id) across the
+    # cluster width keeps exactly one file per shard directory (each
+    # pack lands wholly in one task) while the file creation runs in
+    # parallel.
     (
         packed.select("doc_id", "n_tokens", "text", "lang", "pack_id")
+        .repartition(par, F.col("lang"), F.col("pack_id"))
         .write.partitionBy("lang", "pack_id")
         .json(shards)
     )
 
-    back = spark.read.json(shards)
+    # Explicit read-back schema: inference is a full extra pass over
+    # every shard file before the real read (guide §6.1). Matches the
+    # inferred schema exactly (pinned by the A/B equality check); the
+    # lang/pack_id partition columns are still discovered from the
+    # directory layout.
+    back = spark.read.schema("doc_id BIGINT, n_tokens BIGINT, text STRING").json(
+        shards
+    )
     acct = (
         back.groupBy("lang", F.col("pack_id").cast("long").alias("pack_id"))
         .agg(
